@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is fully materialized via a count-collect (not collect of all
+rows — the driver measures engine time, not driver-transfer time... but
+to be faithful to "produce the result", we collect the final rows, which
+for these aggregate/top-k queries is small).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "filter_calculate",
+    "aggregate_reducers",
+    "pivot_linestatus",
+    "rank_running_total",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from warp_spark import get_spark
+    from warp_spark.catalog import QUERIES
+
+    spark = get_spark("warp-spark-bench")
+    # Warm up every query shape at the smallest SF first: the first use of
+    # each physical operator pays a one-time JVM codegen/classload cost
+    # (~5-15s) that is irrelevant to steady-state engine throughput.
+    names = [n for n in HEADLINE if n in QUERIES]
+    for name in names:
+        try:
+            QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
+    timings = {}
+    for name in names:
+        best = None
+        for _ in range(2):  # best-of-2: damp environment-level CPU noise
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            # noop sink: full engine-side materialization of every output
+            # row (count() would let Catalyst prune computed columns away;
+            # collect() would measure Python driver transfer, not engine)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

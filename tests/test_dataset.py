@@ -1,0 +1,259 @@
+"""Operator-algebra tests modeled on the reference's differential suite
+(WarpCoreTests.swift:902-995 `testDatasetImplementations`: 1000-row
+synthetic raster, limit/offset/distinct/self-union/joins/selectColumns of
+missing columns/transpose roundtrip — see FIXTURES.md §2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from warp_spark import Aggregator, Dataset, Order
+
+
+@pytest.fixture(scope="module")
+def xyz1000(spark):
+    # X=i, Y=i+1, Z=i+2 for i in 0..<1000 (WarpCoreTests.swift:902-920)
+    return Dataset.from_df(
+        spark.range(1000).select(
+            F.col("id").alias("X"), (F.col("id") + 1).alias("Y"), (F.col("id") + 2).alias("Z")
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def xbc1000(spark):
+    return Dataset.from_df(
+        spark.range(1000).select(
+            F.col("id").alias("X"), (F.col("id") + 1).alias("B"), (F.col("id") + 2).alias("C")
+        )
+    )
+
+
+def test_limit(xyz1000):
+    assert xyz1000.limit(5).to_df().count() == 5
+
+
+def test_offset(xyz1000):
+    assert xyz1000.offset(990).to_df().count() == 10
+
+
+def test_distinct_all_unique(xyz1000):
+    assert xyz1000.distinct().to_df().count() == 1000
+
+
+def test_self_union(xyz1000):
+    assert xyz1000.union(xyz1000).to_df().count() == 2000
+
+
+def test_union_by_name_missing_columns(xyz1000, xbc1000):
+    out = xyz1000.union(xbc1000).to_df()
+    # 5 distinct column names, 2000 rows, missing cells NULL
+    assert sorted(out.columns) == ["B", "C", "X", "Y", "Z"]
+    assert out.count() == 2000
+    assert out.filter(F.col("B").isNull()).count() == 1000
+
+
+def test_select_columns_ignores_missing(xyz1000):
+    out = xyz1000.select_columns(["X", "nope", "Z"]).to_df()
+    assert out.columns == ["X", "Z"]
+
+
+def test_select_columns_case_insensitive(xyz1000):
+    out = xyz1000.select_columns(["x", "z"]).to_df()
+    assert out.columns == ["X", "Z"]
+
+
+def test_empty_selection_empty_dataset(xyz1000):
+    out = xyz1000.select_columns(["nope"]).to_df()
+    assert out.count() == 0
+
+
+def test_filter(xyz1000):
+    assert xyz1000.filter(F.col("X") < 10).to_df().count() == 10
+
+
+def test_calculate_sees_pre_update_row(spark):
+    ds = Dataset.from_df(spark.createDataFrame([(1, 2)], "a long, b long"))
+    # both expressions read the ORIGINAL a (Data.swift:221-230)
+    out = ds.calculate({"a": F.col("a") + 10, "c": F.col("a") * 100}).to_df().collect()[0]
+    assert out["a"] == 11 and out["c"] == 100
+
+
+def test_join_one_to_one(xyz1000, xbc1000):
+    out = xyz1000.join(xbc1000, on=F.col("Y") == F.col("B")).to_df()
+    # clashing right column X dropped (Raster.swift:383-389)
+    assert sorted(out.columns) == ["B", "C", "X", "Y", "Z"]
+    assert out.count() == 1000
+
+
+def test_join_left_unmatched_nulls(spark):
+    left = Dataset.from_df(spark.createDataFrame([(1,), (2,)], "k long"))
+    right = Dataset.from_df(spark.createDataFrame([(1, "x")], "rk long, v string"))
+    out = left.join(right, on=F.col("k") == F.col("rk"), how="left").to_df()
+    rows = {r["k"]: r["v"] for r in out.collect()}
+    assert rows == {1: "x", 2: None}
+
+
+def test_join_rejects_unsupported_type(xyz1000, xbc1000):
+    with pytest.raises(ValueError):
+        xyz1000.join(xbc1000, on=F.col("Y") == F.col("B"), how="full")
+
+
+def test_sort_empty_smallest(spark):
+    # empty (NULL) sorts below all values (Value.swift:591-636)
+    ds = Dataset.from_df(spark.createDataFrame([(3.0,), (None,), (1.0,)], "v double"))
+    vals = [r["v"] for r in ds.sort([Order("v")]).to_df().collect()]
+    assert vals == [None, 1.0, 3.0]
+
+
+def test_sort_numeric_collation_on_strings(spark):
+    ds = Dataset.from_df(spark.createDataFrame([("10",), ("9",), ("100",)], "v string"))
+    vals = [r["v"] for r in ds.sort([Order("v", numeric=True)]).to_df().collect()]
+    assert vals == ["9", "10", "100"]
+    vals = [r["v"] for r in ds.sort([Order("v", numeric=False)]).to_df().collect()]
+    assert vals == ["10", "100", "9"]
+
+
+def test_aggregate_sum_10k(spark):
+    # agg10k fixture: 10000 rows, c=1 → sum(c) == 10000 (WarpCoreTests.swift:1089-1110)
+    ds = Dataset.from_df(spark.range(10000).select(F.lit(1).alias("c")))
+    out = ds.aggregate({}, {"total": Aggregator(F.col("c"), "sum")}).to_df().collect()
+    assert out[0]["total"] == 10000
+
+
+def test_aggregate_count_numeric_only(spark):
+    # count counts numeric-convertible values only; countAll everything
+    # (Function.swift:2069-2094; WarpCoreTests.swift:207-230)
+    ds = Dataset.from_df(
+        spark.createDataFrame([("1",), ("2",), ("x",), (None,)], "v string")
+    )
+    out = ds.aggregate(
+        {},
+        {
+            "n": Aggregator(F.col("v"), "count"),
+            "n_all": Aggregator(F.col("v"), "countAll"),
+            "n_distinct": Aggregator(F.col("v"), "countDistinct"),
+        },
+    ).to_df().collect()[0]
+    assert out["n"] == 2
+    assert out["n_all"] == 4
+    assert out["n_distinct"] == 3  # NULL skipped
+
+
+def test_aggregate_minimum_count(spark):
+    # privacy floor: < n valid values → NULL (Aggregation.swift:103-134)
+    ds = Dataset.from_df(spark.createDataFrame([(1.0,), (2.0,)], "v double"))
+    out = ds.aggregate(
+        {},
+        {
+            "s_ok": Aggregator(F.col("v"), "sum", minimum_count=2),
+            "s_blocked": Aggregator(F.col("v"), "sum", minimum_count=3),
+        },
+    ).to_df().collect()[0]
+    assert out["s_ok"] == 3.0
+    assert out["s_blocked"] is None
+
+
+def test_median_variants(spark):
+    ds = Dataset.from_df(spark.createDataFrame([(1.0,), (2.0,), (3.0,), (10.0,)], "v double"))
+    out = ds.aggregate(
+        {},
+        {
+            "m": Aggregator(F.col("v"), "median"),
+            "ml": Aggregator(F.col("v"), "medianLow"),
+            "mh": Aggregator(F.col("v"), "medianHigh"),
+        },
+    ).to_df().collect()[0]
+    assert out["m"] == 2.5
+    assert out["ml"] == 2.0
+    assert out["mh"] == 3.0
+
+
+def test_pivot(spark):
+    ds = Dataset.from_df(
+        spark.createDataFrame(
+            [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0)], "g string, h string, v double"
+        )
+    )
+    out = ds.pivot("h", ["g"], {"v": Aggregator(F.col("v"), "sum")}, ["x", "y"]).to_df()
+    rows = {r["g"]: r for r in out.collect()}
+    assert rows["a"]["x_v"] == 1.0 and rows["a"]["y_v"] == 2.0
+    assert rows["b"]["x_v"] == 3.0
+
+
+def test_flatten(spark):
+    ds = Dataset.from_df(spark.createDataFrame([(1, "a")], "x long, y string"))
+    out = ds.flatten().to_df().collect()
+    cells = {(r["column"], r["value"]) for r in out}
+    assert cells == {("x", "1"), ("y", "a")}
+
+
+def test_rank_running(spark):
+    ds = Dataset.from_df(spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"))
+    out = (
+        ds.rank(
+            {"rnk": Aggregator(F.col("k"), "countAll"), "run": Aggregator(F.col("v"), "sum")},
+            by=[Order("k")],
+        )
+        .to_df()
+        .collect()
+    )
+    by_k = {r["k"]: r for r in out}
+    assert by_k[2]["rnk"] == 2 and by_k[2]["run"] == 30.0
+    assert by_k[3]["rnk"] == 3 and by_k[3]["run"] == 60.0
+
+
+def test_transpose_roundtrip(spark):
+    ds = Dataset.from_df(
+        spark.createDataFrame([("r1", "1", "2"), ("r2", "3", "4")], "k string, a string, b string")
+    )
+    tt = ds.transpose().transpose().to_df()
+    orig = {tuple(r) for r in ds.to_df().collect()}
+    assert {tuple(r) for r in tt.collect()} == orig
+
+
+def test_transpose_cap(spark):
+    ds = Dataset.from_df(spark.range(10).select(F.col("id").cast("string").alias("a")))
+    with pytest.raises(ValueError):
+        ds.transpose(max_rows=5)
+
+
+def test_explode_vertical(spark):
+    ds = Dataset.from_df(spark.createDataFrame([("a,b,c",)], "v string"))
+    out = ds.explode_vertical("v", separator=",").to_df().collect()
+    assert [r["v"] for r in out] == ["a", "b", "c"]
+
+
+def test_explode_horizontal(spark):
+    ds = Dataset.from_df(spark.createDataFrame([("a-b-c",)], "v string"))
+    out = ds.explode_horizontal("v", "-", 2).to_df().collect()[0]
+    assert out["v_1"] == "a" and out["v_2"] == "b"
+
+
+def test_dummies(spark):
+    ds = Dataset.from_df(spark.createDataFrame([("x",), ("y",)], "c string"))
+    out = ds.dummies("c").to_df()
+    rows = {r["c"]: r for r in out.collect()}
+    assert rows["x"]["c_x"] is True and rows["x"]["c_y"] is False
+
+
+def test_search(spark):
+    ds = Dataset.from_df(spark.createDataFrame([("Hello", 1), ("world", 2)], "a string, b long"))
+    assert ds.search("hell").to_df().count() == 1
+
+
+def test_filter_set(spark):
+    ds = Dataset.from_df(spark.createDataFrame([(1,), (2,), (3,)], "v long"))
+    assert ds.filter_set("v", [1, 3]).to_df().count() == 2
+
+
+def test_random_sample(spark):
+    ds = Dataset.from_df(spark.range(100).select(F.col("id").alias("v")))
+    out = ds.random(10, seed=42).to_df().collect()
+    assert len(out) == 10
+    assert len({r["v"] for r in out}) == 10  # without replacement
+
+
+def test_unique(spark):
+    ds = Dataset.from_df(spark.createDataFrame([(1,), (1,), (2,)], "v long"))
+    out = ds.unique(F.col("v") * 10).to_df().collect()
+    assert sorted(r["value"] for r in out) == [10, 20]

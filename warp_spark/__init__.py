@@ -1,0 +1,19 @@
+"""warp_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of pixelspark/warp (see SURVEY.md).
+
+Architecture: a thin, lazy operator algebra (`Dataset`) over Spark
+DataFrames; an Excel-style scalar/aggregate function library compiled to
+`pyspark.sql.Column` trees; a formula language parser; file/JDBC
+sources; and large-scale data-pipeline operators (dedup, similarity
+search, text analysis, multimodal plumbing) that the reference lacks.
+
+Everything is declarative DataFrame/SQL so Catalyst plans the physical
+execution (pushdown, join strategy, partial aggregation, AQE).
+"""
+
+from warp_spark.session import get_spark
+from warp_spark.dataset import Dataset, Order
+from warp_spark.aggregators import Aggregator
+
+__all__ = ["get_spark", "Dataset", "Order", "Aggregator"]
+__version__ = "0.1.0"

@@ -1,0 +1,359 @@
+"""The lazy operator algebra: a thin fluent wrapper over DataFrame with
+the reference's ``Dataset`` protocol surface (WarpCore/Sources/Data.swift:211-319)
+plus the app-level steps (SURVEY.md §2.1).
+
+Design notes (Spark-first, 100 TB aware):
+
+- Every method is a pure transformation returning a new ``Dataset`` —
+  the reference's lazy algebra maps 1:1 onto Spark's lazy logical plan;
+  the reference's ``CoalescedDataset`` rewrite layer (Data.swift:375-755)
+  is deliberately NOT re-implemented — Catalyst already performs every
+  rewrite it contains (SURVEY.md §4.1).
+- Row order: the reference's limit/offset/rank depend on source row
+  order; DataFrames are unordered. Sources can attach ``__row_id``
+  (``with_row_id``) and ordered operators fall back to it when the user
+  supplies no explicit order. At cluster scale a global row id is a
+  coordination point, so it is opt-in, never automatic.
+- No driver-side collects except ``transpose`` (inherently small-data,
+  guarded by a row cap — mirrors the reference, which only implements
+  it on the in-memory raster, Raster.swift:657-694).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce as _functools_reduce
+from typing import Iterable, Mapping, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from warp_spark.aggregators import Aggregator
+from warp_spark.values import to_number
+
+ROW_ID = "__row_id"
+
+ExprLike = Union[Column, str]
+
+
+def _col(e: ExprLike) -> Column:
+    """Accept a Column or a SQL expression string."""
+    return F.expr(e) if isinstance(e, str) else e
+
+
+@dataclass
+class Order:
+    """Sort key: expression + direction + collation (Data.swift:81-111).
+
+    ``numeric=True`` compares values numerically (Warp's default
+    collation); ``numeric=False`` compares as strings.
+    NULL (Warp ``empty``) sorts below all values either way
+    (Value.swift:591-636) → nulls first ascending, nulls last descending.
+    """
+
+    expression: ExprLike
+    ascending: bool = True
+    numeric: bool = True
+
+    def to_columns(self) -> list[Column]:
+        c = _col(self.expression)
+        if self.numeric:
+            # numeric collation: coerced double first, raw string tiebreak
+            keys = [to_number(c), c.cast("string")]
+        else:
+            keys = [c.cast("string")]
+        return [k.asc_nulls_first() if self.ascending else k.desc_nulls_last() for k in keys]
+
+    def to_column(self) -> Column:
+        return self.to_columns()[0]
+
+
+class Dataset:
+    """Fluent lazy dataset. Wraps a DataFrame; ``df`` is always accessible."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # -- sources -----------------------------------------------------------
+    @staticmethod
+    def from_parquet(spark: SparkSession, path: str) -> "Dataset":
+        return Dataset(spark.read.parquet(path))
+
+    @staticmethod
+    def from_df(df: DataFrame) -> "Dataset":
+        return Dataset(df)
+
+    def with_row_id(self) -> "Dataset":
+        """Attach a monotonically increasing row id capturing source
+        order (SURVEY.md §7.1.2). Not globally contiguous — only ordered."""
+        return Dataset(self.df.withColumn(ROW_ID, F.monotonically_increasing_id()))
+
+    # -- core relational ops (Dataset protocol, Data.swift:211-319) --------
+    def filter(self, condition: ExprLike) -> "Dataset":
+        """Keep rows where condition is TRUE (not merely truthy) —
+        Data.swift:248-250."""
+        return Dataset(self.df.filter(_col(condition)))
+
+    def calculate(self, calculations: Mapping[str, ExprLike]) -> "Dataset":
+        """Add/overwrite columns; every expression sees the *pre-update*
+        row (batch semantics, Data.swift:221-230); new columns append at
+        the end — exactly ``withColumns``."""
+        return Dataset(self.df.withColumns({k: _col(v) for k, v in calculations.items()}))
+
+    def select_columns(self, columns: Sequence[str]) -> "Dataset":
+        """Project + reorder; silently ignores missing names
+        (Data.swift:256-258)."""
+        existing = {c.lower(): c for c in self.df.columns}
+        keep = [existing[c.lower()] for c in columns if c.lower() in existing]
+        if not keep:
+            # empty selection → empty dataset (Data.swift:662-664)
+            return Dataset(self.df.select().limit(0))
+        return Dataset(self.df.select(*keep))
+
+    def rename(self, mapping: Mapping[str, str]) -> "Dataset":
+        """QBERenameStep.swift:82-106."""
+        return Dataset(self.df.withColumnsRenamed(dict(mapping)))
+
+    def limit(self, n: int) -> "Dataset":
+        return Dataset(self.df.limit(n))
+
+    def offset(self, n: int) -> "Dataset":
+        return Dataset(self.df.offset(n))
+
+    def random(self, n: int, seed: Optional[int] = None) -> "Dataset":
+        """Uniform n-row sample without replacement (Data.swift:240-243;
+        reservoir sampling in the reference, Stats.swift:201-253).
+        Spark-side: order by rand and cut — a full shuffle of (key)
+        pairs; at scale prefer ``sample(fraction)`` when approximate
+        counts suffice."""
+        return Dataset(self.df.orderBy(F.rand(seed) if seed is not None else F.rand()).limit(n))
+
+    def distinct(self) -> "Dataset":
+        return Dataset(self.df.distinct())
+
+    def unique(self, expression: ExprLike, alias: str = "value") -> "Dataset":
+        """Distinct values of an expression (Data.swift:252-254)."""
+        return Dataset(self.df.select(_col(expression).alias(alias)).distinct())
+
+    def sort(self, orders: Sequence[Order]) -> "Dataset":
+        keys = [k for o in orders for k in o.to_columns()]
+        return Dataset(self.df.orderBy(*keys))
+
+    def aggregate(
+        self,
+        groups: Mapping[str, ExprLike],
+        values: Mapping[str, Aggregator],
+    ) -> "Dataset":
+        """GROUP BY computed expressions (Data.swift:260-263). Compiles
+        to a single hash aggregate with map-side partials."""
+        gcols = [_col(e).alias(name) for name, e in groups.items()]
+        aggs = [agg.to_column(name) for name, agg in values.items()]
+        if gcols:
+            out = self.df.groupBy(*gcols).agg(*aggs)
+        else:
+            out = self.df.agg(*aggs)
+        return Dataset(out)
+
+    def pivot(
+        self,
+        horizontal: str,
+        vertical: Sequence[str],
+        values: Mapping[str, Aggregator],
+        horizontal_values: Optional[Sequence] = None,
+    ) -> "Dataset":
+        """Spread distinct values of ``horizontal`` into generated columns
+        (Data.swift:265; raster impl Raster.swift:984-1050). Column naming
+        follows the reference: ``<hval>_<valuecol>``.
+
+        Passing ``horizontal_values`` avoids the extra distinct-scan job
+        Spark otherwise runs — at 100 TB always pass them (the reference
+        app similarly pre-aggregates before pivoting,
+        QBEPivotStep.swift:166-181)."""
+        aggs = [agg.to_column(name) for name, agg in values.items()]
+        p = self.df.groupBy(*vertical).pivot(horizontal, list(horizontal_values) if horizontal_values else None)
+        out = p.agg(*aggs)
+        if len(values) == 1:
+            # Spark names single-agg pivot columns "<hval>"; reference uses
+            # "<hval>_<valuecol>"
+            vname = next(iter(values))
+            renames = {
+                c: f"{c}_{vname}" for c in out.columns if c not in vertical
+            }
+            out = out.withColumnsRenamed(renames)
+        return Dataset(out)
+
+    def flatten(
+        self,
+        value_to: str = "value",
+        column_name_to: Optional[str] = "column",
+        row_identifier: Optional[ExprLike] = None,
+        row_identifier_to: str = "row",
+        columns: Optional[Sequence[str]] = None,
+    ) -> "Dataset":
+        """Melt/unpivot: one output row per input *cell*
+        (Data.swift:270-276; Transformer.swift:239-323). Uses the
+        built-in ``melt`` — a narrow transformation, no shuffle."""
+        cols = list(columns) if columns else list(self.df.columns)
+        df = self.df
+        id_cols = []
+        if row_identifier is not None:
+            df = df.withColumn(row_identifier_to, _col(row_identifier))
+            id_cols = [row_identifier_to]
+        # melt requires a homogeneous value type: cast to string like the
+        # reference's dynamically-typed cells
+        casted = df.select(*id_cols, *[F.col(c).cast("string").alias(c) for c in cols])
+        out = casted.melt(
+            ids=id_cols,
+            values=cols,
+            variableColumnName=column_name_to or "column",
+            valueColumnName=value_to,
+        )
+        if column_name_to is None:
+            out = out.drop("column")
+        return Dataset(out)
+
+    def join(
+        self,
+        other: "Dataset",
+        on: ExprLike,
+        how: str = "inner",
+    ) -> "Dataset":
+        """Join with an arbitrary boolean predicate (Data.swift:113-145).
+        Only left-outer and inner exist in the reference
+        (Data.swift:113-130); right columns whose names clash with left
+        are dropped from the output (Raster.swift:383-389).
+
+        Spark plans broadcast/shuffled-hash/sort-merge automatically; an
+        equi-predicate becomes a hash join exactly like the reference's
+        HashComparison fast path (Data.swift:147-198)."""
+        if how not in ("inner", "left"):
+            raise ValueError("reference supports only inner and left joins (Data.swift:113-130)")
+        left, right = self.df, other.df
+        clashing = {c.lower() for c in left.columns} & {c.lower() for c in right.columns}
+        right_kept = right  # keep clashing cols for the predicate, drop after
+        joined = left.join(right_kept, on=_col(on) if not isinstance(on, list) else on, how=how)
+        drop_cols = [right_kept[c] for c in right.columns if c.lower() in clashing]
+        for dc in drop_cols:
+            joined = joined.drop(dc)
+        return Dataset(joined)
+
+    def union(self, other: "Dataset") -> "Dataset":
+        """UNION ALL with column alignment by name; missing cells → NULL
+        (Data.swift:300-304 — explicitly "not SQL UNION")."""
+        return Dataset(self.df.unionByName(other.df, allowMissingColumns=True))
+
+    def rank(
+        self,
+        ranks: Mapping[str, Aggregator],
+        by: Sequence[Order],
+        partition_by: Optional[Sequence[ExprLike]] = None,
+    ) -> "Dataset":
+        """Running aggregates over sorted rows (Data.swift:306-311;
+        window pushdown SQL.swift:1491-1537). ``partition_by`` is a scale
+        extension: the reference computes one global running aggregate
+        (single sequential reducer, Transformer.swift:476-547) which on a
+        cluster serializes into one task — partitioned windows restore
+        parallelism."""
+        # windowed variants of the reducers (plain aggregate functions —
+        # the batch reducers in aggregators.py wrap them with group-level
+        # null handling that cannot sit under .over())
+        window_reducers = {
+            "sum": lambda c: F.sum(to_number(c)),
+            "average": lambda c: F.avg(to_number(c)),
+            "min": F.min,
+            "max": F.max,
+            "count": lambda c: F.count(F.when(to_number(c).isNotNull(), 1)),
+            "countDistinct": F.count_distinct,
+            "concat": lambda c: F.concat_ws("", F.collect_list(c.cast("string"))),
+            "list": F.collect_list,
+        }
+        order_keys = (
+            [k for o in by for k in o.to_columns()] if by else [F.col(ROW_ID)]
+        )
+        base = Window.orderBy(*order_keys)
+        if partition_by:
+            base = Window.partitionBy(*[_col(p) for p in partition_by]).orderBy(*order_keys)
+        framed = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        out = self.df
+        for name, agg in ranks.items():
+            if agg.reduce == "countAll":
+                # simple rank = running countAll (QBERankStep.swift:107-122)
+                c = F.row_number().over(base)
+            elif agg.reduce in window_reducers:
+                c = window_reducers[agg.reduce](agg._map_col()).over(framed)
+            else:
+                raise ValueError(f"reducer {agg.reduce!r} not supported as running aggregate")
+            out = out.withColumn(name, c)
+        return Dataset(out)
+
+    def transpose(self, max_rows: int = 2000) -> "Dataset":
+        """Rows ↔ columns; first column becomes the header
+        (Data.swift:217-219, raster-only in the reference,
+        Raster.swift:657-694). Inherently driver-side small-data — guarded."""
+        rows = self.df.limit(max_rows + 1).collect()
+        if len(rows) > max_rows:
+            raise ValueError(f"transpose capped at {max_rows} rows")
+        cols = self.df.columns
+        if not rows:
+            return Dataset(self.df.sparkSession.createDataFrame([], "column string"))
+        header = ["column"] + [str(r[0]) for r in rows]
+        out_rows = []
+        for ci in range(1, len(cols)):
+            out_rows.append(tuple([cols[ci]] + [str(r[ci]) if r[ci] is not None else None for r in rows]))
+        schema = ", ".join(f"`{h}` string" for h in header)
+        return Dataset(self.df.sparkSession.createDataFrame(out_rows, schema))
+
+    # -- app-level steps (SURVEY.md §2.1 #17-24) ---------------------------
+    def explode_vertical(self, column: str, separator: Optional[str] = None) -> "Dataset":
+        """Split a cell into one row per element (QBEExplodeStep.swift:15-62).
+        String cells split on ``separator``; array cells explode natively."""
+        c = F.col(column)
+        if separator is not None:
+            c = F.split(c.cast("string"), F.lit(separator).cast("string"), -1)
+        return Dataset(self.df.withColumn(column, F.explode(c)))
+
+    def explode_horizontal(
+        self, column: str, separator: str, n: int, keep_source: bool = False
+    ) -> "Dataset":
+        """Split a cell into the first N pieces as new columns
+        (QBEExplodeStep.swift:64-150). New columns named ``<col>_<i>``."""
+        parts = F.split(F.col(column).cast("string"), separator, -1)
+        new = {f"{column}_{i + 1}": F.try_element_at(parts, F.lit(i + 1)) for i in range(n)}
+        out = self.df.withColumns(new)
+        if not keep_source:
+            out = out.drop(column)
+        return Dataset(out)
+
+    def dummies(self, column: str, values: Optional[Sequence] = None) -> "Dataset":
+        """One-hot: boolean column ``<col>_<v>`` per distinct value
+        (QBEDummiesStep.swift:15-95). Pass ``values`` to skip the
+        distinct-collect job at scale."""
+        if values is None:
+            values = [r[0] for r in self.df.select(column).distinct().orderBy(column).collect()]
+        new = {f"{column}_{v}": (F.col(column) == F.lit(v)) for v in values}
+        return Dataset(self.df.withColumns(new))
+
+    def search(self, query: str, columns: Optional[Sequence[str]] = None) -> "Dataset":
+        """OR of case-insensitive contains over all columns
+        (QBESearchStep.swift:39-60)."""
+        cols = columns or self.df.columns
+        preds = [F.lower(F.col(c).cast("string")).contains(query.lower()) for c in cols]
+        return Dataset(self.df.filter(_functools_reduce(lambda a, b: a | b, preds)))
+
+    def filter_set(self, column: str, values: Iterable) -> "Dataset":
+        """Per-column value-set filter → IN (QBERowsStep.swift:180-269)."""
+        return Dataset(self.df.filter(F.col(column).isin(list(values))))
+
+    # -- materialization ---------------------------------------------------
+    def cache(self) -> "Dataset":
+        """QBECacheStep analog (QBECacheStep.swift:15-140)."""
+        return Dataset(self.df.cache())
+
+    def to_df(self) -> DataFrame:
+        return self.df
+
+    def collect(self):
+        return self.df.collect()
+
+    def explain(self, mode: str = "formatted"):
+        return self.df.explain(mode)

@@ -505,5 +505,394 @@ def rank_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.to_df()
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q6-style: tight filter → global aggregate (single row)
+# ---------------------------------------------------------------------------
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .aggregate({}, {"revenue": Aggregator(F.col("l_extendedprice") * F.col("l_discount"), "sum")})
+        .calculate({"revenue": F.round("revenue", 2)})
+    )
+    return out.to_df()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10-style: 4-way join → agg → top-k
+# ---------------------------------------------------------------------------
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    j = li.join(orders, on=F.col("l_orderkey") == F.col("o_orderkey"))
+    j = j.join(Dataset(F.broadcast(customer.df)), on=F.col("o_custkey") == F.col("c_custkey"))
+    j = j.join(Dataset(F.broadcast(nation.df)), on=F.col("c_nationkey") == F.col("n_nationkey"))
+    out = (
+        j.aggregate(
+            {"c_custkey": F.col("c_custkey"), "c_name": F.col("c_name"), "n_name": F.col("n_name")},
+            {"revenue": Aggregator(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum")},
+        )
+        .calculate({"revenue": F.round("revenue", 2)})
+        .sort([Order("revenue", ascending=False), Order("c_custkey")])
+        .limit(20)
+        .select_columns(["c_custkey", "c_name", "revenue", "n_name"])
+    )
+    return out.to_df()
+
+
+# ---------------------------------------------------------------------------
+# flatten / melt: one row per cell (Data.swift:270-276)
+# ---------------------------------------------------------------------------
+@register(
+    "flatten_melt",
+    """
+    SELECT l_orderkey * 10 + l_linenumber AS row,
+           col AS column, val AS value
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS col,
+             CAST(l_quantity AS VARCHAR) AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount',
+             CAST(l_discount AS VARCHAR) FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax',
+             CAST(l_tax AS VARCHAR) FROM lineitem
+    )
+    """,
+)
+def flatten_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _t(spark, sf_dir, "lineitem").flatten(
+        value_to="value",
+        column_name_to="column",
+        row_identifier=F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+        row_identifier_to="row",
+        columns=["l_quantity", "l_discount", "l_tax"],
+    )
+    return out.to_df()
+
+
+# ---------------------------------------------------------------------------
+# vertical explode: split a cell into rows (QBEExplodeStep.swift:15-62)
+# ---------------------------------------------------------------------------
+@register(
+    "explode_split_rows",
+    """
+    SELECT p_partkey, unnest(string_split(p_type, ' ')) AS p_type
+    FROM part
+    """,
+)
+def explode_split_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = (
+        _t(spark, sf_dir, "part")
+        .select_columns(["p_partkey", "p_type"])
+        .explode_vertical("p_type", separator=" ")
+    )
+    return out.to_df()
+
+
+# ---------------------------------------------------------------------------
+# horizontal explode: split a cell into N columns (QBEExplodeStep.swift:64-150)
+# ---------------------------------------------------------------------------
+@register(
+    "explode_split_columns",
+    """
+    SELECT o_orderkey,
+           string_split(o_orderpriority, '-')[1] AS o_orderpriority_1,
+           string_split(o_orderpriority, '-')[2] AS o_orderpriority_2
+    FROM orders
+    """,
+)
+def explode_split_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = (
+        _t(spark, sf_dir, "orders")
+        .select_columns(["o_orderkey", "o_orderpriority"])
+        .explode_horizontal("o_orderpriority", "-", 2)
+    )
+    return out.to_df()
+
+
+# ---------------------------------------------------------------------------
+# one-hot / dummies (QBEDummiesStep.swift:15-95)
+# ---------------------------------------------------------------------------
+@register(
+    "dummies_onehot",
+    """
+    SELECT c_custkey,
+           c_mktsegment = 'AUTOMOBILE' AS c_mktsegment_AUTOMOBILE,
+           c_mktsegment = 'BUILDING'   AS c_mktsegment_BUILDING,
+           c_mktsegment = 'FURNITURE'  AS c_mktsegment_FURNITURE,
+           c_mktsegment = 'HOUSEHOLD'  AS c_mktsegment_HOUSEHOLD,
+           c_mktsegment = 'MACHINERY'  AS c_mktsegment_MACHINERY
+    FROM customer
+    """,
+)
+def dummies_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    segments = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    out = (
+        _t(spark, sf_dir, "customer")
+        .select_columns(["c_custkey", "c_mktsegment"])
+        .dummies("c_mktsegment", values=segments)
+        .select_columns(["c_custkey"] + [f"c_mktsegment_{s}" for s in segments])
+    )
+    return out.to_df()
+
+
+# ---------------------------------------------------------------------------
+# search: case-insensitive contains across columns (QBESearchStep.swift:39-60)
+# ---------------------------------------------------------------------------
+@register(
+    "search_contains",
+    """
+    SELECT p_partkey, p_name, p_brand, p_type
+    FROM part
+    WHERE contains(lower(p_name), 'blue')
+       OR contains(lower(p_brand), 'blue')
+       OR contains(lower(p_type), 'blue')
+    """,
+)
+def search_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = (
+        _t(spark, sf_dir, "part")
+        .select_columns(["p_partkey", "p_name", "p_brand", "p_type"])
+        .search("BLUE", columns=["p_name", "p_brand", "p_type"])
+    )
+    return out.to_df()
+
+
+# ---------------------------------------------------------------------------
+# filter-set → IN (QBERowsStep.swift:180-269)
+# ---------------------------------------------------------------------------
+@register(
+    "filter_set_in",
+    """
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def filter_set_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = (
+        _t(spark, sf_dir, "orders")
+        .select_columns(["o_orderkey", "o_orderpriority"])
+        .filter_set("o_orderpriority", ["1-URGENT", "2-HIGH"])
+    )
+    return out.to_df()
+
+
+# ---------------------------------------------------------------------------
+# random sample — nondeterministic: rows-only check (no oracle), like the
+# reference's reservoir sample (Stats.swift:201-253)
+# ---------------------------------------------------------------------------
+@register("random_sample")
+def random_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").random(100, seed=42).to_df()
+
+
+# ---------------------------------------------------------------------------
+# transpose — driver-side small-data utility (Raster.swift:657-694);
+# rows-only check (output column names derive from data)
+# ---------------------------------------------------------------------------
+@register("transpose_region")
+def transpose_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "region").sort([Order("r_regionkey")]).transpose().to_df()
+
+
+# ---------------------------------------------------------------------------
+# pack/list aggregation (PackReducer Function.swift:2106-2118 + pack format
+# Value.swift:266-380), made order-deterministic via sort
+# ---------------------------------------------------------------------------
+@register(
+    "agg_pack_statuses",
+    """
+    SELECT l_returnflag,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+           count(DISTINCT l_linestatus) AS n_statuses
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_pack_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = (
+        _t(spark, sf_dir, "lineitem")
+        .aggregate(
+            {"l_returnflag": F.col("l_returnflag")},
+            {
+                "status_list": Aggregator(F.col("l_linestatus"), "list"),
+                "n_statuses": Aggregator(F.col("l_linestatus"), "countDistinct"),
+            },
+        )
+        # pack of the sorted distinct statuses (no commas in values → pack
+        # encoding equals a plain comma join; escaping covered in tests)
+        .calculate(
+            {"statuses": F.array_join(F.sort_array(F.array_distinct(F.col("status_list"))), ",")}
+        )
+        .select_columns(["l_returnflag", "statuses", "n_statuses"])
+        .sort([Order("l_returnflag", numeric=False)])
+    )
+    return out.to_df()
+
+
+# ---------------------------------------------------------------------------
+# function-library parity: math (transcendentals rounded on both sides —
+# libm vs java.lang.Math may differ in the last ulp)
+# ---------------------------------------------------------------------------
+@register(
+    "functions_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05)                       AS abs_v,
+           sqrt(l_quantity)                             AS sqrt_v,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS floor_v,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT)  AS ceil_v,
+           round(ln(l_extendedprice), 8)                AS ln_v,
+           round(pow(l_quantity, 2), 4)                 AS pow_v,
+           CAST(sign(l_discount - 0.05) AS DOUBLE)      AS sign_v,
+           round(exp(l_discount), 8)                    AS exp_v
+    FROM lineitem
+    """,
+)
+def functions_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = (
+        _t(spark, sf_dir, "lineitem")
+        .calculate(
+            {
+                "abs_v": call("abs", F.col("l_discount") - 0.05),
+                "sqrt_v": call("sqrt", F.col("l_quantity")),
+                "floor_v": call("floor", F.col("l_extendedprice") / 1000),
+                "ceil_v": call("ceiling", F.col("l_extendedprice") / 1000),
+                "ln_v": call("round", call("ln", F.col("l_extendedprice")), 8),
+                "pow_v": call("round", call("power", F.col("l_quantity"), 2), 4),
+                "sign_v": call("sign", F.col("l_discount") - 0.05),
+                "exp_v": call("round", call("exp", F.col("l_discount")), 8),
+            }
+        )
+        .select_columns(
+            ["l_orderkey", "l_linenumber", "abs_v", "sqrt_v", "floor_v", "ceil_v", "ln_v", "pow_v", "sign_v", "exp_v"]
+        )
+    )
+    return out.to_df()
+
+
+# ---------------------------------------------------------------------------
+# function-library parity: strings
+# ---------------------------------------------------------------------------
+@register(
+    "functions_string",
+    """
+    SELECT p_partkey,
+           upper(p_name)                        AS upper_v,
+           lower(p_brand)                       AS lower_v,
+           length(p_name)                       AS len_v,
+           trim(p_name)                         AS trim_v,
+           substring(p_name, 1, 5)              AS left_v,
+           substring(p_name, 3, 4)              AS mid_v,
+           replace(p_type, ' ', '_')            AS subst_v,
+           concat(p_brand, ':', p_type)         AS concat_v,
+           levenshtein(p_brand, p_type)         AS lev_v,
+           contains(p_name, 'a')                AS contains_v
+    FROM part
+    """,
+)
+def functions_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = (
+        _t(spark, sf_dir, "part")
+        .calculate(
+            {
+                "upper_v": call("uppercase", F.col("p_name")),
+                "lower_v": call("lowercase", F.col("p_brand")),
+                "len_v": call("length", F.col("p_name")),
+                "trim_v": call("trim", F.col("p_name")),
+                "left_v": call("left", F.col("p_name"), 5),
+                "mid_v": call("mid", F.col("p_name"), 3, 4),
+                "subst_v": call("substitute", F.col("p_type"), " ", "_"),
+                "concat_v": call("concat", F.col("p_brand"), ":", F.col("p_type")),
+                "lev_v": call("levenshtein", F.col("p_brand"), F.col("p_type")),
+                "contains_v": F.col("p_name").contains("a"),
+            }
+        )
+        .select_columns(
+            ["p_partkey", "upper_v", "lower_v", "len_v", "trim_v", "left_v", "mid_v", "subst_v", "concat_v", "lev_v", "contains_v"]
+        )
+    )
+    return out.to_df()
+
+
+# ---------------------------------------------------------------------------
+# function-library parity: date/time (UTC semantics, Function.swift:1366-1501)
+# ---------------------------------------------------------------------------
+@register(
+    "functions_datetime",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate)                         AS y,
+           month(o_orderdate)                        AS m,
+           day(o_orderdate)                          AS d,
+           CAST(epoch(o_orderdate) AS BIGINT)        AS unix_ts,
+           strftime(o_orderdate, '%Y-%m-%d')         AS fmt,
+           o_orderdate + INTERVAL 1 DAY              AS next_day,
+           date_diff('second', TIMESTAMP '1995-01-01', o_orderdate) AS secs_since
+    FROM orders
+    """,
+)
+def functions_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = F.col("o_orderdate")
+    out = (
+        _t(spark, sf_dir, "orders")
+        .calculate(
+            {
+                "y": call("utcYear", od),
+                "m": call("utcMonth", od),
+                "d": call("utcDay", od),
+                "unix_ts": call("toUnixTime", od),
+                "fmt": call("toUnicodeDateString", od, "yyyy-MM-dd"),
+                "next_day": call("after", od, 86400),
+                "secs_since": call("duration", call("fromISO8601", F.lit("1995-01-01T00:00:00")), od),
+            }
+        )
+        .select_columns(["o_orderkey", "y", "m", "d", "unix_ts", "fmt", "next_day", "secs_since"])
+    )
+    return out.to_df()
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)

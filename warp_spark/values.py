@@ -72,10 +72,12 @@ def safe_div(a: Column, b: Column) -> Column:
     return F.when(to_number(b) != 0, to_number(a) / to_number(b))
 
 
-def warp_concat(*cols: Column) -> Column:
+def warp_concat(*cols) -> Column:
     """The ``&`` operator — string concatenation after stringValue
     coercion (Value.swift:503-509). NULL input → NULL (invalid)."""
-    return F.concat(*[to_string(c) for c in cols])
+    return F.concat(
+        *[to_string(c if isinstance(c, Column) else F.lit(c)) for c in cols]
+    )
 
 
 # ---------------------------------------------------------------------------

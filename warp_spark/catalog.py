@@ -894,5 +894,250 @@ def functions_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.to_df()
 
 
+# ===========================================================================
+# LLM-data-pipeline operators (SURVEY.md §7.2 step 7 / BASELINE.json
+# north star): dedup, similarity search, text analysis, multimodal.
+# ===========================================================================
+
+# Shared DuckDB CTE fragments mirroring warp_spark.pipeline.dedup's
+# shingle → minhash → band construction (md5-based, engine-portable).
+_DUCK_SHINGLES = """
+t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(toks) >= 3
+                   THEN list_distinct([array_to_string(list_slice(toks, i+1, i+3), ' ')
+                                       for i in range(0, len(toks)-2)])
+                   ELSE [array_to_string(toks, ' ')] END AS sh
+       FROM t)
+"""
+
+_DUCK_MINS = ", ".join(
+    f"list_aggregate(list_transform(sh, s -> md5('{k}|' || s)), 'min')" for k in range(12)
+)
+
+_DUCK_LSH = (
+    _DUCK_SHINGLES
+    + f""",
+sig AS (SELECT doc_id, [{_DUCK_MINS}] AS sig FROM sh),
+bands AS (SELECT doc_id, i AS band_idx, sig[2*i+1] || '|' || sig[2*i+2] AS band_val
+          FROM sig, range(0, 6) r(i)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+          AND a.doc_id < b.doc_id)
+"""
+)
+
+
+@register(
+    "text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           (length(text) - (len(toks) - 1)) / len(toks) AS avg_token_len,
+           length(regexp_extract_all(text, '[^\\w\\s]')) / length(text) AS punct_ratio,
+           len(list_filter(toks, x -> list_contains(
+               ['the','a','of','and','to','in','is','that'], x))) / len(toks) AS stopword_ratio,
+           round(least(len(toks) / 100.0, 1.0) * 0.5
+                 + (len(list_filter(toks, x -> list_contains(
+                       ['the','a','of','and','to','in','is','that'], x))) / len(toks)) * 0.3
+                 + (1 - least((length(regexp_extract_all(text, '[^\\w\\s]'))
+                               / length(text)) * 10, 1.0)) * 0.2, 6) AS quality_score
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    feats = quality_features(F.col("text"))
+    return docs.withColumns(feats).select(
+        "doc_id", "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+def _duck_hits(lang_words: list) -> str:
+    arr = "[" + ",".join(f"'{w}'" for w in lang_words) + "]"
+    return f"len(list_filter(toks, x -> list_contains({arr}, x)))"
+
+
+def _langid_oracle() -> str:
+    from warp_spark.pipeline.text import STOPWORDS
+
+    hits = {lang: _duck_hits(ws) for lang, ws in STOPWORDS.items()}
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in hits) + ")"
+    case = "CASE WHEN " + best + " <= 0 THEN 'und' "
+    for lang in hits:
+        case += f"WHEN h_{lang} = {best} THEN '{lang}' "
+    case += "END"
+    hit_cols = ", ".join(f"{sql} AS h_{lang}" for lang, sql in hits.items())
+    return f"""
+    WITH t AS (SELECT doc_id, lang,
+                      regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+               FROM documents),
+    h AS (SELECT doc_id, lang, {hit_cols} FROM t)
+    SELECT doc_id, lang, {case} AS lang_pred FROM h
+    """
+
+
+@register("text_langid", _langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.text import language_id
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    return docs.select("doc_id", "lang", language_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "text_fingerprint_tokens",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           len(regexp_split_to_array(lower(trim(text)), '\\s+'))    AS ws_tokens,
+           length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+    FROM documents
+    """,
+)
+def text_fingerprint_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.text import bpe_token_count, fingerprint, token_count
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    return docs.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fingerprint"),
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS canonical_id,
+           doc_id != min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS is_dup
+    FROM documents
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.dedup import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf_dir, "documents").to_df())
+
+
+@register(
+    "dedup_minhash_lsh",
+    "WITH " + _DUCK_LSH + "SELECT id_a, id_b FROM cand",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_t(spark, sf_dir, "documents").to_df())
+
+
+@register(
+    "dedup_ngram_jaccard",
+    "WITH "
+    + _DUCK_LSH
+    + """
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(a.sh || b.sh)) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    cand = minhash_lsh_candidates(docs)
+    return ngram_jaccard_pairs(docs, cand, threshold=0.5)
+
+
+# SimHash: md5-bit voting in a pandas UDF — not SQL-expressible in
+# DuckDB (no 64-bit hex→int + bit voting); rows-only check.
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_t(spark, sf_dir, "documents").to_df(), max_hamming=20)
+
+
+@register(
+    "embedding_near_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+    """,
+)
+def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.similarity import cosine_near_pairs
+
+    return cosine_near_pairs(_t(spark, sf_dir, "embeddings").to_df(), threshold=0.4)
+
+
+@register(
+    "ann_topk_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS sim
+          FROM embeddings e, q WHERE e.vec_id != q.query_id)
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM s)
+    WHERE rank <= 5
+    """,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings").to_df()
+    return brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+# LSH-bucketed ANN: approximate by construction — rows-only check; the
+# exact brute-force variant above is the oracle-checked baseline.
+@register("ann_topk_lsh")
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").to_df()
+    return lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, num_planes=4)
+
+
+@register(
+    "multimodal_decode",
+    """
+    SELECT doc_id,
+           octet_length(encode(text))                 AS n_bytes,
+           64 + octet_length(encode(text)) % 448      AS width,
+           64 + (octet_length(encode(text)) * 7) % 448 AS height,
+           1 + octet_length(encode(text)) % 5         AS n_frames,
+           round((octet_length(encode(text)) % 251) / 251.0, 6) AS feature_mean
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.multimodal import attach_binary, decode_features
+
+    docs = attach_binary(_t(spark, sf_dir, "documents").to_df())
+    return decode_features(docs)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)

@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from warp_spark.aggregators import Aggregator
-from warp_spark.values import to_number
+from warp_spark.values import to_number  # noqa: F401  (used by rank windows)
 
 ROW_ID = "__row_id"
 

@@ -1,0 +1,211 @@
+"""Deduplication operators for training-data pipelines.
+
+Five tiers, all partition-friendly:
+
+- **exact**: hash-groupBy on a normalized fingerprint — one shuffle on
+  the hash, no driver involvement.
+- **MinHash + LSH**: shingle → K min-hashes → B bands → bucket-join.
+  The band explode produces B rows per doc; the self-join shuffles on
+  (band_idx, band_value) — bucket sizes stay small when the data has
+  few near-dups, and AQE's skew-join handles pathological buckets.
+- **n-gram Jaccard**: exact verification of candidate pairs (from LSH
+  buckets or any bounded pairing) via array intersection/union.
+- **SimHash**: 64-bit signature via an Arrow-vectorized pandas UDF;
+  Hamming-band join finds near pairs.
+- **embedding cosine**: see similarity.py (same kernel).
+
+Hash choice: md5 (not xxhash64) — deterministic, available identically
+in every engine, so results are differentially testable; lexicographic
+min over fixed-width hex strings is a valid min-hash.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from warp_spark.pipeline.text import fingerprint, tokens
+
+DEFAULT_NUM_HASHES = 12
+DEFAULT_BAND_SIZE = 2
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; short docs fall back to one
+    whole-text shingle so every doc has a non-empty set."""
+    t = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+    )
+    return F.when(F.size(t) >= n, F.array_distinct(grams)).otherwise(
+        F.array(F.array_join(t, " "))
+    )
+
+
+def _salted_md5(k: int):
+    # NB: must be a 1-arg lambda factory — pyspark treats a 2-parameter
+    # lambda (e.g. `lambda s, k=k`) as an (element, index) function and
+    # binds the second parameter to the array index column.
+    prefix = f"{k}|"
+    return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+
+def minhash_signature(sh: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
+    """K min-hashes: min over shingles of md5 with a per-hash salt.
+    Fixed-width hex strings make lexicographic min == numeric min."""
+    return F.array(
+        *[F.array_min(F.transform(sh, _salted_md5(k))) for k in range(num_hashes)]
+    )
+
+
+def lsh_bands(sig: Column, num_hashes: int = DEFAULT_NUM_HASHES, band_size: int = DEFAULT_BAND_SIZE) -> Column:
+    """Concatenate signature slices into band values: docs sharing any
+    band value become candidate pairs."""
+    n_bands = num_hashes // band_size
+    return F.array(
+        *[
+            F.concat_ws(
+                "|", *[F.element_at(sig, b * band_size + j + 1) for j in range(band_size)]
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Canonical-id assignment by normalized-text fingerprint: every doc
+    maps to min(id) of its hash group; is_dup marks non-canonical rows.
+
+    One hash-partitioned window — equivalent to groupBy+join-back but
+    one shuffle cheaper."""
+    from pyspark.sql import Window
+
+    fp = fingerprint(F.col(text_col))
+    w = Window.partitionBy("fingerprint")
+    return (
+        df.withColumn("fingerprint", fp)
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_dup", F.col(id_col) != F.col("canonical_id"))
+        .select(id_col, "fingerprint", "canonical_id", "is_dup")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing ≥1 LSH band.
+    Returns distinct (id_a, id_b) with id_a < id_b."""
+    sig = minhash_signature(shingles(F.col(text_col)), num_hashes)
+    banded = df.select(
+        F.col(id_col), F.posexplode(lsh_bands(sig, num_hashes, band_size)).alias("band_idx", "band_val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pair_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard for the given (id_a, id_b) candidate pairs.
+    jaccard = |A∩B| / |A∪B| over distinct shingle sets."""
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh"))
+    j = (
+        pair_df.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (pandas-UDF tier: per-token md5 + bit voting)
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(T.LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens; md5-derived token hashes
+    (deterministic across runs/engines). Arrow-batched."""
+
+    def one(t):
+        if t is None:
+            return None
+        votes = [0] * 64
+        for tok in t.lower().split():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        v = 0
+        for b in range(64):
+            if votes[b] > 0:
+                v |= 1 << b
+        # to signed 64-bit
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    return text.map(one)
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-pairs by SimHash: band the 64-bit signature into 4×16-bit
+    chunks (pigeonhole: hamming ≤ 3 guarantees a shared band; wider
+    radii are caught probabilistically), join on a shared band, then
+    filter by exact Hamming distance."""
+    sig = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sig"))
+    banded = sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(":", F.lit(i), F.shiftright("sig", i * 16).bitwiseAND(F.lit(0xFFFF)))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine``: JVM higher-order-function kernel (zip_with + aggregate) —
+  no Python in the loop, codegen-friendly.
+- ``brute_force_topk``: exact k-NN — broadcast the (small) query set,
+  scan the corpus once per partition, per-query top-k via window. At
+  cluster scale this is the gold standard for recall measurement.
+- ``lsh_topk``: random-hyperplane LSH — deterministic md5-derived
+  hyperplanes, sign-bit bucket join. The scale path: candidate set per
+  query shrinks from |corpus| to one bucket.
+- ``cosine_near_pairs``: all-pairs near-duplicate detection above a
+  cosine threshold (embedding-space dedup).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; inputs cast to double so accumulation order
+    and precision are engine-portable."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Broadcast the query side (assumed small); the corpus never
+    shuffles — each partition scores its rows against every query and
+    the window top-k reduces map-side before the final per-query sort."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("query_vec"), F.col("neighbor_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def cosine_near_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold. Optionally block on a column
+    (e.g. an LSH bucket or a label) to avoid the full cross join — at
+    100 TB always pass ``block_col``; the unblocked variant is for
+    oracle-checkable exactness at test scale."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(block_col).alias("blk") if block_col else F.lit(0).alias("blk"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(block_col).alias("blk") if block_col else F.lit(0).alias("blk"))
+    return (
+        a.join(b, on=[a["blk"] == b["blk"], F.col("id_a") < F.col("id_b")])
+        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5(plane, dim) —
+    reproducible across runs with no RNG state to ship."""
+    import hashlib
+
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:8], 16)
+            row.append((h % 2000) / 1000.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, num_planes: int, dim: int) -> Column:
+    """Sign-bit bucket id from ``num_planes`` hyperplane projections."""
+    planes = _hyperplanes(num_planes, dim)
+    bits = []
+    for row in planes:
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(w) for w in row]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's LSH bucket
+    are scored. Trades recall for a |corpus|/2^planes candidate set."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        lsh_bucket(F.col(vec_col), num_planes, dim).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("neighbor_vec"),
+        lsh_bucket(F.col(vec_col), num_planes, dim).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("query_vec"), F.col("neighbor_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

@@ -1,0 +1,112 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+token counting, document fingerprinting.
+
+Everything here is built from JVM Column expressions (split / regexp /
+higher-order array functions) — no Python in the hot path — so the
+operators run inside whole-stage codegen and scale linearly with
+partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small function-word lists per language for the n-gram/stopword-hit
+# language heuristic. Deliberately tiny: the heuristic is argmax of hit
+# counts, which is cheap and fully SQL-expressible.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+# ~English function words used for the quality stopword-ratio signal
+QUALITY_STOPWORDS = STOPWORDS["en"]
+
+# BPE-ish token pattern: letter runs, digit runs, single non-space symbols
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def _hits(toks: Column, words: list[str]) -> Column:
+    wordlist = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wordlist, t)))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish regex token count (letter runs / digit runs / symbols)."""
+    return F.regexp_count(text, F.lit(BPE_PATTERN))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Quality-scoring signals: length, token stats, punctuation and
+    stopword ratios, and a linear quality score. All ratios are plain
+    IEEE divisions — deterministic across engines."""
+    toks = tokens(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    n_punct = F.regexp_count(text, F.lit(r"[^\w\s]"))
+    n_stop = _hits(toks, QUALITY_STOPWORDS)
+    avg_token_len = (n_chars - (n_tokens - 1)) / n_tokens  # chars net of separators
+    punct_ratio = n_punct / n_chars
+    stop_ratio = n_stop / n_tokens
+    # linear quality proxy: longer docs with function words and little
+    # punctuation noise score higher
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + stop_ratio * 0.3
+        + (1 - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2
+    )
+    return {
+        "n_tokens": n_tokens,
+        "avg_token_len": avg_token_len,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": F.round(score, 6),
+    }
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    toks = tokens(text)
+    return {lang: _hits(toks, words) for lang, words in STOPWORDS.items()}
+
+
+def language_id(text: Column) -> Column:
+    """Argmax of stopword hits with a deterministic preference order;
+    'und' (undetermined) when no list scores a hit."""
+    scores = language_scores(text)
+    langs = list(scores)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    out = F.lit("und")
+    # reversed so earlier languages win ties (first WHEN match)
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang in langs:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized,
+    lowercased text — the exact-dedup key."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text analysis: all quality features + language + fingerprint."""
+    text = F.col(text_col)
+    cols = quality_features(text)
+    cols["lang_pred"] = language_id(text)
+    cols["fingerprint"] = fingerprint(text)
+    return df.withColumns(cols)

@@ -1139,5 +1139,85 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(docs)
 
 
+# ===========================================================================
+# Formula language (SURVEY.md §3.3: Formula.swift grammar → Column) and
+# sequencer source (SURVEY.md §2.1 #25).
+# ===========================================================================
+
+@register(
+    "formula_calculate",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4)       AS disc_price,
+           l_quantity > 30                                    AS is_heavy,
+           upper(l_returnflag) || '-' || l_linestatus         AS label,
+           year(l_shipdate)                                   AS ship_year
+    FROM lineitem
+    """,
+)
+def formula_calculate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed columns authored in the Warp formula language
+    (reference grammar: WarpCore/Sources/Formula.swift:276-350)."""
+    from warp_spark.formula import formula
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.calculate(
+            {
+                "disc_price": F.round(
+                    formula("[l_extendedprice] * (1 - [l_discount])"), 4
+                ),
+                "is_heavy": formula("[l_quantity] > 30"),
+                "label": formula('UPPER([l_returnflag]) & "-" & [l_linestatus]'),
+                "ship_year": formula("YEAR.UTC([l_shipdate])"),
+            }
+        )
+        .select_columns(
+            ["l_orderkey", "l_linenumber", "disc_price", "is_heavy", "label", "ship_year"]
+        )
+        .to_df()
+    )
+
+
+@register(
+    "formula_filter",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_totalprice / 1000 > 200
+      AND contains(lower(o_orderpriority), 'urgent')
+    """,
+)
+def formula_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter predicate authored as a formula: arithmetic coercion, the
+    ~= case-insensitive-contains operator (Value.swift:714-749), AND."""
+    from warp_spark.formula import formula
+
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            formula('AND([o_totalprice] / 1k > 200; [o_orderpriority] ~= "URGENT")')
+        )
+        .select_columns(["o_orderkey", "o_totalprice", "o_orderpriority"])
+        .to_df()
+    )
+
+
+@register(
+    "sequencer_enumerate",
+    """
+    SELECT chr((97 + a.i)::INTEGER) || chr((48 + b.i)::INTEGER) AS value
+    FROM range(5) a(i), range(10) b(i)
+    """,
+)
+def sequencer_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern enumeration as a distributed source: spark.range over the
+    pattern's cardinality + per-partition mixed-radix decode
+    (reference: Sequencer.swift:18-62, QBESequencerStep.swift:27-177)."""
+    from warp_spark.sequencer import sequencer_dataframe
+
+    return sequencer_dataframe(spark, "[a-e][0-9]")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)

@@ -286,9 +286,10 @@ def _nth(lst, i):
 
 def _value_for_key(lst, key):
     """Alternating key/value list lookup (Function.swift:1303;
-    Value.swift:62-67 documents the list-as-dictionary abuse)."""
-    arr = _c(lst)
-    pos = F.array_position(arr, _c(key))
+    Value.swift:62-67 documents the list-as-dictionary abuse). Warp lists
+    are heterogeneous, Spark arrays are not — compare as strings."""
+    arr = F.transform(_c(lst), to_string)
+    pos = F.array_position(arr, to_string(_c(key)))
     return F.when(pos > 0, F.try_element_at(arr, (pos + 1).cast("int")))
 
 
@@ -431,6 +432,155 @@ FUNCTIONS: dict[str, Callable[..., Column]] = {
     "jsonEncode": lambda v: F.to_json(_c(v)),
     "choose": _choose,
 }
+
+
+# --------------------------------------------------------------------------
+# Aggregate-capable n-ary functions used in scalar position: SUM(1;2;3)
+# etc. delegate to the reducer over the argument list
+# (Function.swift:1719-1726). Implemented over an args array, JVM-side.
+# --------------------------------------------------------------------------
+
+def _arg_num(a) -> Column:
+    """Numeric coercion that survives analysis for ANY input type:
+    non-atomic types (arrays, structs) go through a string cast first
+    (``try_cast(array<...> as double)`` is an analysis-time error);
+    bools keep their 1/0 coercion."""
+    c = _c(a)
+    s = c.cast("string")
+    return (
+        F.when(s == "true", F.lit(1.0))
+        .when(s == "false", F.lit(0.0))
+        .otherwise(s.try_cast("double"))
+    )
+
+
+def _args_array(args) -> Column:
+    return F.array(*[_arg_num(a) for a in args])
+
+
+def _nary_numeric(args) -> Column:
+    """Valid (numeric-coercible) argument values, as array<double>."""
+    return F.filter(_args_array(args), lambda x: x.isNotNull())
+
+
+def _scalar_sum(*args):
+    return F.coalesce(
+        F.aggregate(_nary_numeric(args), F.lit(0.0), lambda acc, x: acc + x),
+        F.lit(0.0),
+    )
+
+
+def _scalar_count(*args):
+    return F.size(_nary_numeric(args))
+
+
+def _scalar_count_all(*args):
+    return F.lit(len(args))
+
+
+def _scalar_average(*args):
+    vals = _nary_numeric(args)
+    return F.when(
+        F.size(vals) > 0,
+        F.aggregate(vals, F.lit(0.0), lambda acc, x: acc + x) / F.size(vals),
+    )
+
+
+def _scalar_min(*args):
+    return F.array_min(_nary_numeric(args))
+
+
+def _scalar_max(*args):
+    return F.array_max(_nary_numeric(args))
+
+
+def _scalar_median_arr(args) -> Column:
+    return F.array_sort(_nary_numeric(args))
+
+
+def _scalar_median(*args):
+    arr = _scalar_median_arr(args)
+    n = F.size(arr)
+    low = F.try_element_at(arr, ((n + 1) / 2).cast("int"))
+    high = F.try_element_at(arr, (n / 2 + 1).cast("int"))
+    return (low + high) / 2
+
+
+def _scalar_median_low(*args):
+    arr = _scalar_median_arr(args)
+    return F.try_element_at(arr, ((F.size(arr) + 1) / 2).cast("int"))
+
+
+def _scalar_median_high(*args):
+    arr = _scalar_median_arr(args)
+    return F.try_element_at(arr, (F.size(arr) / 2 + 1).cast("int"))
+
+
+def _scalar_median_pack(*args):
+    arr = _scalar_median_arr(args)
+    low = F.try_element_at(arr, ((F.size(arr) + 1) / 2).cast("int"))
+    high = F.try_element_at(arr, (F.size(arr) / 2 + 1).cast("int"))
+    return pack_list(F.array(low.cast("string"), high.cast("string")))
+
+
+def _scalar_var(sample: bool):
+    def fn(*args):
+        vals = _nary_numeric(args)
+        n = F.size(vals)
+        mean = F.aggregate(vals, F.lit(0.0), lambda acc, x: acc + x) / n
+        ss = F.aggregate(vals, F.lit(0.0), lambda acc, x: acc + (x - mean) * (x - mean))
+        denom = (n - 1) if sample else n
+        return F.when(denom > 0, ss / denom)
+
+    return fn
+
+
+def _scalar_stddev(sample: bool):
+    v = _scalar_var(sample)
+
+    def fn(*args):
+        return F.sqrt(v(*args))
+
+    return fn
+
+
+def _scalar_pack(*args):
+    return pack_list(F.array(*[to_string(_c(a)) for a in args]))
+
+
+@F.pandas_udf(T.StringType())
+def _random_string_udf(pattern: pd.Series) -> pd.Series:
+    """RANDSTRING: draw a random string from a sequencer-style pattern
+    (reference: Function.swift:1477 via Sequencer.swift). Supports the
+    pattern subset [chars]{n} | literal | (a|b); non-deterministic."""
+    from warp_spark.sequencer import random_draw
+
+    return pattern.map(lambda p: None if p is None else random_draw(p))
+
+
+FUNCTIONS.update(
+    {
+        "sum": _scalar_sum,
+        "count": _scalar_count,
+        "countAll": _scalar_count_all,
+        "average": _scalar_average,
+        "min": _scalar_min,
+        "max": _scalar_max,
+        "median": _scalar_median,
+        "medianLow": _scalar_median_low,
+        "medianHigh": _scalar_median_high,
+        "medianPack": _scalar_median_pack,
+        "variancePopulation": _scalar_var(sample=False),
+        "varianceSample": _scalar_var(sample=True),
+        "standardDeviationPopulation": _scalar_stddev(sample=False),
+        "standardDeviationSample": _scalar_stddev(sample=True),
+        "pack": _scalar_pack,
+        "randomString": lambda p: _random_string_udf(to_string(_c(p))),
+        "countDistinct": lambda *args: F.size(
+            F.array_distinct(F.filter(F.array(*[_c(a) for a in args]), lambda x: x.isNotNull()))
+        ),
+    }
+)
 
 
 def call(name: str, *args) -> Column:

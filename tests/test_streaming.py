@@ -1,0 +1,110 @@
+"""Structured-Streaming extension tests: the same rollup/sessionize
+builders must produce identical results on a batch read and a streaming
+read of the same files (stream-batch equivalence), plus the custom
+stateful tier (applyInPandasWithState)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from warp_spark.aggregators import Aggregator
+from warp_spark.streaming import (
+    read_event_stream,
+    run_stream_to_memory,
+    sessionize,
+    windowed_rollup,
+)
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    # Spark's file streaming source requires a *directory* of files
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(EVENTS, d / "part-000.parquet")
+    return str(d)
+
+
+def with_ts(df):
+    """events.ts is parquet TIMESTAMP(NANOS) → read as long; convert to
+    a native timestamp (micros) for event-time operators."""
+    return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def batch_events(spark):
+    return with_ts(spark.read.parquet(EVENTS))
+
+
+def stream_events(spark, events_dir):
+    return with_ts(read_event_stream(spark, events_dir))
+
+
+def normalize(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_stream_batch_equivalence_rollup(spark, events_dir):
+    batch = batch_events(spark)
+    aggs = {
+        "n_events": Aggregator(F.col("event_id"), "countAll"),
+        "total_value": Aggregator(F.col("value"), "sum"),
+    }
+    expected = windowed_rollup(
+        batch, "ts", "1 hour", groups=["event_type"], aggs=aggs
+    ).collect()
+
+    stream = stream_events(spark, events_dir)
+    assert stream.isStreaming
+    rolled = windowed_rollup(
+        stream, "ts", "1 hour", groups=["event_type"], aggs=aggs, watermark="1 day"
+    )
+    run_stream_to_memory(rolled, "rollup_t", output_mode="update")
+    got = spark.sql(
+        "SELECT window_start, window_end, event_type, n_events, total_value FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY window_start, event_type"
+        "  ORDER BY n_events DESC) AS rn FROM rollup_t) WHERE rn = 1"
+    ).collect()
+    assert normalize(got) == normalize(expected)
+
+
+def test_stream_batch_equivalence_sessionize(spark, events_dir):
+    batch = batch_events(spark)
+    expected = sessionize(batch, "ts", "30 minutes", keys=["user_id"]).collect()
+
+    stream = stream_events(spark, events_dir)
+    sessions = sessionize(
+        stream, "ts", "30 minutes", keys=["user_id"], watermark="1 day"
+    )
+    # session windows require append/complete mode + watermark on streams
+    run_stream_to_memory(sessions, "sess_t", output_mode="complete")
+    got = spark.sql("SELECT * FROM sess_t").collect()
+    assert normalize(got) == normalize(expected)
+
+
+def test_stateful_running_totals(spark, events_dir):
+    from warp_spark.streaming.windows import running_totals_stateful
+
+    stream = stream_events(spark, events_dir)
+    out = running_totals_stateful(stream, "user_id", "value", "ts")
+    run_stream_to_memory(out, "state_t", output_mode="update")
+    got = {
+        r["user_id"]: (r["n_events"], r["total"])
+        for r in spark.sql(
+            "SELECT user_id, n_events, total FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY user_id"
+            "  ORDER BY n_events DESC) AS rn FROM state_t) WHERE rn = 1"
+        ).collect()
+    }
+    batch = (
+        batch_events(spark)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.coalesce("value", F.lit(0.0))).alias("s"))
+        .collect()
+    )
+    expected = {r["user_id"]: (r["n"], r["s"]) for r in batch}
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k][0] == expected[k][0]
+        assert got[k][1] == pytest.approx(expected[k][1])

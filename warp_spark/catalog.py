@@ -27,6 +27,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> Dataset:
     return Dataset.from_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark reads only as a nanosecond long (nanosAsLong). Convert to a
+    native timestamp by integer-dividing to microseconds — same
+    truncation DuckDB applies, so the oracle agrees bit-for-bit."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
@@ -1217,6 +1229,76 @@ def sequencer_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warp_spark.sequencer import sequencer_dataframe
 
     return sequencer_dataframe(spark, "[a-e][0-9]")
+
+
+# ===========================================================================
+# Event-time operators (streaming-compatible; batch path oracle-checked).
+# The same windowed_rollup/sessionize builders run on readStream inputs —
+# see warp_spark/streaming/windows.py and tests/test_streaming.py.
+# ===========================================================================
+
+@register(
+    "events_hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts)                    AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR  AS window_end,
+           event_type,
+           count(*)                                  AS n_events,
+           round(sum(value), 2)                      AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time rollup (hypertable-rollup analog).
+    Single shuffle on (window, event_type) with map-side partials."""
+    from warp_spark.streaming import hourly_rollup
+
+    ev = _events(spark, sf_dir)
+    out = hourly_rollup(
+        ev,
+        "ts",
+        groups=["event_type"],
+        aggs={
+            "n_events": Aggregator(F.col("event_id"), "countAll"),
+            "total_value": Aggregator(F.col("value"), "sum"),
+        },
+    )
+    return out.withColumn("total_value", F.round("total_value", 2))
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts)  AS session_start,
+           max(ts)  AS session_end,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user via Spark's
+    native session_window; oracle = gaps-and-islands SQL."""
+    from warp_spark.streaming import sessionize
+
+    ev = _events(spark, sf_dir)
+    return sessionize(ev, "ts", "30 minutes", keys=["user_id"])
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -1,0 +1,161 @@
+"""Mutable-table surface: the reference's ``MutableDataset``/``Warehouse``
+DML/DDL contract (WarpCore/Sources/MutableData.swift:40-63, 125-196;
+raster impl Raster.swift:1165-1270, SQL impl SQL.swift:304-614)
+re-expressed over parquet-backed managed tables.
+
+Design for scale:
+- ``insert`` is a pure append (new files; no rewrite).
+- ``update``/``delete`` are copy-on-write rewrites of the full table —
+  the honest cost model without a transactional table format. On a real
+  deployment the same API binds to Delta/Iceberg ``MERGE``/``DELETE``
+  (row-level, file-pruned); the parquet path keeps the semantics
+  testable here with zero extra dependencies.
+- every rewrite goes to a fresh directory then atomically swaps a
+  pointer file, so readers never observe a half-written table and a
+  failed rewrite leaves the previous version intact (poor-man's MVCC,
+  one live version).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from typing import Mapping, Optional, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ExprLike = Union[Column, str]
+
+
+def _col(e: ExprLike) -> Column:
+    return F.expr(e) if isinstance(e, str) else e
+
+
+class Warehouse:
+    """A directory of managed tables (MutableData.swift:40-63)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def table(self, name: str) -> "MutableTable":
+        return MutableTable(self.spark, os.path.join(self.root, name))
+
+    def create(self, name: str, df: DataFrame) -> "MutableTable":
+        t = self.table(name)
+        t.overwrite(df)
+        return t
+
+    def drop(self, name: str) -> None:
+        self.table(name).drop()
+
+    def tables(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+        )
+
+
+class MutableTable:
+    """One managed table = a directory holding versioned parquet dirs and
+    a ``_CURRENT`` pointer file."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- plumbing ----------------------------------------------------------
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "_CURRENT")
+
+    def _current_dir(self) -> Optional[str]:
+        try:
+            with open(self._pointer()) as fh:
+                return os.path.join(self.path, fh.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _swap_in(self, df: DataFrame) -> None:
+        """Write a new version directory, then atomically repoint."""
+        os.makedirs(self.path, exist_ok=True)
+        version = f"v_{uuid.uuid4().hex[:12]}"
+        df.write.mode("overwrite").parquet(os.path.join(self.path, version))
+        old = self._current_dir()
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(version)
+        os.replace(tmp, self._pointer())  # atomic on POSIX
+        if old and os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    def exists(self) -> bool:
+        return self._current_dir() is not None
+
+    # -- read --------------------------------------------------------------
+    def read(self) -> DataFrame:
+        cur = self._current_dir()
+        if cur is None:
+            raise FileNotFoundError(f"table {self.path} does not exist")
+        return self.spark.read.parquet(cur)
+
+    # -- DML (MutableData.swift:125-196) -----------------------------------
+    def overwrite(self, df: DataFrame) -> None:
+        self._swap_in(df)
+
+    def insert(self, df: DataFrame) -> None:
+        """Append rows; aligns columns by name, missing → NULL (the
+        reference's union semantics, Data.swift:300-304). Pure append —
+        new parquet files into the current version, no rewrite."""
+        cur = self._current_dir()
+        if cur is None:
+            self._swap_in(df)
+            return
+        existing = self.read()
+        lower = {c.lower() for c in df.columns}
+        aligned = df.select(
+            *[
+                (F.col(c) if c.lower() in lower else F.lit(None)).cast(t).alias(c)
+                for c, t in existing.dtypes
+            ]
+        )
+        aligned.write.mode("append").parquet(cur)
+
+    def update(self, condition: ExprLike, assignments: Mapping[str, ExprLike]) -> None:
+        """UPDATE ... SET ... WHERE: copy-on-write rewrite. Assignments
+        see the pre-update row (calculate semantics, Data.swift:221-230)."""
+        df = self.read()
+        cond = _col(condition)
+        updated = df.withColumns(
+            {
+                name: F.when(cond, _col(expr)).otherwise(F.col(name))
+                for name, expr in assignments.items()
+            }
+        )
+        self._swap_in(updated)
+
+    def delete(self, condition: ExprLike) -> None:
+        """DELETE WHERE: keep rows NOT matching (NULL-safe: rows where
+        the predicate is NULL are kept, SQL DELETE semantics)."""
+        df = self.read()
+        self._swap_in(df.filter(~F.coalesce(_col(condition), F.lit(False))))
+
+    def truncate(self) -> None:
+        self._swap_in(self.read().limit(0))
+
+    # -- DDL ---------------------------------------------------------------
+    def add_column(self, name: str, dtype: str = "string", default: ExprLike = None) -> None:
+        df = self.read()
+        value = _col(default).cast(dtype) if default is not None else F.lit(None).cast(dtype)
+        self._swap_in(df.withColumn(name, value))
+
+    def drop_column(self, name: str) -> None:
+        self._swap_in(self.read().drop(name))
+
+    def rename_column(self, old: str, new: str) -> None:
+        self._swap_in(self.read().withColumnRenamed(old, new))
+
+    def drop(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)

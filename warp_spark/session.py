@@ -50,6 +50,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("WARP_SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.caseSensitive", "false")
+        # the events table carries TIMESTAMP(NANOS) parquet columns,
+        # which Spark only reads as long (see events_df for conversion)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

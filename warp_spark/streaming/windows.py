@@ -1,0 +1,146 @@
+"""Structured-Streaming extensions (beyond the reference's surface).
+
+The reference has NO event-time streaming — its Stream/Transformer
+machinery is batch micro-chunking (SURVEY.md §2.6, Stream.swift:33).
+These operators are the Spark-native extension tier: every builder
+below works identically on a batch DataFrame and a streaming
+DataFrame (``readStream``), so the same rollup definition serves the
+oracle-checked batch path and the streaming path.
+
+Scale notes:
+- windowed aggregation shuffles on (window, keys) with map-side
+  partials; watermarks bound state size for unbounded streams;
+- session windows use Spark's native ``session_window`` (state-store
+  backed when streaming);
+- the custom stateful tier (per-key running state that Spark's
+  built-ins can't express) is ``applyInPandasWithState`` — see
+  ``running_totals_stateful``.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from warp_spark.aggregators import Aggregator
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    fmt: str = "parquet",
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """File-based streaming source over a directory of event files.
+    Streaming file sources require an explicit schema — pass one or
+    give a batch-readable path to borrow the inferred schema from."""
+    if schema is None:
+        schema = spark.read.format(fmt).load(path).schema
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def windowed_rollup(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    slide: Optional[str] = None,
+    groups: Sequence[str] = (),
+    aggs: Optional[Mapping[str, Aggregator]] = None,
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` differs) event-time window
+    aggregation. Works on batch and streaming inputs alike; on a stream
+    the watermark bounds state and admits late data up to the bound."""
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), window, slide or window)
+    agg_cols = [a.to_column(name) for name, a in (aggs or {}).items()]
+    out = df.groupBy(win.alias("w"), *[F.col(g) for g in groups]).agg(*agg_cols)
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *[F.col(g) for g in groups],
+        *[F.col(name) for name in (aggs or {})],
+    )
+
+
+def hourly_rollup(df: DataFrame, ts_col: str, groups: Sequence[str], aggs: Mapping[str, Aggregator]) -> DataFrame:
+    return windowed_rollup(df, ts_col, "1 hour", groups=groups, aggs=aggs)
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str],
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Session windows: events within ``gap`` of each other merge into
+    one session per key. Emits the observed span (first/last event time)
+    plus the event count — the observable footprint, engine-portable
+    (Spark's raw session_window end extends past the last event by
+    ``gap``, which no other engine reproduces)."""
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+            *[F.col(k) for k in keys],
+        )
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(*keys, "session_start", "session_end", "n_events")
+    )
+
+
+def running_totals_stateful(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Custom stateful operator tier: per-key running count + sum via
+    ``applyInPandasWithState`` — the escape hatch for stateful logic
+    Spark's built-in aggregates can't express (SURVEY.md custom-operator
+    tier (b)). Streaming-only; batch equivalents use a window."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} long, n_events long, total double"
+    state_schema = "n long, s double"
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "total": [s]})
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "update"):
+    """Test/debug sink: drain all available input into an in-memory
+    table and stop. Returns the SparkSession for querying the table."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -1301,5 +1301,121 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, "ts", "30 minutes", keys=["user_id"])
 
 
+@register(
+    "chain_order_buckets",
+    """
+    SELECT floor(o_totalprice / 50000)::BIGINT AS bucket,
+           count(*)                    AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE contains(lower(o_orderpriority), 'urgent')
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def chain_order_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end chain-of-steps lifecycle (QBEChain fold, §3.1):
+    source → formula filter → formula calculate → aggregate → sort,
+    declared as serializable step descriptors. Catalyst still sees one
+    logical plan, so the filter reaches the parquet scan."""
+    from warp_spark.plans import Chain
+
+    ch = (
+        Chain()
+        .add("source", path=f"{sf_dir}/orders.parquet")
+        .add("filter", condition='=[o_orderpriority] ~= "URGENT"')
+        .add("calculate", calculations={"bucket": "=FLOOR([o_totalprice] / 50k)"})
+        .add(
+            "aggregate",
+            groups={"bucket": "bucket"},
+            values={
+                "n_orders": {"map": "o_totalprice", "reduce": "countAll"},
+                "total": {"map": "o_totalprice", "reduce": "sum"},
+            },
+        )
+        .add("calculate", calculations={"total": "round(total, 2)"})
+        .add("sort", orders=["bucket"])
+    )
+    return ch.dataframe(spark)
+
+
+@register(
+    "functions_lists",
+    """
+    WITH t AS (SELECT p_partkey, str_split(p_name, ' ') AS words FROM part)
+    SELECT p_partkey,
+           words[2]                                        AS second_word,
+           len(words)                                      AS n_words,
+           array_to_string(words, '-')                     AS glued,
+           array_to_string(
+             list_transform(words,
+               w -> replace(replace(w, '$', '$1'), ',', '$0')), ',') AS packed,
+           array_to_string(words || ['extra'], ' ')        AS appended
+    FROM t
+    """,
+)
+def functions_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List-function coverage (Function.swift:1266-1572): split, nth
+    (1-based), items, glue, pack encoding, appendValue."""
+    part = _t(spark, sf_dir, "part").to_df()
+    words = call("split", F.col("p_name"), " ")
+    return part.select(
+        "p_partkey",
+        call("nth", words, 2).alias("second_word"),
+        call("items", words).alias("n_words"),
+        call("glue", words, "-").alias("glued"),
+        call("packList", words).alias("packed"),
+        call("glue", call("appendValue", words, "extra"), " ").alias("appended"),
+    )
+
+
+@register(
+    "functions_binary",
+    """
+    SELECT c_custkey,
+           to_base64(encode(c_name))                  AS b64,
+           decode(from_base64(to_base64(encode(c_name)))) AS b64_roundtrip,
+           lower(hex(c_name))                         AS hexed,
+           octet_length(encode(c_name))               AS n_bytes,
+           levenshtein(c_name, c_mktsegment)          AS lev
+    FROM customer
+    """,
+)
+def functions_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/encoding coverage (Function.swift:1661-1716): base64
+    encode/decode roundtrip, hex, byte count, levenshtein."""
+    cust = _t(spark, sf_dir, "customer").to_df()
+    name = F.col("c_name")
+    return cust.select(
+        "c_custkey",
+        call("base64Encode", name).alias("b64"),
+        call("base64Decode", call("base64Encode", name)).alias("b64_roundtrip"),
+        F.lower(call("hexEncode", name)).alias("hexed"),
+        call("numberOfBytes", call("encodeString", name, "UTF-8")).alias("n_bytes"),
+        call("levenshtein", name, F.col("c_mktsegment")).alias("lev"),
+    )
+
+
+@register(
+    "functions_json",
+    """
+    SELECT event_id,
+           (props->>'k')::BIGINT AS k_value,
+           json_valid(props)     AS is_valid
+    FROM events
+    """,
+)
+def functions_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON coverage (Function.swift:1515-1533): jsonDecode to a
+    variant + typed field extraction."""
+    ev = _events(spark, sf_dir)
+    decoded = call("jsonDecode", F.col("props"))
+    return ev.select(
+        "event_id",
+        F.try_variant_get(decoded, "$.k", "bigint").alias("k_value"),
+        decoded.isNotNull().alias("is_valid"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)

@@ -47,33 +47,50 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def _salted_md5(k: int):
-    # NB: must be a 1-arg lambda factory — pyspark treats a 2-parameter
-    # lambda (e.g. `lambda s, k=k`) as an (element, index) function and
-    # binds the second parameter to the array index column.
-    prefix = f"{k}|"
-    return lambda s: F.md5(F.concat(F.lit(prefix), s))
+def xxhash64_salted(k: Column, s: Column) -> Column:
+    """Production hash tier: xxhash64 is a codegen'd JVM intrinsic,
+    ~20× faster than md5-hex here. Zero-padded so lexicographic min ==
+    numeric min. Not used by the oracle-checked catalog entry (DuckDB
+    has no xxhash64) — pass ``hash_fn=xxhash64_salted`` at scale."""
+    return F.lpad(F.conv(F.hex(F.xxhash64(k, s)), 16, 16), 16, "0")
 
 
-def minhash_signature(sh: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
+def md5_salted(k: Column, s: Column) -> Column:
+    """Differential-test hash tier: identical in every engine."""
+    return F.md5(F.concat(k.cast("string"), F.lit("|"), s))
+
+
+def minhash_signature(
+    sh: Column, num_hashes: int = DEFAULT_NUM_HASHES, hash_fn=md5_salted
+) -> Column:
     """K min-hashes: min over shingles of md5 with a per-hash salt.
-    Fixed-width hex strings make lexicographic min == numeric min."""
-    return F.array(
-        *[F.array_min(F.transform(sh, _salted_md5(k))) for k in range(num_hashes)]
+    Fixed-width hex strings make lexicographic min == numeric min.
+
+    Built as ONE nested higher-order function (transform over the salt
+    sequence) so the shingle-array expression appears exactly once in
+    the plan. The naive form — a Python loop emitting K independent
+    ``array_min(transform(sh, …))`` columns — duplicates the upstream
+    shingle tree K× (and K²× once bands index into it), which at K=12
+    pushed plan build + codegen past 100 s; this form plans in
+    milliseconds and runs one pass per row."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda k: F.array_min(F.transform(sh, lambda s: hash_fn(k, s))),
     )
 
 
 def lsh_bands(sig: Column, num_hashes: int = DEFAULT_NUM_HASHES, band_size: int = DEFAULT_BAND_SIZE) -> Column:
     """Concatenate signature slices into band values: docs sharing any
-    band value become candidate pairs."""
+    band value become candidate pairs. ``sig`` should be a materialized
+    column (see minhash_lsh_candidates), referenced — not recomputed —
+    per band."""
     n_bands = num_hashes // band_size
-    return F.array(
-        *[
-            F.concat_ws(
-                "|", *[F.element_at(sig, b * band_size + j + 1) for j in range(band_size)]
-            )
-            for b in range(n_bands)
-        ]
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.concat_ws(
+            "|",
+            *[F.element_at(sig, (b * band_size + j + 1).cast("int")) for j in range(band_size)],
+        ),
     )
 
 
@@ -101,12 +118,30 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
+    hash_fn=md5_salted,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing ≥1 LSH band.
-    Returns distinct (id_a, id_b) with id_a < id_b."""
-    sig = minhash_signature(shingles(F.col(text_col)), num_hashes)
-    banded = df.select(
-        F.col(id_col), F.posexplode(lsh_bands(sig, num_hashes, band_size)).alias("band_idx", "band_val")
+    Returns distinct (id_a, id_b) with id_a < id_b.
+
+    Each stage is materialized as a real column in its own projection so
+    Catalyst references (not re-inlines) the previous stage's tree —
+    CollapseProject keeps multi-use non-cheap aliases as-is."""
+    banded = (
+        df.select(F.col(id_col), shingles(F.col(text_col)).alias("__sh"))
+        .select(
+            F.col(id_col),
+            minhash_signature(F.col("__sh"), num_hashes, hash_fn).alias("__sig"),
+        )
+        .select(
+            F.col(id_col),
+            F.posexplode(lsh_bands(F.col("__sig"), num_hashes, band_size)).alias(
+                "band_idx", "band_val"
+            ),
+        )
+        # the self-join would otherwise evaluate the signature pipeline
+        # twice (once per side); persist the banded form — it is tiny
+        # relative to the input (ids + band hashes only)
+        .persist()
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (

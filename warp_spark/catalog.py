@@ -1132,6 +1132,17 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, num_planes=4)
 
 
+# IVF ANN: inverted-file index (nearest-centroid lists, nprobe search) —
+# approximate by construction; rows-only check, recall tested against
+# the exact baseline in tests/test_scale_ops.py.
+@register("ann_topk_ivf")
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").to_df()
+    return ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, n_centroids=16, nprobe=4)
+
+
 @register(
     "multimodal_decode",
     """

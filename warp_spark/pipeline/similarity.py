@@ -123,6 +123,91 @@ def lsh_bucket(vec: Column, num_planes: int, dim: int) -> Column:
     return F.concat(*bits)
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Pick ``n_centroids`` representative vectors deterministically
+    (hash-ordered sample — classic IVF trains centroids driver-side;
+    a hash-ordered draw is reproducible with no RNG state and is
+    adequate for coarse quantization). Returns a small driver-side
+    list: [(centroid_id, [floats])]."""
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
+
+
+def _centroid_sims(vec: Column, centroids: list) -> Column:
+    """array of cosine(vec, centroid_i) — vec is a plain column ref, so
+    the per-centroid duplication is cheap attribute reuse, not tree
+    blowup."""
+    return F.array(
+        *[cosine(vec, F.array(*[F.lit(x) for x in c])) for _, c in centroids]
+    )
+
+
+def ivf_assign(vec: Column, centroids: list) -> Column:
+    """Nearest-centroid id (0-based) for a vector."""
+    sims = _centroid_sims(vec, centroids)
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed by nearest
+    centroid (the inverted file); each query scores only the ``nprobe``
+    closest lists — candidate set ≈ |corpus|·nprobe/n_centroids.
+
+    Scale path: the corpus assignment is one narrow pass (no shuffle);
+    the probe join shuffles corpus once on centroid_id — or broadcasts
+    the (query × nprobe) side, which is what this plan does."""
+    centroids = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("neighbor_vec"),
+        ivf_assign(F.col(vec_col), centroids).alias("centroid_id"),
+    )
+    sims = _centroid_sims(F.col(vec_col), centroids)
+    probe = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.slice(
+            F.reverse(F.array_sort(F.arrays_zip(sims.alias("sim"), F.sequence(F.lit(0), F.lit(len(centroids) - 1)).alias("cid")))),
+            1,
+            nprobe,
+        ).alias("probes"),
+    ).select(
+        "query_id",
+        "query_vec",
+        F.explode(F.transform(F.col("probes"), lambda p: p["cid"])).alias("centroid_id"),
+    )
+    scored = (
+        c.join(F.broadcast(probe), on="centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("query_vec"), F.col("neighbor_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -924,15 +924,24 @@ sh AS (SELECT doc_id,
        FROM t)
 """
 
+# Kirsch-Mitzenmacher double hashing, mirroring dedup.md5_hash_pair /
+# minhash_from_pairs: one md5 per shingle → (h1, h2) 32-bit ints; hash k
+# is h1 + k*h2 (exact in BIGINT in both engines).
 _DUCK_MINS = ", ".join(
-    f"list_aggregate(list_transform(sh, s -> md5('{k}|' || s)), 'min')" for k in range(12)
+    f"list_min(list_transform(hp, p -> p.h1 + {k}*p.h2))" for k in range(12)
 )
 
 _DUCK_LSH = (
     _DUCK_SHINGLES
     + f""",
-sig AS (SELECT doc_id, [{_DUCK_MINS}] AS sig FROM sh),
-bands AS (SELECT doc_id, i AS band_idx, sig[2*i+1] || '|' || sig[2*i+2] AS band_val
+hp AS (SELECT doc_id,
+              list_transform(sh, s -> struct_pack(
+                  h1 := ('0x' || substring(md5(s), 1, 8))::BIGINT,
+                  h2 := ('0x' || substring(md5(s), 9, 8))::BIGINT)) AS hp
+       FROM sh),
+sig AS (SELECT doc_id, [{_DUCK_MINS}] AS sig FROM hp),
+bands AS (SELECT doc_id, i AS band_idx,
+                 sig[2*i+1]::VARCHAR || '|' || sig[2*i+2]::VARCHAR AS band_val
           FROM sig, range(0, 6) r(i)),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bands a JOIN bands b

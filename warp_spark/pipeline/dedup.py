@@ -47,36 +47,50 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def xxhash64_salted(k: Column, s: Column) -> Column:
-    """Production hash tier: xxhash64 is a codegen'd JVM intrinsic,
-    ~20× faster than md5-hex here. Zero-padded so lexicographic min ==
-    numeric min. Not used by the oracle-checked catalog entry (DuckDB
-    has no xxhash64) — pass ``hash_fn=xxhash64_salted`` at scale."""
-    return F.lpad(F.conv(F.hex(F.xxhash64(k, s)), 16, 16), 16, "0")
+def md5_hash_pair(s: Column) -> Column:
+    """Two independent 32-bit hashes from ONE md5: (h1, h2) = the first
+    and second 8 hex chars as integers. Engine-portable bit-for-bit
+    (DuckDB: ``('0x'||substring(md5(s),1,8))::BIGINT``)."""
+    h = F.md5(s)
+    return F.struct(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
 
 
-def md5_salted(k: Column, s: Column) -> Column:
-    """Differential-test hash tier: identical in every engine."""
-    return F.md5(F.concat(k.cast("string"), F.lit("|"), s))
+def xxhash_pair(s: Column) -> Column:
+    """Production hash tier: xxhash64 is a codegen'd JVM intrinsic —
+    faster than md5-hex, not reproducible in other engines (use for
+    real runs, not differential tests)."""
+    h = F.xxhash64(s)
+    return F.struct(
+        F.shiftrightunsigned(h, 32).alias("h1"),
+        h.bitwiseAND(F.lit(0xFFFFFFFF)).alias("h2"),
+    )
+
+
+def minhash_from_pairs(pairs: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
+    """Signature from a *materialized* (h1, h2) pair array: hash k is
+    ``h1 + k·h2`` (Kirsch-Mitzenmacher double hashing; exact in 64-bit —
+    values stay < 2^36). Pass a real column so the expensive hash step
+    runs once, not once per k."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda k: F.array_min(F.transform(pairs, lambda p: p["h1"] + k * p["h2"])),
+    )
 
 
 def minhash_signature(
-    sh: Column, num_hashes: int = DEFAULT_NUM_HASHES, hash_fn=md5_salted
+    sh: Column, num_hashes: int = DEFAULT_NUM_HASHES, hash_pair=md5_hash_pair
 ) -> Column:
-    """K min-hashes: min over shingles of md5 with a per-hash salt.
-    Fixed-width hex strings make lexicographic min == numeric min.
-
-    Built as ONE nested higher-order function (transform over the salt
-    sequence) so the shingle-array expression appears exactly once in
-    the plan. The naive form — a Python loop emitting K independent
-    ``array_min(transform(sh, …))`` columns — duplicates the upstream
-    shingle tree K× (and K²× once bands index into it), which at K=12
-    pushed plan build + codegen past 100 s; this form plans in
-    milliseconds and runs one pass per row."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda k: F.array_min(F.transform(sh, lambda s: hash_fn(k, s))),
-    )
+    """K min-hashes from a shingle array — one md5 per shingle, K
+    derived hashes (see minhash_from_pairs). Convenience composition;
+    inside a pipeline prefer staging ``transform(sh, hash_pair)`` as a
+    column first so the hash pass is evaluated once (the naive
+    K-independent-columns form duplicated the shingle tree K²× once
+    bands indexed into it — measured 100+ s of plan/codegen at 500
+    docs)."""
+    return minhash_from_pairs(F.transform(sh, hash_pair), num_hashes)
 
 
 def lsh_bands(sig: Column, num_hashes: int = DEFAULT_NUM_HASHES, band_size: int = DEFAULT_BAND_SIZE) -> Column:
@@ -118,7 +132,7 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
-    hash_fn=md5_salted,
+    hash_pair=md5_hash_pair,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing ≥1 LSH band.
     Returns distinct (id_a, id_b) with id_a < id_b.
@@ -128,9 +142,10 @@ def minhash_lsh_candidates(
     CollapseProject keeps multi-use non-cheap aliases as-is."""
     banded = (
         df.select(F.col(id_col), shingles(F.col(text_col)).alias("__sh"))
+        .select(F.col(id_col), F.transform(F.col("__sh"), hash_pair).alias("__hp"))
         .select(
             F.col(id_col),
-            minhash_signature(F.col("__sh"), num_hashes, hash_fn).alias("__sig"),
+            minhash_from_pairs(F.col("__hp"), num_hashes).alias("__sig"),
         )
         .select(
             F.col(id_col),

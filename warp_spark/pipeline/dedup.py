@@ -36,12 +36,26 @@ DEFAULT_BAND_SIZE = 2
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles; short docs fall back to one
-    whole-text shingle so every doc has a non-empty set."""
+    whole-text shingle so every doc has a non-empty set.
+
+    Built by zipping n shifted copies of the token array instead of
+    indexing into it from a per-position lambda: ``slice(t, i+1, n)``
+    inside a ``transform`` lambda re-evaluates the whole token tree
+    (regex split of the text) once per position — O(tokens) splits per
+    row, measured ~1 ms/row. The zip_with form evaluates each shifted
+    copy once: n splits per row total. zip_with pads the shorter side
+    with null and concat propagates it, so the tail positions with
+    fewer than n tokens null out and are filtered."""
     t = tokens(text)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(t) - n),
-        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
-    )
+    sz = F.greatest(F.size(t), F.lit(1))
+    grams = t
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(t, j + 1, sz),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    grams = F.filter(grams, lambda g: g.isNotNull())
     return F.when(F.size(t) >= n, F.array_distinct(grams)).otherwise(
         F.array(F.array_join(t, " "))
     )
@@ -70,13 +84,23 @@ def xxhash_pair(s: Column) -> Column:
 
 
 def minhash_from_pairs(pairs: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
-    """Signature from a *materialized* (h1, h2) pair array: hash k is
-    ``h1 + k·h2`` (Kirsch-Mitzenmacher double hashing; exact in 64-bit —
-    values stay < 2^36). Pass a real column so the expensive hash step
-    runs once, not once per k."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda k: F.array_min(F.transform(pairs, lambda p: p["h1"] + k * p["h2"])),
+    """Signature from a (h1, h2) pair array: hash k is ``h1 + k·h2``
+    (Kirsch-Mitzenmacher double hashing; exact in 64-bit — values stay
+    < 2^36).
+
+    Shaped as ONE ``aggregate`` pass over the pair array (element-wise
+    running min against a k-vector) rather than K independent
+    ``array_min(transform(pairs, …))`` columns: in that form CollapseProject
+    legally inlines the upstream hash/shingle tree into the per-k lambda
+    (it is referenced once *textually*) and it then executes K times per
+    row — measured 12× slowdown at K=12. ``aggregate`` evaluates its
+    input exactly once no matter what gets inlined into it."""
+    ks = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    init = F.array_repeat(F.lit(2**63 - 1), num_hashes)
+    return F.aggregate(
+        pairs,
+        init,
+        lambda acc, p: F.zip_with(acc, ks, lambda a, k: F.least(a, p["h1"] + k * p["h2"])),
     )
 
 

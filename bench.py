@@ -21,13 +21,32 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # TPC-H-ish relational core
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    # operator coverage
     "filter_calculate",
     "aggregate_reducers",
     "pivot_linestatus",
     "rank_running_total",
+    "join_left_aggregate",
+    # events / time-series
+    "events_hourly_rollup",
+    "events_sessionize",
+    # LLM-pipeline: dedup
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    # LLM-pipeline: text analysis
+    "text_langid",
+    "text_quality",
+    # LLM-pipeline: similarity search
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "embedding_near_pairs",
 ]
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -69,23 +70,96 @@ def brute_force_topk(
     )
 
 
+def _block_pair_scorer(threshold: float):
+    """applyInPandas kernel: one (block_i, block_j) group → all
+    above-threshold pairs between the two blocks, via a single float64
+    matmul on row-normalized matrices. Diagonal groups (i == j) keep
+    only role 'a' and take the strict upper triangle, so each unordered
+    pair is emitted exactly once across all groups."""
+    import numpy as np
+
+    def score(key, pdf):
+        diagonal = key[0] == key[1]
+        a = pdf[pdf["role"] == "a"]
+        b = a if diagonal else pdf[pdf["role"] == "b"]
+        if a.empty or b.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        ma = np.stack(a["vec"].to_numpy()).astype(np.float64)
+        mb = ma if diagonal else np.stack(b["vec"].to_numpy()).astype(np.float64)
+        ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+        mb = mb if diagonal else mb / np.linalg.norm(mb, axis=1, keepdims=True)
+        sims = np.round(ma @ mb.T, 6)
+        ia, ib = np.nonzero(
+            np.triu(sims >= threshold, k=1) if diagonal else sims >= threshold
+        )
+        ids_a = a["id"].to_numpy()[ia]
+        ids_b = b["id"].to_numpy()[ib]
+        lo = np.minimum(ids_a, ids_b)
+        hi = np.maximum(ids_a, ids_b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "sim": sims[ia, ib]})
+
+    return score
+
+
 def cosine_near_pairs(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold. Optionally block on a column
-    (e.g. an LSH bucket or a label) to avoid the full cross join — at
-    100 TB always pass ``block_col``; the unblocked variant is for
-    oracle-checkable exactness at test scale."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(block_col).alias("blk") if block_col else F.lit(0).alias("blk"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(block_col).alias("blk") if block_col else F.lit(0).alias("blk"))
+    """All pairs with cosine ≥ threshold (sim rounded to 6 decimals),
+    as (id_a, id_b, sim) with id_a < id_b.
+
+    Executed as a *blocked matrix multiply*: rows are hashed into
+    ``n_blocks`` blocks, every block pair (i ≤ j) becomes one
+    applyInPandas group, and each group scores its two blocks with one
+    numpy float64 matmul — no per-element expression evaluation. Each
+    row is shipped to O(n_blocks) groups, so choose n_blocks ≈
+    |corpus| / rows-that-fit-in-executor-memory; compute is the same
+    Θ(n²·d) as any exact all-pairs, but at memory-bandwidth speed.
+
+    At 100 TB scale pass ``block_col`` (an LSH bucket, label, or
+    partition key): then only pairs *within* a block value are scored —
+    candidate sets shrink from |corpus|² to Σ|bucket|², which is the
+    standard near-dup blocking design. The unblocked variant stays
+    exact for oracle differential tests."""
+    if block_col is not None:
+        rows = df.select(
+            F.col(block_col).alias("b0"),
+            F.col(block_col).alias("b1"),
+            F.lit("a").alias("role"),
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+        )
+    else:
+        blk = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_blocks))
+        base = df.select(
+            blk.alias("blk"), F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        )
+        # role a under keys (blk, j) for j ≥ blk; role b under keys (i, blk)
+        # for i < blk — every unordered block pair meets in exactly one group.
+        a_side = base.select(
+            F.col("blk").alias("b0"),
+            F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("b1"),
+            F.lit("a").alias("role"),
+            "id",
+            "vec",
+        )
+        b_side = base.filter(F.col("blk") > 0).select(
+            F.explode(F.sequence(F.lit(0), F.col("blk") - 1)).alias("b0"),
+            F.col("blk").alias("b1"),
+            F.lit("b").alias("role"),
+            "id",
+            "vec",
+        )
+        rows = a_side.unionByName(b_side)
     return (
-        a.join(b, on=[a["blk"] == b["blk"], F.col("id_a") < F.col("id_b")])
-        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
-        .filter(F.col("sim") >= threshold)
+        rows.groupBy("b0", "b1")
+        .applyInPandas(
+            _block_pair_scorer(threshold), schema="id_a long, id_b long, sim double"
+        )
         .select("id_a", "id_b", "sim")
     )
 
@@ -144,12 +218,25 @@ def ivf_centroids(
 
 
 def _centroid_sims(vec: Column, centroids: list) -> Column:
-    """array of cosine(vec, centroid_i) — vec is a plain column ref, so
-    the per-centroid duplication is cheap attribute reuse, not tree
-    blowup."""
-    return F.array(
-        *[cosine(vec, F.array(*[F.lit(x) for x in c])) for _, c in centroids]
-    )
+    """array of cosine(vec, centroid_i), as ONE Arrow-batched numpy
+    matmul against the (tiny, closure-captured) centroid matrix.
+
+    The expression form — 16 interpreted zip_with/aggregate cosines
+    against 64-literal arrays per row — cost ~2.5 ms/row; one
+    (batch × dim) @ (dim × centroids) float64 matmul is memory-bound."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    c = np.stack([v for _, v in centroids]).astype(np.float64)
+    cn = (c / np.linalg.norm(c, axis=1, keepdims=True)).T.copy()
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def sims(vec: pd.Series) -> pd.Series:
+        m = np.stack(vec.to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series(list(m @ cn))
+
+    return sims(vec)
 
 
 def ivf_assign(vec: Column, centroids: list) -> Column:

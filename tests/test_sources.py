@@ -137,3 +137,115 @@ def test_json_roundtrip(spark, tmp_path):
     write_json(df, str(out))
     back = read_json(spark, str(out), multi_line=False)
     assert rows(back.select("a", "b")) == [(1, "x")]
+
+
+# --- XML (QBEXMLStep.swift:16-120; Spark 4 native XML source) --------------
+
+def test_xml_roundtrip(spark, tmp_path):
+    from warp_spark.sources import read_xml, write_xml
+
+    df = spark.createDataFrame([(1, "a"), (2, "b<&>c")], "id int, name string")
+    out = tmp_path / "x"
+    write_xml(df, str(out))
+    back = read_xml(spark, str(out))
+    assert sorted(rows(back.select("id", "name"))) == [(1, "a"), (2, "b<&>c")]
+
+
+# --- DBF (DBFStream.swift:16-132; dBase III spec) --------------------------
+
+def test_dbf_roundtrip(spark, tmp_path):
+    import datetime
+
+    from warp_spark.sources import read_dbf, write_dbf
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha", 1.5, True, datetime.date(2020, 1, 2)),
+            (2, "beta", -2.25, False, datetime.date(1999, 12, 31)),
+            (3, None, None, None, None),
+        ],
+        "id int, name string, score double, flag boolean, d date",
+    )
+    p = tmp_path / "t.dbf"
+    write_dbf(df, str(p))
+    back = read_dbf(spark, str(p))
+    got = {r["id"]: r for r in back.collect()}
+    assert got[1]["name"] == "alpha" and got[1]["flag"] is True
+    assert abs(got[2]["score"] + 2.25) < 1e-9
+    assert got[1]["d"] == datetime.date(2020, 1, 2)
+    assert got[3]["name"] is None and got[3]["score"] is None
+
+
+def test_dbf_directory_distributed(spark, tmp_path):
+    from warp_spark.sources import read_dbf, write_dbf
+
+    d = tmp_path / "dir"
+    d.mkdir()
+    df1 = spark.createDataFrame([(1, "x")], "id int, name string")
+    df2 = spark.createDataFrame([(2, "y")], "id int, name string")
+    write_dbf(df1, str(d / "a.dbf"))
+    write_dbf(df2, str(d / "b.dbf"))
+    back = read_dbf(spark, str(d / "*.dbf"))
+    assert sorted((r["id"], r["name"]) for r in back.collect()) == [(1, "x"), (2, "y")]
+
+
+# --- HTTP single-fetch source (QBEHTTPStep.swift:16-130) -------------------
+
+def test_http_fetch_local_server(spark):
+    import http.server
+    import threading
+
+    from warp_spark.sources import fetch_url
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = b'{"ok": true}'
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/data"
+        row = fetch_url(spark, url).collect()[0]
+        assert row["status"] == 200
+        assert row["body"] == '{"ok": true}'
+        assert row["error"] is None
+        assert "json" in row["content_type"]
+    finally:
+        srv.shutdown()
+
+
+def test_http_fetch_error_row(spark):
+    from warp_spark.sources import fetch_url
+
+    row = fetch_url(spark, "http://127.0.0.1:9/nope", timeout=0.5).collect()[0]
+    assert row["status"] is None and row["error"] is not None
+
+
+# --- JDBC construction (SQLiteStream/MySQLStream/PostgresStream dialects) --
+
+def test_jdbc_urls():
+    from warp_spark.sources import jdbc_url
+
+    assert jdbc_url("sqlite", database="/tmp/x.db") == "jdbc:sqlite:/tmp/x.db"
+    assert jdbc_url("mysql", "h", None, "db") == "jdbc:mysql://h:3306/db"
+    assert jdbc_url("postgresql", "h", 5433, "db") == "jdbc:postgresql://h:5433/db"
+
+
+def test_jdbc_read_requires_driver(spark):
+    # no JDBC drivers are bundled in this container: constructing the read
+    # plan must fail with the driver-class error, proving the option
+    # plumbing reaches the JVM (not an import error in our code)
+    import pytest as _pytest
+
+    from warp_spark.sources import read_sqlite
+
+    with _pytest.raises(Exception, match="(?i)driver|class"):
+        read_sqlite(spark, "/tmp/none.db", "t").collect()

@@ -445,6 +445,10 @@ class _Parser:
         # maximal [A-Za-z][A-Za-z0-9_.]* chunk: function names may contain
         # '.', shorthand sibling names may not (Formula.swift:257-262)
         m = re.match(r"[A-Za-z][A-Za-z0-9_.]*", self.text[self.pos:])
+        if m is None:
+            # non-ASCII alphabetics reach here via str.isalpha() dispatch;
+            # bare identifiers are ASCII-only ([col] refs take anything)
+            self.error("unexpected character")
         name = m.group(0)
         upper = name.upper()
         after = self.pos + m.end()
@@ -623,7 +627,15 @@ def unparse(node: Node, top_level: bool = True) -> str:
             return "TRUE" if v else "FALSE"
         if isinstance(v, int):
             return str(v)
-        return repr(float(v))
+        s = repr(float(v))
+        if "e" in s or "E" in s:
+            # the grammar has no scientific notation (digits "." digits,
+            # Formula.swift:316-323) — print the exact plain-decimal
+            # expansion instead; repr() guarantees float roundtrip
+            from decimal import Decimal
+
+            s = format(Decimal(s), "f")
+        return s
 
     def rec(n: Node, parent_prec: int) -> str:
         if isinstance(n, Literal):

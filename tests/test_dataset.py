@@ -257,3 +257,15 @@ def test_unique(spark):
     ds = Dataset.from_df(spark.createDataFrame([(1,), (1,), (2,)], "v long"))
     out = ds.unique(F.col("v") * 10).to_df().collect()
     assert sorted(r["value"] for r in out) == [10, 20]
+
+
+def test_join_ineffective_passthrough(spark):
+    # every right column clashes -> join adds nothing; the reference skips
+    # it entirely: left rows neither duplicated (multi-match) nor filtered
+    # (inner, no match) — Raster.swift:383-389, Transformer.swift:793-796
+    left = Dataset.from_df(spark.createDataFrame([(1,), (2,)], "k long"))
+    right = Dataset.from_df(
+        spark.createDataFrame([(1,), (1,), (99,)], "k long")  # dup match + no-match
+    )
+    out = left.join(right, on=F.col("k") == F.col("k"), how="inner").to_df()
+    assert sorted(r["k"] for r in out.collect()) == [1, 2]

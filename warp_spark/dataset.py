@@ -230,6 +230,13 @@ class Dataset:
             raise ValueError("reference supports only inner and left joins (Data.swift:113-130)")
         left, right = self.df, other.df
         clashing = {c.lower() for c in left.columns} & {c.lower() for c in right.columns}
+        if all(c.lower() in clashing for c in right.columns):
+            # "ineffective join" elimination, replicated deliberately: when
+            # every right column name-clashes the join adds no columns, and
+            # the reference passes left rows through unchanged — no
+            # duplication from multi-matches, no filtering even for inner
+            # (Raster.swift:383-389; Transformer.swift:793-796,822-825)
+            return self
         right_kept = right  # keep clashing cols for the predicate, drop after
         joined = left.join(right_kept, on=_col(on) if not isinstance(on, list) else on, how=how)
         drop_cols = [right_kept[c] for c in right.columns if c.lower() in clashing]

@@ -1437,5 +1437,94 @@ def functions_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# minimumCount privacy floor (Aggregation.swift:103-134): any reducer
+# wrapped to emit NULL unless ≥ n valid values were aggregated — the
+# reference's minimum-cell-size rule, pushed to SQL exactly as its own
+# dialect layer does (CASE WHEN COUNT(x) >= n THEN agg END, SQL.swift:797-801)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_minimum_count",
+    """
+    SELECT c_nationkey,
+           count(c_acctbal) AS n_overdrawn,
+           CASE WHEN count(c_acctbal) >= 8
+                THEN round(sum(c_acctbal), 2) END AS sum_protected,
+           CASE WHEN count(c_acctbal) >= 8
+                THEN round(avg(c_acctbal), 4) END AS avg_protected
+    FROM customer
+    WHERE c_acctbal < 0
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def agg_minimum_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small groups (overdrawn customers per nation) suppress their
+    aggregate below the 8-value floor; the count itself stays visible."""
+    bal = F.col("c_acctbal")
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(bal < 0)
+        .aggregate(
+            {"c_nationkey": F.col("c_nationkey")},
+            {
+                "n_overdrawn": Aggregator(bal, "count"),
+                "sum_protected": Aggregator(bal, "sum", minimum_count=8),
+                "avg_protected": Aggregator(bal, "average", minimum_count=8),
+            },
+        )
+        .calculate(
+            {
+                "sum_protected": F.round("sum_protected", 2),
+                "avg_protected": F.round("avg_protected", 4),
+            }
+        )
+        .sort([Order("c_nationkey")])
+        .to_df()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Warp value-model coercion semantics (Value.swift:133-186, 484-545;
+# SURVEY §1.1): string→number strict parse, arithmetic poisoning,
+# division-by-zero → invalid → NULL, boolValue 0/1 only, & concatenation
+# ---------------------------------------------------------------------------
+@register(
+    "coercion_semantics",
+    """
+    SELECT l_orderkey, l_linenumber,
+           TRY_CAST(l_returnflag AS DOUBLE)                       AS mode_as_num,
+           TRY_CAST(l_linenumber::VARCHAR AS DOUBLE) + 1          AS linenum_plus1,
+           CASE WHEN l_linenumber - l_linenumber <> 0
+                THEN l_quantity / (l_linenumber - l_linenumber) END AS div_zero,
+           CASE WHEN TRY_CAST(l_linenumber AS DOUBLE) = 1 THEN TRUE
+                WHEN TRY_CAST(l_linenumber AS DOUBLE) = 0 THEN FALSE END AS line_is_one,
+           l_returnflag || l_linenumber::VARCHAR                  AS flag_line
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    """,
+)
+def coercion_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warp coercion on typed columns: strings parse strictly or poison
+    to NULL; zero denominators are invalid; `&` concatenates after
+    stringValue conversion."""
+    from warp_spark.values import num_op, safe_div, to_bool, to_number, warp_concat
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.to_df().select(
+        "l_orderkey",
+        "l_linenumber",
+        to_number(F.col("l_returnflag")).alias("mode_as_num"),
+        num_op(
+            lambda a, b: a + b, F.col("l_linenumber").cast("string"), F.lit(1)
+        ).alias("linenum_plus1"),
+        safe_div(
+            F.col("l_quantity"), F.col("l_linenumber") - F.col("l_linenumber")
+        ).alias("div_zero"),
+        to_bool(F.col("l_linenumber")).alias("line_is_one"),
+        warp_concat(F.col("l_returnflag"), F.col("l_linenumber")).alias("flag_line"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)

@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Empirical scaling probe for the LLM-pipeline operators.
+
+Scales the sf0.1 corpus 1× / 4× / 16× by replicating rows with offset
+ids and a per-replica text/vector perturbation (so near-dup structure
+stays realistic instead of every replica forming one giant LSH bucket),
+then times each operator. Near-linear growth in the times column =
+the plan scales; super-linear = a shuffle/skew problem to fix.
+
+Usage: python tools/scale_probe.py [sf_dir]   (writes SCALE.md)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from warp_spark import get_spark  # noqa: E402
+
+
+def scaled_docs(docs: DataFrame, mult: int) -> DataFrame:
+    """mult replicas; each replica perturbs the text head with a replica
+    token so replicas are near-dups (realistic) not exact dups."""
+    n = docs.count()
+    r = docs.crossJoin(F.broadcast(
+        docs.sparkSession.range(mult).select(F.col("id").alias("rep"))
+    ))
+    return r.select(
+        (F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
+        F.when(F.col("rep") == 0, F.col("text")).otherwise(
+            F.concat(F.lit("rep"), F.col("rep").cast("string"), F.lit(" "), F.col("text"))
+        ).alias("text"),
+    )
+
+
+def scaled_vecs(emb: DataFrame, mult: int) -> DataFrame:
+    """mult replicas; each replica rotates the vector by a tiny
+    per-replica epsilon on one coordinate (keeps cosine structure)."""
+    n = emb.count()
+    r = emb.crossJoin(F.broadcast(
+        emb.sparkSession.range(mult).select(F.col("id").alias("rep"))
+    ))
+    return r.select(
+        (F.col("vec_id") + F.col("rep") * n).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x + (F.col("rep") * 0.001) * (i % 3 - 1)
+        ).alias("embedding"),
+    )
+
+
+def timed(label: str, build, results: list):
+    t0 = time.time()
+    df = build()
+    n = df.count()
+    dt = time.time() - t0
+    results.append((label, dt, n))
+    print(f"  {label:34s} {dt:7.2f}s  rows={n}", flush=True)
+    return dt
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("scale-probe")
+
+    from warp_spark.pipeline.dedup import (
+        exact_duplicates,
+        minhash_lsh_candidates,
+        simhash_near_pairs,
+    )
+    from warp_spark.pipeline.similarity import (
+        brute_force_topk,
+        cosine_near_pairs,
+        ivf_topk,
+    )
+
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+
+    results: list[tuple[str, float, int]] = []
+    for mult in (1, 4, 16):
+        docs = scaled_docs(docs0, mult).persist()
+        emb = scaled_vecs(emb0, mult).persist()
+        nd, ne = docs.count(), emb.count()
+        print(f"mult={mult}: {nd} docs, {ne} vectors", flush=True)
+        q = emb.filter(F.col("vec_id") < 10)
+        # n_blocks grows with corpus so per-group matmuls stay memory-bounded
+        nb = max(8, 8 * mult // 2)
+        timed(f"exact_dedup x{mult}", lambda: exact_duplicates(docs), results)
+        timed(f"minhash_lsh x{mult}", lambda: minhash_lsh_candidates(docs), results)
+        timed(f"simhash x{mult}", lambda: simhash_near_pairs(docs), results)
+        timed(f"cosine_near_pairs x{mult}", lambda: cosine_near_pairs(emb, 0.4, n_blocks=nb), results)
+        timed(f"ann_bruteforce x{mult}", lambda: brute_force_topk(q, emb), results)
+        timed(f"ann_ivf x{mult}", lambda: ivf_topk(q, emb, n_centroids=16, nprobe=4), results)
+        docs.unpersist(); emb.unpersist()
+
+    lines = [
+        "# SCALE — empirical scaling of the pipeline operators",
+        "",
+        f"Corpus: `{sf_dir}` documents/embeddings replicated with per-replica",
+        "perturbation (near-dup-realistic). local[32]; times are single runs",
+        "on a shared box — read the *growth*, not the absolute numbers.",
+        "A near-linear column means the plan scales (compute-bound, no",
+        "driver collect, no quadratic candidate blowup); brute-force ANN and",
+        "unblocked all-pairs grow with corpus × corpus by definition and are",
+        "the documented non-scale baselines.",
+        "",
+        "| operator | 1× | 4× | 16× | growth 1×→16× |",
+        "|---|---|---|---|---|",
+    ]
+    by_op: dict[str, list] = {}
+    for label, dt, n in results:
+        op = label.rsplit(" x", 1)[0]
+        by_op.setdefault(op, []).append(dt)
+    for op, ts in by_op.items():
+        growth = ts[-1] / ts[0] if ts[0] > 0 else float("nan")
+        lines.append(
+            f"| {op} | {ts[0]:.2f}s | {ts[1]:.2f}s | {ts[2]:.2f}s | {growth:.1f}× |"
+        )
+    lines += [
+        "",
+        "16× data in ≤16× time ⇒ linear or better. Quadratic kernels",
+        "(brute-force, all-pairs) are expected to exceed that; their scale",
+        "paths are `ivf_topk` / `lsh_topk` and `block_col` bucketing.",
+    ]
+    with open("SCALE.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote SCALE.md", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -202,6 +202,45 @@ def test_rank_running(spark):
     assert by_k[3]["rnk"] == 3 and by_k[3]["run"] == 60.0
 
 
+def test_rank_prefix_matches_window(spark):
+    """The distributed prefix-sum running aggregate must agree with the
+    single-task global window on every decomposable reducer — including
+    NULL runs and duplicate sort keys."""
+    rows = [
+        (i, float(v) if v is not None else None)
+        for i, v in enumerate([None, 5, 3, None, 8, 8, 1, None, 2, 9, 4, 4, None, 7] * 50)
+    ]
+    ds = Dataset.from_df(spark.createDataFrame(rows, "k long, v double"))
+    ranks = {
+        "rnk": Aggregator(F.col("k"), "countAll"),
+        "rsum": Aggregator(F.col("v"), "sum"),
+        "ravg": Aggregator(F.col("v"), "average"),
+        "rmin": Aggregator(F.col("v"), "min"),
+        "rmax": Aggregator(F.col("v"), "max"),
+        "rcnt": Aggregator(F.col("v"), "count"),
+    }
+    by = [Order("k")]
+    a = ds.rank(ranks, by, strategy="prefix", num_partitions=7).to_df()
+    b = ds.rank(ranks, by, strategy="window").to_df()
+    am = {r["k"]: r for r in a.collect()}
+    bm = {r["k"]: r for r in b.collect()}
+    assert len(am) == len(bm) == len(rows)
+    for k, ra in am.items():
+        rb = bm[k]
+        for c in ranks:
+            va, vb = ra[c], rb[c]
+            if va is None or vb is None:
+                assert va is None and vb is None, (k, c, va, vb)
+            else:
+                assert abs(va - vb) < 1e-6 * max(1.0, abs(vb)), (k, c, va, vb)
+
+
+def test_rank_prefix_rejects_nondecomposable(spark):
+    ds = Dataset.from_df(spark.createDataFrame([(1, "a")], "k long, v string"))
+    with pytest.raises(ValueError, match="not prefix-decomposable"):
+        ds.rank({"x": Aggregator(F.col("v"), "concat")}, by=[Order("k")], strategy="prefix")
+
+
 def test_transpose_roundtrip(spark):
     ds = Dataset.from_df(
         spark.createDataFrame([("r1", "1", "2"), ("r2", "3", "4")], "k string, a string, b string")

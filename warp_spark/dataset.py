@@ -249,18 +249,40 @@ class Dataset:
         (Data.swift:300-304 — explicitly "not SQL UNION")."""
         return Dataset(self.df.unionByName(other.df, allowMissingColumns=True))
 
+    # reducers the distributed prefix-sum path can decompose (running
+    # value = f(local running value within range partition, exclusive
+    # prefix of per-partition totals))
+    _PREFIX_REDUCERS = frozenset({"countAll", "count", "sum", "average", "min", "max"})
+
     def rank(
         self,
         ranks: Mapping[str, Aggregator],
         by: Sequence[Order],
         partition_by: Optional[Sequence[ExprLike]] = None,
+        strategy: str = "auto",
+        num_partitions: Optional[int] = None,
     ) -> "Dataset":
         """Running aggregates over sorted rows (Data.swift:306-311;
         window pushdown SQL.swift:1491-1537). ``partition_by`` is a scale
         extension: the reference computes one global running aggregate
-        (single sequential reducer, Transformer.swift:476-547) which on a
-        cluster serializes into one task — partitioned windows restore
-        parallelism."""
+        (single sequential reducer, Transformer.swift:476-547).
+
+        Strategies for the *global* (no ``partition_by``) case:
+
+        - ``"prefix"`` (chosen by ``"auto"`` whenever every reducer is
+          decomposable): two-phase distributed prefix aggregation.
+          Range-partition by the sort keys, compute the running aggregate
+          *within* each partition with an ordinary window (parallel), then
+          combine each row's local value with the exclusive prefix of the
+          per-partition totals (one tiny N_partitions-row side table,
+          broadcast back). No stage ever moves the full data to a single
+          task — this is the 100 TB path.
+        - ``"window"``: single global window
+          (``Window.orderBy(...).rowsBetween(unboundedPreceding,
+          currentRow)``) — Spark serializes this into ONE task; kept only
+          as the fallback for non-decomposable reducers (countDistinct,
+          concat, list) and for differential-testing the prefix path.
+        """
         # windowed variants of the reducers (plain aggregate functions —
         # the batch reducers in aggregators.py wrap them with group-level
         # null handling that cannot sit under .over())
@@ -277,6 +299,15 @@ class Dataset:
         order_keys = (
             [k for o in by for k in o.to_columns()] if by else [F.col(ROW_ID)]
         )
+        if (
+            not partition_by
+            and strategy in ("auto", "prefix")
+            and all(a.reduce in self._PREFIX_REDUCERS for a in ranks.values())
+        ):
+            return self._rank_prefix(ranks, order_keys, num_partitions)
+        if strategy == "prefix":
+            bad = [n for n, a in ranks.items() if a.reduce not in self._PREFIX_REDUCERS]
+            raise ValueError(f"reducers not prefix-decomposable: {bad}")
         base = Window.orderBy(*order_keys)
         if partition_by:
             base = Window.partitionBy(*[_col(p) for p in partition_by]).orderBy(*order_keys)
@@ -292,6 +323,94 @@ class Dataset:
                 raise ValueError(f"reducer {agg.reduce!r} not supported as running aggregate")
             out = out.withColumn(name, c)
         return Dataset(out)
+
+    def _rank_prefix(
+        self,
+        ranks: Mapping[str, Aggregator],
+        order_keys: Sequence[Column],
+        num_partitions: Optional[int],
+    ) -> "Dataset":
+        """Distributed global running aggregate: range-partition on the
+        sort keys, window *within* each partition, then add the exclusive
+        prefix of per-partition totals. Equivalent to the global window
+        for every decomposable reducer, but every stage is parallel."""
+        df = self.df
+        spark = df.sparkSession
+        n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        pid = "__rank_pid"
+        # The plan branches below (row-level windows + the tiny per-partition
+        # totals) — the branch point MUST be pinned: repartitionByRange
+        # samples its boundaries per materialization, so without a persist
+        # the two branches can land rows in different partitions and the
+        # offsets would not line up with the local running values.
+        ranged = (
+            df.repartitionByRange(n, *order_keys)
+            .withColumn(pid, F.spark_partition_id())
+            .persist()
+        )
+        wrow = Window.partitionBy(pid).orderBy(*order_keys)
+        wframe = wrow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+        helpers: dict[str, Column] = {}  # local (within-partition) running values
+        totals: list[Column] = []  # per-partition totals feeding the offsets
+        prefix_fns: dict[str, Column.__class__] = {}  # helper -> combiner over totals
+        finals: dict[str, Column] = {}  # output expression per rank column
+
+        def add(helper: str, win: Column, tot: Column, prefix_fn) -> tuple[Column, Column]:
+            helpers[helper] = win
+            totals.append(tot.alias(f"__t_{helper}"))
+            prefix_fns[helper] = prefix_fn
+            return F.col(helper), F.col(f"__o_{helper}")
+
+        for name, agg in ranks.items():
+            c = agg._map_col()
+            num = to_number(c)
+            kind = agg.reduce
+            h = f"__h_{name}"
+            if kind == "countAll":
+                local, off = add(h, F.row_number().over(wrow), F.count(F.lit(1)), F.sum)
+                finals[name] = local + F.coalesce(off, F.lit(0))
+            elif kind == "count":
+                cnt = F.count(F.when(num.isNotNull(), 1))
+                local, off = add(h, cnt.over(wframe), cnt, F.sum)
+                finals[name] = local + F.coalesce(off, F.lit(0))
+            elif kind == "sum":
+                local, off = add(h, F.sum(num).over(wframe), F.sum(num), F.sum)
+                finals[name] = F.when(
+                    local.isNull() & off.isNull(), F.lit(None)
+                ).otherwise(F.coalesce(local, F.lit(0)) + F.coalesce(off, F.lit(0)))
+            elif kind in ("min", "max"):
+                fn = F.min if kind == "min" else F.max
+                comb = F.least if kind == "min" else F.greatest  # both skip NULLs
+                local, off = add(h, fn(c).over(wframe), fn(c), fn)
+                finals[name] = comb(local, off)
+            elif kind == "average":
+                s = F.sum(num)
+                cnt = F.count(num)
+                ls, os_ = add(f"{h}_s", s.over(wframe), s, F.sum)
+                lc, oc = add(f"{h}_c", cnt.over(wframe), cnt, F.sum)
+                tot_c = lc + F.coalesce(oc, F.lit(0))
+                tot_s = F.coalesce(ls, F.lit(0.0)) + F.coalesce(os_, F.lit(0.0))
+                finals[name] = F.when(tot_c > 0, tot_s / tot_c)
+            else:  # pragma: no cover — guarded by _PREFIX_REDUCERS
+                raise AssertionError(kind)
+
+        local_df = ranged.withColumns(helpers)
+        # exclusive prefix over the per-partition totals: N_partitions rows
+        # total, so the single-partition window here is over a side table of
+        # at most a few thousand rows — not the data
+        totals_df = ranged.groupBy(pid).agg(*totals)
+        ow = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
+        offsets = totals_df.select(
+            pid,
+            *[
+                prefix_fns[helper](F.col(f"__t_{helper}")).over(ow).alias(f"__o_{helper}")
+                for helper in helpers
+            ],
+        )
+        out = local_df.join(F.broadcast(offsets), pid, "left").withColumns(finals)
+        drop = [pid, *helpers.keys(), *[f"__o_{helper}" for helper in helpers]]
+        return Dataset(out.drop(*drop))
 
     def transpose(self, max_rows: int = 2000) -> "Dataset":
         """Rows ↔ columns; first column becomes the header

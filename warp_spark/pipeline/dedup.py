@@ -264,7 +264,13 @@ def simhash_near_pairs(
     chunks (pigeonhole: hamming ≤ 3 guarantees a shared band; wider
     radii are caught probabilistically), join on a shared band, then
     filter by exact Hamming distance."""
-    sig = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sig"))
+    from warp_spark.skew import ensure_min_partitions
+
+    # the signature UDF is the CPU-heavy stage — make sure it gets a
+    # partition per core even when the source is one small parquet split
+    sig = ensure_min_partitions(df.select(id_col, text_col)).select(
+        F.col(id_col), simhash64(F.col(text_col)).alias("sig")
+    )
     banded = sig.select(
         id_col,
         "sig",
@@ -276,7 +282,9 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("band"),
-    )
+        # self-join below reads this twice — persist so the signature UDF
+        # runs once (ids + 64-bit sigs + band strings only, tiny)
+    ).persist()
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])

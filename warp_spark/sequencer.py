@@ -311,4 +311,11 @@ def sequencer_dataframe(
         )
 
     decode = F.pandas_udf(lambda idx: idx.map(node.nth), T.StringType())
-    return spark.range(n).select(decode(F.col("id")).alias(column))
+    # Partition the index space at ~64Ki values per partition (capped at the
+    # cluster's default parallelism): each partition spins up one Python
+    # worker, so 32 partitions for a 50-value pattern would pay 32 worker
+    # startups for 2-row batches.
+    per_part = 65_536
+    parallelism = spark.sparkContext.defaultParallelism
+    num_parts = max(1, min((n + per_part - 1) // per_part, parallelism * 4))
+    return spark.range(0, n, numPartitions=num_parts).select(decode(F.col("id")).alias(column))

@@ -26,6 +26,22 @@ from pyspark.sql import functions as F
 SALT = "__salt"
 
 
+def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition when the input has fewer partitions than
+    the cluster has cores — the under-parallelism guard for CPU-heavy
+    (Python/Arrow UDF) stages.
+
+    A small parquet file reads as ONE partition (it fits in a single
+    ``maxPartitionBytes`` split), which serializes any expensive
+    per-partition work downstream; at real scale inputs arrive in many
+    splits and this is a no-op. Checking ``getNumPartitions`` analyzes
+    the plan but runs no job."""
+    target = target or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,

@@ -142,6 +142,51 @@ def test_roundtrip_reparse_identity():
         assert parse(unparse(ast)) == ast
 
 
+# --- NL locale (Language.swift:78-84, 122-135, 248-358) --------------------
+
+def test_nl_function_names():
+    assert parse("SOM(1;2;3)", "nl") == parse("SUM(1;2;3)")
+    assert parse("GEMIDDELDE([prijs])", "nl") == parse("AVERAGE([prijs])")
+    assert parse("HOOFDLETTERS(naam)", "nl") == parse("UPPER(naam)")
+
+
+def test_nl_constants():
+    assert parse("ALS(WAAR;1;LEEG)", "nl") == parse("IF(TRUE;1;NULL)")
+    assert parse("ALS.FOUT(FOUT;ONWAAR)", "nl") == parse("IFERROR(ERROR;FALSE)")
+
+
+def test_nl_number_separators():
+    # decimal comma, grouping dot (Language.swift:122-130)
+    assert parse("1.234,56", "nl") == parse("1,234.56")
+    assert parse("0,5", "nl") == parse("0.5")
+    assert parse("10%", "nl") == parse("10%")
+
+
+def test_nl_only_count_distinct():
+    # AANTAL.UNIEK exists only in the NL table — the reference's EN
+    # surface has no name for countDistinct
+    assert parse("AANTAL.UNIEK([x])", "nl").function == "countDistinct"
+    with pytest.raises(FormulaError):
+        parse("AANTAL.UNIEK([x])")
+
+
+def test_nl_unknown_en_name_rejected():
+    with pytest.raises(FormulaError):
+        parse("AVERAGE(1;2)", "nl")  # EN name, NL locale, not shorthand-able
+
+
+def test_cross_locale_roundtrip():
+    # AST is locale-free: parse EN → render NL → parse NL → same AST
+    for text in ACCEPT:
+        ast = parse(text)
+        assert parse(unparse(ast, locale="nl"), "nl") == ast
+
+
+def test_unknown_locale():
+    with pytest.raises(FormulaError):
+        parse("1+1", "de")
+
+
 # --- evaluation results ----------------------------------------------------
 
 def test_eval_division_nesting(spark):

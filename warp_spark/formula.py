@@ -37,7 +37,7 @@ from __future__ import annotations
 import base64
 import re
 from dataclasses import dataclass, field
-from typing import Callable, Optional, Sequence, Union
+from typing import Callable, Mapping, Optional, Sequence, Union
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -187,11 +187,115 @@ EN_FUNCTIONS: dict[str, str] = {
     "UNPACK": "unpackList", "APPEND.LIST": "appendList", "APPEND": "appendValue",
     "GLUE": "glue",
 }
-# canonical → preferred EN name, for unparse (first writer wins: the
-# table above lists the primary name before aliases like SMALL/LARGE)
-_CANONICAL_TO_EN: dict[str, str] = {}
-for _en, _canon in EN_FUNCTIONS.items():
-    _CANONICAL_TO_EN.setdefault(_canon, _en)
+# NL formula name → canonical function name (Language.swift:248-358).
+# Note AANTAL.UNIEK (countDistinct) exists only in the NL table — the
+# reference's EN surface has no formula name for countDistinct.
+NL_FUNCTIONS: dict[str, str] = {
+    "AANTAL": "count", "AANTAL.UNIEK": "countDistinct", "AANTALARG": "countAll",
+    "ABS": "abs", "AFRONDEN": "round", "AFRONDEN.BENEDEN": "floor",
+    "AFRONDEN.BOVEN": "ceiling", "ALS": "if", "ALS.FOUT": "ifError",
+    "ASELECT": "random", "ASELECTTEKST": "randomString",
+    "ASELECTTUSSEN": "randomBetween", "BASE64.DECODEREN": "base64Decode",
+    "BASE64.ENCODEREN": "base64Encode", "BEGINLETTERS": "capitalize",
+    "BOOGCOS": "acos", "BOOGSIN": "asin", "BOOGTAN": "atan",
+    "COS": "cos", "COSH": "cosh", "DAG.UTC": "utcDay", "DATUM.UTC": "utcDate",
+    "DECODEREN": "decodeString", "DEEL": "mid", "EERSTE.GELDIG": "coalesce",
+    "EN": "and", "ENCODEREN": "encodeString", "EX.OF": "xor", "EXP": "exp",
+    "GELIJKENIS": "levenshtein", "GEMIDDELDE": "average", "GROOTSTE": "max",
+    "GROOTTE.VAN": "numberOfBytes", "HEX.DECODEREN": "hexDecode",
+    "HEX.ENCODEREN": "hexEncode", "HILBERT.D": "hilbertXYToD",
+    "HILBERT.X": "hilbertDToX", "HILBERT.Y": "hilbertDToY",
+    "HOOFDLETTERS": "uppercase", "IN": "in", "INPAKKEN": "packList",
+    "INVOEGEN": "appendValue", "INVOEGEN.LIJST": "appendList", "ITEMS": "items",
+    "JAAR.UTC": "utcYear", "KIEZEN": "choose", "KLEINE.LETTERS": "lowercase",
+    "KLEINSTE": "min", "LEES.DATUM": "fromUnicodeDateString",
+    "LEES.GETAL": "parseNumber", "LENGTE": "length", "LIJMEN": "glue",
+    "LIJST": "list", "LINKS": "left", "LN": "ln", "LOG": "log",
+    "MAAND.UTC": "utcMonth", "MACHT": "power", "MACHT.OMHOOG": "powerUp",
+    "MACHT.OMLAAG": "powerDown", "MAX": "max", "MEDIAAN": "median",
+    "MEDIAAN.HOOG": "medianHigh", "MEDIAAN.LAAG": "medianLow",
+    "MEDIAAN.PAKKET": "medianPack", "MIN": "min", "MINUUT.UTC": "utcMinute",
+    "NA": "after", "NAAR.EXCELDATUM": "toExcelDate",
+    "NAAR.ISO8601": "toLocalISO8601", "NAAR.ISO8601.UTC": "toUTCISO8601",
+    "NAAR.JSON": "jsonEncode", "NAAR.UNIX": "toUnixTime", "NIET": "not",
+    "NIET.IN": "notIn", "NORM.INV.N": "normalInverse", "NU": "now",
+    "OF": "or", "OMKEREN": "negate", "POS.NEG": "sign", "RECHTS": "right",
+    "SCHRIJF.DATUM": "toUnicodeDateString", "SECONDE.UTC": "utcSecond",
+    "SIN": "sin", "SINH": "sinh", "SOM": "sum", "SPATIES.WISSEN": "trim",
+    "SPLITS": "split", "STDEV.P": "standardDeviationPopulation",
+    "STDEV.S": "standardDeviationSample", "SUBSTITUEREN": "substitute",
+    "SUBSTITUEREN.PATROON": "regexSubstitute", "TAN": "tan", "TANH": "tanh",
+    "TEKST.SAMENVOEGEN": "concat", "TIJDSDUUR": "duration",
+    "UITPAKKEN": "unpackList", "URL.CODEREN": "urlEncode", "UUID": "uuid",
+    "UUR.UTC": "utcHour", "VAN.EXCELDATUM": "fromExcelDate",
+    "VAN.ISO8601": "fromISO8601", "VAN.JSON": "jsonDecode",
+    "VAN.UNIX": "fromUnixTime", "VAR.P": "variancePopulation",
+    "VAR.S": "varianceSample", "WAARDEN.INPAKKEN": "pack", "WORTEL": "sqrt",
+}
+
+NL_CONSTANTS: dict[str, Node] = {
+    "WAAR": Literal(True),
+    "ONWAAR": Literal(False),
+    "PI": Literal(3.141592654),
+    "LEEG": Literal(None),
+    "FOUT": ErrorConstant(),
+}
+
+
+@dataclass(frozen=True)
+class Locale:
+    """Localized formula surface (Language.swift:27-45, 122-135): number
+    separators, argument separator, constant and function name tables.
+    Postfix multipliers are locale-independent (the reference defines
+    them only for "en" and falls back, Language.swift:88-120)."""
+
+    name: str
+    decimal_sep: str
+    group_sep: str
+    arg_sep: str
+    constants: Mapping[str, Node]
+    functions: Mapping[str, str]
+
+    def __post_init__(self):
+        # canonical → preferred localized name, for unparse (first writer
+        # wins: primary names precede aliases like SMALL/LARGE)
+        to_name: dict[str, str] = {}
+        for loc_name, canon in self.functions.items():
+            to_name.setdefault(canon, loc_name)
+        object.__setattr__(self, "_to_name", to_name)
+        d, g = re.escape(self.decimal_sep), re.escape(self.group_sep)
+        object.__setattr__(
+            self,
+            "_number_re",
+            re.compile(rf"(-?)([0-9][0-9{g}]*)(?:{d}([0-9][0-9{g}]*))?"),
+        )
+        object.__setattr__(
+            self,
+            "_timestamp_re",
+            re.compile(rf"@([0-9][0-9{g}]*(?:{d}[0-9]+)?)"),
+        )
+        const_names: dict[object, str] = {}
+        for cname, cnode in self.constants.items():
+            key = ("err",) if isinstance(cnode, ErrorConstant) else ("lit", cnode.value)
+            const_names.setdefault(key, cname)
+        object.__setattr__(self, "_const_names", const_names)
+
+
+EN_LOCALE = Locale("en", ".", ",", ";", CONSTANTS, EN_FUNCTIONS)
+NL_LOCALE = Locale("nl", ",", ".", ";", NL_CONSTANTS, NL_FUNCTIONS)
+LOCALES: dict[str, Locale] = {"en": EN_LOCALE, "nl": NL_LOCALE}
+
+
+def _locale(loc: Union[str, Locale, None]) -> Locale:
+    if loc is None:
+        return EN_LOCALE
+    if isinstance(loc, Locale):
+        return loc
+    try:
+        return LOCALES[loc]
+    except KeyError:
+        raise FormulaError(f"unknown locale {loc!r} (have: {sorted(LOCALES)})")
+
 
 _SHORTHAND_RE = re.compile(r"[A-Za-z][A-Za-z0-9_]*\Z")
 _WS = " \t\r\n"
@@ -202,9 +306,10 @@ _WS = " \t\r\n"
 # ---------------------------------------------------------------------------
 
 class _Parser:
-    def __init__(self, text: str):
+    def __init__(self, text: str, locale: Locale = None):
         self.text = text
         self.pos = 0
+        self.locale = locale or EN_LOCALE
 
     # -- low-level ---------------------------------------------------------
     def ws(self):
@@ -337,10 +442,13 @@ class _Parser:
             return self.blob_literal()
         if ch == "@":
             # timestamp @digits takes precedence over the current-cell @
-            m = re.match(r"@([0-9][0-9,]*(?:\.[0-9]+)?)", self.text[self.pos:])
+            m = self.locale._timestamp_re.match(self.text, self.pos)
             if m:
-                self.pos += m.end()
-                return Timestamp(float(m.group(1).replace(",", "")))
+                self.pos = m.end()
+                raw = m.group(1).replace(self.locale.group_sep, "").replace(
+                    self.locale.decimal_sep, "."
+                )
+                return Timestamp(float(raw))
             self.pos += 1
             return Identity()
         if ch == "#":
@@ -372,15 +480,16 @@ class _Parser:
         self.error(f"unexpected character {ch!r}")
 
     def number(self) -> Node:
-        m = re.match(r"(-?)([0-9][0-9,]*)(?:\.([0-9][0-9,]*))?", self.text[self.pos:])
+        g = self.locale.group_sep
+        m = self.locale._number_re.match(self.text, self.pos)
         if not m:
             self.error("expected a number")
-        self.pos += m.end()
+        self.pos = m.end()
         sign = -1.0 if m.group(1) else 1.0
-        whole = m.group(2).replace(",", "")
+        whole = m.group(2).replace(g, "")
         frac = m.group(3)
         if frac is not None:
-            base = float(f"{whole}.{frac.replace(',', '')}")
+            base = float(f"{whole}.{frac.replace(g, '')}")
             is_int = False
         else:
             base = float(whole)
@@ -433,7 +542,7 @@ class _Parser:
             return ListLiteral(())
         items = [self.logic()]
         self.ws()
-        while self.eat(";"):
+        while self.eat(self.locale.arg_sep):
             self.ws()
             items.append(self.logic())
             self.ws()
@@ -454,15 +563,15 @@ class _Parser:
         after = self.pos + m.end()
         # function call? (constant and sibling never take '(')
         rest = self.text[after:].lstrip(_WS)
-        if upper in EN_FUNCTIONS and rest.startswith("("):
+        if upper in self.locale.functions and rest.startswith("("):
             self.pos = after
             self.ws()
             self.eat("(")
             args = self.arguments()
-            return Call(EN_FUNCTIONS[upper], tuple(args))
-        if upper in CONSTANTS:
+            return Call(self.locale.functions[upper], tuple(args))
+        if upper in self.locale.constants:
             self.pos = after
-            return CONSTANTS[upper]
+            return self.locale.constants[upper]
         if _SHORTHAND_RE.match(name):
             self.pos = after
             return Sibling(name)
@@ -474,7 +583,7 @@ class _Parser:
             return []
         args = [self.logic()]
         self.ws()
-        while self.eat(";"):
+        while self.eat(self.locale.arg_sep):
             self.ws()
             args.append(self.logic())
             self.ws()
@@ -483,11 +592,16 @@ class _Parser:
         return args
 
 
-def parse(formula: str) -> Node:
-    """Parse a formula string into an AST. Raises FormulaError."""
+def parse(formula: str, locale: Union[str, Locale, None] = None) -> Node:
+    """Parse a formula string into an AST. Raises FormulaError.
+
+    ``locale`` selects the localized surface (function/constant names and
+    number separators): ``"en"`` (default) or ``"nl"`` — the two the
+    reference ships (Language.swift:62-67). The AST itself is
+    locale-free; parse in one locale, unparse in another."""
     if not formula or not formula.strip() or formula.strip() == "=":
         raise FormulaError("empty formula")
-    return _Parser(formula).parse()
+    return _Parser(formula, _locale(locale)).parse()
 
 
 # ---------------------------------------------------------------------------
@@ -603,9 +717,12 @@ def formula(
     sibling: Callable[[str], Column] = F.col,
     foreign: Optional[Callable[[str], Column]] = None,
     identity: Optional[Column] = None,
+    locale: Union[str, Locale, None] = None,
 ) -> Column:
     """Parse + compile a formula string to a Column."""
-    return to_column(parse(text), sibling=sibling, foreign=foreign, identity=identity)
+    return to_column(
+        parse(text, locale=locale), sibling=sibling, foreign=foreign, identity=identity
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -619,12 +736,18 @@ _PRECEDENCE = {
 }
 
 
-def unparse(node: Node, top_level: bool = True) -> str:
-    """Render an AST back to EN formula syntax; parse(unparse(x)) == x."""
+def unparse(node: Node, top_level: bool = True, locale: Union[str, Locale, None] = None) -> str:
+    """Render an AST back to formula syntax in the given locale;
+    parse(unparse(x, loc), loc) == x."""
+    loc = _locale(locale)
+    sep = loc.arg_sep
+
+    def const(key, fallback: str) -> str:
+        return loc._const_names.get(key, fallback)
 
     def fmt_number(v) -> str:
         if isinstance(v, bool):
-            return "TRUE" if v else "FALSE"
+            return const(("lit", v), "TRUE" if v else "FALSE")
         if isinstance(v, int):
             return str(v)
         s = repr(float(v))
@@ -635,17 +758,17 @@ def unparse(node: Node, top_level: bool = True) -> str:
             from decimal import Decimal
 
             s = format(Decimal(s), "f")
-        return s
+        return s.replace(".", loc.decimal_sep)
 
     def rec(n: Node, parent_prec: int) -> str:
         if isinstance(n, Literal):
             v = n.value
             if v is None:
-                return "NULL"
+                return const(("lit", None), "NULL")
             if isinstance(v, bool):
-                return "TRUE" if v else "FALSE"
+                return const(("lit", v), "TRUE" if v else "FALSE")
             if v == 3.141592654:
-                return "PI"
+                return const(("lit", 3.141592654), "PI")
             if isinstance(v, (int, float)):
                 return fmt_number(v)
             if isinstance(v, str):
@@ -654,10 +777,11 @@ def unparse(node: Node, top_level: bool = True) -> str:
                 return "`" + base64.b64encode(v).decode() + "`"
             raise FormulaError(f"cannot unparse literal {v!r}")
         if isinstance(n, ErrorConstant):
-            return "ERROR"
+            return const(("err",), "ERROR")
         if isinstance(n, Timestamp):
             s = n.seconds
-            return "@" + (str(int(s)) if s == int(s) else repr(s))
+            raw = str(int(s)) if s == int(s) else repr(s)
+            return "@" + raw.replace(".", loc.decimal_sep)
         if isinstance(n, Identity):
             return "@"
         if isinstance(n, Sibling):
@@ -665,10 +789,10 @@ def unparse(node: Node, top_level: bool = True) -> str:
         if isinstance(n, Foreign):
             return "#" + (n.name if _SHORTHAND_RE.match(n.name) else f"[{n.name}]")
         if isinstance(n, ListLiteral):
-            return "{" + ";".join(rec(i, 0) for i in n.items) + "}"
+            return "{" + sep.join(rec(i, 0) for i in n.items) + "}"
         if isinstance(n, Call):
-            en = _CANONICAL_TO_EN.get(n.function, n.function.upper())
-            return en + "(" + ";".join(rec(a, 0) for a in n.args) + ")"
+            name = loc._to_name.get(n.function, n.function.upper())
+            return name + "(" + sep.join(rec(a, 0) for a in n.args) + ")"
         if isinstance(n, Index):
             return rec(n.base, 6) + "[" + rec(n.index, 0) + "]"
         if isinstance(n, KeyLookup):

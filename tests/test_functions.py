@@ -133,7 +133,8 @@ def test_is_empty(spark):
         ("length", ["abcd"], 4),
         ("left", ["hello", 2], "he"),
         ("right", ["hello", 2], "lo"),
-        ("mid", ["hello", 2, 3], "ell"),
+        ("mid", ["hello", 2, 3], "llo"),  # 0-based start (Function.swift:1137)
+        ("mid", [1337, 3, 1], "7"),  # WarpCoreTests.swift:312
         ("substitute", ["banana", "a", "o"], "bonono"),
         ("regexSubstitute", ["a1b2", "[0-9]", "#"], "a#b#"),
         ("levenshtein", ["kitten", "sitting"], 3),

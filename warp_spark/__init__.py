@@ -14,6 +14,7 @@ execution (pushdown, join strategy, partial aggregation, AQE).
 from warp_spark.session import get_spark
 from warp_spark.dataset import Dataset, Order
 from warp_spark.aggregators import Aggregator
+from warp_spark.infer import infer, suggest_formulas
 
-__all__ = ["get_spark", "Dataset", "Order", "Aggregator"]
+__all__ = ["get_spark", "Dataset", "Order", "Aggregator", "infer", "suggest_formulas"]
 __version__ = "0.1.0"

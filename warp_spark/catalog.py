@@ -837,7 +837,7 @@ def functions_math(spark: SparkSession, sf_dir: str) -> DataFrame:
            length(p_name)                       AS len_v,
            trim(p_name)                         AS trim_v,
            substring(p_name, 1, 5)              AS left_v,
-           substring(p_name, 3, 4)              AS mid_v,
+           substring(p_name, 4, 4)              AS mid_v,
            replace(p_type, ' ', '_')            AS subst_v,
            concat(p_brand, ':', p_type)         AS concat_v,
            levenshtein(p_brand, p_type)         AS lev_v,

@@ -252,8 +252,10 @@ def _right(s, n):
 
 
 def _mid(s, start, length):
-    # 1-based like the reference/Excel
-    return to_string(_c(s)).substr(_c(start).cast("int"), _c(length).cast("int"))
+    # 0-based start, unlike Excel's 1-based MID: the reference offsets
+    # `start` characters from the string start (Function.swift:1137-1151,
+    # tested mid(1337,3,1)=="7" at WarpCoreTests.swift:312)
+    return to_string(_c(s)).substr(_c(start).cast("int") + F.lit(1), _c(length).cast("int"))
 
 
 def _substitute(s, find, repl):

@@ -19,7 +19,7 @@ from typing import Callable, Optional, Union
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from warp_spark.values import is_numeric, pack_escape, to_number
+from warp_spark.values import integral_string, is_numeric, pack_escape, to_number
 
 
 def _sum(c: Column) -> Column:
@@ -83,11 +83,14 @@ def _median_high(c: Column) -> Column:
 
 
 def _median_pack(c: Column) -> Column:
-    # pack of the two middle values (Function.swift:2136-2189)
+    # pack of the two middle values (Function.swift:2136-2189); integral
+    # values render without ".0" like the reference's Value.stringValue
     arr = _sorted_vals(c)
     low = F.try_element_at(arr, ((F.size(arr) + 1) / 2).cast("int"))
     high = F.try_element_at(arr, (F.size(arr) / 2 + 1).cast("int"))
-    return F.array_join(F.transform(F.array(low, high), pack_escape), ",")
+    return F.array_join(
+        F.transform(F.array(low, high), lambda v: pack_escape(integral_string(v))), ","
+    )
 
 
 def _min(c: Column) -> Column:

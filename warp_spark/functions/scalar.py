@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from warp_spark.values import (
+    integral_string,
     pack_list,
     safe_div,
     to_bool,
@@ -519,10 +520,11 @@ def _scalar_median_high(*args):
 
 
 def _scalar_median_pack(*args):
+    # integral values render without ".0", like Value.stringValue packs
     arr = _scalar_median_arr(args)
     low = F.try_element_at(arr, ((F.size(arr) + 1) / 2).cast("int"))
     high = F.try_element_at(arr, (F.size(arr) / 2 + 1).cast("int"))
-    return pack_list(F.array(low.cast("string"), high.cast("string")))
+    return pack_list(F.array(integral_string(low), integral_string(high)))
 
 
 def _scalar_var(sample: bool):

@@ -86,6 +86,17 @@ def warp_concat(*cols) -> Column:
 # Re-expressed as Column ops over native arrays.
 # ---------------------------------------------------------------------------
 
+def integral_string(col: Column) -> Column:
+    """Render a number the way Warp's Value stringifies: integral doubles
+    without the trailing ``.0`` (an int Value packs as ``1``, not
+    ``1.0`` — Value.swift:133-137)."""
+    d = col.cast("double")
+    return F.when(
+        d.isNotNull() & (d == F.floor(d)) & (F.abs(d) < 9.2e18),
+        d.cast("long").cast("string"),
+    ).otherwise(col.cast("string"))
+
+
 def pack_escape(col: Column) -> Column:
     return F.replace(F.replace(col.cast("string"), F.lit("$"), F.lit("$1")), F.lit(","), F.lit("$0"))
 

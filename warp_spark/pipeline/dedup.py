@@ -259,11 +259,22 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """Near-pairs by SimHash: band the 64-bit signature into 4×16-bit
     chunks (pigeonhole: hamming ≤ 3 guarantees a shared band; wider
-    radii are caught probabilistically), join on a shared band, then
-    filter by exact Hamming distance."""
+    radii are caught probabilistically), bucket docs by band value, then
+    filter intra-bucket pairs by exact Hamming distance.
+
+    Shape: groupBy(band) → collect_list → HOF pair expansion, NOT a
+    banded self-join. Two shuffles total (band, then pair-dedup); the
+    signature UDF runs once per doc by dataflow shape (no persist
+    needed), and nothing is broadcast — the earlier broadcast self-join
+    held the whole banded corpus on every executor, a non-starter at
+    10⁹ docs. Buckets larger than ``max_bucket_size`` are dropped: a
+    band value shared by that many docs carries no near-dup signal
+    (quadratic pair blowup for zero selectivity); at larger corpus
+    sizes widen the bands (more bits) rather than raising the cap."""
     from warp_spark.skew import ensure_min_partitions
 
     # the signature UDF is the CPU-heavy stage — make sure it gets a
@@ -282,17 +293,33 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("band"),
-        # self-join below reads this twice — persist so the signature UDF
-        # runs once (ids + 64-bit sigs + band strings only, tiny)
-    ).persist()
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
-        )
-        .distinct()
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
+    buckets = banded.groupBy("band").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("sig").alias("sig"))).alias("m")
+    )
+    # all i<j pairs within a bucket, expanded JVM-side with HOFs
+    m = F.col("m")
+    pair_lists = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + F.lit(2), F.greatest(F.size(m) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    F.least(x["id"], y["id"]).alias("id_a"),
+                    F.greatest(x["id"], y["id"]).alias("id_b"),
+                    F.bit_count(x["sig"].bitwiseXOR(y["sig"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        buckets.filter(F.size(m).between(2, max_bucket_size))
+        .select(F.explode(pair_lists).alias("p"))
+        .select("p.*")
+        .filter(F.col("hamming") <= max_hamming)
+        # a pair can share up to 4 bands — dedupe on the pair key
+        # (hamming is functionally dependent, carried with first())
+        .groupBy("id_a", "id_b")
+        .agg(F.first("hamming").alias("hamming"))
+    )
+    return pairs

@@ -85,16 +85,31 @@ def language_scores(text: Column) -> dict[str, Column]:
 
 def language_id(text: Column) -> Column:
     """Argmax of stopword hits with a deterministic preference order;
-    'und' (undetermined) when no list scores a hit."""
-    scores = language_scores(text)
-    langs = list(scores)
-    best = F.greatest(*[scores[lang] for lang in langs])
-    out = F.lit("und")
-    # reversed so earlier languages win ties (first WHEN match)
-    expr = F.when(best <= 0, F.lit("und"))
-    for lang in langs:
-        expr = expr.when(scores[lang] == best, F.lit(lang))
-    return expr
+    'und' (undetermined) when no list scores a hit.
+
+    Shaped as ONE ``aggregate`` pass over the token array. The naive
+    greatest(scores) + per-language WHEN form textually duplicates the
+    tokenize+filter tree ~(langs²)× — CollapseProject inlines each
+    single-textual-use subtree (same pathology as dedup.py's minhash) —
+    measured ~7× slower. Here the argmax runs in the ``finish`` lambda
+    where the count vector is a bound variable, evaluated once."""
+    langs = list(STOPWORDS)
+    wordlists = F.array(*[F.array(*[F.lit(w) for w in STOPWORDS[l]]) for l in langs])
+    lang_lits = F.array(*[F.lit(l) for l in langs])
+
+    def argmax(acc: Column) -> Column:
+        return F.when(F.array_max(acc) <= 0, F.lit("und")).otherwise(
+            # first occurrence of the max → earlier languages win ties,
+            # matching the oracle's first-WHEN-match order
+            F.element_at(lang_lits, F.array_position(acc, F.array_max(acc)).cast("int"))
+        )
+
+    return F.aggregate(
+        tokens(text),
+        F.array_repeat(F.lit(0), len(langs)),
+        lambda acc, t: F.zip_with(acc, wordlists, lambda a, ws: a + F.array_contains(ws, t).cast("int")),
+        argmax,
+    )
 
 
 def fingerprint(text: Column) -> Column:

@@ -1,0 +1,94 @@
+"""As-of join semantics (scale extension — the reference has no temporal
+joins, WarpCore/Sources/Data.swift:113-130; see warp_spark/asof.py)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from warp_spark.asof import asof_join
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), "p1"),
+            (1, ts("2024-01-01 12:00:00"), "p2"),
+            (2, ts("2024-01-01 09:00:00"), "p3"),  # before any right row
+            (3, ts("2024-01-01 10:00:00"), "p4"),  # key with no right rows
+        ],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 09:30:00"), 10.0),
+            (1, ts("2024-01-01 11:00:00"), 20.0),
+            (1, ts("2024-01-01 12:00:00"), 30.0),  # equal-ts: inclusive match
+            (2, ts("2024-01-01 09:30:00"), 40.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    return left, right
+
+
+def test_backward_inclusive(frames):
+    left, right = frames
+    out = {r["tag"]: r for r in asof_join(left, right, on="ts", by="user_id").collect()}
+    assert len(out) == 4  # every left row kept
+    assert out["p1"]["value"] == 10.0  # most recent at-or-before 10:00
+    assert out["p2"]["value"] == 30.0  # equal timestamp matches (inclusive)
+    assert out["p2"]["ts_right"] == ts("2024-01-01 12:00:00")
+    assert out["p3"]["value"] is None  # no right row yet
+    assert out["p4"]["value"] is None  # key absent from right
+
+
+def test_tolerance(frames):
+    left, right = frames
+    out = {
+        r["tag"]: r
+        for r in asof_join(
+            left, right, on="ts", by="user_id", tolerance=F.expr("INTERVAL 30 MINUTES")
+        ).collect()
+    }
+    assert out["p1"]["value"] == 10.0  # 30 min old — inside tolerance
+    assert out["p2"]["value"] == 30.0  # exact match
+    # p3/p4 unmatched stay null
+    assert out["p3"]["value"] is None and out["p4"]["value"] is None
+
+
+def test_tolerance_expires(spark, frames):
+    left, right = frames
+    out = {
+        r["tag"]: r
+        for r in asof_join(
+            left, right, on="ts", by="user_id", tolerance=F.expr("INTERVAL 10 MINUTES")
+        ).collect()
+    }
+    assert out["p1"]["value"] is None  # 30 min old — too stale
+
+
+def test_suffix_on_clash(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), 1.0)], "k long, ts timestamp, value double"
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 09:00:00"), 2.0)], "k long, ts timestamp, value double"
+    )
+    out = asof_join(left, right, on="ts", by="k")
+    assert set(out.columns) == {"k", "ts", "value", "ts_right", "value_right"}
+    row = out.collect()[0]
+    assert row["value"] == 1.0 and row["value_right"] == 2.0
+
+
+def test_single_shuffle_plan(frames):
+    """The whole join is one window pass: exactly one Exchange in the
+    physical plan (partitionBy the key), nothing broadcast."""
+    left, right = frames
+    explained = asof_join(left, right, on="ts", by="user_id")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in explained
+    assert explained.count("Exchange hashpartitioning") == 1

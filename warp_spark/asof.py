@@ -1,0 +1,100 @@
+"""As-of (temporal) join — a scale extension beyond the reference
+(pixelspark/warp has no temporal joins; its only join types are left
+outer and inner with arbitrary predicates, WarpCore/Sources/Data.swift:113-130).
+
+For each left row, attach the payload of the most recent right row with
+``right.on <= left.on`` (backward, inclusive) for the same key — the
+standard event-enrichment primitive (trades→quotes, purchases→clicks).
+
+Spark-first implementation: tag both sides, union, and run ONE window
+pass per key ordered by time — ``last(payload, ignorenulls=True)``
+carries the latest right payload forward onto each left row. Cost is a
+single shuffle on the key columns (the window partitioning); nothing is
+broadcast and neither side is collected, so the plan survives
+arbitrarily large inputs on both sides. A sort-merge-join formulation
+would need an inequality predicate (no equi-join) and degenerate to
+BroadcastNestedLoop; the union+window shape keeps it a hash shuffle +
+per-partition sort.
+
+Skew note: partitioning is by ``by`` keys only, so a pathologically hot
+key serializes through one task. At 100 TB, range-bucket the time axis
+first (join left to the right rows of the same and previous time bucket,
+then window within bucket) — the `tolerance` parameter makes the
+bucketed variant semantics-preserving.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+ColsLike = Union[str, Sequence[str]]
+
+
+def _as_list(v: ColsLike) -> list[str]:
+    return [v] if isinstance(v, str) else list(v)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: ColsLike = (),
+    value_cols: Optional[Sequence[str]] = None,
+    suffix: str = "_right",
+    tolerance: Optional[Column] = None,
+) -> DataFrame:
+    """Backward inclusive as-of join (every left row kept; right payload
+    columns null when no right row precedes it).
+
+    on: time column name, present in both sides.
+    by: equality key column(s), present in both sides.
+    value_cols: right columns to carry (default: all but ``on``/``by``).
+    suffix: appended to carried right column names that clash with left.
+    tolerance: optional max age (e.g. ``F.expr("INTERVAL 1 HOUR")``) —
+        matches older than ``left.on - tolerance`` are nulled out.
+    """
+    by = _as_list(by)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c != on and c not in by]
+    out_names = {v: v + suffix if v in left.columns else v for v in value_cols}
+
+    # single right payload struct → one last() per row, deterministic
+    # tie-break (equal timestamps order by the full payload)
+    payload = F.struct(
+        F.col(on).alias("__asof_ts"), *[F.col(v).alias(v) for v in value_cols]
+    )
+    r = right.select(*by, F.col(on), payload.alias("__asof_payload"))
+    l = left.withColumn("__asof_payload", F.lit(None).cast(r.schema["__asof_payload"].dataType))
+    tagged = l.withColumn("__asof_side", F.lit(1)).unionByName(
+        r.withColumn("__asof_side", F.lit(0)), allowMissingColumns=True
+    )
+
+    # right rows (side=0) sort before left rows at equal time → inclusive;
+    # payload in the order key makes equal-time right rows deterministic
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on), F.col("__asof_side"), F.col("__asof_payload"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = tagged.withColumn(
+        "__asof_match", F.last("__asof_payload", ignorenulls=True).over(w)
+    ).filter(F.col("__asof_side") == 1)
+
+    if tolerance is not None:
+        matched = matched.withColumn(
+            "__asof_match",
+            F.when(
+                F.col("__asof_match")["__asof_ts"] >= F.col(on) - tolerance,
+                F.col("__asof_match"),
+            ),
+        )
+
+    out = matched.select(
+        *left.columns,
+        F.col("__asof_match")["__asof_ts"].alias(on + suffix),
+        *[F.col("__asof_match")[v].alias(out_names[v]) for v in value_cols],
+    )
+    return out

@@ -1526,5 +1526,440 @@ def coercion_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# As-of (temporal) join — scale extension beyond the reference (which has
+# only left/inner equi-ish joins, Data.swift:113-130). union+window shape,
+# one shuffle, nothing broadcast (warp_spark/asof.py). Oracle: DuckDB's
+# native ASOF LEFT JOIN.
+# ---------------------------------------------------------------------------
+@register(
+    "asof_purchase_click",
+    """
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts AS cts, max(value) AS click_value
+               FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.cts AS click_ts, c.click_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts
+    """,
+)
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich each purchase with the user's most recent prior click."""
+    from warp_spark.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # dedupe right side to unique (user_id, ts): equal-timestamp ties are
+    # engine-unspecified in ASOF joins, so resolve them before joining
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(purchases, clicks, on="ts", by="user_id")
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("ts_right").alias("click_ts"), "click_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style composites: the judged operators in combination (multi-way
+# joins, semi/anti shapes via the reference's join+distinct vocabulary,
+# agg-of-agg, disjunctive pushdown). Dims broadcast; fact-fact joins
+# shuffle on their keys and leave strategy to Catalyst/AQE.
+# ---------------------------------------------------------------------------
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM (SELECT DISTINCT o_orderkey, o_orderpriority
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate <  TIMESTAMP '1996-07-01'
+            AND l_shipdate > o_orderdate + INTERVAL 75 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders (in a window) having ≥1 late-shipped lineitem — the
+    EXISTS/semi-join shape via the reference's join→distinct vocabulary."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(li, on=F.col("o_orderkey") == F.col("l_orderkey")).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 75 DAY")
+    )
+    return (
+        late.select_columns(["o_orderkey", "o_orderpriority"])
+        .distinct()
+        .aggregate(
+            {"o_orderpriority": F.col("o_orderpriority")},
+            {"order_count": Aggregator(F.lit(1), "countAll")},
+        )
+        .sort([Order("o_orderpriority", numeric=False)])
+        .to_df()
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                 year(l_shipdate) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM lineitem
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation sn ON sn.n_nationkey = s_nationkey
+          JOIN orders  ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation cn ON cn.n_nationkey = c_nationkey
+          WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+              OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1998-01-01')
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier").join(
+        Dataset(F.broadcast(nation.rename({"n_name": "supp_nation", "n_nationkey": "sn_key"}).df)),
+        on=F.col("s_nationkey") == F.col("sn_key"),
+    )
+    cust = _t(spark, sf_dir, "customer").join(
+        Dataset(F.broadcast(nation.rename({"n_name": "cust_nation", "n_nationkey": "cn_key"}).df)),
+        on=F.col("c_nationkey") == F.col("cn_key"),
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    j = (
+        li.join(Dataset(F.broadcast(supp.df)), on=F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_t(spark, sf_dir, "orders"), on=F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, on=F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.aggregate(
+            {
+                "supp_nation": F.col("supp_nation"),
+                "cust_nation": F.col("cust_nation"),
+                "l_year": F.year("l_shipdate"),
+            },
+            {"revenue": Aggregator(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum")},
+        )
+        .calculate({"revenue": F.round("revenue", 2)})
+        .sort(
+            [
+                Order("supp_nation", numeric=False),
+                Order("cust_nation", numeric=False),
+                Order("l_year"),
+            ]
+        )
+        .to_df()
+    )
+
+
+@register(
+    "q9_pseudo_profit",
+    """
+    SELECT n_name AS nation, o_year,
+           sum(round(amount * 100)::BIGINT) / 100.0 AS sum_profit
+    FROM (SELECT n_name, year(o_orderdate) AS o_year,
+                 l_extendedprice * (1 - l_discount)
+                   - 0.5 * p_retailprice * l_quantity AS amount
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+          JOIN orders ON o_orderkey = l_orderkey
+          WHERE p_type = 'PROMO')
+    GROUP BY n_name, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_pseudo_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted to the synthetic schema (no partsupp table:
+    pseudo-cost = 0.5·p_retailprice per unit)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier").join(
+        Dataset(F.broadcast(_t(spark, sf_dir, "nation").df)),
+        on=F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    j = (
+        _t(spark, sf_dir, "lineitem")
+        .join(Dataset(F.broadcast(part.df)), on=F.col("l_partkey") == F.col("p_partkey"))
+        .join(Dataset(F.broadcast(supp.df)), on=F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_t(spark, sf_dir, "orders"), on=F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    # the subtraction in `amount` amplifies summation-order FP noise past
+    # any fixed rounding boundary — sum exact integer cents instead
+    # (per-row IEEE arithmetic is bit-identical across engines; bigint
+    # summation is order-independent), divide back at the end
+    cents = F.round(amount * 100).cast("long")
+    return (
+        j.aggregate(
+            {"nation": F.col("n_name"), "o_year": F.year("o_orderdate")},
+            {"sum_profit": Aggregator(cents, "sum")},
+        )
+        .calculate({"sum_profit": F.col("sum_profit") / 100.0})
+        .sort([Order("nation", numeric=False), Order("o_year", ascending=False)])
+        .to_df()
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    j = li.join(
+        Dataset(F.broadcast(_t(spark, sf_dir, "part").df)),
+        on=F.col("l_partkey") == F.col("p_partkey"),
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        j.aggregate(
+            {},
+            {
+                "promo": Aggregator(promo, "sum"),
+                "total": Aggregator(disc, "sum"),
+            },
+        )
+        .calculate({"promo_revenue": F.round(100.0 * F.col("promo") / F.col("total"), 4)})
+        .select_columns(["promo_revenue"])
+        .to_df()
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (SELECT l_suppkey AS suppkey,
+                        round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate <  TIMESTAMP '1996-04-01'
+                 GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev JOIN supplier ON s_suppkey = suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agg-of-agg: suppliers whose quarter revenue equals the max —
+    the scalar-subquery shape via a broadcast single-row join."""
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .aggregate(
+            {"suppkey": F.col("l_suppkey")},
+            {"total_revenue": Aggregator(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum")},
+        )
+        .calculate({"total_revenue": F.round("total_revenue", 2)})
+    )
+    mx = rev.aggregate({}, {"mx": Aggregator(F.col("total_revenue"), "max")})
+    return (
+        rev.join(Dataset(F.broadcast(mx.df)), on=F.col("total_revenue") == F.col("mx"))
+        .join(
+            Dataset(F.broadcast(_t(spark, sf_dir, "supplier").df)),
+            on=F.col("suppkey") == F.col("s_suppkey"),
+        )
+        .select_columns(["s_suppkey", "s_name", "total_revenue"])
+        .sort([Order("s_suppkey")])
+        .to_df()
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#2' AND p_type <> 'PROMO' AND p_size BETWEEN 1 AND 15
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count per part attribute (TPC-H Q16 without partsupp:
+    lineitem is the part↔supplier link)."""
+    pf = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").between(1, 15)
+    )
+    j = _t(spark, sf_dir, "lineitem").join(
+        Dataset(F.broadcast(pf.df)), on=F.col("l_partkey") == F.col("p_partkey")
+    )
+    return (
+        j.aggregate(
+            {"p_brand": F.col("p_brand"), "p_type": F.col("p_type"), "p_size": F.col("p_size")},
+            {"supplier_cnt": Aggregator(F.col("l_suppkey"), "countDistinct")},
+        )
+        .sort(
+            [
+                Order("supplier_cnt", ascending=False),
+                Order("p_brand", numeric=False),
+                Order("p_type", numeric=False),
+                Order("p_size"),
+            ]
+        )
+        .to_df()
+    )
+
+
+@register(
+    "q18_large_volume",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           round(sum_qty, 2) AS sum_qty
+    FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) big
+    JOIN orders ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .aggregate(
+            {"l_orderkey": F.col("l_orderkey")},
+            {"sum_qty": Aggregator(F.col("l_quantity"), "sum")},
+        )
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(_t(spark, sf_dir, "orders"), on=F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            Dataset(F.broadcast(_t(spark, sf_dir, "customer").df)),
+            on=F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .calculate({"sum_qty": F.round("sum_qty", 2)})
+        .select_columns(
+            ["c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"]
+        )
+        .sort([Order("o_totalprice", ascending=False), Order("o_orderkey")])
+        .limit(100)
+        .to_df()
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 5 AND 15
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#5' AND p_size BETWEEN 10 AND 25
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs predicate spanning both join sides — Catalyst derives
+    the per-side disjunction and pushes it below the join."""
+    j = _t(spark, sf_dir, "lineitem").join(
+        Dataset(F.broadcast(_t(spark, sf_dir, "part").df)),
+        on=F.col("l_partkey") == F.col("p_partkey"),
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(5, 15) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#5") & F.col("p_size").between(10, 25) & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        j.filter(cond)
+        .aggregate(
+            {},
+            {"revenue": Aggregator(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum")},
+        )
+        .calculate({"revenue": F.round("revenue", 2)})
+        .to_df()
+    )
+
+
+@register(
+    "q22_idle_customers",
+    """
+    WITH a AS (SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0)
+    SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer, a
+    WHERE c_acctbal > avg_bal
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join shape (customers with no recent order) via the
+    reference's left-join + null-filter vocabulary; scalar avg via a
+    broadcast single-row theta join."""
+    customer = _t(spark, sf_dir, "customer")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).aggregate(
+        {}, {"avg_bal": Aggregator(F.col("c_acctbal"), "average")}
+    )
+    rich = customer.join(
+        Dataset(F.broadcast(avg_bal.df)), on=F.col("c_acctbal") > F.col("avg_bal")
+    )
+    ordered_keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select_columns(["o_custkey"])
+        .distinct()
+    )
+    idle = rich.join(
+        ordered_keys, on=F.col("c_custkey") == F.col("o_custkey"), how="left"
+    ).filter(F.col("o_custkey").isNull())
+    return (
+        idle.aggregate(
+            {"c_nationkey": F.col("c_nationkey")},
+            {
+                "numcust": Aggregator(F.lit(1), "countAll"),
+                "totacctbal": Aggregator(F.col("c_acctbal"), "sum"),
+            },
+        )
+        .calculate({"totacctbal": F.round("totacctbal", 2)})
+        .sort([Order("c_nationkey")])
+        .to_df()
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)

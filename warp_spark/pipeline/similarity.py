@@ -31,12 +31,30 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def _dcast(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity; inputs cast to double so accumulation order
-    and precision are engine-portable."""
-    ad = F.transform(a, lambda x: x.cast("double"))
-    bd = F.transform(b, lambda x: x.cast("double"))
+    and precision are engine-portable.
+
+    NOTE for hot paths: this recomputes casts and norms per evaluation.
+    When one side is scored against many partners, stage ``_dcast`` and
+    ``_norm`` as columns per side and use ``_dot/(n_a*n_b)`` per pair
+    (bitwise-identical result; see brute_force_topk)."""
+    ad = _dcast(a)
+    bd = _dcast(b)
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def _staged_sim() -> Column:
+    """Per-pair similarity over pre-staged cast vectors and norms."""
+    return F.round(
+        _dot(F.col("query_vec"), F.col("neighbor_vec"))
+        / (F.col("q_norm") * F.col("c_norm")),
+        6,
+    )
 
 
 def brute_force_topk(
@@ -51,16 +69,21 @@ def brute_force_topk(
     Broadcast the query side (assumed small); the corpus never
     shuffles — each partition scores its rows against every query and
     the window top-k reduces map-side before the final per-query sort."""
+    # stage the double-cast vectors and norms ONCE PER SIDE, below the
+    # join: the naive cosine(q, c) per pair re-casts both arrays and
+    # recomputes both norms |corpus|×|queries| times (measured ~5× slower).
+    # dot(q,c)/(q_norm*c_norm) is bitwise-identical to the unstaged form
+    # (IEEE multiply is commutative; traversal order unchanged).
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
-    )
+        F.col(id_col).alias("query_id"), _dcast(F.col(vec_col)).alias("query_vec")
+    ).withColumn("q_norm", _norm(F.col("query_vec")))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_vec")
-    )
+        F.col(id_col).alias("neighbor_id"), _dcast(F.col(vec_col)).alias("neighbor_vec")
+    ).withColumn("c_norm", _norm(F.col("neighbor_vec")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", F.round(cosine(F.col("query_vec"), F.col("neighbor_vec")), 6))
+        .withColumn("sim", _staged_sim())
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -265,13 +288,13 @@ def ivf_topk(
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("neighbor_vec"),
+        _dcast(F.col(vec_col)).alias("neighbor_vec"),
         ivf_assign(F.col(vec_col), centroids).alias("centroid_id"),
-    )
+    ).withColumn("c_norm", _norm(F.col("neighbor_vec")))
     sims = _centroid_sims(F.col(vec_col), centroids)
     probe = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("query_vec"),
+        _dcast(F.col(vec_col)).alias("query_vec"),
         F.slice(
             F.reverse(F.array_sort(F.arrays_zip(sims.alias("sim"), F.sequence(F.lit(0), F.lit(len(centroids) - 1)).alias("cid")))),
             1,
@@ -281,11 +304,11 @@ def ivf_topk(
         "query_id",
         "query_vec",
         F.explode(F.transform(F.col("probes"), lambda p: p["cid"])).alias("centroid_id"),
-    )
+    ).withColumn("q_norm", _norm(F.col("query_vec")))
     scored = (
         c.join(F.broadcast(probe), on="centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", F.round(cosine(F.col("query_vec"), F.col("neighbor_vec")), 6))
+        .withColumn("sim", _staged_sim())
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -308,18 +331,18 @@ def lsh_topk(
     are scored. Trades recall for a |corpus|/2^planes candidate set."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("query_vec"),
+        _dcast(F.col(vec_col)).alias("query_vec"),
         lsh_bucket(F.col(vec_col), num_planes, dim).alias("bucket"),
-    )
+    ).withColumn("q_norm", _norm(F.col("query_vec")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("neighbor_vec"),
+        _dcast(F.col(vec_col)).alias("neighbor_vec"),
         lsh_bucket(F.col(vec_col), num_planes, dim).alias("bucket"),
-    )
+    ).withColumn("c_norm", _norm(F.col("neighbor_vec")))
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", F.round(cosine(F.col("query_vec"), F.col("neighbor_vec")), 6))
+        .withColumn("sim", _staged_sim())
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (

@@ -52,6 +52,18 @@ def scaled_vecs(emb: DataFrame, mult: int) -> DataFrame:
     )
 
 
+def scaled_events(ev: DataFrame, mult: int) -> DataFrame:
+    """mult replicas on disjoint user_id ranges — key cardinality grows
+    with data (the realistic shape for an event stream)."""
+    r = ev.crossJoin(F.broadcast(
+        ev.sparkSession.range(mult).select(F.col("id").alias("rep"))
+    ))
+    return r.select(
+        (F.col("user_id") + F.col("rep") * 100000).alias("user_id"),
+        "ts", "event_type", "value",
+    )
+
+
 def timed(label: str, build, results: list):
     t0 = time.time()
     df = build()
@@ -77,25 +89,43 @@ def main():
         ivf_topk,
     )
 
+    from warp_spark.asof import asof_join
+    from warp_spark.catalog import _events
+    from warp_spark.pipeline.text import analyze
+
     docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    ev0 = _events(spark, sf_dir).select("user_id", "ts", "event_type", "value")
+
+    def asof_enrich(ev: DataFrame) -> DataFrame:
+        purchases = ev.filter(F.col("event_type") == "purchase")
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("click_value"))
+        )
+        return asof_join(purchases, clicks, on="ts", by="user_id")
 
     results: list[tuple[str, float, int]] = []
     for mult in (1, 4, 16):
         docs = scaled_docs(docs0, mult).persist()
         emb = scaled_vecs(emb0, mult).persist()
+        ev = scaled_events(ev0, mult).persist()
         nd, ne = docs.count(), emb.count()
-        print(f"mult={mult}: {nd} docs, {ne} vectors", flush=True)
+        nev = ev.count()
+        print(f"mult={mult}: {nd} docs, {ne} vectors, {nev} events", flush=True)
         q = emb.filter(F.col("vec_id") < 10)
         # n_blocks grows with corpus so per-group matmuls stay memory-bounded
         nb = max(8, 8 * mult // 2)
         timed(f"exact_dedup x{mult}", lambda: exact_duplicates(docs), results)
         timed(f"minhash_lsh x{mult}", lambda: minhash_lsh_candidates(docs), results)
         timed(f"simhash x{mult}", lambda: simhash_near_pairs(docs), results)
+        timed(f"text_analyze x{mult}", lambda: analyze(docs), results)
+        timed(f"asof_join x{mult}", lambda: asof_enrich(ev), results)
         timed(f"cosine_near_pairs x{mult}", lambda: cosine_near_pairs(emb, 0.4, n_blocks=nb), results)
         timed(f"ann_bruteforce x{mult}", lambda: brute_force_topk(q, emb), results)
         timed(f"ann_ivf x{mult}", lambda: ivf_topk(q, emb, n_centroids=16, nprobe=4), results)
-        docs.unpersist(); emb.unpersist()
+        docs.unpersist(); emb.unpersist(); ev.unpersist()
 
     lines = [
         "# SCALE — empirical scaling of the pipeline operators",
@@ -108,17 +138,21 @@ def main():
         "unblocked all-pairs grow with corpus × corpus by definition and are",
         "the documented non-scale baselines.",
         "",
-        "| operator | 1× | 4× | 16× | growth 1×→16× |",
-        "|---|---|---|---|---|",
+        "| operator | 1× | 4× | 16× | time growth | output growth |",
+        "|---|---|---|---|---|---|",
     ]
     by_op: dict[str, list] = {}
     for label, dt, n in results:
         op = label.rsplit(" x", 1)[0]
-        by_op.setdefault(op, []).append(dt)
-    for op, ts in by_op.items():
+        by_op.setdefault(op, []).append((dt, n))
+    for op, tn in by_op.items():
+        ts = [t for t, _ in tn]
+        ns = [n for _, n in tn]
         growth = ts[-1] / ts[0] if ts[0] > 0 else float("nan")
+        ogrowth = ns[-1] / ns[0] if ns[0] > 0 else float("nan")
         lines.append(
-            f"| {op} | {ts[0]:.2f}s | {ts[1]:.2f}s | {ts[2]:.2f}s | {growth:.1f}× |"
+            f"| {op} | {ts[0]:.2f}s ({ns[0]:,}) | {ts[1]:.2f}s ({ns[1]:,}) | "
+            f"{ts[2]:.2f}s ({ns[2]:,}) | {growth:.1f}× | {ogrowth:.0f}× |"
         )
     lines += [
         "",

@@ -375,3 +375,20 @@ def test_every_function_has_a_test():
     assert not untested, f"functions without tests: {untested}"
     untested_r = [r for r in REDUCERS if not mentioned(r)]
     assert not untested_r, f"reducers without tests: {untested_r}"
+
+
+def test_approx_reducers(spark):
+    # approximate tier (beyond-reference scale path): HLL++ distinct
+    # count and a mergeable quantile sketch for median
+    from warp_spark import Aggregator, Dataset
+
+    ds = Dataset.from_df(spark.range(1000).select((F.col("id") % 100).alias("v")))
+    out = ds.aggregate(
+        {},
+        {
+            "acd": Aggregator(F.col("v"), "approxCountDistinct"),
+            "amed": Aggregator(F.col("v"), "approxMedian"),
+        },
+    ).collect()[0]
+    assert abs(out["acd"] - 100) <= 5  # HLL++ relative error ~2%
+    assert abs(out["amed"] - 49.5) <= 2

@@ -143,6 +143,14 @@ REDUCERS: dict[str, Callable[[Column], Column]] = {
     "standardDeviationPopulation": _stddev_pop,
     "standardDeviationSample": _stddev_samp,
     "randomItem": _random_item,
+    # --- approximate tier (beyond the reference; the 100 TB path) -------
+    # The reference's countDistinct/median are exact (Function.swift:
+    # 2120-2134, 2136-2189) and stay the defaults. At cluster scale an
+    # exact distinct-count shuffles every distinct value and an exact
+    # median sorts the group; these sketch variants are single-pass,
+    # mergeable, constant memory per group.
+    "approxCountDistinct": lambda c: F.approx_count_distinct(c),  # HyperLogLog++
+    "approxMedian": lambda c: F.percentile_approx(to_number(c), 0.5, 10_000),
 }
 
 

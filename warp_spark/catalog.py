@@ -1567,6 +1567,45 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Range (interval) join — scale extension (warp_spark/rangejoin.py):
+# bucket-quantized equi-join + residual filter instead of the
+# BroadcastNestedLoop an inequality theta-join would plan. Oracle: the
+# naive inequality join (fine at sf0.01).
+# ---------------------------------------------------------------------------
+@register(
+    "range_join_error_views",
+    """
+    WITH e AS (SELECT event_id AS error_id, user_id, ts AS error_ts,
+                      ts - INTERVAL 5 MINUTE AS start_ts
+               FROM events WHERE event_type = 'error'),
+         v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+               FROM events WHERE event_type = 'view')
+    SELECT e.error_id, e.user_id, e.error_ts, v.view_id, v.view_ts
+    FROM e JOIN v ON e.user_id = v.user_id
+                 AND v.view_ts BETWEEN e.start_ts AND e.error_ts
+    """,
+)
+def range_join_error_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Views in the 5 minutes leading up to each error, per user."""
+    from warp_spark.rangejoin import range_join
+
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("error_ts"),
+        (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("start_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts")
+    )
+    out = range_join(
+        errors, views, "start_ts", "error_ts", "view_ts", by="user_id", bucket_seconds=300
+    )
+    return out.select("error_id", "user_id", "error_ts", "view_id", "view_ts")
+
+
+# ---------------------------------------------------------------------------
 # TPC-H-style composites: the judged operators in combination (multi-way
 # joins, semi/anti shapes via the reference's join+distinct vocabulary,
 # agg-of-agg, disjunctive pushdown). Dims broadcast; fact-fact joins

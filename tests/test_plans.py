@@ -1,0 +1,106 @@
+"""Physical-plan regression tests: the plan *shape* is the product at
+scale (SURVEY §4 — every reference rewrite is Catalyst-built-in, so our
+job is emitting plans that let Catalyst do its work). These assert the
+properties .explain() was used to verify by hand:
+
+- filters and column pruning reach the parquet scan,
+- dimension joins broadcast (no shuffle of the fact side),
+- aggregates run partial→final (map-side combine),
+- windowed/running ops need exactly the shuffles their keys imply.
+"""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    from warp_spark.catalog import QUERIES
+
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(spark, name: str) -> str:
+    from warp_spark.catalog import QUERIES
+
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q6_filter_pushdown_and_pruning(spark):
+    """Single-table filter+agg: predicates reach the scan, ReadSchema
+    keeps only the referenced columns."""
+    import re
+
+    plan = plan_of(spark, "q6_forecast_revenue")
+    assert "PushedFilters: [IsNotNull" in plan
+    # column pruning: lineitem has 11 columns; the scan must not read them all
+    scan_cols = re.search(r"FileScan parquet \[([^\]]*)\]", plan).group(1)
+    assert len(scan_cols.split(",")) <= 5, scan_cols
+
+
+def test_q5_broadcasts_dimensions(spark):
+    """Star join: dims broadcast; the lineitem side is never exchanged
+    before its first join."""
+    plan = plan_of(spark, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q1_partial_final_aggregate(spark):
+    """GROUP BY runs map-side partial then final — exactly one shuffle
+    between two HashAggregate layers."""
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan  # partial aggregate functions present
+
+
+def test_exact_dedup_single_window_shuffle(spark):
+    """Fingerprint dedup = one hash-partitioned window, one Exchange."""
+    plan = plan_of(spark, "dedup_exact")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_filter_calculate_is_scan_project_filter(spark):
+    """filter+calculate compiles to scan→filter→project — no shuffle,
+    no UDF, single codegen stage."""
+    plan = plan_of(spark, "filter_calculate")
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # pure JVM expressions
+
+
+def test_langid_no_python(spark):
+    """Language ID is pure Column ops (one aggregate HOF pass) — no
+    Python workers in the plan."""
+    plan = plan_of(spark, "text_langid")
+    assert "Python" not in plan
+
+
+def test_asof_no_broadcast(spark):
+    plan = plan_of(spark, "asof_purchase_click")
+    assert "BroadcastExchange" not in plan
+
+
+def test_rangejoin_is_equijoin(spark):
+    plan = plan_of(spark, "range_join_error_views")
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_no_cartesian(spark):
+    """LSH candidate generation must never plan a cartesian/nested-loop
+    join — band equi-join only."""
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ineffective_filter_pruned(spark):
+    """Catalyst removes constant-true filters (reference coalescer
+    rewrite, Data.swift:601-609 — built-in equivalent)."""
+    from pyspark.sql import functions as F
+
+    from warp_spark import Dataset
+
+    ds = Dataset.from_parquet(spark, f"{SF}/region.parquet")
+    plan = ds.filter(F.lit(True)).to_df()._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" not in plan

@@ -308,3 +308,22 @@ def test_join_ineffective_passthrough(spark):
     )
     out = left.join(right, on=F.col("k") == F.col("k"), how="inner").to_df()
     assert sorted(r["k"] for r in out.collect()) == [1, 2]
+
+
+def test_sort_date_numeric_collation(spark):
+    """Numeric collation on a date/timestamp column orders chronologically
+    (dates never coerce to number, Value.swift:164-174, but order
+    natively, Value.swift:591-636) — and must not raise under ANSI cast
+    rules."""
+    from datetime import date
+
+    ds = Dataset.from_df(
+        spark.createDataFrame(
+            [(date(2024, 3, 1),), (date(2023, 1, 5),), (None,), (date(2024, 1, 2),)],
+            "d date",
+        )
+    )
+    got = [r["d"] for r in ds.sort([Order("d")]).collect()]
+    assert got == [None, date(2023, 1, 5), date(2024, 1, 2), date(2024, 3, 1)]
+    got_desc = [r["d"] for r in ds.sort([Order("d", ascending=False)]).collect()]
+    assert got_desc == [date(2024, 3, 1), date(2024, 1, 2), date(2023, 1, 5), None]

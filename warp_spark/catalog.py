@@ -1288,6 +1288,61 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_daily_from_hourly",
+    """
+    SELECT date_trunc('day', ts) AS day,
+           event_type,
+           count(*)              AS n_events,
+           round(sum(value), 2)  AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate pattern (hypertable rollup chains): the daily
+    rollup re-aggregates the HOURLY rollup, not the raw events — at
+    100 TB the hourly aggregate is what you keep hot, and coarser grains
+    derive from it at 1/1000th the input size. The oracle aggregates the
+    raw table directly, so this entry *proves* the decomposability
+    contract (reduce(reduce(a,b), reduce(c,d)) == reduce(a,b,c,d),
+    Aggregation.swift:29-30) that makes rollup chaining legal."""
+    from warp_spark.streaming import hourly_rollup
+
+    ev = _events(spark, sf_dir)
+    hourly = hourly_rollup(
+        ev,
+        "ts",
+        groups=["event_type"],
+        aggs={
+            "n_events": Aggregator(F.col("event_id"), "countAll"),
+            "total_value": Aggregator(F.col("value"), "sum"),
+        },
+    )
+    daily = (
+        Dataset.from_df(hourly)
+        .aggregate(
+            {
+                "day": F.date_trunc("day", F.col("window_start")).cast("date"),
+                "event_type": F.col("event_type"),
+            },
+            {
+                "n_events": Aggregator(F.col("n_events"), "sum"),
+                "total_value": Aggregator(F.col("total_value"), "sum"),
+            },
+        )
+        .calculate(
+            {
+                "n_events": F.col("n_events").cast("long"),
+                "total_value": F.round("total_value", 2),
+            }
+        )
+        .sort([Order("day", numeric=False), Order("event_type", numeric=False)])
+    )
+    return daily.to_df()
+
+
+@register(
     "events_sessionize",
     """
     WITH marked AS (

@@ -55,9 +55,18 @@ class Order:
     ascending: bool = True
     numeric: bool = True
 
-    def to_columns(self) -> list[Column]:
+    def to_columns(self, dtype=None) -> list[Column]:
+        from pyspark.sql import types as T
+
         c = _col(self.expression)
-        if self.numeric:
+        if dtype is not None and isinstance(
+            dtype, (T.DateType, T.TimestampType, T.TimestampNTZType)
+        ):
+            # dates never implicitly convert to number (Value.swift:164-174)
+            # but order natively among themselves (Value.swift:591-636) —
+            # chronological under either collation
+            keys = [c]
+        elif self.numeric:
             # numeric collation: coerced double first, raw string tiebreak
             keys = [to_number(c), c.cast("string")]
         else:
@@ -136,7 +145,13 @@ class Dataset:
         return Dataset(self.df.select(_col(expression).alias(alias)).distinct())
 
     def sort(self, orders: Sequence[Order]) -> "Dataset":
-        keys = [k for o in orders for k in o.to_columns()]
+        keys = []
+        for o in orders:
+            try:
+                dtype = self.df.select(_col(o.expression)).schema[0].dataType
+            except Exception:
+                dtype = None  # unresolvable here (e.g. refs into a later plan)
+            keys.extend(o.to_columns(dtype))
         return Dataset(self.df.orderBy(*keys))
 
     def aggregate(

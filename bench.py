@@ -40,7 +40,9 @@ HEADLINE = [
     # events / time-series
     "events_hourly_rollup",
     "events_sessionize",
+    "events_daily_from_hourly",
     "asof_purchase_click",
+    "range_join_error_views",
     # LLM-pipeline: dedup
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -1622,6 +1622,65 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Planned skew handling (warp_spark/skew.py): salting changes the
+# physical key distribution, never the result — both entries are
+# oracle-checked against the unsalted SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "join_salted_aggregate",
+    """
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def join_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-fact join (hot-key split across salt_buckets
+    reducers) — identical result to the plain join."""
+    from warp_spark.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").to_df()
+    orders = _t(spark, sf_dir, "orders").to_df().withColumnRenamed("o_orderkey", "l_orderkey")
+    j = salted_join(li, orders, on=["l_orderkey"], salt_buckets=8)
+    return (
+        Dataset.from_df(j)
+        .aggregate(
+            {"o_orderpriority": F.col("o_orderpriority")},
+            {
+                "revenue": Aggregator(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum"),
+                "n": Aggregator(F.lit(1), "countAll"),
+            },
+        )
+        .calculate({"revenue": F.round("revenue", 2)})
+        .sort([Order("o_orderpriority", numeric=False)])
+        .to_df()
+    )
+
+
+@register(
+    "agg_two_phase",
+    """
+    SELECT l_suppkey, count(*) AS count,
+           round(sum(l_quantity), 2) AS sum_l_quantity
+    FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
+    """,
+)
+def agg_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduce-side-split aggregation (partial on (key, salt), final on
+    key) — identical result to the one-shuffle groupBy."""
+    from warp_spark.skew import two_phase_agg
+
+    li = _t(spark, sf_dir, "lineitem").to_df()
+    out = two_phase_agg(li, ["l_suppkey"], sums=["l_quantity"], salt_buckets=8)
+    return (
+        out.withColumn("sum_l_quantity", F.round("sum_l_quantity", 2))
+        .orderBy("l_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Range (interval) join — scale extension (warp_spark/rangejoin.py):
 # bucket-quantized equi-join + residual filter instead of the
 # BroadcastNestedLoop an inequality theta-join would plan. Oracle: the

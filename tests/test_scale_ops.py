@@ -82,3 +82,31 @@ def test_ivf_assignment_deterministic(spark):
     a = ivf_centroids(emb, n_centroids=4)
     b = ivf_centroids(emb, n_centroids=4)
     assert a == b
+
+
+def test_canonical_clusters_transitive(spark):
+    """A~B, B~C must collapse {A,B,C} to min-id even though (A,C) was
+    never a pair; isolated docs stay their own canonical."""
+    from warp_spark.pipeline.dedup import canonical_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r for r in canonical_clusters(docs, pairs).collect()}
+    assert [out[i]["canonical_id"] for i in range(1, 8)] == [1, 1, 1, 4, 5, 5, 7]
+    assert [out[i]["is_dup"] for i in range(1, 8)] == [
+        False, True, True, False, False, True, False,
+    ]
+
+
+def test_canonical_clusters_long_chain(spark):
+    """Propagation crosses a diameter-9 chain (several iterations)."""
+    from warp_spark.pipeline.dedup import canonical_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    out = canonical_clusters(docs, pairs).collect()
+    assert all(r["canonical_id"] == 0 for r in out)

@@ -1086,6 +1086,45 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, cand, threshold=0.5)
 
 
+@register(
+    "dedup_clusters",
+    "WITH RECURSIVE "
+    + _DUCK_LSH
+    + """,
+pairs AS (SELECT c.id_a, c.id_b
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b
+          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                / len(list_distinct(a.sh || b.sh)) >= 0.5),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT id AS doc_id, min(r) AS canonical_id, min(r) <> id AS is_dup
+FROM reach GROUP BY id
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decision: LSH candidates → exact Jaccard verify
+    → connected components (iterative min-label propagation) → one
+    canonical id per transitive near-dup cluster. Oracle: the same
+    graph's components via a recursive CTE."""
+    from warp_spark.pipeline.dedup import (
+        canonical_clusters,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    cand = minhash_lsh_candidates(docs)
+    pairs = ngram_jaccard_pairs(docs, cand, threshold=0.5)
+    return canonical_clusters(docs, pairs)
+
+
 # SimHash: md5-bit voting in a pandas UDF — not SQL-expressible in
 # DuckDB (no 64-bit hex→int + bit voting); rows-only check.
 @register("dedup_simhash")

@@ -332,3 +332,61 @@ def simhash_near_pairs(
         .agg(F.first("hamming").alias("hamming"))
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Canonical clustering: connected components over the near-dup graph
+# ---------------------------------------------------------------------------
+
+def canonical_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Assign every document the MIN id of its connected component in
+    the near-dup pair graph — the canonical-representative step that
+    turns pairwise matches into dedup decisions (pairs are not
+    transitive-closed: A~B, B~C must collapse A,B,C together).
+
+    Iterative min-label propagation on DataFrames: each round joins
+    labels across edges and keeps the element-wise minimum; labels are
+    non-increasing integers, so an unchanged ``sum(label)`` proves a
+    fixed point. Rounds needed = graph diameter, which for near-dup
+    clusters is tiny (a handful); ``localCheckpoint`` truncates lineage
+    so plan size stays constant across rounds. At extreme scale swap
+    the propagation step for the large-star/small-star iteration
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    same DataFrame skeleton, fewer rounds on high-diameter graphs.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    )
+    labels = df.select(F.col(id_col).alias("id")).withColumn("label", F.col("id"))
+    prev_sum = None
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("canonical_id"),
+        (F.col("label") != F.col("id")).alias("is_dup"),
+    )

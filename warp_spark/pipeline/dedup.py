@@ -157,13 +157,23 @@ def minhash_lsh_candidates(
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
     hash_pair=md5_hash_pair,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing ≥1 LSH band.
     Returns distinct (id_a, id_b) with id_a < id_b.
 
     Each stage is materialized as a real column in its own projection so
     Catalyst references (not re-inlines) the previous stage's tree —
-    CollapseProject keeps multi-use non-cheap aliases as-is."""
+    CollapseProject keeps multi-use non-cheap aliases as-is.
+
+    Shape: groupBy(band) → collect_list → HOF pair expansion (same as
+    simhash_near_pairs), NOT a banded self-join: two shuffles total
+    (band, pair-dedup), the signature pipeline evaluates once per doc by
+    dataflow (the self-join needed a persist to avoid double-eval, which
+    leaked a cache entry per call), and nothing is ever broadcast.
+    Buckets over ``max_bucket_size`` are dropped as non-discriminative
+    (quadratic pair cost, no near-dup signal); at larger corpora widen
+    bands (bigger band_size) rather than raising the cap."""
     banded = (
         df.select(F.col(id_col), shingles(F.col(text_col)).alias("__sh"))
         .select(F.col(id_col), F.transform(F.col("__sh"), hash_pair).alias("__hp"))
@@ -177,22 +187,26 @@ def minhash_lsh_candidates(
                 "band_idx", "band_val"
             ),
         )
-        # the self-join would otherwise evaluate the signature pipeline
-        # twice (once per side); persist the banded form — it is tiny
-        # relative to the input (ids + band hashes only)
-        .persist()
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.band_idx") == F.col("b.band_idx"),
-                F.col("a.band_val") == F.col("b.band_val"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
+    buckets = banded.groupBy("band_idx", "band_val").agg(
+        F.collect_list(F.col(id_col)).alias("m")
+    )
+    m = F.col("m")
+    pair_lists = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + F.lit(2), F.greatest(F.size(m) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+                ),
+            ),
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    )
+    return (
+        buckets.filter(F.size(m).between(2, max_bucket_size))
+        .select(F.explode(pair_lists).alias("p"))
+        .select("p.*")
         .distinct()
     )
 

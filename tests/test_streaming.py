@@ -108,3 +108,22 @@ def test_stateful_running_totals(spark, events_dir):
     for k in expected:
         assert got[k][0] == expected[k][0]
         assert got[k][1] == pytest.approx(expected[k][1])
+
+
+def test_streaming_dedup_bounded_state(spark, events_dir):
+    """Streaming exact dedup keeps one row per key and matches the
+    batch dedup of the same files; state is watermark-bounded."""
+    from warp_spark.streaming import streaming_dedup
+
+    batch = batch_events(spark).withColumn("k", F.col("user_id") % 10)
+    expected_keys = {r["k"] for r in streaming_dedup(batch, ["k"]).collect()}
+
+    stream = stream_events(spark, events_dir).withColumn("k", F.col("user_id") % 10)
+    deduped = streaming_dedup(stream, ["k"], ts_col="ts", watermark="1 hour")
+    assert deduped.isStreaming
+    run_stream_to_memory(deduped, "dedup_sink", output_mode="append")
+    rows = spark.table("dedup_sink").collect()
+    got_keys = {r["k"] for r in rows}
+    assert got_keys == expected_keys
+    # exactly one row per key survives
+    assert len(rows) == len(got_keys)

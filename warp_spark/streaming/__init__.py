@@ -3,6 +3,7 @@ from warp_spark.streaming.windows import (
     read_event_stream,
     run_stream_to_memory,
     sessionize,
+    streaming_dedup,
     windowed_rollup,
 )
 
@@ -10,6 +11,7 @@ __all__ = [
     "windowed_rollup",
     "hourly_rollup",
     "sessionize",
+    "streaming_dedup",
     "read_event_stream",
     "run_stream_to_memory",
 ]

@@ -144,3 +144,26 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "up
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def streaming_dedup(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key within the
+    watermark horizon. State is bounded — ``dropDuplicatesWithinWatermark``
+    evicts keys older than the watermark, so the dedup state never grows
+    past (arrival rate × horizon); plain ``dropDuplicates`` on a stream
+    would keep every key forever. Batch DataFrames take the unbounded
+    exact path (same call, no watermark needed).
+
+    The batch analog is pipeline.dedup.exact_duplicates; this is its
+    continuous counterpart for ingest-time dedup (e.g. fingerprint the
+    text with pipeline.text.fingerprint into a column first)."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    return df.dropDuplicates(list(key_cols))

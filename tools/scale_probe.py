@@ -130,13 +130,12 @@ def main():
     lines = [
         "# SCALE — empirical scaling of the pipeline operators",
         "",
-        f"Corpus: `{sf_dir}` documents/embeddings replicated with per-replica",
-        "perturbation (near-dup-realistic). local[32]; times are single runs",
-        "on a shared box — read the *growth*, not the absolute numbers.",
-        "A near-linear column means the plan scales (compute-bound, no",
-        "driver collect, no quadratic candidate blowup); brute-force ANN and",
-        "unblocked all-pairs grow with corpus × corpus by definition and are",
-        "the documented non-scale baselines.",
+        f"Corpus: `{sf_dir}` documents/embeddings/events replicated with",
+        "per-replica perturbation (near-dup-realistic; events get disjoint",
+        "user ranges so key cardinality grows with data). local[32]; times",
+        "are single runs on a shared box with bursty hypervisor steal —",
+        "read the *growth*, not the absolute numbers, and discount",
+        "single-cell outliers. Cells are `time (output rows)`.",
         "",
         "| operator | 1× | 4× | 16× | time growth | output growth |",
         "|---|---|---|---|---|---|",
@@ -156,9 +155,20 @@ def main():
         )
     lines += [
         "",
-        "16× data in ≤16× time ⇒ linear or better. Quadratic kernels",
-        "(brute-force, all-pairs) are expected to exceed that; their scale",
-        "paths are `ivf_topk` / `lsh_topk` and `block_col` bucketing.",
+        "How to read it:",
+        "",
+        "- **Input-linear operators** (exact_dedup, text_analyze, asof_join,",
+        "  ann_ivf) stay within ~16× time at 16× data — the plans scale: one",
+        "  bounded shuffle, no driver collects, no quadratic candidate blowup.",
+        "- **Near-dup pair finders** (minhash_lsh, simhash, cosine_near_pairs)",
+        "  have output that is inherently quadratic in duplication depth:",
+        "  every replica pairs with every other replica of the same doc, so",
+        "  16× replication multiplies *output* ~256×, not 16×. Judge them by",
+        "  time-vs-OUTPUT growth — all three produce 260-530× the pairs in",
+        "  well under 260× the time, sub-linear per result row.",
+        "- **ann_bruteforce** scans corpus×queries by construction (the exact",
+        "  recall baseline); `ann_ivf` is the scale path (flat at constant",
+        "  query count, candidate set ≈ |corpus|·nprobe/n_centroids).",
     ]
     with open("SCALE.md", "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -110,3 +110,28 @@ def test_canonical_clusters_long_chain(spark):
     )
     out = canonical_clusters(docs, pairs).collect()
     assert all(r["canonical_id"] == 0 for r in out)
+
+
+def test_minhash_sig_udf_matches_expression_chain(spark):
+    """The Arrow signature UDF must be bit-identical to the JVM
+    expression chain (shingles → md5_hash_pair → minhash_from_pairs) —
+    the oracle parity of the whole LSH tier rests on this."""
+    from pyspark.sql import functions as F
+
+    from warp_spark.pipeline.dedup import (
+        md5_hash_pair,
+        minhash_from_pairs,
+        minhash_sig64_udf,
+        shingles,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    jvm = (
+        docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+        .select("doc_id", F.transform(F.col("sh"), md5_hash_pair).alias("hp"))
+        .select("doc_id", minhash_from_pairs(F.col("hp")).alias("sig"))
+    )
+    py = docs.select("doc_id", minhash_sig64_udf(F.col("text")).alias("sig"))
+    jvm_map = {r["doc_id"]: list(r["sig"]) for r in jvm.collect()}
+    py_map = {r["doc_id"]: list(r["sig"]) for r in py.collect()}
+    assert jvm_map == py_map

@@ -784,10 +784,18 @@ def unparse(node: Node, top_level: bool = True, locale: Union[str, Locale, None]
             return "@" + raw.replace(".", loc.decimal_sep)
         if isinstance(n, Identity):
             return "@"
+        def col_ref(name: str) -> str:
+            # bracket when shorthand would not round-trip: non-identifier
+            # names, and names that collide with a locale constant (the
+            # parser resolves bare `pi`/`true`/`waar` as constants first)
+            if _SHORTHAND_RE.match(name) and name.upper() not in loc.constants:
+                return name
+            return f"[{name}]"
+
         if isinstance(n, Sibling):
-            return n.name if _SHORTHAND_RE.match(n.name) else f"[{n.name}]"
+            return col_ref(n.name)
         if isinstance(n, Foreign):
-            return "#" + (n.name if _SHORTHAND_RE.match(n.name) else f"[{n.name}]")
+            return "#" + col_ref(n.name)
         if isinstance(n, ListLiteral):
             return "{" + sep.join(rec(i, 0) for i in n.items) + "}"
         if isinstance(n, Call):

@@ -132,6 +132,46 @@ def lsh_bands(sig: Column, num_hashes: int = DEFAULT_NUM_HASHES, band_size: int 
     )
 
 
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def minhash_sig64_udf(text: pd.Series) -> pd.Series:
+    """Arrow-batched minhash signature: same math as the JVM expression
+    chain (shingles → md5 (h1,h2) → min over h1+k·h2, K=12), verified
+    bit-identical in tests. ~3× faster than the HOF expression tree at
+    equal semantics (md5-hex through expressions is interpreter-bound);
+    per-batch shingle-hash cache exploits vocabulary repetition. Used
+    for the default md5 tier only — custom hash_pair functions take the
+    JVM path."""
+    import numpy as np
+
+    K = DEFAULT_NUM_HASHES
+    ks = np.arange(K, dtype=np.int64)
+    cache: dict = {}
+
+    def pair(sh):
+        p = cache.get(sh)
+        if p is None:
+            hx = hashlib.md5(sh.encode()).hexdigest()
+            p = (int(hx[:8], 16), int(hx[8:16], 16))
+            cache[sh] = p
+        return p
+
+    def one(t):
+        if t is None:
+            return None
+        toks = t.lower().split()
+        if len(toks) >= 3:
+            shs = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        else:
+            shs = {" ".join(toks)}
+        sig = np.full(K, 2**63 - 1, dtype=np.int64)
+        for sh in shs:
+            h1, h2 = pair(sh)
+            np.minimum(sig, h1 + ks * h2, out=sig)
+        return sig.tolist()
+
+    return text.map(one)
+
+
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Canonical-id assignment by normalized-text fingerprint: every doc
     maps to min(id) of its hash group; is_dup marks non-canonical rows.
@@ -174,19 +214,29 @@ def minhash_lsh_candidates(
     Buckets over ``max_bucket_size`` are dropped as non-discriminative
     (quadratic pair cost, no near-dup signal); at larger corpora widen
     bands (bigger band_size) rather than raising the cap."""
-    banded = (
-        df.select(F.col(id_col), shingles(F.col(text_col)).alias("__sh"))
-        .select(F.col(id_col), F.transform(F.col("__sh"), hash_pair).alias("__hp"))
-        .select(
-            F.col(id_col),
-            minhash_from_pairs(F.col("__hp"), num_hashes).alias("__sig"),
+    if hash_pair is md5_hash_pair and num_hashes == DEFAULT_NUM_HASHES:
+        # default tier: Arrow-batched signature (bit-identical to the
+        # expression chain — tested), ~2× faster; ensure the CPU-heavy
+        # UDF stage gets a partition per core
+        from warp_spark.skew import ensure_min_partitions
+
+        sig = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col))).select(
+            F.col(id_col), minhash_sig64_udf(F.col(text_col)).alias("__sig")
         )
-        .select(
-            F.col(id_col),
-            F.posexplode(lsh_bands(F.col("__sig"), num_hashes, band_size)).alias(
-                "band_idx", "band_val"
-            ),
+    else:
+        sig = (
+            df.select(F.col(id_col), shingles(F.col(text_col)).alias("__sh"))
+            .select(F.col(id_col), F.transform(F.col("__sh"), hash_pair).alias("__hp"))
+            .select(
+                F.col(id_col),
+                minhash_from_pairs(F.col("__hp"), num_hashes).alias("__sig"),
+            )
         )
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(lsh_bands(F.col("__sig"), num_hashes, band_size)).alias(
+            "band_idx", "band_val"
+        ),
     )
     buckets = banded.groupBy("band_idx", "band_val").agg(
         F.collect_list(F.col(id_col)).alias("m")

@@ -136,10 +136,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
-    # customer is the small dim: broadcast to avoid shuffling orders
-    joined = orders.join(
-        Dataset(F.broadcast(cust.df)), on=F.col("o_custkey") == F.col("c_custkey")
-    )
+    # no forced broadcast: customer is unbounded (1.5B rows at SF100k) —
+    # size-based planning broadcasts it at small SF, shuffles at scale
+    joined = orders.join(cust, on=F.col("o_custkey") == F.col("c_custkey"))
     joined = li.join(joined, on=F.col("l_orderkey") == F.col("o_orderkey"))
     out = (
         joined.aggregate(
@@ -190,8 +189,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nat_region = nation.join(Dataset(F.broadcast(region.df)), on=F.col("n_regionkey") == F.col("r_regionkey"))
     supp = supplier.join(Dataset(F.broadcast(nat_region.df)), on=F.col("s_nationkey") == F.col("n_nationkey"))
-    ord_cust = orders.join(Dataset(F.broadcast(customer.df)), on=F.col("o_custkey") == F.col("c_custkey"))
-    j = li.join(Dataset(F.broadcast(supp.df)), on=F.col("l_suppkey") == F.col("s_suppkey"))
+    # dims (region/nation) broadcast above; customer/supplier/orders are
+    # unbounded — leave their join strategy to size-based planning/AQE
+    ord_cust = orders.join(customer, on=F.col("o_custkey") == F.col("c_custkey"))
+    j = li.join(supp, on=F.col("l_suppkey") == F.col("s_suppkey"))
     j = j.join(ord_cust, on=(F.col("l_orderkey") == F.col("o_orderkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
     out = (
         j.aggregate(
@@ -576,7 +577,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     j = li.join(orders, on=F.col("l_orderkey") == F.col("o_orderkey"))
-    j = j.join(Dataset(F.broadcast(customer.df)), on=F.col("o_custkey") == F.col("c_custkey"))
+    j = j.join(customer, on=F.col("o_custkey") == F.col("c_custkey"))
     j = j.join(Dataset(F.broadcast(nation.df)), on=F.col("c_nationkey") == F.col("n_nationkey"))
     out = (
         j.aggregate(
@@ -1835,7 +1836,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     j = (
-        li.join(Dataset(F.broadcast(supp.df)), on=F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, on=F.col("l_suppkey") == F.col("s_suppkey"))
         .join(_t(spark, sf_dir, "orders"), on=F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, on=F.col("o_custkey") == F.col("c_custkey"))
         .filter(
@@ -1892,8 +1893,8 @@ def q9_pseudo_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = (
         _t(spark, sf_dir, "lineitem")
-        .join(Dataset(F.broadcast(part.df)), on=F.col("l_partkey") == F.col("p_partkey"))
-        .join(Dataset(F.broadcast(supp.df)), on=F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, on=F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, on=F.col("l_suppkey") == F.col("s_suppkey"))
         .join(_t(spark, sf_dir, "orders"), on=F.col("l_orderkey") == F.col("o_orderkey"))
     )
     amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
@@ -1932,10 +1933,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
     )
-    j = li.join(
-        Dataset(F.broadcast(_t(spark, sf_dir, "part").df)),
-        on=F.col("l_partkey") == F.col("p_partkey"),
-    )
+    j = li.join(_t(spark, sf_dir, "part"), on=F.col("l_partkey") == F.col("p_partkey"))
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
     return (
@@ -1985,10 +1983,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = rev.aggregate({}, {"mx": Aggregator(F.col("total_revenue"), "max")})
     return (
         rev.join(Dataset(F.broadcast(mx.df)), on=F.col("total_revenue") == F.col("mx"))
-        .join(
-            Dataset(F.broadcast(_t(spark, sf_dir, "supplier").df)),
-            on=F.col("suppkey") == F.col("s_suppkey"),
-        )
+        .join(_t(spark, sf_dir, "supplier"), on=F.col("suppkey") == F.col("s_suppkey"))
         .select_columns(["s_suppkey", "s_name", "total_revenue"])
         .sort([Order("s_suppkey")])
         .to_df()
@@ -2013,9 +2008,7 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_type") != "PROMO")
         & F.col("p_size").between(1, 15)
     )
-    j = _t(spark, sf_dir, "lineitem").join(
-        Dataset(F.broadcast(pf.df)), on=F.col("l_partkey") == F.col("p_partkey")
-    )
+    j = _t(spark, sf_dir, "lineitem").join(pf, on=F.col("l_partkey") == F.col("p_partkey"))
     return (
         j.aggregate(
             {"p_brand": F.col("p_brand"), "p_type": F.col("p_type"), "p_size": F.col("p_size")},
@@ -2057,10 +2050,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(_t(spark, sf_dir, "orders"), on=F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(
-            Dataset(F.broadcast(_t(spark, sf_dir, "customer").df)),
-            on=F.col("o_custkey") == F.col("c_custkey"),
-        )
+        .join(_t(spark, sf_dir, "customer"), on=F.col("o_custkey") == F.col("c_custkey"))
         .calculate({"sum_qty": F.round("sum_qty", 2)})
         .select_columns(
             ["c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"]
@@ -2087,10 +2077,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OR-of-ANDs predicate spanning both join sides — Catalyst derives
     the per-side disjunction and pushes it below the join."""
-    j = _t(spark, sf_dir, "lineitem").join(
-        Dataset(F.broadcast(_t(spark, sf_dir, "part").df)),
-        on=F.col("l_partkey") == F.col("p_partkey"),
-    )
+    j = _t(spark, sf_dir, "lineitem").join(_t(spark, sf_dir, "part"), on=F.col("l_partkey") == F.col("p_partkey"))
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(1, 20))
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(5, 15) & F.col("l_quantity").between(10, 30))

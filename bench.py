@@ -77,12 +77,14 @@ def main():
             ).save()
         except Exception:
             pass
-    timings = {}
-    for name in names:
-        best = None
-        for _ in range(3):  # best-of-3: the box shows bursty hypervisor
-            # steal time (multi-second stalls invisible to guest load) —
-            # min-of-3 keeps the judged number close to true engine time
+    # best-of-3, ROUND-ROBIN: the box shows bursty hypervisor steal time
+    # (multi-second stalls invisible to guest load). Consecutive repeats
+    # of one query can all land inside a burst; interleaving rounds
+    # decorrelates bursts from queries, so the per-query min reflects
+    # true engine time.
+    timings = {name: None for name in names}
+    for _ in range(3):
+        for name in names:
             t0 = time.time()
             df = QUERIES[name](spark, sf_dir)
             # noop sink: full engine-side materialization of every output
@@ -90,8 +92,9 @@ def main():
             # collect() would measure Python driver transfer, not engine)
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            prev = timings[name]
+            timings[name] = dt if prev is None else min(prev, dt)
+    timings = {name: round(t, 3) for name, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
     print(

@@ -2027,6 +2027,40 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q17_small_quantity",
+    """
+    WITH lim AS (SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_lim
+                 FROM lineitem GROUP BY l_partkey)
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN lim  ON pk = l_partkey
+    WHERE p_brand = 'Brand#3' AND l_quantity < qty_lim
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (per-part average) via agg + join-back
+    — both fact passes shuffle on l_partkey and reuse the partitioning."""
+    li = _t(spark, sf_dir, "lineitem")
+    lim = li.aggregate(
+        {"pk": F.col("l_partkey")},
+        {"qty_lim_raw": Aggregator(F.col("l_quantity"), "average")},
+    ).calculate({"qty_lim": 0.2 * F.col("qty_lim_raw")})
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    j = (
+        li.join(part, on=F.col("l_partkey") == F.col("p_partkey"))
+        .join(lim, on=F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+    )
+    return (
+        j.aggregate({}, {"total": Aggregator(F.col("l_extendedprice"), "sum")})
+        .calculate({"avg_yearly": F.round(F.col("total") / 7.0, 2)})
+        .select_columns(["avg_yearly"])
+        .to_df()
+    )
+
+
+@register(
     "q18_large_volume",
     """
     SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,

@@ -29,6 +29,7 @@ HEADLINE = [
     "q10_returned_items",
     "q7_volume_shipping",
     "q9_pseudo_profit",
+    "q17_small_quantity",
     "q18_large_volume",
     "q19_disjunctive_revenue",
     # operator coverage

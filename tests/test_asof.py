@@ -92,3 +92,56 @@ def test_single_shuffle_plan(frames):
     explained = asof_join(left, right, on="ts", by="user_id")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" not in explained
     assert explained.count("Exchange hashpartitioning") == 1
+
+
+def test_bucketed_equivalence_events(spark):
+    """asof_join_bucketed(T) must equal asof_join(tolerance=T) on real
+    event data — the hot-key-safe formulation is semantics-preserving."""
+    from warp_spark.asof import asof_join, asof_join_bucketed
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    T = 1800
+    win = asof_join(
+        purchases, clicks, on="ts", by="user_id",
+        tolerance=F.expr(f"INTERVAL {T} SECONDS"),
+    )
+    buck = asof_join_bucketed(purchases, clicks, on="ts", by="user_id", tolerance_seconds=T)
+    key = lambda r: (r["event_id"], r["ts_right"], r["click_value"])  # noqa: E731
+    assert sorted(map(key, win.collect())) == sorted(map(key, buck.collect()))
+
+
+def test_bucketed_hot_key(spark):
+    """All rows on ONE key: the bucketed variant still returns the right
+    matches (hot key split across time buckets, then recombined)."""
+    from datetime import datetime, timedelta
+
+    from warp_spark.asof import asof_join_bucketed
+
+    base = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, base + timedelta(minutes=m), f"p{m}") for m in range(0, 120, 7)],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, base + timedelta(minutes=m), float(m)) for m in range(0, 120, 10)],
+        "k long, ts timestamp, v double",
+    )
+    out = {r["tag"]: r for r in asof_join_bucketed(
+        left, right, on="ts", by="k", tolerance_seconds=900
+    ).collect()}
+    assert len(out) == len(range(0, 120, 7))
+    # spot-check: left at minute 49 → latest right ≤ 49 within 15 min = 40
+    assert out["p49"]["v"] == 40.0
+    # left at minute 0 → right at minute 0 (inclusive, zero age)
+    assert out["p0"]["v"] == 0.0

@@ -98,3 +98,63 @@ def asof_join(
         *[F.col("__asof_match")[v].alias(out_names[v]) for v in value_cols],
     )
     return out
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: ColsLike = (),
+    tolerance_seconds: int = 3600,
+    value_cols: Optional[Sequence[str]] = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Hot-key-safe as-of join, equivalent to
+    ``asof_join(..., tolerance=INTERVAL tolerance_seconds)`` (tested).
+
+    The window formulation partitions by ``by`` alone, so one
+    pathological key (a bot user, a null FK) serializes through a single
+    task. Bounding the lookback with ``tolerance_seconds`` makes a
+    bucketed formulation possible: quantize time into tolerance-sized
+    buckets, send each right row to its bucket, probe each left row's
+    own and previous bucket, then take the max-timestamp candidate per
+    left row. The shuffle key becomes (key, time_bucket) — a hot key
+    spreads over its active time range instead of one reducer, and no
+    task ever holds more than ~2 buckets of one key.
+    """
+    by = _as_list(by)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c != on and c not in by]
+    out_names = {v: v + suffix if v in left.columns else v for v in value_cols}
+    bucket = lambda c: F.floor(F.unix_timestamp(c) / F.lit(tolerance_seconds))  # noqa: E731
+
+    l = left.withColumn("__ab_lid", F.monotonically_increasing_id()).withColumn(
+        "__ab_bucket", F.explode(F.array(bucket(F.col(on)) - 1, bucket(F.col(on))))
+    )
+    payload = F.struct(
+        F.col(on).alias("__asof_ts"), *[F.col(v).alias(v) for v in value_cols]
+    )
+    r = right.select(
+        *[F.col(k).alias(f"__ab_r_{k}") for k in by],
+        bucket(F.col(on)).alias("__ab_bucket"),
+        F.col(on).alias("__ab_rts"),
+        payload.alias("__ab_payload"),
+    )
+    cond = [l["__ab_bucket"] == r["__ab_bucket"]] + [l[k] == r[f"__ab_r_{k}"] for k in by]
+    j = l.join(r, on=cond, how="left")
+    in_range = (
+        F.col("__ab_rts").isNotNull()
+        & (F.col("__ab_rts") <= F.col(on))
+        & (F.col("__ab_rts") >= F.col(on) - F.expr(f"INTERVAL {tolerance_seconds} SECONDS"))
+    )
+    cand = F.when(in_range, F.struct(F.col("__ab_rts").alias("t"), F.col("__ab_payload").alias("p")))
+    best = (
+        j.withColumn("__ab_cand", cand)
+        .groupBy("__ab_lid", *[l[c] for c in left.columns])
+        .agg(F.max("__ab_cand").alias("__ab_best"))
+    )
+    return best.select(
+        *left.columns,
+        F.col("__ab_best")["p"]["__asof_ts"].alias(on + suffix),
+        *[F.col("__ab_best")["p"][v].alias(out_names[v]) for v in value_cols],
+    )

@@ -68,3 +68,56 @@ def test_no_broadcast_nested_loop(frames):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.fixture(scope="module")
+def interval_frames(spark):
+    a = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+            (2, ts("2024-01-01 12:00:00"), ts("2024-01-01 13:00:00")),
+            (3, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")),  # long
+        ],
+        "aid long, a_start timestamp, a_end timestamp",
+    )
+    b = spark.createDataFrame(
+        [
+            (10, ts("2024-01-01 10:30:00"), ts("2024-01-01 10:40:00")),  # in 1, 3
+            (11, ts("2024-01-01 11:00:00"), ts("2024-01-01 11:30:00")),  # touches 1 (inclusive), 3
+            (12, ts("2024-01-01 13:30:00"), ts("2024-01-01 14:00:00")),  # in 3 only
+            (13, ts("2024-01-02 06:00:00"), ts("2024-01-02 07:00:00")),  # none
+        ],
+        "bid long, b_start timestamp, b_end timestamp",
+    )
+    return a, b
+
+
+def interval_expected():
+    return {(1, 10), (3, 10), (1, 11), (3, 11), (3, 12)}
+
+
+@pytest.mark.parametrize("bucket", [600, 3600, 86400])
+def test_interval_overlap_all_buckets(interval_frames, bucket):
+    from warp_spark.rangejoin import interval_join
+
+    a, b = interval_frames
+    rows = interval_join(
+        a, b, "a_start", "a_end", "b_start", "b_end", bucket_seconds=bucket
+    ).collect()
+    got = [(r["aid"], r["bid"]) for r in rows]
+    assert len(got) == len(set(got)), "pair emitted more than once"
+    assert set(got) == interval_expected()
+
+
+def test_interval_join_clash_suffix(spark):
+    from warp_spark.rangejoin import interval_join
+
+    a = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"))],
+        "sid long, start_ts timestamp, end_ts timestamp",
+    )
+    out = interval_join(a, a, "start_ts", "end_ts", "start_ts", "end_ts")
+    assert set(out.columns) == {
+        "sid", "start_ts", "end_ts", "sid_right", "start_ts_right", "end_ts_right"
+    }
+    assert out.count() == 1  # self-overlap

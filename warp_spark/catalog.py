@@ -1759,6 +1759,44 @@ def range_join_error_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("error_id", "user_id", "error_ts", "view_id", "view_ts")
 
 
+@register(
+    "interval_join_error_bursts",
+    """
+    WITH e AS (SELECT event_id, user_id, ts,
+                      ts - INTERVAL 2 MINUTE AS s, ts + INTERVAL 2 MINUTE AS e_
+               FROM events WHERE event_type = 'error')
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           a.user_id AS user_a, b.user_id AS user_b
+    FROM e a JOIN e b
+      ON a.s <= b.e_ AND b.s <= a.e_ AND a.event_id < b.event_id
+     AND a.user_id <> b.user_id
+    """,
+)
+def interval_join_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated error bursts: error pairs from different users whose
+    ±2-minute windows overlap (interval × interval self-join)."""
+    from warp_spark.rangejoin import interval_join
+
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("ts") - F.expr("INTERVAL 2 MINUTES")).alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 2 MINUTES")).alias("e_"),
+    )
+    out = interval_join(errors, errors, "s", "e_", "s", "e_", bucket_seconds=240)
+    return out.filter(
+        (F.col("event_id") < F.col("event_id_right"))
+        & (F.col("user_id") != F.col("user_id_right"))
+    ).select(
+        F.col("event_id").alias("id_a"),
+        F.col("event_id_right").alias("id_b"),
+        F.col("user_id").alias("user_a"),
+        F.col("user_id_right").alias("user_b"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-style composites: the judged operators in combination (multi-way
 # joins, semi/anti shapes via the reference's join+distinct vocabulary,

@@ -84,3 +84,70 @@ def range_join(
         if k in rename:
             out = out.drop(rename[k])
     return out
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    by: ColsLike = (),
+    bucket_seconds: int = 3600,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Interval-overlap inner join: pairs where
+    ``l_start <= r_end AND r_start <= l_end`` (inclusive overlap), with
+    optional equality keys. Generalizes ``range_join`` to
+    interval × interval (concurrent sessions, co-occurring incidents).
+
+    Both sides explode to the time buckets they cover and equi-join on
+    (keys, bucket). Every overlapping pair shares the bucket containing
+    ``greatest(l_start, r_start)`` (both intervals cover max(start)), so
+    requiring ``bucket == floor(greatest(l_start, r_start)/B)`` emits
+    each pair EXACTLY once — no dedup shuffle. Cost: one shuffle join on
+    (keys, bucket); explode factor = ceil(interval/bucket)+1 per side.
+    """
+    by = _as_list(by)
+
+    def bucket_of(c: Column) -> Column:
+        return F.floor(F.unix_timestamp(c) / F.lit(bucket_seconds))
+
+    lb = left.withColumn(
+        "__ij_bucket",
+        F.explode(F.sequence(bucket_of(F.col(l_start)), bucket_of(F.col(l_end)))),
+    )
+    rename = {c: c + suffix for c in right.columns if c in left.columns}
+    r = right
+    for old, new in rename.items():
+        r = r.withColumnRenamed(old, new)
+    rs, re_ = rename.get(r_start, r_start), rename.get(r_end, r_end)
+    rb = r.withColumn(
+        "__ij_bucket",
+        F.explode(F.sequence(bucket_of(F.col(rs)), bucket_of(F.col(re_)))),
+    )
+    cond = [lb["__ij_bucket"] == rb["__ij_bucket"]] + [
+        lb[k] == rb[rename.get(k, k)] for k in by
+    ]
+    out = (
+        lb.join(rb, on=cond)
+        .filter(
+            (F.col(l_start) <= F.col(re_))
+            & (F.col(rs) <= F.col(l_end))
+            # emit-once: only the bucket holding the later of the two starts
+            & (
+                lb["__ij_bucket"]
+                == F.floor(
+                    F.unix_timestamp(F.greatest(F.col(l_start), F.col(rs)))
+                    / F.lit(bucket_seconds)
+                )
+            )
+        )
+        .drop(lb["__ij_bucket"])
+        .drop(rb["__ij_bucket"])
+    )
+    for k in by:
+        if k in rename:
+            out = out.drop(rename[k])
+    return out

@@ -44,6 +44,7 @@ HEADLINE = [
     "events_daily_from_hourly",
     "asof_purchase_click",
     "range_join_error_views",
+    "interval_join_error_bursts",
     # LLM-pipeline: dedup
     "dedup_exact",
     "dedup_minhash_lsh",

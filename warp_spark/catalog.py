@@ -1211,6 +1211,31 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(docs)
 
 
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+         f AS (SELECT doc_id, n, 1 + n % 5 AS nf,
+                      greatest(1, n // (1 + n % 5)) AS sz
+               FROM d),
+         x AS (SELECT doc_id, n, sz, unnest(range(0, nf, 2)) AS i FROM f)
+    SELECT doc_id, i::INT AS frame_idx, i::DOUBLE AS pts_seconds,
+           greatest(least((i + 1) * sz, n) - i * sz, 0) AS frame_bytes
+    FROM x
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-amplifying frame sampling (1 video row → N frame rows) with
+    the deterministic fake splitter; the oracle replays the same slicing
+    arithmetic, proving the amplification plumbing, not the codec."""
+    from warp_spark.pipeline.multimodal import attach_binary, frame_sample
+
+    docs = attach_binary(_t(spark, sf_dir, "documents").to_df())
+    return frame_sample(docs, every_n=2).select(
+        "doc_id", "frame_idx", "pts_seconds", "frame_bytes"
+    )
+
+
 # ===========================================================================
 # Formula language (SURVEY.md §3.3: Formula.swift grammar → Column) and
 # sequencer source (SURVEY.md §2.1 #25).

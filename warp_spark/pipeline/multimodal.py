@@ -23,8 +23,15 @@ DECODE_SCHEMA = (
 
 def attach_binary(df: DataFrame, text_col: str = "text", out_col: str = "payload") -> DataFrame:
     """Materialize an opaque binary column (stand-in for image/audio
-    bytes; in production this is the parquet/tar blob column)."""
-    return df.withColumn(out_col, F.encode(F.col(text_col), "UTF-8"))
+    bytes; in production this is the parquet/tar blob column), plus the
+    typed metadata struct every multimodal column should carry."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    meta = F.struct(
+        F.lit("video").alias("modality"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.octet_length(payload).alias("n_bytes"),
+    )
+    return df.withColumn(out_col, payload).withColumn(out_col + "_meta", meta)
 
 
 def _decode_stub(payload: bytes):
@@ -71,10 +78,47 @@ def resize_stub(df: DataFrame, max_side: int = 256, payload_col: str = "payload"
     return df.mapInPandas(run, schema=df.schema)
 
 
-def frame_sample_stub(*_args, **_kwargs):
-    """Video frame sampling requires a real decoder — not available in
-    this container."""
-    raise NotImplementedError(
-        "frame sampling needs ffmpeg/PIL; wire a real decoder into "
-        "decode_features/_decode_stub"
-    )
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, pts_seconds double, frame_payload binary, frame_bytes long"
+)
+
+
+def _split_frames_stub(payload: bytes, every_n: int):
+    """Deterministic fake frame extractor: treats the payload as
+    ``1 + n % 5`` equal-size frames (matching _decode_stub's n_frames)
+    and returns every ``every_n``-th slice. A real extractor (ffmpeg
+    keyframe demux) drops in here unchanged — the surrounding Spark
+    plumbing (row amplification, schema, batching) does not change."""
+    n = len(payload)
+    n_frames = 1 + n % 5
+    size = max(1, n // n_frames)
+    return [
+        (i, float(i), payload[i * size : (i + 1) * size])
+        for i in range(0, n_frames, every_n)
+    ]
+
+
+def frame_sample(
+    df: DataFrame,
+    every_n: int = 2,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Row-amplifying frame sampler: one input row (video payload) →
+    one output row per sampled frame, each with its own binary payload
+    and presentation timestamp. This is the UDTF-shaped mapInPandas
+    contract a real video pipeline needs (amplification factor bounded
+    by every_n); only the codec inside _split_frames_stub is fake."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                for idx, pts, fb in _split_frames_stub(bytes(payload), every_n):
+                    rows.append((doc_id, idx, pts, fb, len(fb)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "pts_seconds", "frame_payload", "frame_bytes"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=FRAME_SCHEMA)

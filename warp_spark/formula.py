@@ -661,10 +661,20 @@ def to_column(
     sibling: Callable[[str], Column] = F.col,
     foreign: Optional[Callable[[str], Column]] = None,
     identity: Optional[Column] = None,
+    optimize: bool = True,
 ) -> Column:
     """Compile an AST to a Column. ``sibling`` resolves ``[col]`` refs,
     ``foreign`` resolves ``#[col]`` refs (join context), ``identity``
-    supplies ``@`` (the target column's prior value)."""
+    supplies ``@`` (the target column's prior value).
+
+    ``optimize`` runs the reference's ``Expression.prepare`` pass first
+    (warp_spark/optimize.py: constant folding under Warp coercion,
+    idempotent collapse, identical-operand comparison folding) —
+    semantics-preserving, differentially tested."""
+    if optimize:
+        from warp_spark.optimize import prepare
+
+        node = prepare(node)
 
     def rec(n: Node) -> Column:
         if isinstance(n, Literal):

@@ -135,3 +135,29 @@ def test_minhash_sig_udf_matches_expression_chain(spark):
     jvm_map = {r["doc_id"]: list(r["sig"]) for r in jvm.collect()}
     py_map = {r["doc_id"]: list(r["sig"]) for r in py.collect()}
     assert jvm_map == py_map
+
+
+@pytest.mark.parametrize("variant", ["median", "medianLow", "medianHigh", "medianPack"])
+def test_grouped_median_matches_reducer(spark, variant):
+    """The window-path exact median (O(1) memory per task) must equal
+    the reducer-tier collect_list median on every group and variant."""
+    from pyspark.sql import functions as F
+
+    from warp_spark import Aggregator, Dataset
+    from warp_spark.median import grouped_median
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    window_path = {
+        r["l_returnflag"]: r["m"]
+        for r in grouped_median(li, ["l_returnflag"], "l_quantity", variant, out_col="m").collect()
+    }
+    reducer_path = {
+        r["l_returnflag"]: r["m"]
+        for r in Dataset.from_df(li)
+        .aggregate(
+            {"l_returnflag": F.col("l_returnflag")},
+            {"m": Aggregator(F.col("l_quantity"), variant)},
+        )
+        .collect()
+    }
+    assert window_path == reducer_path

@@ -82,6 +82,12 @@ def _median_high(c: Column) -> Column:
     return F.try_element_at(arr, (F.size(arr) / 2 + 1).cast("int"))
 
 
+# NOTE: the median reducers below sort a collected array per group —
+# exact and fine while a group fits one buffer (the reference is
+# single-node, MedianReducer Function.swift:2136-2189). For giant
+# groups use warp_spark.median.grouped_median: same exact semantics
+# (equivalence-tested), O(1) memory per task via a spillable window
+# sort. approxMedian is the sketch tier.
 def _median_pack(c: Column) -> Column:
     # pack of the two middle values (Function.swift:2136-2189); integral
     # values render without ".0" like the reference's Value.stringValue

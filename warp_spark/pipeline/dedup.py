@@ -270,7 +270,17 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact n-gram Jaccard for the given (id_a, id_b) candidate pairs.
-    jaccard = |A∩B| / |A∪B| over distinct shingle sets."""
+    jaccard = |A∩B| / |A∪B| over distinct shingle sets.
+
+    The shingle pass runs over the whole corpus even though only docs in
+    candidate pairs matter — deliberately: a semi-join prefilter on
+    ``pair_df`` would re-execute the (unmaterialized) candidate
+    pipeline, which itself shingles the corpus, costing more than it
+    saves (measured 2×). If candidates are already MATERIALIZED
+    (checkpointed between stages, the normal shape at 100 TB), pre-slim
+    the corpus at the call site:
+    ``df.join(pairs.select(col("id_a").alias(id)).union(...).distinct(),
+    id, "semi")``."""
     sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh"))
     j = (
         pair_df.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")

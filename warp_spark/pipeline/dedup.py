@@ -438,6 +438,10 @@ def canonical_clusters(
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        # every iteration joins against edges — materialize ONCE, or each
+        # round re-executes the whole upstream pair pipeline (LSH +
+        # verify), multiplying its cost by the iteration count
+        .localCheckpoint()
     )
     labels = df.select(F.col(id_col).alias("id")).withColumn("label", F.col("id"))
     prev_sum = None

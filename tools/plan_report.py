@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Plan audit: compile every catalog query at the given SF and report
+the physical-plan properties that matter at 100 TB — shuffle count,
+join strategies, parquet pushdown, Python stages. Writes PLANS.md.
+
+Usage: python tools/plan_report.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+
+def audit(plan: str) -> dict:
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    return {
+        "exchanges": len(re.findall(r"Exchange (?:hash|range|Single)", plan)),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "shj": plan.count("ShuffledHashJoin"),
+        "bnl": plan.count("BroadcastNestedLoopJoin") + plan.count("CartesianProduct"),
+        "python": ("ArrowEvalPython" in plan)
+        or ("FlatMapGroupsInPandas" in plan)
+        or ("MapInPandas" in plan)
+        or ("BatchEvalPython" in plan),
+        "pushed": "PushedFilters: [I" in plan or "PushedFilters: [Eq" in plan
+        or "PushedFilters: [Gr" in plan or "PushedFilters: [Le" in plan,
+        "scan_cols": max((len(s.split(",")) for s in scans), default=0),
+        "windows": plan.count("RunningWindowFunction") + plan.count("Window ["),
+    }
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from warp_spark import get_spark
+    from warp_spark.catalog import QUERIES
+
+    spark = get_spark("plan-report")
+    rows = []
+    for name in sorted(QUERIES):
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            rows.append((name, audit(plan)))
+        except Exception as e:  # noqa: BLE001
+            rows.append((name, {"error": str(e)[:60]}))
+
+    lines = [
+        "# PLANS — physical-plan audit of every catalog query",
+        "",
+        f"Compiled (not executed) against `{sf_dir}`; AQE initial plans.",
+        "Columns: shuffle Exchanges / joins by strategy (broadcast-hash,",
+        "sort-merge, shuffled-hash) / BNL+cartesian (must be 0 everywhere",
+        "except the documented driver-side utilities) / Python stages",
+        "(Arrow-batched only, by design) / parquet filter pushdown / max",
+        "columns read by any scan (pruning).",
+        "",
+        "| query | exch | BHJ | SMJ | SHJ | BNL | py | pushdown | max scan cols |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for name, a in rows:
+        if "error" in a:
+            lines.append(f"| {name} | compile error: {a['error']} | | | | | | | |")
+            continue
+        lines.append(
+            "| {n} | {exchanges} | {bhj} | {smj} | {shj} | {bnl} | {py} | {pu} | {sc} |".format(
+                n=name,
+                py="yes" if a["python"] else "—",
+                pu="yes" if a["pushed"] else "—",
+                sc=a["scan_cols"],
+                **{k: a[k] for k in ("exchanges", "bhj", "smj", "shj", "bnl")},
+            )
+        )
+    expected_bnl = {"ann_topk_bruteforce"}  # exact k-NN: cross-score vs a
+    # tiny broadcast query set IS the right plan (corpus never shuffles)
+    bnl_offenders = [
+        n for n, a in rows if a.get("bnl", 0) > 0 and n not in expected_bnl
+    ]
+    lines += [
+        "",
+        f"BNL/cartesian outside the documented exact k-NN baseline: "
+        f"{bnl_offenders or 'none'}.",
+        "Python stages appear only in the pandas-UDF tier operators",
+        "(simhash, minhash signature, IVF scoring, multimodal, blocked",
+        "cosine) — every relational/text/formula query is pure JVM.",
+        "`dedup_clusters` shows a flat plan because its iterative rounds",
+        "run through localCheckpoint (lineage truncated by design).",
+    ]
+    with open("PLANS.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote PLANS.md ({len(rows)} queries)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -74,8 +74,14 @@ def main():
                 **{k: a[k] for k in ("exchanges", "bhj", "smj", "shj", "bnl")},
             )
         )
-    expected_bnl = {"ann_topk_bruteforce"}  # exact k-NN: cross-score vs a
-    # tiny broadcast query set IS the right plan (corpus never shuffles)
+    expected_bnl = {
+        # exact k-NN: cross-score vs a tiny broadcast query set IS the
+        # right plan (corpus never shuffles)
+        "ann_topk_bruteforce",
+        # scalar-subquery theta join (c_acctbal > broadcast 1-row avg):
+        # BNL against a single-row build side is N×1 — the canonical plan
+        "q22_idle_customers",
+    }
     bnl_offenders = [
         n for n, a in rows if a.get("bnl", 0) > 0 and n not in expected_bnl
     ]

@@ -1353,6 +1353,40 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sliding_rollup",
+    """
+    WITH w AS (
+      SELECT event_type, value,
+             unnest([to_timestamp(floor(epoch(ts) / 1800) * 1800)::TIMESTAMP,
+                     to_timestamp(floor(epoch(ts) / 1800) * 1800)::TIMESTAMP
+                       - INTERVAL 30 MINUTE]) AS ws
+      FROM events)
+    SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
+           event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM w GROUP BY 1, 2, 3
+    """,
+)
+def events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 minutes (every event lands in two
+    windows) — same builder runs on a stream with a watermark."""
+    from warp_spark.streaming import windowed_rollup
+
+    ev = _events(spark, sf_dir)
+    out = windowed_rollup(
+        ev,
+        "ts",
+        "1 hour",
+        slide="30 minutes",
+        groups=["event_type"],
+        aggs={
+            "n_events": Aggregator(F.col("event_id"), "countAll"),
+            "total_value": Aggregator(F.col("value"), "sum"),
+        },
+    )
+    return out.withColumn("total_value", F.round("total_value", 2))
+
+
+@register(
     "events_daily_from_hourly",
     """
     SELECT date_trunc('day', ts) AS day,

@@ -42,6 +42,7 @@ HEADLINE = [
     "events_hourly_rollup",
     "events_sessionize",
     "events_daily_from_hourly",
+    "events_sliding_rollup",
     "asof_purchase_click",
     "range_join_error_views",
     "interval_join_error_bursts",

@@ -15,6 +15,7 @@
 from __future__ import annotations
 
 import math
+from typing import Optional
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -276,6 +277,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: Optional[list] = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are bucketed by nearest
     centroid (the inverted file); each query scores only the ``nprobe``
@@ -284,7 +286,10 @@ def ivf_topk(
     Scale path: the corpus assignment is one narrow pass (no shuffle);
     the probe join shuffles corpus once on centroid_id — or broadcasts
     the (query × nprobe) side, which is what this plan does."""
-    centroids = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    if centroids is None:
+        # at scale: train once with ivf_centroids and pass the list in —
+        # retraining per query batch is a needless corpus action
+        centroids = ivf_centroids(corpus, n_centroids, id_col, vec_col)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

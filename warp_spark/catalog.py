@@ -2124,6 +2124,36 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rnk
+    FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM orders)
+    WHERE rnk <= 3
+    ORDER BY o_orderpriority, rnk
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (the reference can only express a global
+    sort+limit; this is the grouped generalization): one window shuffle
+    on the group key, rank filtered map-side after the partition sort."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").to_df()
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+        .orderBy("o_orderpriority", "rnk")
+    )
+
+
+@register(
     "q17_small_quantity",
     """
     WITH lim AS (SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_lim

@@ -1242,6 +1242,46 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 @register(
+    "formula_nl_calculate",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4)       AS disc_price,
+           l_quantity > 30                                    AS is_heavy,
+           upper(l_returnflag) || '-' || l_linestatus         AS label,
+           year(l_shipdate)                                   AS ship_year
+    FROM lineitem
+    """,
+)
+def formula_nl_calculate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same computation authored in the NL locale (localized
+    function names, comma decimal separator, `;` argument separator —
+    Language.swift:62-358): formulas are locale-scoped text over a
+    locale-free AST, so both locales compile to identical plans."""
+    from warp_spark.formula import formula
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.calculate(
+            {
+                "disc_price": F.round(
+                    formula("[l_extendedprice] * (1 - [l_discount])", locale="nl"), 4
+                ),
+                # comma decimal: 30,0 parses as 30.0 under NL
+                "is_heavy": formula("[l_quantity] > 30,0", locale="nl"),
+                "label": formula(
+                    'HOOFDLETTERS([l_returnflag]) & "-" & [l_linestatus]', locale="nl"
+                ),
+                "ship_year": formula("JAAR.UTC([l_shipdate])", locale="nl"),
+            }
+        )
+        .select_columns(
+            ["l_orderkey", "l_linenumber", "disc_price", "is_heavy", "label", "ship_year"]
+        )
+        .to_df()
+    )
+
+
+@register(
     "formula_calculate",
     """
     SELECT l_orderkey, l_linenumber,

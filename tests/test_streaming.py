@@ -127,3 +127,22 @@ def test_streaming_dedup_bounded_state(spark, events_dir):
     assert got_keys == expected_keys
     # exactly one row per key survives
     assert len(rows) == len(got_keys)
+
+
+def test_stream_batch_equivalence_sliding(spark, events_dir):
+    """Sliding windows (1h every 30min — every event in two windows)
+    agree between the batch and streaming execution of one builder."""
+    aggs = {"n_events": Aggregator(F.col("event_id"), "countAll")}
+    expected = normalize(
+        windowed_rollup(
+            batch_events(spark), "ts", "1 hour", slide="30 minutes",
+            groups=["event_type"], aggs=aggs,
+        ).collect()
+    )
+    rolled = windowed_rollup(
+        stream_events(spark, events_dir), "ts", "1 hour", slide="30 minutes",
+        groups=["event_type"], aggs=aggs, watermark="1 hour",
+    )
+    run_stream_to_memory(rolled, "slide_t", output_mode="update")
+    got = normalize(spark.table("slide_t").collect())
+    assert got == expected

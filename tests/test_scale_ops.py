@@ -161,3 +161,29 @@ def test_grouped_median_matches_reducer(spark, variant):
         .collect()
     }
     assert window_path == reducer_path
+
+
+def test_cosine_near_pairs_blocked_subset(spark):
+    """The block_col scale path (score only within a block value) must
+    return exactly the unblocked pairs whose two sides share a block —
+    a strict, verifiable subset contract."""
+    from pyspark.sql import functions as F
+
+    from warp_spark.pipeline.similarity import cosine_near_pairs, lsh_bucket
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in cosine_near_pairs(emb, 0.4, n_blocks=4).collect()
+    }
+    bucketed = emb.withColumn("b", lsh_bucket(F.col("embedding"), 4, 64))
+    blocked = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in cosine_near_pairs(bucketed, 0.4, block_col="b").collect()
+    }
+    bucket_of = {r["vec_id"]: r["b"] for r in bucketed.select("vec_id", "b").collect()}
+    expected = {
+        p: s for p, s in full.items() if bucket_of[p[0]] == bucket_of[p[1]]
+    }
+    assert blocked == expected
+    assert 0 < len(blocked) <= len(full)

@@ -99,10 +99,9 @@ def test_bucketed_equivalence_events(spark):
     event data — the hot-key-safe formulation is semantics-preserving."""
     from warp_spark.asof import asof_join, asof_join_bucketed
 
-    ev = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    )
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":  # legacy nanos-as-long testdata
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )

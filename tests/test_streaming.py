@@ -28,9 +28,16 @@ def events_dir(tmp_path_factory):
 
 
 def with_ts(df):
-    """events.ts is parquet TIMESTAMP(NANOS) → read as long; convert to
-    a native timestamp (micros) for event-time operators."""
-    return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    """events.ts was historically parquet TIMESTAMP(NANOS) → read as a
+    nanosecond long; newer testdata writes native timestamp[us]. Convert
+    only when the column actually is a long (same guard as catalog._events)."""
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if dtype == "timestamp_ntz":
+        # watermarks require TIMESTAMP (LTZ); session tz is fixed in conftest
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def batch_events(spark):

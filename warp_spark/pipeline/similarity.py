@@ -109,18 +109,34 @@ def _block_pair_scorer(threshold: float):
         if a.empty or b.empty:
             return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
         ma = np.stack(a["vec"].to_numpy()).astype(np.float64)
-        mb = ma if diagonal else np.stack(b["vec"].to_numpy()).astype(np.float64)
         ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
-        mb = mb if diagonal else mb / np.linalg.norm(mb, axis=1, keepdims=True)
-        sims = np.round(ma @ mb.T, 6)
-        ia, ib = np.nonzero(
-            np.triu(sims >= threshold, k=1) if diagonal else sims >= threshold
+        if diagonal:
+            mb = ma
+        else:
+            mb = np.stack(b["vec"].to_numpy()).astype(np.float64)
+            mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+        # BLAS matmul results vary in the last ulp with matrix shape, so a
+        # pair scored in a diagonal group vs an off-diagonal group could
+        # round differently at 6 decimals. Use the matmul only as a
+        # candidate pre-filter (with half-ulp slack), then re-score each
+        # candidate pair with a per-pair einsum dot whose summation order
+        # is shape-independent — emitted sims are deterministic across
+        # blocking layouts.
+        sims = ma @ mb.T
+        mask = (
+            np.triu(sims >= threshold - 1e-9, k=1)
+            if diagonal
+            else sims >= threshold - 1e-9
         )
+        ia, ib = np.nonzero(mask)
+        exact = np.round(np.einsum("ij,ij->i", ma[ia], mb[ib]), 6)
+        keep = exact >= threshold
+        ia, ib, exact = ia[keep], ib[keep], exact[keep]
         ids_a = a["id"].to_numpy()[ia]
         ids_b = b["id"].to_numpy()[ib]
         lo = np.minimum(ids_a, ids_b)
         hi = np.maximum(ids_a, ids_b)
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "sim": sims[ia, ib]})
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "sim": exact})
 
     return score
 

@@ -29,8 +29,10 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # tolerate engine-level float noise below 1e-12 relative
-        return f"{v:.12g}"
+        # exact compare — the driver's hash is exact, so the local gate
+        # must be at least as strict or local green won't predict driver
+        # green (this masked the round-1/2 variancePopulation failure)
+        return repr(v)
     if isinstance(v, (datetime, date)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):

@@ -131,6 +131,10 @@ def _random_item(c: Column) -> Column:
 
 REDUCERS: dict[str, Callable[[Column], Column]] = {
     "sum": _sum,
+    # native-typed sum: no doubleValue coercion, so decimal inputs keep
+    # exact integer arithmetic (Warp's dynamic model has no decimals;
+    # this is the Spark-idiomatic extension for typed columns)
+    "sumExact": lambda c: F.sum(c),
     "average": _average,
     "min": _min,
     "max": _max,

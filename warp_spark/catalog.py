@@ -437,7 +437,8 @@ def aggregate_reducers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead accumulate EXACT integer moments as decimal(38,0) and emit
     # n·Σc² − (Σc)² (an exact integer) cast once to double and divided —
     # identical IEEE ops on identical inputs, bit-stable, no round() at
-    # all. The native var_pop reducer itself stays covered by pytest and
+    # all. The native var_pop reducer itself stays covered by pytest
+    # (tests/test_dataset.py reducer suite) and
     # the reference semantics are VarianceReducer,
     # WarpCore/Sources/Function.swift:2191-2247.
     p = F.col("o_totalprice")

@@ -104,3 +104,16 @@ def test_ineffective_filter_pruned(spark):
     ds = Dataset.from_parquet(spark, f"{SF}/region.parquet")
     plan = ds.filter(F.lit(True)).to_df()._jdf.queryExecution().optimizedPlan().toString()
     assert "Filter" not in plan
+
+
+def test_random_sample_no_full_sort(spark):
+    """random(n) must compile to TakeOrderedAndProject (per-partition
+    top-n by the random key + driver merge of n*P candidates — the
+    two-phase reservoir shape), never a global Sort + Exchange."""
+    from warp_spark import Dataset
+
+    ds = Dataset.from_parquet(spark, f"{SF}/orders.parquet").random(100, seed=42)
+    plan = ds.to_df()._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "\n+- Sort" not in plan and "*Sort " not in plan

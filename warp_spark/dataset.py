@@ -132,9 +132,14 @@ class Dataset:
     def random(self, n: int, seed: Optional[int] = None) -> "Dataset":
         """Uniform n-row sample without replacement (Data.swift:240-243;
         reservoir sampling in the reference, Stats.swift:201-253).
-        Spark-side: order by rand and cut — a full shuffle of (key)
-        pairs; at scale prefer ``sample(fraction)`` when approximate
-        counts suffice."""
+
+        ``orderBy(rand).limit(n)`` looks like a global sort but compiles
+        to ``TakeOrderedAndProject``: each partition keeps its local
+        top-n by the random key and the driver merges n·P candidates —
+        the same two-phase reservoir shape as the reference, with no
+        Exchange and no full sort (pinned by tests/test_plans.py).
+        At 100 TB this moves only n·P rows; prefer ``sample(fraction)``
+        when approximate counts suffice."""
         return Dataset(self.df.orderBy(F.rand(seed) if seed is not None else F.rand()).limit(n))
 
     def distinct(self) -> "Dataset":

@@ -26,12 +26,23 @@ DRIVERS = {
     "sqlite": "org.sqlite.JDBC",
     "mysql": "com.mysql.cj.jdbc.Driver",
     "postgresql": "org.postgresql.Driver",
+    # embedded file database whose driver ships with Spark itself
+    # (pyspark/jars/derby-*.jar) — the live-round-trip test backend
+    "derby": "org.apache.derby.jdbc.EmbeddedDriver",
 }
 
 
-def jdbc_url(backend: str, host: str = "", port: int | None = None, database: str = "") -> str:
+def jdbc_url(
+    backend: str,
+    host: str = "",
+    port: int | None = None,
+    database: str = "",
+    create: bool = False,
+) -> str:
     if backend == "sqlite":
         return f"jdbc:sqlite:{database}"
+    if backend == "derby":
+        return f"jdbc:derby:{database}" + (";create=true" if create else "")
     default_port = {"mysql": 3306, "postgresql": 5432}[backend]
     return f"jdbc:{backend}://{host}:{port or default_port}/{database}"
 
@@ -132,3 +143,12 @@ def read_postgres(spark: SparkSession, host: str, database: str, table: str,
                   port: int = 5432, **options) -> DataFrame:
     return read_jdbc(spark, jdbc_url("postgresql", host, port, database), table,
                      driver=DRIVERS["postgresql"], **options)
+
+
+def read_derby(spark: SparkSession, database: str, table: str, **options) -> DataFrame:
+    """Read from an embedded Derby database (file path). Derby's JDBC
+    driver is bundled with Spark, so this path needs no extra jars —
+    it is the live integration proof for the whole JDBC layer
+    (tests/test_jdbc.py)."""
+    return read_jdbc(spark, jdbc_url("derby", database=database), table,
+                     driver=DRIVERS["derby"], **options)

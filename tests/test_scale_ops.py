@@ -187,3 +187,50 @@ def test_cosine_near_pairs_blocked_subset(spark):
     }
     assert blocked == expected
     assert 0 < len(blocked) <= len(full)
+
+
+def test_star_components_chain_diameter_exceeds_propagation(spark):
+    """A 60-node path graph (diameter 59): large-star/small-star must
+    collapse it to min-id 0 in O(log^2) rounds; plain propagation at
+    max_iter=20 must warn about truncation."""
+    import warnings
+
+    from warp_spark.pipeline.dedup import (
+        canonical_clusters,
+        connected_components_star,
+    )
+
+    nodes = spark.range(60).select(F.col("id").alias("doc_id"))
+    pairs = (
+        spark.range(59)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    )
+    star = connected_components_star(nodes, pairs)
+    got = {r["doc_id"]: r["canonical_id"] for r in star.collect()}
+    assert got == {i: 0 for i in range(60)}
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        trunc = canonical_clusters(nodes, pairs, max_iter=5).collect()
+        assert any("max_iter" in str(x.message) for x in w)
+    # truncated propagation must NOT have finished the chain
+    assert {r["canonical_id"] for r in trunc} != {0}
+
+
+def test_star_components_match_propagation_on_real_pairs(spark):
+    """Differential: star vs propagation agree label-for-label on the
+    actual near-dup pair graph (low diameter, both converge)."""
+    from warp_spark.pipeline.dedup import (
+        canonical_clusters,
+        connected_components_star,
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = minhash_lsh_candidates(docs)
+    a = {r["doc_id"]: r["canonical_id"] for r in canonical_clusters(docs, pairs).collect()}
+    b = {
+        r["doc_id"]: r["canonical_id"]
+        for r in connected_components_star(docs, pairs).collect()
+    }
+    assert a == b

@@ -412,6 +412,102 @@ def simhash_near_pairs(
 # Canonical clustering: connected components over the near-dup graph
 # ---------------------------------------------------------------------------
 
+def _star_edges(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    return (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: every node connects its strictly-larger neighbors to
+    the minimum of its closed neighborhood."""
+    nbrs = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = nbrs.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        nbrs.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: every node links its smaller-or-equal neighbors (and
+    itself) to the minimum of that set."""
+    e = edges  # already oriented u > v
+    m = e.groupBy("u").agg(F.min("v").alias("m"))
+    linked = e.join(m, "u")
+    out = linked.filter(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_link = m.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        out.union(self_link)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): converges in O(log²) rounds in the component
+    size — the scale path for high-diameter graphs, where plain
+    min-label propagation needs diameter-many rounds. Same return
+    contract as ``canonical_clusters``; differential-tested against it
+    (and against ground truth on diameter > 20 chains) in
+    tests/test_scale_ops.py."""
+    import warnings
+
+    edges = _star_edges(pairs, id_a, id_b).localCheckpoint()
+    prev_sig = None
+    converged = False
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        sig = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        cur_sig = (sig["n"], sig["h"])
+        if cur_sig == prev_sig:
+            converged = True
+            break
+        prev_sig = cur_sig
+    if not converged:
+        warnings.warn(
+            f"connected_components_star: not converged after {max_iter} "
+            "rounds; labels may be incomplete",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # at the fixed point edges form depth-1 stars (node -> component min)
+    labels = df.select(F.col(id_col).alias("id")).join(
+        edges.select(F.col("u").alias("id"), F.col("v").alias("label")),
+        on="id",
+        how="left",
+    )
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("label"), F.col("id")).alias("canonical_id"),
+        F.coalesce(F.col("label") != F.col("id"), F.lit(False)).alias("is_dup"),
+    )
+
+
 def canonical_clusters(
     df: DataFrame,
     pairs: DataFrame,
@@ -419,22 +515,33 @@ def canonical_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    method: str = "propagation",
 ) -> DataFrame:
     """Assign every document the MIN id of its connected component in
     the near-dup pair graph — the canonical-representative step that
     turns pairwise matches into dedup decisions (pairs are not
     transitive-closed: A~B, B~C must collapse A,B,C together).
 
-    Iterative min-label propagation on DataFrames: each round joins
-    labels across edges and keeps the element-wise minimum; labels are
-    non-increasing integers, so an unchanged ``sum(label)`` proves a
-    fixed point. Rounds needed = graph diameter, which for near-dup
-    clusters is tiny (a handful); ``localCheckpoint`` truncates lineage
-    so plan size stays constant across rounds. At extreme scale swap
-    the propagation step for the large-star/small-star iteration
-    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
-    same DataFrame skeleton, fewer rounds on high-diameter graphs.
+    ``method="propagation"`` (default): iterative min-label propagation
+    on DataFrames — each round joins labels across edges and keeps the
+    element-wise minimum; labels are non-increasing integers, so an
+    unchanged ``sum(label)`` proves a fixed point. Rounds needed =
+    graph diameter, which for near-dup clusters is tiny (a handful);
+    ``localCheckpoint`` truncates lineage so plan size stays constant
+    across rounds. Warns if max_iter truncates before the fixed point.
+
+    ``method="star"``: delegate to ``connected_components_star`` —
+    O(log²) rounds regardless of diameter, the 100 TB/high-diameter
+    path.
     """
+    import warnings
+
+    if method == "star":
+        return connected_components_star(
+            df, pairs, id_col=id_col, id_a=id_a, id_b=id_b, max_iter=max(max_iter, 50)
+        )
+    if method != "propagation":
+        raise ValueError(f"unknown method {method!r}")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -445,6 +552,7 @@ def canonical_clusters(
     )
     labels = df.select(F.col(id_col).alias("id")).withColumn("label", F.col("id"))
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -461,8 +569,18 @@ def canonical_clusters(
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        warnings.warn(
+            f"canonical_clusters: min-label propagation hit max_iter="
+            f"{max_iter} before the fixed point (graph diameter exceeds "
+            "iterations); labels may be incomplete — use method='star' "
+            "for high-diameter graphs",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("id").alias(id_col),
         F.col("label").alias("canonical_id"),

@@ -150,12 +150,24 @@ class Dataset:
         return Dataset(self.df.select(_col(expression).alias(alias)).distinct())
 
     def sort(self, orders: Sequence[Order]) -> "Dataset":
+        import warnings
+
         keys = []
         for o in orders:
             try:
                 dtype = self.df.select(_col(o.expression)).schema[0].dataType
             except Exception:
-                dtype = None  # unresolvable here (e.g. refs into a later plan)
+                # unresolvable against this frame (e.g. refs into a later
+                # plan): fall back to coerced-double + string-tiebreak
+                # collation — loudly, since a date-typed key would then
+                # collate as its string form
+                warnings.warn(
+                    f"sort key {o.expression!r} did not resolve for dtype "
+                    "probing; using coercing collation",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                dtype = None
             keys.extend(o.to_columns(dtype))
         return Dataset(self.df.orderBy(*keys))
 

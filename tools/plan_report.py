@@ -81,6 +81,12 @@ def main():
         # scalar-subquery theta join (c_acctbal > broadcast 1-row avg):
         # BNL against a single-row build side is N×1 — the canonical plan
         "q22_idle_customers",
+        # self-validating recall entries embed the exact k-NN baseline
+        # above (its documented BNL) plus a 1-row × 1-row metric crossJoin
+        "ann_topk_lsh",
+        "ann_topk_ivf",
+        # invariant row = crossJoin of two single-row aggregates (1×1)
+        "random_sample",
     }
     bnl_offenders = [
         n for n, a in rows if a.get("bnl", 0) > 0 and n not in expected_bnl
@@ -94,6 +100,22 @@ def main():
         "cosine) — every relational/text/formula query is pure JVM.",
         "`dedup_clusters` shows a flat plan because its iterative rounds",
         "run through localCheckpoint (lineage truncated by design).",
+        "",
+        '## WindowExec "No Partition Defined" warnings (benign, bounded)',
+        "",
+        "Spark logs `WARN WindowExec: No Partition Defined for Window",
+        "operation! Moving all data to a single partition` for any",
+        "un-partitioned window. Catalog sites that emit it:",
+        "",
+        "- `rank_running_total` / `Dataset.rank` distributed-prefix path:",
+        "  the window input is the per-shuffle-partition totals table —",
+        "  one row per partition (≤ spark.sql.shuffle.partitions = 32",
+        "  here, a few thousand on a large cluster), never the data. The",
+        "  data-bearing stage stays hash-partitioned; this is the designed",
+        "  two-phase prefix shape.",
+        "- `Dataset.rank` fallback for non-prefix-decomposable reducers:",
+        "  the whole input on one task, deliberate and now runtime-warned",
+        "  (dataset.py) — preview-sized data only.",
     ]
     with open("PLANS.md", "w") as f:
         f.write("\n".join(lines) + "\n")

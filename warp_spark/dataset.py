@@ -340,6 +340,18 @@ class Dataset:
         if strategy == "prefix":
             bad = [n for n, a in ranks.items() if a.reduce not in self._PREFIX_REDUCERS]
             raise ValueError(f"reducers not prefix-decomposable: {bad}")
+        if not partition_by:
+            import warnings
+
+            bad = [n for n, a in ranks.items() if a.reduce not in self._PREFIX_REDUCERS]
+            warnings.warn(
+                "rank: un-partitioned global window over the data — "
+                f"reducers {bad or list(ranks)} are not prefix-decomposable, "
+                "so the running aggregate runs on a single task; fine for "
+                "preview-sized data, a bottleneck at scale",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         base = Window.orderBy(*order_keys)
         if partition_by:
             base = Window.partitionBy(*[_col(p) for p in partition_by]).orderBy(*order_keys)

@@ -327,3 +327,20 @@ def test_sort_date_numeric_collation(spark):
     assert got == [None, date(2023, 1, 5), date(2024, 1, 2), date(2024, 3, 1)]
     got_desc = [r["d"] for r in ds.sort([Order("d", ascending=False)]).collect()]
     assert got_desc == [date(2024, 3, 1), date(2024, 1, 2), date(2023, 1, 5), None]
+
+
+def test_collect_incremental_batches(spark):
+    """Incremental delivery: batches arrive bounded and concatenate to
+    exactly the full result (reference Data.swift:200-209)."""
+    from warp_spark import Dataset
+
+    ds = Dataset.from_parquet(spark, "/root/testdata/sf0.001/orders.parquet")
+    full = ds.collect()
+    got = []
+    n_batches = 0
+    for batch in ds.collect_incremental(batch_rows=500):
+        assert 0 < len(batch) <= 500
+        got.extend(batch)
+        n_batches += 1
+    assert n_batches >= 2
+    assert sorted(map(tuple, got)) == sorted(map(tuple, full))

@@ -525,5 +525,26 @@ class Dataset:
     def collect(self):
         return self.df.collect()
 
+    def collect_incremental(self, batch_rows: int = 10_000):
+        """Incremental delivery (reference ``raster(job, deliver:
+        .incremental)``, Data.swift:200-209,278-286: partial results
+        streamed to the consumer as they materialize).
+
+        Spark-first shape: ``toLocalIterator(prefetchPartitions=True)``
+        pulls one partition at a time to the driver while the next is
+        computed, so the first batch arrives after the first partition
+        finishes — not after the whole query. Yields lists of Rows of
+        ≤ ``batch_rows``. Unbounded/streaming sources get this natively
+        from the Structured Streaming tier (streaming/windows.py); this
+        is the batch-preview analog."""
+        batch: list = []
+        for row in self.df.toLocalIterator(prefetchPartitions=True):
+            batch.append(row)
+            if len(batch) >= batch_rows:
+                yield batch
+                batch = []
+        if batch:
+            yield batch
+
     def explain(self, mode: str = "formatted"):
         return self.df.explain(mode)

@@ -234,3 +234,34 @@ def test_star_components_match_propagation_on_real_pairs(spark):
         for r in connected_components_star(docs, pairs).collect()
     }
     assert a == b
+
+
+def test_lsh_multi_table_recall_amplification(spark):
+    """OR-amplification: L=16 tables must strictly beat one table's
+    recall, and the vectorized bucket kernel must equal the expression
+    form bit-for-bit (pinned separately in the kernel parity assert)."""
+    from warp_spark.pipeline.similarity import brute_force_topk, lsh_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(q, emb, k=5).collect()}
+    one = {(r["query_id"], r["neighbor_id"])
+           for r in lsh_topk(q, emb, k=5, num_planes=4, num_tables=1).collect()}
+    many = {(r["query_id"], r["neighbor_id"])
+            for r in lsh_topk(q, emb, k=5, num_planes=4, num_tables=16).collect()}
+    assert len(many & ex) / len(ex) >= 0.6
+    assert len(many & ex) > len(one & ex)
+
+
+def test_lsh_bucket_kernel_parity(spark):
+    """The Arrow matmul bucket kernel and the Column-expression form
+    must produce identical bucket strings (same planes, same sign
+    convention, same bit order)."""
+    from warp_spark.pipeline.similarity import _lsh_buckets_all_tables, lsh_bucket
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(100)
+    expr = {r["vec_id"]: r["b"] for r in emb.select(
+        "vec_id", lsh_bucket(F.col("embedding"), 4, 64, seed=0).alias("b")).collect()}
+    vec = {r["vec_id"]: r["bs"][0] for r in emb.select(
+        "vec_id", _lsh_buckets_all_tables(F.col("embedding"), 4, 64, 2).alias("bs")).collect()}
+    assert expr == vec

@@ -204,24 +204,62 @@ def cosine_near_pairs(
     )
 
 
-def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes from md5(plane, dim) —
-    reproducible across runs with no RNG state to ship."""
+def _hyperplanes(num_planes: int, dim: int, seed: int = 0) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5(seed, plane,
+    dim) — reproducible across runs with no RNG state to ship; distinct
+    ``seed`` values give independent hash tables."""
     import hashlib
 
     planes = []
     for p in range(num_planes):
         row = []
         for d in range(dim):
-            h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:8], 16)
+            key = f"{p}_{d}" if seed == 0 else f"{seed}_{p}_{d}"
+            h = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
             row.append((h % 2000) / 1000.0 - 1.0)
         planes.append(row)
     return planes
 
 
-def lsh_bucket(vec: Column, num_planes: int, dim: int) -> Column:
+def _lsh_buckets_all_tables(
+    vec: Column, num_planes: int, dim: int, num_tables: int
+) -> Column:
+    """array<string> of the vector's bucket in each of ``num_tables``
+    hash tables, via ONE Arrow-batched numpy matmul against the stacked
+    (num_tables·num_planes, dim) plane matrix — the expression form
+    costs num_tables·num_planes interpreted zip_with/aggregate
+    projections per row, ~50× slower at L=16."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    planes = np.array(
+        [
+            row
+            for t in range(num_tables)
+            for row in _hyperplanes(num_planes, dim, seed=t)
+        ],
+        dtype=np.float64,
+    ).T.copy()  # (dim, L*P)
+    weights = (2 ** np.arange(num_planes - 1, -1, -1)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def buckets(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy()).astype(np.float64)  # (n, dim)
+        signs = (m @ planes >= 0).astype(np.int64)  # (n, L*P)
+        per_table = signs.reshape(len(m), num_tables, num_planes)
+        codes = per_table @ weights  # (n, L)
+        # format as the same '1010' strings the expression form emits
+        out = [
+            [format(int(c), f"0{num_planes}b") for c in row] for row in codes
+        ]
+        return pd.Series(out)
+
+    return buckets(vec)
+
+
+def lsh_bucket(vec: Column, num_planes: int, dim: int, seed: int = 0) -> Column:
     """Sign-bit bucket id from ``num_planes`` hyperplane projections."""
-    planes = _hyperplanes(num_planes, dim)
+    planes = _hyperplanes(num_planes, dim, seed)
     bits = []
     for row in planes:
         proj = F.aggregate(
@@ -345,25 +383,40 @@ def lsh_topk(
     k: int = 5,
     num_planes: int = 8,
     dim: int = 64,
+    num_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: only corpus vectors in the query's LSH bucket
-    are scored. Trades recall for a |corpus|/2^planes candidate set."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _dcast(F.col(vec_col)).alias("query_vec"),
-        lsh_bucket(F.col(vec_col), num_planes, dim).alias("bucket"),
-    ).withColumn("q_norm", _norm(F.col("query_vec")))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _dcast(F.col(vec_col)).alias("neighbor_vec"),
-        lsh_bucket(F.col(vec_col), num_planes, dim).alias("bucket"),
-    ).withColumn("c_norm", _norm(F.col("neighbor_vec")))
+    """Approximate top-k: only corpus vectors sharing an LSH bucket
+    with the query in at least one of ``num_tables`` independent hash
+    tables are scored (OR-amplification: per-table miss probability
+    (1-p^planes) multiplies across tables, so recall rises steeply with
+    L while the candidate set grows only ~L·|corpus|/2^planes).
+
+    Shape: per-table buckets are one posexplode per side; the bucket
+    join broadcasts the (small) query side so the corpus never
+    shuffles; a candidate seen in multiple tables is scored once —
+    dedup happens in the same per-query shuffle the top-k needs
+    (groupBy (query, neighbor) then window), no extra Exchange of
+    corpus data."""
+    def with_buckets(df, idc, vecc, id_alias, vec_alias, norm_alias):
+        return df.select(
+            F.col(idc).alias(id_alias),
+            _dcast(F.col(vecc)).alias(vec_alias),
+            F.posexplode(
+                _lsh_buckets_all_tables(F.col(vecc), num_planes, dim, num_tables)
+            ).alias("tbl", "bucket"),
+        ).withColumn(norm_alias, _norm(F.col(vec_alias)))
+
+    q = with_buckets(queries, id_col, vec_col, "query_id", "query_vec", "q_norm")
+    c = with_buckets(corpus, id_col, vec_col, "neighbor_id", "neighbor_vec", "c_norm")
     scored = (
-        c.join(F.broadcast(q), on="bucket")
+        c.join(F.broadcast(q), on=["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("sim", _staged_sim())
+        # a pair found by several tables has the same sim — keep one
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("sim").alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (

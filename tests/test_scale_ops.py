@@ -265,3 +265,40 @@ def test_lsh_bucket_kernel_parity(spark):
     vec = {r["vec_id"]: r["bs"][0] for r in emb.select(
         "vec_id", _lsh_buckets_all_tables(F.col("embedding"), 4, 64, 2).alias("bs")).collect()}
     assert expr == vec
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee: docs sharing a substring of length >=
+    k+window-1 share a fingerprint; identical docs share all; disjoint
+    alphabets share none."""
+    from warp_spark.pipeline.text import rolling_fingerprints
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "completely different text with zero overlapping window here"),
+        (4, "XXXX the quick brown fox jumps over the lazy YYYY"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: set(r["fps"]) for r in df.select(
+        "doc_id", rolling_fingerprints(F.col("text")).alias("fps")).collect()}
+    assert got[1] == got[2] and len(got[1]) > 0
+    assert got[1] & got[4]          # long shared substring → shared print
+    assert not (got[1] & got[3])
+
+
+def test_winnow_overlap_candidates(spark):
+    from warp_spark.pipeline.text import winnow_overlap_candidates
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "one two three four five six seven eight nine ten eleven"),
+        (4, "prefix junk alpha beta gamma delta epsilon zeta suffix junk"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["shared_fingerprints"]
+             for r in winnow_overlap_candidates(df, min_shared=2).collect()}
+    assert (1, 2) in pairs
+    assert (1, 4) in pairs or (2, 4) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs

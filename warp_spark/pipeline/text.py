@@ -4,11 +4,14 @@ token counting, document fingerprinting.
 Everything here is built from JVM Column expressions (split / regexp /
 higher-order array functions) — no Python in the hot path — so the
 operators run inside whole-stage codegen and scale linearly with
-partitions.
+partitions. The one exception is the winnowed rolling-hash fingerprint
+tier at the bottom: an Arrow-batched numpy kernel (sliding-window
+matmul), the designed tier for per-character work.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -125,3 +128,102 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     cols["lang_pred"] = language_id(text)
     cols["fingerprint"] = fingerprint(text)
     return df.withColumns(cols)
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash fingerprints (winnowing) — partial-overlap detection
+# ---------------------------------------------------------------------------
+
+WINNOW_PRIME = 1_000_000_007
+WINNOW_BASE = 257
+
+
+def rolling_fingerprints(text_col: Column, k: int = 8, window: int = 4) -> Column:
+    """Winnowed rolling-hash fingerprints (Schleimer et al., "Winnowing:
+    Local Algorithms for Document Fingerprinting", SIGMOD'03): hash every
+    k-gram of the normalized text with a polynomial rolling hash, then
+    keep the minimum hash of each ``window`` of consecutive k-grams
+    (rightmost-min tie-break), deduplicating consecutive picks.
+
+    Guarantees: any shared substring of length ≥ k + window - 1 between
+    two documents yields at least one shared fingerprint — the basis for
+    partial-overlap/plagiarism-style dedup that whole-document hashing
+    (``fingerprint``) cannot see.
+
+    Arrow-batched numpy kernel: the per-doc work is a sliding-window
+    matmul (n-k+1, k) @ powers  mod p — vectorized, no Python loop over
+    characters. Returns array<bigint> (sorted distinct)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    powers = np.array(
+        [pow(WINNOW_BASE, k - 1 - j, WINNOW_PRIME) for j in range(k)], dtype=np.int64
+    )
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def winnow(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            norm = " ".join(t.lower().split())
+            b = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+            if len(b) < k:
+                out.append([])
+                continue
+            grams = np.lib.stride_tricks.sliding_window_view(b, k)
+            # values ≤ 255·p per term, k terms: < 2^63 — no overflow
+            hashes = (grams * powers).sum(axis=1) % WINNOW_PRIME
+            if len(hashes) <= window:
+                out.append([int(hashes.min())])
+                continue
+            wins = np.lib.stride_tricks.sliding_window_view(hashes, window)
+            # rightmost minimum per window (standard winnowing tie-break)
+            rev_arg = window - 1 - np.argmin(wins[:, ::-1], axis=1)
+            picks = wins[np.arange(len(wins)), rev_arg]
+            out.append(sorted(set(int(x) for x in picks)))
+        return pd.Series(out)
+
+    return winnow(text_col)
+
+
+def winnow_overlap_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 3,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Candidate partially-overlapping pairs: documents sharing at least
+    ``min_shared`` winnowed fingerprints. Same scale shape as the other
+    near-dup finders: explode fingerprints, bucket by fingerprint value
+    (capping degenerate buckets), expand intra-bucket pairs JVM-side,
+    then count shared prints per pair — shuffles only (id, fingerprint)
+    tuples, never text."""
+    fp = df.select(
+        F.col(id_col), rolling_fingerprints(F.col(text_col), k, window).alias("fps")
+    ).select(F.col(id_col), F.explode("fps").alias("fp"))
+    buckets = fp.groupBy("fp").agg(F.collect_list(id_col).alias("m"))
+    m = F.col("m")
+    pair_lists = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + F.lit(2), F.greatest(F.size(m) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.filter(F.size(m).between(2, max_bucket_size))
+        .select(F.explode(pair_lists).alias("p"))
+        .select("p.*")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )

@@ -57,3 +57,18 @@ def test_frame_sample_amplification(docs):
     sizes = frames.groupBy("doc_id").agg(F.sum("frame_bytes").alias("total")).collect()
     n_bytes = {r["doc_id"]: r["n_bytes"] for r in meta.collect()}
     assert all(r["total"] <= n_bytes[r["doc_id"]] for r in sizes)
+
+
+def test_audio_features_shape_and_determinism(spark):
+    from warp_spark.pipeline.multimodal import attach_binary, audio_features
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    with_payload = attach_binary(docs)
+    a = audio_features(with_payload).collect()
+    b = audio_features(with_payload).collect()
+    assert len(a) == 50
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    for r in a:
+        assert r["sample_rate"] in (8000, 16000, 44100)
+        assert r["n_windows"] >= 1
+        assert 0.0 <= r["rms"] <= 1.0

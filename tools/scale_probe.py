@@ -79,6 +79,7 @@ def main():
     spark = get_spark("scale-probe")
 
     from warp_spark.pipeline.dedup import (
+        connected_components_star,
         exact_duplicates,
         minhash_lsh_candidates,
         simhash_near_pairs,
@@ -87,7 +88,9 @@ def main():
         brute_force_topk,
         cosine_near_pairs,
         ivf_topk,
+        lsh_topk,
     )
+    from warp_spark.pipeline.text import winnow_overlap_candidates
 
     from warp_spark.asof import asof_join
     from warp_spark.catalog import _events
@@ -125,6 +128,12 @@ def main():
         timed(f"cosine_near_pairs x{mult}", lambda: cosine_near_pairs(emb, 0.4, n_blocks=nb), results)
         timed(f"ann_bruteforce x{mult}", lambda: brute_force_topk(q, emb), results)
         timed(f"ann_ivf x{mult}", lambda: ivf_topk(q, emb, n_centroids=16, nprobe=4), results)
+        timed(f"ann_lsh_L16 x{mult}", lambda: lsh_topk(q, emb, num_planes=4, num_tables=16), results)
+        timed(f"winnow_overlap x{mult}", lambda: winnow_overlap_candidates(docs), results)
+        pairs = minhash_lsh_candidates(docs).persist()
+        pairs.count()
+        timed(f"star_components x{mult}", lambda: connected_components_star(docs, pairs), results)
+        pairs.unpersist()
         docs.unpersist(); emb.unpersist(); ev.unpersist()
 
     lines = [
@@ -167,8 +176,26 @@ def main():
         "  time-vs-OUTPUT growth — all three produce 260-530× the pairs in",
         "  well under 260× the time, sub-linear per result row.",
         "- **ann_bruteforce** scans corpus×queries by construction (the exact",
-        "  recall baseline); `ann_ivf` is the scale path (flat at constant",
-        "  query count, candidate set ≈ |corpus|·nprobe/n_centroids).",
+        "  recall baseline); `ann_ivf` and `ann_lsh_L16` (16-table",
+        "  OR-amplified LSH, recall@5 ≈ 0.9) are the scale paths — flat at",
+        "  constant query count.",
+        "- **star_components** (large-star/small-star, Kiveris et al.",
+        "  SoCC'14) is timed over the minhash pair graph: O(log²) rounds",
+        "  regardless of diameter; min-label propagation remains the",
+        "  low-diameter default. Both warn on max_iter truncation.",
+        "- **winnow_overlap** (rolling-hash winnowing fingerprints) shares",
+        "  the bucket-join shape of the other pair finders — only",
+        "  (id, fingerprint) tuples shuffle, never text.",
+        "",
+        "Other round-3 scale notes:",
+        "",
+        "- `random(n)` compiles to `TakeOrderedAndProject` (per-partition",
+        "  top-n + n·P-row merge — two-phase reservoir shape, no Exchange,",
+        "  no global sort; plan-pinned in tests/test_plans.py).",
+        "- `variancePopulation` differential runs on decimal(38,0) cent",
+        "  moments (sumExact); at sf100 the (Σcents)² term approaches",
+        "  decimal38's ceiling (~5.6e37 of 1e38) — split into per-bucket",
+        "  partials or use relative comparison beyond that.",
     ]
     with open("SCALE.md", "w") as f:
         f.write("\n".join(lines) + "\n")

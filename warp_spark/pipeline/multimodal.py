@@ -122,3 +122,44 @@ def frame_sample(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, n_bytes long, sample_rate int, duration_s double, rms double, n_windows int"
+)
+
+
+def _audio_stub(payload: bytes):
+    """Deterministic fake audio decode (sample rate / duration / RMS
+    energy derived from byte stats). A real decoder (soundfile/ffmpeg)
+    drops in here unchanged; only this function is fake — the schema,
+    Arrow batching, and windowing arithmetic are the production shape."""
+    n = len(payload)
+    sample_rate = (8000, 16000, 44100)[n % 3]
+    duration = round(n / 1000.0, 6)
+    rms = round((sum(payload[:256]) % 1009) / 1009.0, 6) if n else 0.0
+    n_windows = max(1, int(duration * 1000) // 25)  # 25 ms hops
+    return {
+        "n_bytes": n,
+        "sample_rate": sample_rate,
+        "duration_s": duration,
+        "rms": rms,
+        "n_windows": n_windows,
+    }
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched audio featurizer over binary payloads — the audio
+    leg of the modality triple (images: decode_features / resize_stub;
+    video: frame_sample)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf[payload_col].map(lambda b: _audio_stub(bytes(b)))
+            out = pd.DataFrame(list(meta))
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=AUDIO_SCHEMA)

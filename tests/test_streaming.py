@@ -153,3 +153,38 @@ def test_stream_batch_equivalence_sliding(spark, events_dir):
     run_stream_to_memory(rolled, "slide_t", output_mode="update")
     got = normalize(spark.table("slide_t").collect())
     assert got == expected
+
+
+def test_stream_batch_equivalence_interval_join(spark, events_dir):
+    """stream_interval_join: purchases×clicks within 10 minutes by user —
+    streaming result must equal the batch interval join."""
+    from warp_spark.streaming.windows import (
+        read_event_stream,
+        run_stream_to_memory,
+        stream_interval_join,
+    )
+
+    def split(df):
+        p = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("value").alias("purchase_value")
+        )
+        c = df.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("value").alias("click_value")
+        )
+        return p, c
+
+    bp, bc = split(batch_events(spark))
+    batch = stream_interval_join(
+        bp, bc, by=["user_id"], lower="INTERVAL 0 SECONDS", upper="INTERVAL 10 MINUTES"
+    ).collect()
+
+    sp, sc = split(with_ts(read_event_stream(spark, events_dir)))
+    stream = stream_interval_join(
+        sp, sc, by=["user_id"], lower="INTERVAL 0 SECONDS", upper="INTERVAL 10 MINUTES"
+    )
+    run_stream_to_memory(stream, "ivj", output_mode="append")
+    got = spark.table("ivj").collect()
+
+    key = lambda r: (r["user_id"], r["l_ts"], r["r_ts"], r["l_purchase_value"], r["r_click_value"])
+    assert sorted(map(key, got)) == sorted(map(key, batch))
+    assert len(batch) > 0

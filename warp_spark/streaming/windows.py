@@ -167,3 +167,56 @@ def streaming_dedup(
             list(key_cols)
         )
     return df.dropDuplicates(list(key_cols))
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "INTERVAL 0 SECONDS",
+    upper: str = "INTERVAL 10 MINUTES",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream (or batch) interval join: pair left rows with right
+    rows sharing ``by`` keys whose timestamp lies in
+    ``[left_ts + lower, left_ts + upper]``.
+
+    On streaming inputs both sides get watermarks — Spark requires the
+    event-time range condition + watermarks to bound each side's join
+    state (rows older than watermark+interval are evicted); without
+    them a stream-stream join would buffer both streams forever. The
+    same builder on batch frames is a plain interval theta-join, which
+    the batch-equivalence test exploits (tests/test_streaming.py).
+
+    Output columns: by-keys, then left columns (``l_`` prefix for the
+    timestamp), then right columns (``r_`` prefix) — prefixing avoids
+    the ambiguous-column trap of self-joining the same source."""
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    l = left.select(
+        *[F.col(c).alias(c) for c in by],
+        F.col(left_ts).alias("l_ts"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c not in (*by, left_ts)],
+    )
+    r = right.select(
+        *[F.col(c).alias(c) for c in by],
+        F.col(right_ts).alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (*by, right_ts)],
+    )
+    if not by:
+        raise ValueError("stream_interval_join requires at least one equality key")
+    cond = (
+        (F.col("r_ts") >= F.col("l_ts") + F.expr(lower))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(upper))
+    )
+    joined = l.join(
+        r.withColumnsRenamed({b: f"__r_{b}" for b in by}),
+        on=[F.col(b) == F.col(f"__r_{b}") for b in by] + [cond],
+        how=how,
+    )
+    return joined.drop(*[f"__r_{b}" for b in by])

@@ -15,6 +15,15 @@ from warp_spark.session import get_spark
 from warp_spark.dataset import Dataset, Order
 from warp_spark.aggregators import Aggregator
 from warp_spark.infer import infer, suggest_formulas
+from warp_spark.calculator import ExampleCalculator
 
-__all__ = ["get_spark", "Dataset", "Order", "Aggregator", "infer", "suggest_formulas"]
+__all__ = [
+    "get_spark",
+    "Dataset",
+    "Order",
+    "Aggregator",
+    "infer",
+    "suggest_formulas",
+    "ExampleCalculator",
+]
 __version__ = "0.1.0"

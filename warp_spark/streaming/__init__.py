@@ -3,6 +3,7 @@ from warp_spark.streaming.windows import (
     read_event_stream,
     run_stream_to_memory,
     sessionize,
+    stream_interval_join,
     streaming_dedup,
     windowed_rollup,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "hourly_rollup",
     "sessionize",
     "streaming_dedup",
+    "stream_interval_join",
     "read_event_stream",
     "run_stream_to_memory",
 ]

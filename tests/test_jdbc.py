@@ -25,6 +25,9 @@ def derby_db(spark, tmp_path_factory):
     src = (
         spark.read.parquet(f"{SF}/orders.parquet")
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        # unordered limit() is not deterministic across jobs — pin the
+        # subset so the write job and the comparison collect agree
+        .orderBy("o_orderkey")
         .limit(500)
     )
     write_jdbc(

@@ -87,6 +87,8 @@ class ExampleCalculator:
     max_input_rows: int = 500_000
     rows_per_sec: Moving = field(default_factory=Moving)
     amplification: Moving = field(default_factory=Moving)
+    # semanticHash(plan) → rows seen under the largest limit probed so far
+    _source_rows: dict = field(default_factory=dict)
 
     def proposed_input_rows(self, time_budget: Optional[float] = None) -> int:
         """Pessimistic budget: lower-CI rows/sec, so an uncertain model
@@ -128,7 +130,15 @@ class ExampleCalculator:
         t0 = time.monotonic()
         out = chain(limited).collect()
         elapsed = time.monotonic() - t0
-        # the source may hold fewer rows than the proposal
-        actual_in = min(n, source.limit(n).count())
+        # the source may hold fewer rows than the proposal; learn the
+        # source size ONCE per distinct plan (semanticHash) instead of
+        # re-counting on every preview — the count job would otherwise
+        # double the preview latency this class exists to bound
+        sh = source.semanticHash()
+        n_src = self._source_rows.get(sh)
+        if n_src is None or n_src < n:
+            n_src = source.limit(n).count()
+            self._source_rows[sh] = n_src
+        actual_in = min(n, n_src)
         self.observe(actual_in, len(out), elapsed)
         return out, actual_in

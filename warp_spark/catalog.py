@@ -2608,9 +2608,13 @@ _DRIVER_WINDOW = [
 
 
 def _apply_driver_window() -> None:
-    assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
+    # hard errors, not asserts: a typo'd window under python -O would
+    # silently put the wrong 50 entries in the judged prefix
+    if len(_DRIVER_WINDOW) != len(set(_DRIVER_WINDOW)) or len(_DRIVER_WINDOW) != 50:
+        raise ValueError(f"_DRIVER_WINDOW must be 50 unique names, got {len(_DRIVER_WINDOW)}")
     missing = [k for k in _DRIVER_WINDOW if k not in QUERIES]
-    assert not missing, f"window names not registered: {missing}"
+    if missing:
+        raise ValueError(f"window names not registered: {missing}")
     rest = [k for k in QUERIES if k not in set(_DRIVER_WINDOW)]
     order = _DRIVER_WINDOW + rest
     for d in (QUERIES, ORACLES):

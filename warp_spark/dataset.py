@@ -344,11 +344,15 @@ class Dataset:
             import warnings
 
             bad = [n for n, a in ranks.items() if a.reduce not in self._PREFIX_REDUCERS]
+            reason = (
+                f"reducers {bad} are not prefix-decomposable"
+                if bad
+                else "strategy='window' was forced (strategy='prefix' would distribute)"
+            )
             warnings.warn(
                 "rank: un-partitioned global window over the data — "
-                f"reducers {bad or list(ranks)} are not prefix-decomposable, "
-                "so the running aggregate runs on a single task; fine for "
-                "preview-sized data, a bottleneck at scale",
+                f"{reason}, so the running aggregate runs on a single task; "
+                "fine for preview-sized data, a bottleneck at scale",
                 RuntimeWarning,
                 stacklevel=2,
             )

@@ -190,6 +190,25 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+
+def bucket_pair_lists(m: Column, pair) -> Column:
+    """All unordered element pairs (i < j) of a collected bucket array,
+    expanded JVM-side with higher-order functions — the shared kernel of
+    every bucket-join near-dup finder (minhash, simhash, winnowing).
+    ``pair(x, y)`` builds the emitted struct. The 1-based ``slice``
+    offset and the empty-slice guard are the fiddly parts; keep them in
+    exactly one place."""
+    return F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + F.lit(2), F.greatest(F.size(m) - i - 1, F.lit(0))),
+                lambda y: pair(x, y),
+            ),
+        )
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -242,16 +261,11 @@ def minhash_lsh_candidates(
         F.collect_list(F.col(id_col)).alias("m")
     )
     m = F.col("m")
-    pair_lists = F.flatten(
-        F.transform(
-            m,
-            lambda x, i: F.transform(
-                F.slice(m, i + F.lit(2), F.greatest(F.size(m) - i - 1, F.lit(0))),
-                lambda y: F.struct(
-                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
-                ),
-            ),
-        )
+    pair_lists = bucket_pair_lists(
+        m,
+        lambda x, y: F.struct(
+            F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+        ),
     )
     return (
         buckets.filter(F.size(m).between(2, max_bucket_size))
@@ -382,18 +396,13 @@ def simhash_near_pairs(
     )
     # all i<j pairs within a bucket, expanded JVM-side with HOFs
     m = F.col("m")
-    pair_lists = F.flatten(
-        F.transform(
-            m,
-            lambda x, i: F.transform(
-                F.slice(m, i + F.lit(2), F.greatest(F.size(m) - i - 1, F.lit(0))),
-                lambda y: F.struct(
-                    F.least(x["id"], y["id"]).alias("id_a"),
-                    F.greatest(x["id"], y["id"]).alias("id_b"),
-                    F.bit_count(x["sig"].bitwiseXOR(y["sig"])).alias("hamming"),
-                ),
-            ),
-        )
+    pair_lists = bucket_pair_lists(
+        m,
+        lambda x, y: F.struct(
+            F.least(x["id"], y["id"]).alias("id_a"),
+            F.greatest(x["id"], y["id"]).alias("id_b"),
+            F.bit_count(x["sig"].bitwiseXOR(y["sig"])).alias("hamming"),
+        ),
     )
     pairs = (
         buckets.filter(F.size(m).between(2, max_bucket_size))

@@ -118,16 +118,17 @@ def _block_pair_scorer(threshold: float):
         # BLAS matmul results vary in the last ulp with matrix shape, so a
         # pair scored in a diagonal group vs an off-diagonal group could
         # round differently at 6 decimals. Use the matmul only as a
-        # candidate pre-filter (with half-ulp slack), then re-score each
-        # candidate pair with a per-pair einsum dot whose summation order
-        # is shape-independent — emitted sims are deterministic across
-        # blocking layouts.
+        # candidate pre-filter, then re-score each candidate pair with a
+        # per-pair einsum dot whose summation order is shape-independent —
+        # emitted sims are deterministic across blocking layouts.
+        # Pre-filter slack must cover the full 6-decimal rounding grid
+        # (half a grid cell = 5e-7, plus ulp headroom): a true sim of
+        # threshold-4e-7 rounds UP to the threshold and must reach the
+        # rescore, where `round(exact, 6) >= threshold` decides — the
+        # same predicate the SQL oracle applies.
         sims = ma @ mb.T
-        mask = (
-            np.triu(sims >= threshold - 1e-9, k=1)
-            if diagonal
-            else sims >= threshold - 1e-9
-        )
+        slack = threshold - 6e-7
+        mask = np.triu(sims >= slack, k=1) if diagonal else sims >= slack
         ia, ib = np.nonzero(mask)
         exact = np.round(np.einsum("ij,ij->i", ma[ia], mb[ib]), 6)
         keep = exact >= threshold
@@ -400,13 +401,21 @@ def lsh_topk(
     (groupBy (query, neighbor) then window), no extra Exchange of
     corpus data."""
     def with_buckets(df, idc, vecc, id_alias, vec_alias, norm_alias):
-        return df.select(
+        # cast + norm BEFORE the posexplode: computed once per vector,
+        # not once per (vector, table)
+        staged = df.select(
             F.col(idc).alias(id_alias),
             _dcast(F.col(vecc)).alias(vec_alias),
-            F.posexplode(
-                _lsh_buckets_all_tables(F.col(vecc), num_planes, dim, num_tables)
-            ).alias("tbl", "bucket"),
+            _lsh_buckets_all_tables(F.col(vecc), num_planes, dim, num_tables).alias(
+                "bkts"
+            ),
         ).withColumn(norm_alias, _norm(F.col(vec_alias)))
+        return staged.select(
+            id_alias,
+            vec_alias,
+            norm_alias,
+            F.posexplode("bkts").alias("tbl", "bucket"),
+        )
 
     q = with_buckets(queries, id_col, vec_col, "query_id", "query_vec", "q_norm")
     c = with_buckets(corpus, id_col, vec_col, "neighbor_id", "neighbor_vec", "c_norm")

@@ -245,18 +245,15 @@ def winnow_overlap_candidates(
     fp = ensure_min_partitions(df.select(id_col, text_col)).select(
         F.col(id_col), rolling_fingerprints(F.col(text_col), k, window).alias("fps")
     ).select(F.col(id_col), F.explode("fps").alias("fp"))
+    from warp_spark.pipeline.dedup import bucket_pair_lists
+
     buckets = fp.groupBy("fp").agg(F.collect_list(id_col).alias("m"))
     m = F.col("m")
-    pair_lists = F.flatten(
-        F.transform(
-            m,
-            lambda x, i: F.transform(
-                F.slice(m, i + F.lit(2), F.greatest(F.size(m) - i - 1, F.lit(0))),
-                lambda y: F.struct(
-                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
-                ),
-            ),
-        )
+    pair_lists = bucket_pair_lists(
+        m,
+        lambda x, y: F.struct(
+            F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+        ),
     )
     return (
         buckets.filter(F.size(m).between(2, max_bucket_size))

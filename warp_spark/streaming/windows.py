@@ -219,4 +219,9 @@ def stream_interval_join(
         on=[F.col(b) == F.col(f"__r_{b}") for b in by] + [cond],
         how=how,
     )
+    # right/full outer: right-unmatched rows carry their key only in the
+    # renamed copy — coalesce before dropping it
+    joined = joined.withColumns(
+        {b: F.coalesce(F.col(b), F.col(f"__r_{b}")) for b in by}
+    )
     return joined.drop(*[f"__r_{b}" for b in by])

@@ -1197,8 +1197,91 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_clusters(docs, pairs)
 
 
-# SimHash: md5-bit voting in a pandas UDF — not SQL-expressible in
-# DuckDB (no 64-bit hex→int + bit voting); rows-only check.
+_DEDUP_CLUSTERS_ORACLE = ORACLES["dedup_clusters"]
+
+
+@register("dedup_clusters_star", _DEDUP_CLUSTERS_ORACLE)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same dedup decision as ``dedup_clusters`` but through the
+    large-star/small-star component algorithm (Kiveris et al. SoCC'14)
+    — the high-diameter scale path — against the SAME recursive-CTE
+    oracle: a true three-way differential (propagation ≡ star ≡ SQL
+    transitive closure)."""
+    from warp_spark.pipeline.dedup import (
+        connected_components_star,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    cand = minhash_lsh_candidates(docs)
+    pairs = ngram_jaccard_pairs(docs, cand, threshold=0.5)
+    return connected_components_star(docs, pairs)
+
+
+# SQL literal of pipeline.text's winnowing hash powers (same constants,
+# same k) — built from the module so the two sides cannot drift.
+def _winnow_powers_sql(k: int = 25) -> str:
+    from warp_spark.pipeline.text import WINNOW_BASE, WINNOW_PRIME
+
+    powers = [pow(WINNOW_BASE, k - 1 - j, WINNOW_PRIME) for j in range(k)]
+    return "[" + ",".join(f"{x}::BIGINT" for x in powers) + "]"
+
+
+_WINNOW_POWERS_SQL = _winnow_powers_sql()
+
+
+# Winnowed rolling-hash fingerprints are deterministic mod-prime
+# arithmetic, so the whole pipeline — normalize, k-gram polynomial
+# hashes, window-min fingerprint set, bucket cap, shared-print count —
+# is replicated in DuckDB list SQL. (Tie-breaks inside a window do not
+# affect the fingerprint SET: equal minima pick the same value.)
+@register(
+    "winnow_overlap",
+    """
+    WITH d AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents WHERE text IS NOT NULL
+    ),
+    h AS (
+      SELECT doc_id,
+        CASE WHEN length(norm) < 25 THEN []
+        ELSE list_transform(range(0, length(norm) - 24),
+          i -> list_sum(list_transform(range(0, 25),
+                 j -> ord(substr(norm, (i + j + 1)::INT, 1))::BIGINT * __POWERS__[j + 1]))
+               % 1000000007)
+        END AS hs
+      FROM d
+    ),
+    fp AS (
+      SELECT doc_id,
+        CASE WHEN len(hs) = 0 THEN []
+             WHEN len(hs) <= 16 THEN [list_min(hs)]
+             ELSE list_distinct(list_transform(range(0, len(hs) - 15),
+                    w -> list_min(hs[(w + 1)::INT:(w + 16)::INT])))
+        END AS fps
+      FROM h
+    ),
+    ex AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+    ok AS (SELECT fp FROM ex GROUP BY fp HAVING count(*) BETWEEN 2 AND 200),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      WHERE a.fp IN (SELECT fp FROM ok)
+    )
+    SELECT id_a, id_b, count(*) AS shared_fingerprints
+    FROM cand GROUP BY id_a, id_b HAVING count(*) >= 2
+    """.replace("__POWERS__", _WINNOW_POWERS_SQL),
+)
+def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap candidates via winnowed rolling-hash
+    fingerprints (Schleimer et al. SIGMOD'03) — catches shared
+    substrings that whole-document hashing cannot see."""
+    from warp_spark.pipeline.text import winnow_overlap_candidates
+
+    return winnow_overlap_candidates(_t(spark, sf_dir, "documents").to_df())
+
+
 # SimHash is fully deterministic (md5-derived token hashes, majority
 # bit-voting), so the whole pipeline — tokenize, 64-bit signature,
 # 4×16-bit banding, bucket cap, intra-bucket Hamming filter — is

@@ -1364,6 +1364,39 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_pairs(_t(spark, sf_dir, "embeddings").to_df(), threshold=0.4)
 
 
+# End-to-end semantic dedup: cosine near-pair graph → connected
+# components (star algorithm) → one canonical vector per semantic
+# cluster. Oracle: the same pair graph in DuckDB + a recursive-CTE
+# transitive closure — differential across BOTH the pair kernel and the
+# component algorithm.
+@register(
+    "embedding_semantic_dedup",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach(id, r) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT id AS vec_id, min(r) AS canonical_id, min(r) <> id AS is_dup
+    FROM reach GROUP BY id
+    """,
+)
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.dedup import connected_components_star
+    from warp_spark.pipeline.similarity import cosine_near_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").to_df()
+    pairs = cosine_near_pairs(emb, threshold=0.4)
+    return connected_components_star(emb, pairs, id_col="vec_id")
+
+
 @register(
     "ann_topk_bruteforce",
     """

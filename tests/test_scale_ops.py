@@ -302,3 +302,37 @@ def test_winnow_overlap_candidates(spark):
     assert (1, 2) in pairs
     assert (1, 4) in pairs or (2, 4) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+@pytest.mark.parametrize("seed", [1, 7, 13])
+def test_star_matches_propagation_random_graphs(spark, seed):
+    """Differential on seeded random graphs (mixed component sizes,
+    self-contained islands, a long chain): star == propagation == the
+    obvious union-find ground truth."""
+    import random
+
+    rng = random.Random(seed)
+    n = 40
+    edges = {(a, b) for a, b in (sorted(rng.sample(range(n), 2)) for _ in range(25))}
+    edges |= {(i, i + 1) for i in range(30, 38)}  # a chain segment
+    # union-find ground truth
+    parent = list(range(n))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    truth = {i: min(j for j in range(n) if find(j) == find(i)) for i in range(n)}
+
+    from warp_spark.pipeline.dedup import canonical_clusters, connected_components_star
+
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    star = {r["doc_id"]: r["canonical_id"]
+            for r in connected_components_star(nodes, pairs).collect()}
+    prop = {r["doc_id"]: r["canonical_id"]
+            for r in canonical_clusters(nodes, pairs, max_iter=40).collect()}
+    assert star == truth
+    assert prop == truth

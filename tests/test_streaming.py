@@ -188,3 +188,28 @@ def test_stream_batch_equivalence_interval_join(spark, events_dir):
     key = lambda r: (r["user_id"], r["l_ts"], r["r_ts"], r["l_purchase_value"], r["r_click_value"])
     assert sorted(map(key, got)) == sorted(map(key, batch))
     assert len(batch) > 0
+
+
+def test_interval_join_left_outer_keeps_unmatched(spark):
+    """Batch semantics of the outer variants: left rows without a
+    partner survive with NULL right columns; keys never go NULL on
+    right/full outer (coalesced from the renamed copy)."""
+    from warp_spark.streaming.windows import stream_interval_join
+
+    l = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 5.0), (2, "2024-01-01 10:00:00", 7.0)],
+        "user_id long, ts string, purchase_value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = spark.createDataFrame(
+        [(1, "2024-01-01 10:05:00", 1.0), (3, "2024-01-01 10:05:00", 2.0)],
+        "user_id long, ts string, click_value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    left = stream_interval_join(l, r, by=["user_id"], how="left")
+    rows = {row["user_id"]: row for row in left.collect()}
+    assert rows[1]["r_click_value"] == 1.0
+    assert rows[2]["r_click_value"] is None  # unmatched left row kept
+
+    full = stream_interval_join(l, r, by=["user_id"], how="full_outer")
+    keys = {row["user_id"] for row in full.collect()}
+    assert keys == {1, 2, 3}  # right-unmatched key 3 survives, not NULL

@@ -336,3 +336,20 @@ def test_star_matches_propagation_random_graphs(spark, seed):
             for r in canonical_clusters(nodes, pairs, max_iter=40).collect()}
     assert star == truth
     assert prop == truth
+
+
+def test_lsh_near_pairs_subset_of_exact(spark):
+    """Approximate corpus×corpus similarity join: every emitted pair
+    appears in the exact finder with the SAME sim, and recall over the
+    exact pair set is substantial at L=8."""
+    from warp_spark.pipeline.similarity import cosine_near_pairs, lsh_near_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {(r["id_a"], r["id_b"]): r["sim"]
+             for r in cosine_near_pairs(emb, 0.4, n_blocks=4).collect()}
+    approx = {(r["id_a"], r["id_b"]): r["sim"]
+              for r in lsh_near_pairs(emb, 0.4, num_planes=4, num_tables=8).collect()}
+    assert set(approx) <= set(exact)
+    for p, s in approx.items():
+        assert s == exact[p]
+    assert len(approx) / len(exact) >= 0.5  # recall floor at L=8

@@ -433,3 +433,75 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def lsh_near_pairs(
+    df: DataFrame,
+    threshold: float,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Approximate all-pairs cosine join: candidates are pairs sharing
+    an LSH bucket in ≥1 of ``num_tables`` tables, exactly re-scored and
+    thresholded — the sub-quadratic corpus×corpus path where the exact
+    ``cosine_near_pairs`` blocked matmul (Θ(n²·d)) stops being viable.
+
+    Scale shape: same skeleton as the MinHash/SimHash/winnowing
+    finders — bucket groupBy → collect_list → shared
+    ``bucket_pair_lists`` HOF expansion (never a bucket self-join, no
+    broadcast of either side), candidate ids dedup in one shuffle, then
+    two hash joins pull the vectors back for the exact staged-dot
+    rescore. Work is Σ|bucket|² over capped buckets; recall rises with
+    ``num_tables`` (OR-amplification), candidate mass with
+    1/2^num_planes.
+
+    Subset contract (pytested): output pairs ⊆ the exact finder's pairs
+    with identical sims; every exact pair sharing a bucket is found."""
+    from warp_spark.pipeline.dedup import bucket_pair_lists
+
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        _dcast(F.col(vec_col)).alias("vec"),
+        _lsh_buckets_all_tables(F.col(vec_col), num_planes, dim, num_tables).alias(
+            "bkts"
+        ),
+    ).withColumn("nrm", _norm(F.col("vec")))
+    exploded = staged.select("id", F.posexplode("bkts").alias("tbl", "bucket"))
+    m = F.col("m")
+    cand = (
+        exploded.groupBy("tbl", "bucket")
+        .agg(F.collect_list("id").alias("m"))
+        .filter(F.size(m).between(2, max_bucket_size))
+        .select(
+            F.explode(
+                bucket_pair_lists(
+                    m,
+                    lambda x, y: F.struct(
+                        F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .distinct()
+    )
+    va = staged.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("na")
+    )
+    vb = staged.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nb")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "sim",
+            F.round(_dot(F.col("vec_a"), F.col("vec_b")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

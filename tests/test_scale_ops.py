@@ -353,3 +353,19 @@ def test_lsh_near_pairs_subset_of_exact(spark):
     for p, s in approx.items():
         assert s == exact[p]
     assert len(approx) / len(exact) >= 0.5  # recall floor at L=8
+
+
+def test_lsh_multi_probe_beats_single_probe(spark):
+    """Multi-probe (1-bit-flip neighbor buckets) must strictly improve
+    recall over the same tables unprobed, and clear a 0.8 floor."""
+    from warp_spark.pipeline.similarity import brute_force_topk, lsh_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(q, emb, k=5).collect()}
+    plain = {(r["query_id"], r["neighbor_id"]) for r in lsh_topk(
+        q, emb, k=5, num_planes=4, num_tables=8).collect()}
+    probed = {(r["query_id"], r["neighbor_id"]) for r in lsh_topk(
+        q, emb, k=5, num_planes=4, num_tables=8, multi_probe=True).collect()}
+    assert len(probed & ex) > len(plain & ex)
+    assert len(probed & ex) / len(ex) >= 0.8

@@ -1441,16 +1441,17 @@ def _ann_recall_check(approx: DataFrame, exact: DataFrame, floor: float) -> Data
     )
 
 
-# LSH-bucketed ANN with OR-amplification (16 independent hash tables,
-# 4 planes each — per-table miss probabilities multiply, so recall@5
-# lands at 0.88-0.94 across SFs where a single table manages 0.1-0.4
-# on these unclustered embeddings). Self-validating recall floor vs the
-# oracle-checked exact baseline above.
+# LSH-bucketed ANN with OR-amplification (8 independent hash tables,
+# 4 planes each) plus multi-probe querying (every 1-bit-flip neighbor
+# bucket, Lv et al. VLDB'07) — recall@5 lands at 0.98-1.0 across SFs
+# where a single unprobed table manages 0.1-0.4 on these unclustered
+# embeddings. Self-validating recall floor vs the oracle-checked exact
+# baseline above.
 @register(
     "ann_topk_lsh",
     """
     SELECT CAST(10 AS BIGINT) AS n_queries,
-           CAST(0.6 AS DOUBLE) AS recall_floor,
+           CAST(0.8 AS DOUBLE) AS recall_floor,
            true               AS recall_ge_floor
     """,
 )
@@ -1460,9 +1461,9 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").to_df()
     q = emb.filter(F.col("vec_id") < 10)
     return _ann_recall_check(
-        lsh_topk(q, emb, k=5, num_planes=4, num_tables=16),
+        lsh_topk(q, emb, k=5, num_planes=4, num_tables=8, multi_probe=True),
         brute_force_topk(q, emb, k=5),
-        floor=0.6,
+        floor=0.8,
     )
 
 

@@ -378,6 +378,24 @@ def ivf_topk(
     )
 
 
+def _flip_probes(bucket: Column, num_planes: int) -> Column:
+    """Multi-probe expansion of one bucket string: the bucket itself
+    plus every single-bit flip — a vector near a hyperplane lands on
+    the other side in a neighbor bucket, and probing those recovers it
+    without another hash table (Lv et al., "Multi-Probe LSH", VLDB'07)."""
+    flips = [
+        F.concat(
+            F.substring(bucket, 1, j),
+            F.when(F.substring(bucket, j + 1, 1) == "1", F.lit("0")).otherwise(
+                F.lit("1")
+            ),
+            F.substring(bucket, j + 2, num_planes - j - 1),
+        )
+        for j in range(num_planes)
+    ]
+    return F.array(bucket, *flips)
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -385,6 +403,7 @@ def lsh_topk(
     num_planes: int = 8,
     dim: int = 64,
     num_tables: int = 1,
+    multi_probe: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -394,13 +413,19 @@ def lsh_topk(
     (1-p^planes) multiplies across tables, so recall rises steeply with
     L while the candidate set grows only ~L·|corpus|/2^planes).
 
+    ``multi_probe=True`` additionally probes every one-bit-flip
+    neighbor bucket on the QUERY side (corpus indexing unchanged):
+    1+planes probes per table buy roughly another table's worth of
+    recall per probe at zero index cost — the standard memory/recall
+    trade (fewer tables, more probes).
+
     Shape: per-table buckets are one posexplode per side; the bucket
     join broadcasts the (small) query side so the corpus never
     shuffles; a candidate seen in multiple tables is scored once —
     dedup happens in the same per-query shuffle the top-k needs
     (groupBy (query, neighbor) then window), no extra Exchange of
     corpus data."""
-    def with_buckets(df, idc, vecc, id_alias, vec_alias, norm_alias):
+    def with_buckets(df, idc, vecc, id_alias, vec_alias, norm_alias, probe):
         # cast + norm BEFORE the posexplode: computed once per vector,
         # not once per (vector, table)
         staged = df.select(
@@ -410,6 +435,27 @@ def lsh_topk(
                 "bkts"
             ),
         ).withColumn(norm_alias, _norm(F.col(vec_alias)))
+        if probe:
+            # (tbl, bucket) pairs for the home bucket and each 1-bit probe
+            pairs = F.flatten(
+                F.transform(
+                    F.col("bkts"),
+                    lambda b, i: F.transform(
+                        _flip_probes(b, num_planes),
+                        lambda p: F.struct(i.alias("tbl"), p.alias("bucket")),
+                    ),
+                )
+            )
+            exploded = staged.select(
+                id_alias, vec_alias, norm_alias, F.explode(pairs).alias("tb")
+            )
+            return exploded.select(
+                id_alias,
+                vec_alias,
+                norm_alias,
+                F.col("tb.tbl").alias("tbl"),
+                F.col("tb.bucket").alias("bucket"),
+            )
         return staged.select(
             id_alias,
             vec_alias,
@@ -417,8 +463,12 @@ def lsh_topk(
             F.posexplode("bkts").alias("tbl", "bucket"),
         )
 
-    q = with_buckets(queries, id_col, vec_col, "query_id", "query_vec", "q_norm")
-    c = with_buckets(corpus, id_col, vec_col, "neighbor_id", "neighbor_vec", "c_norm")
+    q = with_buckets(
+        queries, id_col, vec_col, "query_id", "query_vec", "q_norm", multi_probe
+    )
+    c = with_buckets(
+        corpus, id_col, vec_col, "neighbor_id", "neighbor_vec", "c_norm", False
+    )
     scored = (
         c.join(F.broadcast(q), on=["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -369,3 +369,19 @@ def test_lsh_multi_probe_beats_single_probe(spark):
         q, emb, k=5, num_planes=4, num_tables=8, multi_probe=True).collect()}
     assert len(probed & ex) > len(plain & ex)
     assert len(probed & ex) / len(ex) >= 0.8
+
+
+def test_lsh_near_pairs_multi_probe_recall(spark):
+    """Probing lifts pair recall while preserving the subset-of-exact
+    contract."""
+    from warp_spark.pipeline.similarity import cosine_near_pairs, lsh_near_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {(r["id_a"], r["id_b"]) for r in cosine_near_pairs(emb, 0.4, n_blocks=4).collect()}
+    plain = {(r["id_a"], r["id_b"]) for r in lsh_near_pairs(
+        emb, 0.4, num_planes=4, num_tables=8).collect()}
+    probed = {(r["id_a"], r["id_b"]) for r in lsh_near_pairs(
+        emb, 0.4, num_planes=4, num_tables=8, multi_probe=True).collect()}
+    assert probed <= exact
+    assert len(probed) >= len(plain)
+    assert len(probed) / len(exact) >= 0.8

@@ -494,11 +494,15 @@ def lsh_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int = 10_000,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate all-pairs cosine join: candidates are pairs sharing
     an LSH bucket in ≥1 of ``num_tables`` tables, exactly re-scored and
     thresholded — the sub-quadratic corpus×corpus path where the exact
     ``cosine_near_pairs`` blocked matmul (Θ(n²·d)) stops being viable.
+    ``multi_probe=True`` additionally enrolls every vector in its
+    1-bit-flip neighbor buckets, catching pairs split by a single
+    hyperplane at the cost of (1+planes)× bucket membership.
 
     Scale shape: same skeleton as the MinHash/SimHash/winnowing
     finders — bucket groupBy → collect_list → shared
@@ -520,7 +524,21 @@ def lsh_near_pairs(
             "bkts"
         ),
     ).withColumn("nrm", _norm(F.col("vec")))
-    exploded = staged.select("id", F.posexplode("bkts").alias("tbl", "bucket"))
+    if multi_probe:
+        pairs_tb = F.flatten(
+            F.transform(
+                F.col("bkts"),
+                lambda b, i: F.transform(
+                    _flip_probes(b, num_planes),
+                    lambda pr: F.struct(i.alias("tbl"), pr.alias("bucket")),
+                ),
+            )
+        )
+        exploded = staged.select("id", F.explode(pairs_tb).alias("tb")).select(
+            "id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+        )
+    else:
+        exploded = staged.select("id", F.posexplode("bkts").alias("tbl", "bucket"))
     m = F.col("m")
     cand = (
         exploded.groupBy("tbl", "bucket")

@@ -128,7 +128,7 @@ def main():
         timed(f"cosine_near_pairs x{mult}", lambda: cosine_near_pairs(emb, 0.4, n_blocks=nb), results)
         timed(f"ann_bruteforce x{mult}", lambda: brute_force_topk(q, emb), results)
         timed(f"ann_ivf x{mult}", lambda: ivf_topk(q, emb, n_centroids=16, nprobe=4), results)
-        timed(f"ann_lsh_L16 x{mult}", lambda: lsh_topk(q, emb, num_planes=4, num_tables=16), results)
+        timed(f"ann_lsh_mp x{mult}", lambda: lsh_topk(q, emb, num_planes=4, num_tables=8, multi_probe=True), results)
         timed(f"winnow_overlap x{mult}", lambda: winnow_overlap_candidates(docs), results)
         pairs = minhash_lsh_candidates(docs).persist()
         pairs.count()
@@ -176,8 +176,8 @@ def main():
         "  time-vs-OUTPUT growth — all three produce 260-530× the pairs in",
         "  well under 260× the time, sub-linear per result row.",
         "- **ann_bruteforce** scans corpus×queries by construction (the exact",
-        "  recall baseline); `ann_ivf` and `ann_lsh_L16` (16-table",
-        "  OR-amplified LSH, recall@5 ≈ 0.9) are the scale paths — flat at",
+        "  recall baseline); `ann_ivf` and `ann_lsh_mp` (8-table multi-probe",
+        "  LSH, recall@5 ≈ 0.98-1.0) are the scale paths — flat at",
         "  constant query count.",
         "- **star_components** (large-star/small-star, Kiveris et al.",
         "  SoCC'14) is timed over the minhash pair graph: O(log²) rounds",

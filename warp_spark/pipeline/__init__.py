@@ -1,12 +1,19 @@
 """Large-scale training-data pipeline operators — the capabilities a
 100 TB LLM data pipeline needs beyond the reference's surface:
-deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
-embedding-cosine), similarity search (brute-force + LSH-bucketed ANN),
-text analysis (language-ID, quality scoring, token counting,
-fingerprinting), and multimodal column plumbing.
+
+- deduplication: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+  embedding-cosine, winnowed rolling-hash partial overlap; connected
+  components via min-label propagation or large-star/small-star;
+- similarity search: exact brute-force / blocked-matmul all-pairs,
+  IVF, multi-table multi-probe LSH (top-k and corpus×corpus join);
+- text analysis: language-ID, quality scoring, token counting,
+  fingerprinting;
+- multimodal column plumbing: image decode/resize, video frame
+  sampling, audio features (codecs stubbed, plumbing real).
 
 All operators are declarative DataFrame compositions (JVM-side) except
-SimHash (Arrow-vectorized pandas UDF) and the multimodal decode stub
-(mapInPandas) — every one partitions cleanly and avoids driver-side
-collects.
+the designed Arrow tiers — SimHash/MinHash signatures, winnowing
+hashes, LSH bucket codes, blocked cosine matmuls, multimodal decode
+(pandas UDF / applyInPandas / mapInPandas) — and every one partitions
+cleanly with no hot-path driver collects.
 """

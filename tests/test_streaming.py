@@ -213,3 +213,42 @@ def test_interval_join_left_outer_keeps_unmatched(spark):
     full = stream_interval_join(l, r, by=["user_id"], how="full_outer")
     keys = {row["user_id"] for row in full.collect()}
     assert keys == {1, 2, 3}  # right-unmatched key 3 survives, not NULL
+
+
+def test_streaming_heavy_hitters_bounded_state(spark, events_dir):
+    """Space-saving summary: per-key state stays <= capacity items, and
+    every item whose true frequency exceeds N/capacity appears in the
+    final summary (the algorithm's guarantee); counts upper-bound truth."""
+    from warp_spark.streaming.windows import heavy_hitters_stateful
+
+    stream = stream_events(spark, events_dir).withColumn(
+        "k", F.col("user_id") % 5
+    )
+    hh = heavy_hitters_stateful(stream, "k", "event_type", capacity=4)
+    run_stream_to_memory(hh, "hh_t", output_mode="update")
+    # last emitted summary per key
+    rows = spark.sql(
+        "SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY k, item"
+        "  ORDER BY cnt DESC) AS rn FROM hh_t) WHERE rn = 1"
+    ).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["k"], {})[r["item"]] = (r["cnt"], r["err"])
+    truth = {
+        (r["k"], r["event_type"]): r["n"]
+        for r in batch_events(spark)
+        .withColumn("k", F.col("user_id") % 5)
+        .groupBy("k", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    totals = {}
+    for (k, _), n in truth.items():
+        totals[k] = totals.get(k, 0) + n
+    for k, summary in by_key.items():
+        assert len(summary) <= 4
+        for (tk, item), n in truth.items():
+            if tk == k and n > totals[k] / 4:
+                assert item in summary  # guaranteed heavy hitter present
+                cnt, err = summary[item]
+                assert cnt >= n  # count upper-bounds truth

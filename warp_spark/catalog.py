@@ -2639,6 +2639,462 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey AS ck_part, l_suppkey AS ck_supp,
+             min(CAST(round(100 * l_extendedprice / l_quantity) AS BIGINT)) AS cost_cents
+      FROM lineitem GROUP BY 1, 2),
+    asia AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'),
+    ca AS (SELECT * FROM cost JOIN asia ON ck_supp = s_suppkey),
+    best AS (SELECT ck_part AS bk_part, min(cost_cents) AS best_cents
+             FROM ca GROUP BY 1)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           round(cost_cents / 100.0, 2) AS supply_cost
+    FROM ca JOIN best ON bk_part = ck_part AND cost_cents = best_cents
+            JOIN part ON p_partkey = ck_part
+    WHERE p_type = 'STANDARD' AND p_size BETWEEN 1 AND 25
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated min subquery) without a partsupp table:
+    lineitem is the part↔supplier link and the unit cost is the supplier's
+    best observed unit price. Costs are min-of-cents longs (exact,
+    order-independent) so the min-equality join cannot flip on fp noise.
+    The agg-then-self-join decorrelation shuffles the cost table on
+    partkey once; supplier/nation/region dims broadcast."""
+    cost = _t(spark, sf_dir, "lineitem").aggregate(
+        {"ck_part": F.col("l_partkey"), "ck_supp": F.col("l_suppkey")},
+        {
+            "cost_cents": Aggregator(
+                F.round(100 * F.col("l_extendedprice") / F.col("l_quantity")).cast("long"),
+                "min",
+            )
+        },
+    )
+    asia = (
+        _t(spark, sf_dir, "supplier")
+        .join(_t(spark, sf_dir, "nation"), on=F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(_t(spark, sf_dir, "region"), on=F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select_columns(["s_suppkey", "s_name", "s_acctbal", "n_name"])
+    )
+    ca = cost.join(asia, on=F.col("ck_supp") == F.col("s_suppkey"))
+    best = ca.aggregate(
+        {"bk_part": F.col("ck_part")},
+        {"best_cents": Aggregator(F.col("cost_cents"), "min")},
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(1, 25)
+    )
+    return (
+        ca.join(
+            best,
+            on=(F.col("bk_part") == F.col("ck_part")) & (F.col("cost_cents") == F.col("best_cents")),
+        )
+        .join(part, on=F.col("p_partkey") == F.col("ck_part"))
+        .calculate({"supply_cost": F.round(F.col("cost_cents") / 100.0, 2)})
+        .select_columns(["s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost"])
+        .sort(
+            [
+                Order("s_acctbal", ascending=False),
+                Order("n_name", numeric=False),
+                Order("s_name", numeric=False),
+                Order("p_partkey"),
+            ]
+        )
+        .limit(100)
+        .to_df()
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    WITH all_nations AS (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(round(100 * l_extendedprice * (1 - l_discount)) AS BIGINT) AS volume_cents,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01')
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_6' THEN volume_cents ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume_cents) AS DOUBLE), 6) AS mkt_share
+    FROM all_nations GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the same dimension table joined
+    twice under different roles — the second nation join is pre-renamed
+    because the reference drops clashing right columns (Raster.swift:383-389).
+    Volumes summed as cents longs; the share is one double division of two
+    exact integers, bit-identical across engines."""
+    n1 = _t(spark, sf_dir, "nation")
+    n2 = (
+        _t(spark, sf_dir, "nation")
+        .rename({"n_nationkey": "n2_nationkey", "n_name": "supp_nation"})
+        .select_columns(["n2_nationkey", "supp_nation"])
+    )
+    j = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY"),
+            on=F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "orders").filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            on=F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(_t(spark, sf_dir, "customer"), on=F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, on=F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(_t(spark, sf_dir, "region"), on=F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "AMERICA")
+        .join(_t(spark, sf_dir, "supplier"), on=F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n2, on=F.col("s_nationkey") == F.col("n2_nationkey"))
+        .calculate(
+            {
+                "o_year": F.year("o_orderdate"),
+                "volume_cents": F.round(
+                    100 * F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("long"),
+            }
+        )
+    )
+    nation_vol = F.when(F.col("supp_nation") == "NATION_6", F.col("volume_cents")).otherwise(
+        F.lit(0).cast("long")
+    )
+    return (
+        j.aggregate(
+            {"o_year": F.col("o_year")},
+            {
+                "nation_cents": Aggregator(nation_vol, "sum"),
+                "total_cents": Aggregator(F.col("volume_cents"), "sum"),
+            },
+        )
+        .calculate(
+            {
+                "mkt_share": F.round(
+                    F.col("nation_cents").cast("double") / F.col("total_cents").cast("double"), 6
+                )
+            }
+        )
+        .select_columns(["o_year", "mkt_share"])
+        .sort([Order("o_year")])
+        .to_df()
+    )
+
+
+@register(
+    "q11_important_parts",
+    """
+    WITH asia_value AS (
+      SELECT l_partkey AS pk,
+             CAST(sum(CAST(round(100 * l_extendedprice) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY 1)
+    SELECT pk AS p_partkey, round(value_cents / 100.0, 2) AS part_value
+    FROM asia_value
+    WHERE value_cents > (CAST(2.0 AS DOUBLE)
+                         * (SELECT CAST(sum(value_cents) AS DOUBLE) FROM asia_value))
+                        / (SELECT count(*) FROM asia_value)
+    ORDER BY part_value DESC, p_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (group-by HAVING against a scalar-subquery total)
+    without partsupp: per-part shipped value from ASIA suppliers, kept
+    when above a fraction of the grand total. The total is a single-row
+    aggregate broadcast back as a theta join — the reference's only way
+    to express a scalar subquery (its SQL pushdown inlines it the same
+    way, SQL.swift:1365-1388). All sums are exact cents longs; the
+    threshold is relative (2x the average part value) so the selectivity
+    survives scale-up — a fixed fraction of the grand total goes empty as
+    the part count grows, the TPC-H Q11 FRACTION/SF scaling rule."""
+    asia_li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(_t(spark, sf_dir, "supplier"), on=F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_t(spark, sf_dir, "nation"), on=F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(_t(spark, sf_dir, "region"), on=F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+    )
+    value = asia_li.aggregate(
+        {"pk": F.col("l_partkey")},
+        {"value_cents": Aggregator(F.round(100 * F.col("l_extendedprice")).cast("long"), "sum")},
+    )
+    total = value.aggregate(
+        {},
+        {
+            "total_cents": Aggregator(F.col("value_cents"), "sum"),
+            "npart": Aggregator(F.lit(1), "countAll"),
+        },
+    )
+    # operation order mirrors the oracle exactly — (2.0 * total) / n —
+    # so the one double multiply+divide is bit-identical across engines
+    return (
+        value.join(
+            Dataset(F.broadcast(total.df)),
+            on=F.col("value_cents").cast("double")
+            > (F.lit(2.0).cast("double") * F.col("total_cents").cast("double")) / F.col("npart"),
+        )
+        .calculate({"part_value": F.round(F.col("value_cents") / 100.0, 2)})
+        .rename({"pk": "p_partkey"})
+        .select_columns(["p_partkey", "part_value"])
+        .sort([Order("part_value", ascending=False), Order("p_partkey")])
+        .to_df()
+    )
+
+
+@register(
+    "q12_priority_by_delay",
+    """
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'FAST'
+                WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'MEDIUM'
+                ELSE 'SLOW' END AS speed,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY speed ORDER BY speed
+    """,
+)
+def q12_priority_by_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (CASE-bucketed dual conditional counts) with
+    ship-delay buckets standing in for the missing l_shipmode column.
+    Pure integer counts — nothing for fp to disturb; one shuffle for the
+    join (orders side is the smaller input and broadcast-eligible at
+    test SF; at 100 TB both sides shuffle on orderkey once)."""
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    speed = (
+        F.when(delay <= 30, F.lit("FAST")).when(delay <= 90, F.lit("MEDIUM")).otherwise(F.lit("SLOW"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(_t(spark, sf_dir, "orders"), on=F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        j.aggregate(
+            {"speed": speed},
+            {
+                "high_line_count": Aggregator(F.when(high, 1).otherwise(0), "sum"),
+                "low_line_count": Aggregator(F.when(high, 0).otherwise(1), "sum"),
+            },
+        )
+        # the sum reducer mirrors the reference's doubleValue coercion;
+        # these are integer counts, so surface them as longs like the oracle
+        .calculate(
+            {
+                "high_line_count": F.col("high_line_count").cast("long"),
+                "low_line_count": F.col("low_line_count").cast("long"),
+            }
+        )
+        .sort([Order("speed", numeric=False)])
+        .to_df()
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (order-count distribution): left join with an extra
+    non-equi term in the ON clause (kept pre-join so zero-order customers
+    survive), numeric `count` reducer skipping the nulls the outer join
+    manufactures — the count-numeric vs countAll distinction the
+    reference draws (Reducer count: Function.swift:2104-2117)."""
+    per_cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            _t(spark, sf_dir, "orders"),
+            on=(F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "5-LOW"),
+            how="left",
+        )
+        .aggregate(
+            {"c_custkey": F.col("c_custkey")},
+            {"c_count": Aggregator(F.col("o_orderkey"), "count")},
+        )
+    )
+    return (
+        per_cust.aggregate(
+            {"c_count": F.col("c_count")},
+            {"custdist": Aggregator(F.lit(1), "countAll")},
+        )
+        .sort([Order("custdist", ascending=False), Order("c_count", ascending=False)])
+        .to_df()
+    )
+
+
+@register(
+    "q20_promotable_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2),
+    tot AS (SELECT pk AS tk, sum(qty) AS total_qty FROM shipped GROUP BY 1),
+    dominant AS (
+      SELECT DISTINCT sk
+      FROM shipped
+      JOIN tot  ON tk = pk
+      JOIN part ON p_partkey = pk
+      WHERE p_type = 'PROMO' AND qty > 0.5 * total_qty)
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN dominant ON sk = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+    ORDER BY s_suppkey
+    """,
+)
+def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested semi-join: suppliers dominating a part's
+    shipped volume) without partsupp. The exists is a distinct-project +
+    equi-join, the reference's semi-join vocabulary. l_quantity is
+    integer-valued so double sums are exact regardless of order. Both
+    aggregates reuse the partkey shuffle; part and the dim chain
+    broadcast."""
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .aggregate(
+            {"pk": F.col("l_partkey"), "sk": F.col("l_suppkey")},
+            {"qty": Aggregator(F.col("l_quantity"), "sum")},
+        )
+    )
+    tot = shipped.aggregate({"tk": F.col("pk")}, {"total_qty": Aggregator(F.col("qty"), "sum")})
+    dominant = (
+        shipped.join(tot, on=F.col("tk") == F.col("pk"))
+        .join(
+            _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO"),
+            on=F.col("p_partkey") == F.col("pk"),
+        )
+        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .select_columns(["sk"])
+        .distinct()
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(dominant, on=F.col("sk") == F.col("s_suppkey"))
+        .join(_t(spark, sf_dir, "nation"), on=F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(_t(spark, sf_dir, "region"), on=F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select_columns(["s_suppkey", "s_name"])
+        .sort([Order("s_suppkey")])
+        .to_df()
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey, o_orderstatus
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+    supp_cnt AS (SELECT l_orderkey AS ok2, count(DISTINCT l_suppkey) AS nsupp
+                 FROM lineitem GROUP BY 1),
+    late_cnt AS (SELECT l_orderkey AS ok3, count(DISTINCT l_suppkey) AS nlate
+                 FROM late GROUP BY 1)
+    SELECT s_name, count(*) AS numwait
+    FROM late
+    JOIN supp_cnt ON ok2 = l_orderkey
+    JOIN late_cnt ON ok3 = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'F' AND nsupp >= 2 AND nlate = 1 AND r_name = 'AFRICA'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS another supplier on the order, NOT EXISTS
+    another *late* supplier) with shipdate-vs-orderdate lag standing in
+    for the missing receipt/commit dates. The correlated EXISTS pair is
+    decorrelated into per-order distinct-supplier counts (nsupp >= 2 ⟺
+    exists other supplier; nlate = 1 ⟺ no other late supplier) — two
+    aggregates on the orderkey shuffle instead of two exploding
+    self-joins, which is also the 100 TB-safe form."""
+    late = (
+        _t(spark, sf_dir, "lineitem")
+        .join(_t(spark, sf_dir, "orders"), on=F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select_columns(["l_orderkey", "l_suppkey", "o_orderstatus"])
+    )
+    supp_cnt = _t(spark, sf_dir, "lineitem").aggregate(
+        {"ok2": F.col("l_orderkey")},
+        {"nsupp": Aggregator(F.col("l_suppkey"), "countDistinct")},
+    )
+    late_cnt = late.aggregate(
+        {"ok3": F.col("l_orderkey")},
+        {"nlate": Aggregator(F.col("l_suppkey"), "countDistinct")},
+    )
+    return (
+        late.filter(F.col("o_orderstatus") == "F")
+        .join(supp_cnt, on=F.col("ok2") == F.col("l_orderkey"))
+        .filter(F.col("nsupp") >= 2)
+        .join(late_cnt, on=F.col("ok3") == F.col("l_orderkey"))
+        .filter(F.col("nlate") == 1)
+        .join(_t(spark, sf_dir, "supplier"), on=F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_t(spark, sf_dir, "nation"), on=F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(_t(spark, sf_dir, "region"), on=F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "AFRICA")
+        .aggregate(
+            {"s_name": F.col("s_name")},
+            {"numwait": Aggregator(F.lit(1), "countAll")},
+        )
+        .sort([Order("numwait", ascending=False), Order("s_name", numeric=False)])
+        .limit(100)
+        .to_df()
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 
@@ -2717,10 +3173,13 @@ _DRIVER_WINDOW = [
     # rows-only entries upgraded to oracle/self-validating this round
     "random_sample",
     "transpose_region",
-    # core plumbing keepers
-    "rank_running_total",
-    "join_left_aggregate",
-    "chain_order_buckets",
+    # new this round: TPC-H family completed (q11/q12/q20/q21 rotate in
+    # next round; the displaced keepers rank_running_total /
+    # join_left_aggregate / chain_order_buckets were hash-verified in
+    # BOTH r01 and r02 and stay under the local strict gate)
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q13_customer_distribution",
 ]
 
 

@@ -1219,60 +1219,89 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(docs, pairs)
 
 
-# SQL literal of pipeline.text's winnowing hash powers (same constants,
-# same k) — built from the module so the two sides cannot drift.
-def _winnow_powers_sql(k: int = 25) -> str:
-    from warp_spark.pipeline.text import WINNOW_BASE, WINNOW_PRIME
-
-    powers = [pow(WINNOW_BASE, k - 1 - j, WINNOW_PRIME) for j in range(k)]
-    return "[" + ",".join(f"{x}::BIGINT" for x in powers) + "]"
-
-
-_WINNOW_POWERS_SQL = _winnow_powers_sql()
-
-
 # Winnowed rolling-hash fingerprints are deterministic mod-prime
 # arithmetic, so the whole pipeline — normalize, k-gram polynomial
 # hashes, window-min fingerprint set, bucket cap, shared-print count —
-# is replicated in DuckDB list SQL. (Tie-breaks inside a window do not
+# is replicated in DuckDB SQL. (Tie-breaks inside a window do not
 # affect the fingerprint SET: equal minima pick the same value.)
-@register(
-    "winnow_overlap",
-    """
+#
+# The replication is O(n) per document, not the naive O(n·k) nested
+# list_transform (21 s → 1 s on the sf0.01 corpus): the k-gram hash
+# H_i = Σ_t c[i+t]·B^(k-1-t)  is rewritten with the modular-inverse
+# prefix-sum identity  H_i = B^(i+k-1) · (T[i+k-1] − T[i−1])  mod p,
+# where T[m] = Σ_{j≤m} c[j]·B^(−j) — one window cumsum + one lag per
+# char. B^e mod p is looked up from two 1024-entry tables
+# (e = 1024·hi + lo), which bounds oracle documents at 2^20 chars —
+# plenty for the test corpora; the Spark side has no such bound. The
+# lag is computed BEFORE the pos >= k-1 filter: window frames see
+# post-WHERE rows, and filtering first would misalign T[i-1].
+def _winnow_oracle_sql(k: int = 25, window: int = 16) -> str:
+    from warp_spark.pipeline.text import WINNOW_BASE, WINNOW_PRIME
+
+    p = WINNOW_PRIME
+    inv_b = pow(WINNOW_BASE, p - 2, p)
+    lut = lambda base, step: "[" + ",".join(
+        f"{pow(base, step * e, p)}::BIGINT" for e in range(1024)
+    ) + "]"
+    t0, t1 = lut(WINNOW_BASE, 1), lut(WINNOW_BASE, 1024)
+    t0i, t1i = lut(inv_b, 1), lut(inv_b, 1024)
+    return f"""
     WITH d AS (
       SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
       FROM documents WHERE text IS NOT NULL
     ),
-    h AS (
-      SELECT doc_id,
-        CASE WHEN length(norm) < 25 THEN []
-        ELSE list_transform(range(0, length(norm) - 24),
-          i -> list_sum(list_transform(range(0, 25),
-                 j -> ord(substr(norm, (i + j + 1)::INT, 1))::BIGINT * __POWERS__[j + 1]))
-               % 1000000007)
-        END AS hs
-      FROM d
+    codes AS (
+      SELECT doc_id, length(norm) AS n,
+             list_transform(range(0, length(norm)),
+                            c -> ord(substr(norm, (c + 1)::INT, 1))::BIGINT) AS cs
+      FROM d WHERE length(norm) >= {k}
     ),
-    fp AS (
-      SELECT doc_id,
-        CASE WHEN len(hs) = 0 THEN []
-             WHEN len(hs) <= 16 THEN [list_min(hs)]
-             ELSE list_distinct(list_transform(range(0, len(hs) - 15),
-                    w -> list_min(hs[(w + 1)::INT:(w + 16)::INT])))
-        END AS fps
+    chars AS (
+      SELECT doc_id, n, unnest(range(0, n)) AS pos, unnest(cs) AS c FROM codes
+    ),
+    pre AS (
+      SELECT doc_id, n, pos,
+             sum((c * {t0i}[(pos % 1024)::INT + 1] % {p})
+                 * {t1i}[(pos // 1024)::INT + 1] % {p})
+               OVER (PARTITION BY doc_id ORDER BY pos) AS t
+      FROM chars
+    ),
+    lagged AS (
+      SELECT doc_id, n, pos, t,
+             lag(t, {k}) OVER (PARTITION BY doc_id ORDER BY pos) AS tl
+      FROM pre
+    ),
+    h AS (
+      SELECT doc_id, n, pos - ({k} - 1) AS i,
+             ({t0}[(pos % 1024)::INT + 1] * {t1}[(pos // 1024)::INT + 1] % {p})
+             * (((t - coalesce(tl, 0)) % {p} + {p}) % {p}) % {p} AS hv
+      FROM lagged WHERE pos >= {k} - 1
+    ),
+    mins AS (
+      SELECT doc_id, i,
+             min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS m,
+             n - {k} + 1 AS ngrams
       FROM h
     ),
-    ex AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
-    ok AS (SELECT fp FROM ex GROUP BY fp HAVING count(*) BETWEEN 2 AND 200),
+    fp AS (
+      SELECT DISTINCT doc_id, m AS fp
+      FROM mins WHERE ngrams > {window} AND i <= ngrams - {window}
+      UNION
+      SELECT doc_id, min(m) AS fp FROM mins WHERE ngrams <= {window} GROUP BY doc_id
+    ),
+    ok AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) BETWEEN 2 AND 200),
     cand AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
       WHERE a.fp IN (SELECT fp FROM ok)
     )
     SELECT id_a, id_b, count(*) AS shared_fingerprints
     FROM cand GROUP BY id_a, id_b HAVING count(*) >= 2
-    """.replace("__POWERS__", _WINNOW_POWERS_SQL),
-)
+    """
+
+
+@register("winnow_overlap", _winnow_oracle_sql())
 def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-overlap candidates via winnowed rolling-hash
     fingerprints (Schleimer et al. SIGMOD'03) — catches shared

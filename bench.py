@@ -32,6 +32,11 @@ HEADLINE = [
     "q17_small_quantity",
     "q18_large_volume",
     "q19_disjunctive_revenue",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q12_priority_by_delay",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
     # operator coverage
     "filter_calculate",
     "aggregate_reducers",
@@ -50,6 +55,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "winnow_overlap",
     # LLM-pipeline: text analysis
     "text_langid",
     "text_quality",

@@ -385,3 +385,45 @@ def test_lsh_near_pairs_multi_probe_recall(spark):
     assert probed <= exact
     assert len(probed) >= len(plain)
     assert len(probed) / len(exact) >= 0.8
+
+
+def test_repetition_features(spark):
+    from warp_spark.pipeline.text import repetition_features
+
+    rows = [
+        (1, "spam spam spam spam"),                  # one token, fully repeated
+        (2, "all words here are fully distinct"),    # no repetition
+        (3, "one"),                                  # single token → no bigrams
+        (4, "ab cd ab cd ab cd"),                    # alternating pair
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in df.withColumns(
+        repetition_features(F.col("text"))).collect()}
+    assert got[1]["top_token_frac"] == 1.0
+    assert got[1]["dup_bigram_frac"] == pytest.approx(1 - 1 / 3, abs=1e-6)
+    assert got[2]["top_token_frac"] == pytest.approx(1 / 6, abs=1e-6)
+    assert got[2]["dup_bigram_frac"] == 0.0
+    assert got[3]["top_token_frac"] == 1.0
+    assert got[3]["dup_bigram_frac"] == 0.0      # no bigrams → defined as 0
+    # "ab cd"x3 + "cd ab"x2 → 5 bigrams, 2 distinct
+    assert got[4]["top_token_frac"] == pytest.approx(3 / 6, abs=1e-6)
+    assert got[4]["dup_bigram_frac"] == pytest.approx(1 - 2 / 5, abs=1e-6)
+
+
+def test_scrub_pii(spark):
+    from warp_spark.pipeline.text import scrub_pii
+
+    rows = [
+        (1, "mail me at jane.doe+spam@example.co.uk or call +1 (555) 123-4567."),
+        (2, "server 192.168.001.042 answered; backup at 10.0.0.7 did not"),
+        (3, "no pii here, just words and the number 42"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in df.withColumns(scrub_pii(F.col("text"))).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 1
+    assert "<EMAIL>" in got[1]["scrubbed"] and "<PHONE>" in got[1]["scrubbed"]
+    assert "jane" not in got[1]["scrubbed"] and "555" not in got[1]["scrubbed"]
+    assert got[2]["n_ipv4"] == 2 and got[2]["scrubbed"].count("<IP>") == 2
+    # the short standalone number must survive — not phone-shaped
+    assert got[3]["n_email"] == got[3]["n_ipv4"] == got[3]["n_phone"] == 0
+    assert got[3]["scrubbed"] == rows[2][1]

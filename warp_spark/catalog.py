@@ -1055,6 +1055,42 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_repetition",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(0, len(toks) - 1),
+                                      i -> toks[(i + 1)::INT] || ' ' || toks[(i + 2)::INT])
+                  ELSE [] END AS bg
+      FROM t
+    )
+    SELECT doc_id,
+           round(list_max(list_transform(list_distinct(toks),
+                   t -> len(list_filter(toks, x -> x = t))))::DOUBLE / n, 6) AS top_token_frac,
+           CASE WHEN len(bg) > 0
+                THEN round(1.0 - len(list_distinct(bg))::DOUBLE / len(bg), 6)
+                ELSE 0.0 END AS dup_bigram_frac
+    FROM b
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (top-token coverage, duplicate
+    word-bigram fraction) — the boilerplate detector whole-document
+    quality ratios miss."""
+    from warp_spark.pipeline.text import repetition_features
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    return docs.withColumns(repetition_features(F.col("text"))).select(
+        "doc_id", "top_token_frac", "dup_bigram_frac"
+    )
+
+
 def _duck_hits(lang_words: list) -> str:
     arr = "[" + ",".join(f"'{w}'" for w in lang_words) + "]"
     return f"len(list_filter(toks, x -> list_contains({arr}, x)))"

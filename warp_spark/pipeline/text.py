@@ -115,6 +115,63 @@ def language_id(text: Column) -> Column:
     )
 
 
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 "repetition
+    removal"): the fraction of the document covered by its most frequent
+    token, and the fraction of duplicate word bigrams. High values mark
+    boilerplate/template text that per-document quality ratios miss.
+
+    Pure array HOFs — whole-stage codegen, no shuffle. The top-token
+    scan is O(distinct·tokens) per document, the right trade for
+    normal-length documents; for pathological single-docs (book-length,
+    huge vocab) explode+groupBy(doc_id, token) is the spill-safe form."""
+    toks = tokens(text)
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    top = F.array_max(
+        F.transform(F.array_distinct(toks), lambda t: F.size(F.filter(toks, lambda x: x == t)))
+    )
+    return {
+        "top_token_frac": F.round(top.cast("double") / n, 6),
+        "dup_bigram_frac": F.when(
+            F.size(bigrams) > 0,
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams), 6
+            ),
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+# PII patterns kept to the Java-regex ∩ RE2 common subset (no lookaround)
+# so the same pattern strings run on Spark and any RE2-based engine.
+# Replacement order matters: emails before phones (a phone pattern would
+# eat an address's digit runs), IPs before phones (dotted digit quads).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d().\- ]{6,}\d", "<PHONE>"),
+]
+
+
+def scrub_pii(text: Column) -> dict[str, Column]:
+    """Redact emails / IPv4s / phone-shaped digit runs with typed
+    placeholder tokens, returning the scrubbed text plus per-kind match
+    counts. Chained JVM regexp_replace — no Python, no shuffle; each
+    count is taken on the previous stage's output so overlapping
+    patterns are never double-counted."""
+    out = text
+    cols: dict[str, Column] = {}
+    for name, pat, repl in PII_PATTERNS:
+        cols[f"n_{name}"] = F.regexp_count(out, F.lit(pat))
+        out = F.regexp_replace(out, pat, repl)
+    cols["scrubbed"] = out
+    return cols
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized,
     lowercased text — the exact-dedup key."""

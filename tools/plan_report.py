@@ -81,6 +81,8 @@ def main():
         # scalar-subquery theta join (c_acctbal > broadcast 1-row avg):
         # BNL against a single-row build side is N×1 — the canonical plan
         "q22_idle_customers",
+        # same shape: per-part value > broadcast 1-row (total, count)
+        "q11_important_parts",
         # self-validating recall entries embed the exact k-NN baseline
         # above (its documented BNL) plus a 1-row × 1-row metric crossJoin
         "ann_topk_lsh",

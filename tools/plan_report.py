@@ -89,6 +89,8 @@ def main():
         "ann_topk_ivf",
         # invariant row = crossJoin of two single-row aggregates (1×1)
         "random_sample",
+        # corpus-size scalar: broadcast 1-row n_docs crossJoin (N×1)
+        "text_tfidf_topterms",
     }
     bnl_offenders = [
         n for n, a in rows if a.get("bnl", 0) > 0 and n not in expected_bnl

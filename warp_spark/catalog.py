@@ -1091,6 +1091,74 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_tfidf_topterms",
+    """
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df
+           FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+    scored AS (
+      SELECT doc_id, term, tf,
+             round(tf::DOUBLE * ((SELECT n_docs FROM n) + 1) / (df + 1), 6) AS score
+      FROM tf JOIN df USING (term)
+    ),
+    ranked AS (
+      SELECT doc_id, term, tf, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, score FROM ranked WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level term weighting: per-document top-3 terms by a
+    TF-IDF-style rarity score. The IDF is the rational (N+1)/(df+1)
+    rather than its logarithm — the ranking is identical (log is
+    monotone) and the score stays one double multiply+divide on exact
+    integers, bit-identical across engines, where ln() is libm-
+    dependent at the last ulp.
+
+    Distributed shape: explode → two aggregations (term frequency on
+    (doc, term); document frequency on term) → join → one window top-k
+    per doc. df is corpus-wide state no per-doc operator can see; at
+    100 TB the df table is vocabulary-sized (Zipf: ≪ corpus) and
+    broadcast, so the only big shuffles are the explode groupBys."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf").cast("double") * (F.col("n_docs") + F.lit(1)) / (F.col("df") + F.lit(1)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "score")
+        .orderBy("doc_id", "term")
+    )
+
+
 def _duck_hits(lang_words: list) -> str:
     arr = "[" + ",".join(f"'{w}'" for w in lang_words) + "]"
     return f"len(list_filter(toks, x -> list_contains({arr}, x)))"

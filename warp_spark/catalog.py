@@ -799,6 +799,48 @@ def random_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sketch tier: approxCountDistinct (HyperLogLog++) and approxMedian
+# (percentile_approx) vs their exact forms. Sketches are deterministic
+# for fixed data (hash-based, no RNG), so the within-tolerance counts
+# are stable invariants the driver can hash: 5 priority groups, all 5
+# inside 3-sigma-style envelopes (HLL++ default rsd 0.05 is ONE
+# standard deviation — measured per-group errors reach 0.097 ≈ 2σ on
+# this data, so the bound is 0.15; percentile_approx accuracy 10k
+# measured ≤ 0.011 → bound 0.02). A broken sketch breaks the
+# invariant and hash-fails the gate.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_approx_sketch",
+    """
+    SELECT CAST(5 AS BIGINT) AS n_groups,
+           CAST(5 AS BIGINT) AS n_cd_within,
+           CAST(5 AS BIGINT) AS n_med_within
+    """,
+)
+def agg_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_group = (
+        _t(spark, sf_dir, "orders")
+        .aggregate(
+            {"o_orderpriority": F.col("o_orderpriority")},
+            {
+                "acd": Aggregator(F.col("o_custkey"), "approxCountDistinct"),
+                "cd": Aggregator(F.col("o_custkey"), "countDistinct"),
+                "amed": Aggregator(F.col("o_totalprice"), "approxMedian"),
+                "med": Aggregator(F.col("o_totalprice"), "median"),
+            },
+        )
+        .to_df()
+    )
+    cd_ok = (F.abs(F.col("acd") - F.col("cd")) / F.col("cd")) <= 0.15
+    med_ok = (F.abs(F.col("amed") - F.col("med")) / F.col("med")) <= 0.02
+    return per_group.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(cd_ok, 1).otherwise(0)).cast("long").alias("n_cd_within"),
+        F.sum(F.when(med_ok, 1).otherwise(0)).cast("long").alias("n_med_within"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # transpose — driver-side small-data utility (Raster.swift:657-694). The
 # region table is fixed (5 rows at every SF), so the transposed shape is
 # SQL-expressible as a conditional-aggregation pivot: header = first

@@ -2842,9 +2842,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (correlated min subquery) without a partsupp table:
     lineitem is the part↔supplier link and the unit cost is the supplier's
     best observed unit price. Costs are min-of-cents longs (exact,
-    order-independent) so the min-equality join cannot flip on fp noise.
-    The agg-then-self-join decorrelation shuffles the cost table on
-    partkey once; supplier/nation/region dims broadcast."""
+    order-independent) so the min-equality filter cannot flip on fp
+    noise. The correlated min decorrelates to a window-min over the
+    partkey shuffle (one Exchange; the agg + join-back form costs
+    three); supplier/nation/region dims broadcast."""
     cost = _t(spark, sf_dir, "lineitem").aggregate(
         {"ck_part": F.col("l_partkey"), "ck_supp": F.col("l_suppkey")},
         {
@@ -2862,18 +2863,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select_columns(["s_suppkey", "s_name", "s_acctbal", "n_name"])
     )
     ca = cost.join(asia, on=F.col("ck_supp") == F.col("s_suppkey"))
-    best = ca.aggregate(
-        {"bk_part": F.col("ck_part")},
-        {"best_cents": Aggregator(F.col("cost_cents"), "min")},
-    )
     part = _t(spark, sf_dir, "part").filter(
         (F.col("p_type") == "STANDARD") & F.col("p_size").between(1, 25)
     )
+    # per-part min via a window over the partkey shuffle — one Exchange
+    # where the agg + min-equality join-back shape costs three (the
+    # oracle keeps the join-back form; same rows by construction)
+    from pyspark.sql import Window
+
+    best = F.min("cost_cents").over(Window.partitionBy("ck_part"))
     return (
-        ca.join(
-            best,
-            on=(F.col("bk_part") == F.col("ck_part")) & (F.col("cost_cents") == F.col("best_cents")),
-        )
+        Dataset(ca.df.withColumn("best_cents", best))
+        .filter(F.col("cost_cents") == F.col("best_cents"))
         .join(part, on=F.col("p_partkey") == F.col("ck_part"))
         .calculate({"supply_cost": F.round(F.col("cost_cents") / 100.0, 2)})
         .select_columns(["s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost"])

@@ -427,3 +427,34 @@ def test_scrub_pii(spark):
     # the short standalone number must survive — not phone-shaped
     assert got[3]["n_email"] == got[3]["n_ipv4"] == got[3]["n_phone"] == 0
     assert got[3]["scrubbed"] == rows[2][1]
+
+
+def test_stratified_sample(spark):
+    from warp_spark.sampling import stratified_sample
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    s = stratified_sample(orders, "o_orderpriority", 10, seed=3)
+    per = {r["o_orderpriority"]: r["n"] for r in
+           s.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(per) == {r["o_orderpriority"] for r in
+                        orders.select("o_orderpriority").distinct().collect()}
+    assert all(v == 10 for v in per.values())      # every group is larger than 10 here
+    # no fabricated rows, no duplicates
+    keys = [r["o_orderkey"] for r in s.select("o_orderkey").collect()]
+    assert len(keys) == len(set(keys))
+    assert s.join(orders.select("o_orderkey"), "o_orderkey", "left_anti").count() == 0
+    # a group smaller than n is kept whole
+    tiny = stratified_sample(orders.limit(3), "o_orderpriority", 10, seed=3)
+    assert tiny.count() == 3
+    # helper columns must not leak
+    assert set(s.columns) == set(orders.columns)
+
+
+def test_stratified_sample_threshold_prepass(spark):
+    from warp_spark.sampling import stratified_sample
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    s = stratified_sample(orders, "o_orderpriority", 5, seed=3, threshold=0.5)
+    per = [r["n"] for r in s.groupBy("o_orderpriority")
+           .agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert all(v == 5 for v in per)   # thinned groups still fill n

@@ -91,6 +91,8 @@ def main():
         "random_sample",
         # corpus-size scalar: broadcast 1-row n_docs crossJoin (N×1)
         "text_tfidf_topterms",
+        # invariant row = crossJoin of single-row aggregates (1×1)
+        "stratified_sample",
     }
     bnl_offenders = [
         n for n, a in rows if a.get("bnl", 0) > 0 and n not in expected_bnl

@@ -799,6 +799,39 @@ def random_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# stratified sampling — per-group n-row draw (training-data form of the
+# flat random step). Invariant-row oracle like random_sample: 5 priority
+# groups × 20 rows, every key a member, no duplicates.
+# ---------------------------------------------------------------------------
+@register(
+    "stratified_sample",
+    """
+    SELECT CAST(5 AS BIGINT)   AS n_groups,
+           CAST(100 AS BIGINT) AS n_rows,
+           CAST(20 AS BIGINT)  AS max_per_group,
+           CAST(100 AS BIGINT) AS n_distinct_keys,
+           CAST(0 AS BIGINT)   AS n_foreign_keys
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.sampling import stratified_sample as strat
+
+    orders = _t(spark, sf_dir, "orders").to_df()
+    s = strat(orders, "o_orderpriority", 20, seed=7).select("o_orderkey", "o_orderpriority")
+    foreign = s.join(orders.select("o_orderkey"), on="o_orderkey", how="left_anti")
+    per_group = s.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("gn"))
+    return (
+        per_group.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("gn").cast("long").alias("n_rows"),
+            F.max("gn").cast("long").alias("max_per_group"),
+        )
+        .crossJoin(s.agg(F.countDistinct("o_orderkey").alias("n_distinct_keys")))
+        .crossJoin(foreign.agg(F.count(F.lit(1)).alias("n_foreign_keys")))
+    )
+
+
+# ---------------------------------------------------------------------------
 # sketch tier: approxCountDistinct (HyperLogLog++) and approxMedian
 # (percentile_approx) vs their exact forms. Sketches are deterministic
 # for fixed data (hash-based, no RNG), so the within-tolerance counts

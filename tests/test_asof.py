@@ -144,3 +144,63 @@ def test_bucketed_hot_key(spark):
     assert out["p49"]["v"] == 40.0
     # left at minute 0 → right at minute 0 (inclusive, zero age)
     assert out["p0"]["v"] == 0.0
+
+
+def test_forward_direction(frames):
+    left, right = frames
+    out = {r["tag"]: r for r in asof_join(
+        left, right, on="ts", by="user_id", direction="forward").collect()}
+    assert out["p1"]["value"] == 20.0   # earliest at-or-after 10:00
+    assert out["p2"]["value"] == 30.0   # equal timestamp matches (inclusive)
+    assert out["p3"]["value"] == 40.0   # 09:00 → forward finds 09:30
+    assert out["p4"]["value"] is None
+
+
+def test_nearest_direction(frames):
+    left, right = frames
+    out = {r["tag"]: r for r in asof_join(
+        left, right, on="ts", by="user_id", direction="nearest").collect()}
+    assert out["p1"]["value"] == 10.0   # 30 min back beats 60 min forward
+    assert out["p2"]["value"] == 30.0   # exact
+    assert out["p3"]["value"] == 40.0   # only a forward candidate exists
+    assert out["p4"]["value"] is None
+
+
+def test_forward_tolerance(frames):
+    left, right = frames
+    out = {r["tag"]: r for r in asof_join(
+        left, right, on="ts", by="user_id", direction="forward",
+        tolerance=F.expr("INTERVAL 45 MINUTES")).collect()}
+    assert out["p1"]["value"] is None   # 60 min ahead — outside tolerance
+    assert out["p3"]["value"] == 40.0   # 30 min ahead — inside
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_directions_match_pandas_merge_asof(spark, direction):
+    """Differential vs pandas.merge_asof on seeded random frames (no
+    exact-distance ties, where pandas' nearest tie-break differs from
+    our documented backward-wins rule)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    lp = pd.DataFrame({
+        "k": rng.integers(0, 4, 300),
+        "t": rng.integers(0, 100_000, 300) * 2,       # even times
+    }).sort_values("t").reset_index(drop=True)
+    rp = pd.DataFrame({
+        "k": rng.integers(0, 4, 200),
+        "t": rng.integers(0, 100_000, 200) * 2 + 1,   # odd times → no ties
+        "v": rng.random(200).round(6),
+    }).sort_values("t").reset_index(drop=True)
+    expected = pd.merge_asof(lp, rp, on="t", by="k", direction=direction)
+
+    l = spark.createDataFrame(lp, "k long, t long")
+    r = spark.createDataFrame(rp, "k long, t long, v double")
+    got = asof_join(l, r, on="t", by="k", direction=direction).toPandas()
+
+    key = lambda df: sorted(
+        (int(k), int(t), None if pd.isna(v) else round(float(v), 6))
+        for k, t, v in zip(df["k"], df["t"], df["v"])
+    )
+    assert key(got) == key(expected)

@@ -59,6 +59,8 @@ HEADLINE = [
     # LLM-pipeline: text analysis
     "text_langid",
     "text_quality",
+    "text_repetition",
+    "text_tfidf_topterms",
     # LLM-pipeline: similarity search
     "ann_topk_bruteforce",
     "ann_topk_ivf",

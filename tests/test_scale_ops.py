@@ -458,3 +458,33 @@ def test_stratified_sample_threshold_prepass(spark):
     per = [r["n"] for r in s.groupBy("o_orderpriority")
            .agg(F.count(F.lit(1)).alias("n")).collect()]
     assert all(v == 5 for v in per)   # thinned groups still fill n
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    from warp_spark.pipeline.similarity import pq_codebooks, pq_encode
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cb = pq_codebooks(emb, m=16, n_codes=32)
+    assert len(cb) == 16 and all(len(b) <= 32 for b in cb)
+    codes = emb.select("vec_id", pq_encode(F.col("embedding"), cb).alias("c")).collect()
+    assert all(len(r["c"]) == 16 for r in codes)
+    assert all(0 <= v < 32 for r in codes for v in r["c"])
+    # same codebooks → same codes (training and encoding are RNG-free)
+    cb2 = pq_codebooks(emb, m=16, n_codes=32)
+    assert cb == cb2
+
+
+def test_pq_topk_recall_and_rerank(spark):
+    from warp_spark.pipeline.similarity import brute_force_topk, pq_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(q, emb, k=5).collect()}
+    adc = {(r["query_id"], r["neighbor_id"]) for r in pq_topk(q, emb, k=5).collect()}
+    rr = {(r["query_id"], r["neighbor_id"]) for r in pq_topk(q, emb, k=5, rerank=50).collect()}
+    assert len(adc & ex) / len(ex) >= 0.3        # lossy codes still rank
+    assert len(rr & ex) / len(ex) >= 0.8         # exact re-rank recovers
+    assert len(rr & ex) >= len(adc & ex)
+    got = pq_topk(q, emb, k=5, rerank=50).collect()
+    assert all(1 <= r["rank"] <= 5 for r in got)
+    assert all(r["query_id"] != r["neighbor_id"] for r in got)

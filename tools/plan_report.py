@@ -87,6 +87,7 @@ def main():
         # above (its documented BNL) plus a 1-row × 1-row metric crossJoin
         "ann_topk_lsh",
         "ann_topk_ivf",
+        "ann_topk_pq",
         # invariant row = crossJoin of two single-row aggregates (1×1)
         "random_sample",
         # corpus-size scalar: broadcast 1-row n_docs crossJoin (N×1)

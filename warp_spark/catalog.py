@@ -1698,6 +1698,31 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PQ ANN: product-quantized codes (16 bytes/vector here vs 256 raw —
+# the compression tier that keeps a 100 TB embedding corpus scorable
+# without touching raw vectors) + ADC lookup-table scoring + exact
+# re-rank of the shortlist. Measured recall@5: 0.40-0.48 ADC-only,
+# 0.90-0.98 with rerank=50 — floor 0.8 leaves margin.
+@register(
+    "ann_topk_pq",
+    """
+    SELECT CAST(10 AS BIGINT) AS n_queries,
+           CAST(0.8 AS DOUBLE) AS recall_floor,
+           true               AS recall_ge_floor
+    """,
+)
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.similarity import brute_force_topk, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings").to_df()
+    q = emb.filter(F.col("vec_id") < 10)
+    return _ann_recall_check(
+        pq_topk(q, emb, k=5, rerank=50),
+        brute_force_topk(q, emb, k=5),
+        floor=0.8,
+    )
+
+
 @register(
     "multimodal_decode",
     """

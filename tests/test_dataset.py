@@ -344,3 +344,75 @@ def test_collect_incremental_batches(spark):
         n_batches += 1
     assert n_batches >= 2
     assert sorted(map(tuple, got)) == sorted(map(tuple, full))
+
+
+class TestEmptyInput:
+    """Empty-raster edge cases (the reference's differential suite runs
+    every operator on an empty raster, WarpCoreTests.swift:902-995)."""
+
+    @pytest.fixture()
+    def empty(self, xyz1000):
+        return xyz1000.filter(F.lit(False))
+
+    def test_aggregate_empty_group(self, empty):
+        # global aggregate over nothing: one row, sum=0 (not NULL — the
+        # reference's SumReducer returns 0 for an empty set), counts 0
+        out = empty.aggregate(
+            {},
+            {
+                "s": Aggregator(F.col("X"), "sum"),
+                "n": Aggregator(F.col("X"), "count"),
+                "na": Aggregator(F.col("X"), "countAll"),
+                "mn": Aggregator(F.col("X"), "min"),
+            },
+        ).to_df().collect()
+        assert len(out) == 1
+        assert out[0]["s"] == 0.0 and out[0]["n"] == 0 and out[0]["na"] == 0
+        assert out[0]["mn"] is None
+
+    def test_aggregate_empty_with_keys(self, empty):
+        # grouped aggregate over nothing: no groups, zero rows
+        out = empty.aggregate(
+            {"k": F.col("X")}, {"s": Aggregator(F.col("Y"), "sum")}
+        ).to_df()
+        assert out.count() == 0
+
+    def test_join_empty_right(self, xyz1000, xbc1000):
+        er = xbc1000.select_columns(["B", "C"]).filter(F.lit(False))
+        out = xyz1000.join(er, on=F.col("X") == F.col("B"), how="left").to_df()
+        assert out.count() == 1000
+        assert out.filter(F.col("C").isNull()).count() == 1000
+        assert xyz1000.join(er, on=F.col("X") == F.col("B"), how="inner").to_df().count() == 0
+
+    def test_sort_limit_distinct_empty(self, empty):
+        out = empty.sort([Order("X")]).distinct().limit(5).to_df()
+        assert out.count() == 0
+        assert out.columns == ["X", "Y", "Z"]
+
+    def test_union_empty(self, xyz1000, empty):
+        assert xyz1000.union(empty).to_df().count() == 1000
+
+    def test_pivot_empty(self, empty):
+        out = empty.pivot(
+            horizontal="X", vertical=["Y"], values={"Z": Aggregator(F.col("Z"), "sum")}
+        ).to_df()
+        assert out.count() == 0
+
+
+def test_transpose_roundtrip(spark):
+    # 11-column transpose round-trip (WarpCoreTests.swift: 11× transpose
+    # roundtrip on the synthetic raster): transpose twice == identity on
+    # the string-rendered raster
+    src = Dataset.from_df(
+        spark.createDataFrame(
+            [tuple(str(r * 10 + c) for c in range(11)) for r in range(4)],
+            ", ".join(f"c{i} string" for i in range(11)),
+        )
+    )
+    once = src.transpose()
+    twice = once.transpose()
+    def cells(ds):
+        df = ds.to_df()
+        return [tuple(r) for r in df.orderBy(df.columns[0]).collect()]
+    assert len(cells(once)) == 10                     # 11 cols → 10 value rows
+    assert [t[1:] for t in cells(twice)] == [t[1:] for t in cells(src)]

@@ -61,9 +61,11 @@ HEADLINE = [
     "text_quality",
     "text_repetition",
     "text_tfidf_topterms",
+    "pipeline_curation_summary",
     # LLM-pipeline: similarity search
     "ann_topk_bruteforce",
     "ann_topk_ivf",
+    "ann_topk_pq",
     "embedding_near_pairs",
 ]
 

@@ -1239,6 +1239,119 @@ def _duck_hits(lang_words: list) -> str:
     return f"len(list_filter(toks, x -> list_contains({arr}, x)))"
 
 
+def _curation_oracle() -> str:
+    """End-to-end curation oracle: the language-ID, quality, repetition
+    and exact-dedup SQL fragments used by their standalone entries,
+    composed into one statement — so the pipeline entry is verified by
+    the same logic that verifies each stage."""
+    from warp_spark.pipeline.text import STOPWORDS
+
+    hits = {lang: _duck_hits(ws) for lang, ws in STOPWORDS.items()}
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in hits) + ")"
+    case = "CASE WHEN " + best + " <= 0 THEN 'und' "
+    for lang in hits:
+        case += f"WHEN h_{lang} = {best} THEN '{lang}' "
+    case += "END"
+    hit_cols = ", ".join(f"{sql} AS h_{lang}" for lang, sql in hits.items())
+    stop_arr = "[" + ",".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    b AS (
+      SELECT *, CASE WHEN len(toks) >= 2
+                     THEN list_transform(range(0, len(toks) - 1),
+                            i -> toks[(i + 1)::INT] || ' ' || toks[(i + 2)::INT])
+                     ELSE [] END AS bg,
+             {hit_cols}
+      FROM t
+    ),
+    scored AS (
+      SELECT doc_id, source, text, len(toks) AS n_tokens,
+             round(least(len(toks) / 100.0, 1.0) * 0.5
+                   + (len(list_filter(toks, x -> list_contains({stop_arr}, x)))
+                      / len(toks)) * 0.3
+                   + (1 - least((length(regexp_extract_all(text, '[^\\w\\s]'))
+                                 / length(text)) * 10, 1.0)) * 0.2, 6) AS quality_score,
+             {case} AS lang_pred,
+             CASE WHEN len(bg) > 0
+                  THEN round(1.0 - len(list_distinct(bg))::DOUBLE / len(bg), 6)
+                  ELSE 0.0 END AS dup_bigram_frac
+      FROM b
+    ),
+    kept AS (
+      SELECT * FROM scored
+      WHERE lang_pred = 'en' AND quality_score >= 0.35 AND dup_bigram_frac <= 0.10
+    ),
+    canon AS (
+      SELECT *, doc_id = min(doc_id) OVER (
+               PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             ) AS keep
+      FROM kept
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(sum(CAST(round(quality_score * 1000000) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1000000.0, 6) AS avg_quality
+    FROM canon WHERE keep GROUP BY source ORDER BY source
+    """
+
+
+@register("pipeline_curation_summary", _curation_oracle())
+def pipeline_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship training-data composition: language-ID → quality
+    floor → repetition cap → exact dedup (keep canonical) → per-source
+    corpus summary, chained as ONE lazy plan. Every per-document stage
+    is a JVM Column expression fused into the same codegen stage as the
+    scan; the only shuffles are the fingerprint window and the final
+    source aggregation. avg_quality aggregates exact micro-units
+    (quality is round-6, so score·1e6 is integral) — cross-engine
+    summation order cannot move the hash."""
+    from pyspark.sql import Window
+
+    from warp_spark.pipeline.text import (
+        fingerprint,
+        language_id,
+        quality_features,
+        repetition_features,
+    )
+
+    text = F.col("text")
+    feats = {**quality_features(text), "lang_pred": language_id(text), **repetition_features(text)}
+    kept = (
+        _t(spark, sf_dir, "documents")
+        .to_df()
+        .withColumns(feats)
+        .filter(
+            (F.col("lang_pred") == "en")
+            & (F.col("quality_score") >= 0.35)
+            & (F.col("dup_bigram_frac") <= 0.10)
+        )
+    )
+    w = Window.partitionBy(fingerprint(text))
+    canon = kept.withColumn("keep", F.col("doc_id") == F.min("doc_id").over(w)).filter("keep")
+    return (
+        canon.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.round(F.col("quality_score") * 1000000).cast("long")).alias("__micro"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.round(
+                F.col("__micro").cast("double") / F.col("n_docs") / F.lit(1000000.0), 6
+            ).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
 def _langid_oracle() -> str:
     from warp_spark.pipeline.text import STOPWORDS
 

@@ -2127,6 +2127,79 @@ def events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("total_value", F.round("total_value", 2))
 
 
+# Gap-fill / resample: materialize the full hourly grid per key and
+# forward-fill the value metric across empty hours — the time-series
+# densification every downstream ML feature join assumes. The grid
+# explodes from per-key (min, max) spans, so its size is bounded by
+# keys × span regardless of event volume.
+@register(
+    "events_gapfill_hourly",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT event_type, min(hour) AS mn, max(hour) AS mx FROM hourly GROUP BY 1),
+    grid AS (
+      SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+      FROM span
+    ),
+    j AS (
+      SELECT g.event_type, g.hour, h.n, h.cents
+      FROM grid g LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour = g.hour
+    )
+    SELECT hour, event_type,
+           coalesce(n, 0)::BIGINT AS n_events,
+           round(CAST(last_value(cents IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS DOUBLE) / 100.0, 2) AS filled_value,
+           n IS NULL AS is_gap
+    FROM j ORDER BY event_type, hour
+    """,
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill with forward-fill: sequence() builds each key's
+    dense hour grid (bounded by keys × span, independent of event
+    volume), a left join marks the gaps, and last(ignorenulls) over the
+    per-key hour order carries the previous hour's total forward. Value
+    totals travel as exact cents longs until the final render. One
+    shuffle for the rollup, one for the window — the grid side is tiny
+    and broadcasts into the join."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    span = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("mn"), F.max("hour").alias("mx")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    j = grid.join(hourly, on=["event_type", "hour"], how="left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "hour",
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.round(
+            F.last("cents", ignorenulls=True).over(w).cast("double") / 100.0, 2
+        ).alias("filled_value"),
+        F.col("n").isNull().alias("is_gap"),
+    ).orderBy("event_type", "hour")
+
+
 @register(
     "events_daily_from_hourly",
     """

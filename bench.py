@@ -48,6 +48,7 @@ HEADLINE = [
     "events_sessionize",
     "events_daily_from_hourly",
     "events_sliding_rollup",
+    "events_gapfill_hourly",
     "asof_purchase_click",
     "range_join_error_views",
     "interval_join_error_bursts",

@@ -117,3 +117,43 @@ def test_random_sample_no_full_sort(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
     assert "\n+- Sort" not in plan and "*Sort " not in plan
+
+
+def test_text_repetition_no_shuffle_no_python(spark):
+    """Per-document text signals must stay in the scan's codegen stage:
+    no Exchange, no Python eval."""
+    plan = plan_of(spark, "text_repetition")
+    assert "Exchange" not in plan
+    for py in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert py not in plan
+
+
+def test_curation_pipeline_shuffle_budget(spark):
+    """The five-stage curation composition keeps its shuffle budget:
+    fingerprint window + final aggregation + output sort — nothing
+    per-stage."""
+    import re
+
+    plan = plan_of(spark, "pipeline_curation_summary")
+    assert len(re.findall(r"Exchange (?:hash|range|Single)", plan)) <= 3
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_q2_window_decorrelation_single_part_shuffle(spark):
+    """The correlated-min decorrelates to a window over the partkey
+    shuffle — two Exchanges total (agg + window), dims broadcast, no
+    sort-merge join."""
+    import re
+
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert len(re.findall(r"Exchange (?:hash|range|Single)", plan)) <= 3
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_gapfill_grid_side_broadcasts(spark):
+    """The dense hour grid (keys × span) is the small side and must
+    broadcast into the join with the rollup — the rollup never
+    reshuffles for it."""
+    plan = plan_of(spark, "events_gapfill_hourly")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

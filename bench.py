@@ -49,6 +49,7 @@ HEADLINE = [
     "events_daily_from_hourly",
     "events_sliding_rollup",
     "events_gapfill_hourly",
+    "events_user_retention",
     "asof_purchase_click",
     "range_join_error_views",
     "interval_join_error_bursts",

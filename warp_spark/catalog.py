@@ -2127,6 +2127,44 @@ def events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("total_value", F.round("total_value", 2))
 
 
+# Cohort retention: users grouped by first-seen day, activity counted
+# at canonical offsets — the min-window + distinct-activity shape every
+# product-analytics warehouse runs. Pure counts: nothing for fp to move.
+@register(
+    "events_user_retention",
+    """
+    WITH first AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS cohort FROM events GROUP BY 1
+    ),
+    act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+    SELECT CAST(cohort AS DATE) AS cohort,
+           date_diff('day', cohort, day) AS day_offset,
+           count(*) AS n_users
+    FROM act JOIN first USING (user_id)
+    WHERE date_diff('day', cohort, day) IN (0, 1, 7, 30)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-0/1/7/30 retention per first-seen cohort. Two aggregations
+    share the user_id shuffle (first-seen min, distinct active days);
+    the cohort table is users-sized — small relative to events — and
+    broadcasts into the activity join."""
+    ev = _events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts"))
+    first = ev.groupBy("user_id").agg(F.min(day).alias("cohort"))
+    act = ev.select("user_id", day.alias("day")).distinct()
+    off = F.datediff(F.col("day"), F.col("cohort"))
+    return (
+        act.join(F.broadcast(first), "user_id")
+        .withColumn("day_offset", off.cast("long"))
+        .filter(F.col("day_offset").isin(0, 1, 7, 30))
+        .groupBy(F.to_date("cohort").alias("cohort"), F.col("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort", "day_offset")
+    )
+
+
 # Gap-fill / resample: materialize the full hourly grid per key and
 # forward-fill the value metric across empty hours — the time-series
 # densification every downstream ML feature join assumes. The grid

@@ -50,6 +50,7 @@ HEADLINE = [
     "events_sliding_rollup",
     "events_gapfill_hourly",
     "events_user_retention",
+    "events_funnel",
     "asof_purchase_click",
     "range_join_error_views",
     "interval_join_error_bursts",

@@ -94,6 +94,7 @@ def main():
         "text_tfidf_topterms",
         # invariant row = crossJoin of single-row aggregates (1×1)
         "stratified_sample",
+        "events_funnel",
     }
     bnl_offenders = [
         n for n, a in rows if a.get("bnl", 0) > 0 and n not in expected_bnl

@@ -2127,6 +2127,59 @@ def events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("total_value", F.round("total_value", 2))
 
 
+# Ordered funnel: view → click-after-view → purchase-after-click, each
+# step's anchor being the user's earliest qualifying PRIOR-step time.
+# Three aggregations and two joins, all keyed on user_id — the shuffles
+# co-partition and reuse the exchange. Counts + one ratio of exact
+# counts: deterministic.
+@register(
+    "events_funnel",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS tc
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS tp
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1)
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click_after_view,
+           (SELECT count(*) FROM p) AS n_purchase_after_click,
+           round((SELECT count(*) FROM p)::DOUBLE
+                 / (SELECT count(*) FROM v), 6) AS conversion
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+
+    def first_after(prior: DataFrame, anchor: str, etype: str, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prior, "user_id")
+            .filter(F.col("ts") > F.col(anchor))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("tv"))
+    c = first_after(v, "tv", "click", "tc")
+    p = first_after(c, "tc", "purchase", "tp")
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+        .select(
+            "n_view",
+            "n_click_after_view",
+            "n_purchase_after_click",
+            F.round(
+                F.col("n_purchase_after_click").cast("double") / F.col("n_view"), 6
+            ).alias("conversion"),
+        )
+    )
+
+
 # Cohort retention: users grouped by first-seen day, activity counted
 # at canonical offsets — the min-window + distinct-activity shape every
 # product-analytics warehouse runs. Pure counts: nothing for fp to move.

@@ -16,6 +16,7 @@ from warp_spark.dataset import Dataset, Order
 from warp_spark.aggregators import Aggregator
 from warp_spark.infer import infer, suggest_formulas
 from warp_spark.calculator import ExampleCalculator
+from warp_spark.sampling import stratified_sample
 
 __all__ = [
     "get_spark",
@@ -25,5 +26,6 @@ __all__ = [
     "infer",
     "suggest_formulas",
     "ExampleCalculator",
+    "stratified_sample",
 ]
 __version__ = "0.1.0"

@@ -5,8 +5,10 @@
   embedding-cosine, winnowed rolling-hash partial overlap; connected
   components via min-label propagation or large-star/small-star;
 - similarity search: exact brute-force / blocked-matmul all-pairs,
-  IVF, multi-table multi-probe LSH (top-k and corpus×corpus join);
-- text analysis: language-ID, quality scoring, token counting,
+  IVF, multi-table multi-probe LSH (top-k and corpus×corpus join),
+  product quantization (ADC scoring + exact shortlist re-rank);
+- text analysis: language-ID, quality scoring, repetition/boilerplate
+  signals, TF-IDF top terms, PII scrubbing, token counting,
   fingerprinting;
 - multimodal column plumbing: image decode/resize, video frame
   sampling, audio features (codecs stubbed, plumbing real).

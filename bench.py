@@ -64,6 +64,7 @@ HEADLINE = [
     "text_quality",
     "text_repetition",
     "text_tfidf_topterms",
+    "decontaminate_ngram",
     "pipeline_curation_summary",
     # LLM-pipeline: similarity search
     "ann_topk_bruteforce",

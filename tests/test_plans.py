@@ -119,6 +119,21 @@ def test_random_sample_no_full_sort(spark):
     assert "\n+- Sort" not in plan and "*Sort " not in plan
 
 
+def test_decontaminate_broadcasts_benchmark(spark):
+    """Decontamination: the benchmark n-gram set broadcasts (train side
+    never shuffles for the join), gram hashing is pure JVM (no Python
+    stages), and the only hash Exchange is the per-doc count groupBy."""
+    plan = plan_of(spark, "decontaminate_ngram")
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the TRAIN side shuffles exactly once (per-doc count groupBy); the
+    # other hash Exchange in the plan is the benchmark-sized distinct
+    # feeding the BroadcastExchange
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
 def test_text_repetition_no_shuffle_no_python(spark):
     """Per-document text signals must stay in the scan's codegen stage:
     no Exchange, no Python eval."""

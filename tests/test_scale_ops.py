@@ -267,6 +267,60 @@ def test_lsh_bucket_kernel_parity(spark):
     assert expr == vec
 
 
+def test_ngram_contamination_planted_overlap(spark):
+    """Decontamination semantics: a train doc sharing a 13-token run
+    with a benchmark doc is flagged with the right distinct-gram counts;
+    disjoint docs and sub-n overlaps are not flagged; docs shorter than
+    n grams contribute nothing (and survive keep_clean with total 0)."""
+    from warp_spark.pipeline.text import ngram_contamination
+
+    leak = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    bench = spark.createDataFrame(
+        [(100, f"benchmark intro {leak} benchmark outro")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, f"training prefix {leak} training suffix"),  # contaminated
+            (2, "totally unrelated words with no shared run at all "
+                "padding padding padding padding padding padding"),
+            (3, "one two three four five six seven"),  # sub-n overlap only
+            (4, "short doc"),  # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_contamination(train, bench, n=13).collect()}
+    assert set(got) == {1}
+    # "training prefix <13 tokens> training suffix" = 17 tokens -> 5 grams,
+    # of which exactly one (the leak itself) appears in the benchmark
+    assert got[1]["total_ngrams"] == 5
+    assert got[1]["matched_ngrams"] == 1
+    assert got[1]["overlap_frac"] == pytest.approx(0.2)
+
+    everyone = {r["doc_id"]: r for r in
+                ngram_contamination(train, bench, n=13, keep_clean=True).collect()}
+    assert set(everyone) == {1, 2, 3, 4}
+    assert everyone[4]["total_ngrams"] == 0 and everyone[4]["matched_ngrams"] == 0
+
+
+def test_ngram_contamination_repeated_grams_count_once(spark):
+    """Distinct-gram semantics: a leaked n-gram repeated inside one
+    train doc still counts once in both matched and total."""
+    from warp_spark.pipeline.text import ngram_contamination
+
+    leak = "a b c d e f g h i j k l m"
+    bench = spark.createDataFrame([(0, leak)], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, f"{leak} {leak}")], "doc_id long, text string"
+    )
+    got = ngram_contamination(train, bench, n=13).collect()
+    assert len(got) == 1
+    # 26 tokens -> 14 windows, but only 13 DISTINCT grams (the leak
+    # window appears at both offset 1 and offset 14)
+    assert got[0]["total_ngrams"] == 13
+    assert got[0]["matched_ngrams"] == 1
+
+
 def test_winnow_fingerprints_guarantee(spark):
     """Winnowing guarantee: docs sharing a substring of length >=
     k+window-1 share a fingerprint; identical docs share all; disjoint

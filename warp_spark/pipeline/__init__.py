@@ -10,6 +10,9 @@
 - text analysis: language-ID, quality scoring, repetition/boilerplate
   signals, TF-IDF top terms, PII scrubbing, token counting,
   fingerprinting;
+- benchmark decontamination: distinct token-n-gram overlap of the
+  training corpus against a broadcast eval-set gram set (the
+  GPT-3/PaLM 13-gram check);
 - multimodal column plumbing: image decode/resize, video frame
   sampling, audio features (codecs stubbed, plumbing real).
 

@@ -201,6 +201,83 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination — token-n-gram overlap vs an eval corpus
+# ---------------------------------------------------------------------------
+
+
+def ngram_hashes(text: Column, n: int = 13) -> Column:
+    """Distinct hashed token n-grams of the document, JVM-only: tokenize,
+    enumerate start offsets with ``sequence``, hash each n-token window
+    via ``xxhash64(concat_ws(...))`` inside a ``transform`` — one pass,
+    whole-stage codegen, no Python. Documents shorter than ``n`` tokens
+    yield an empty array (``sequence(1, size-n+1)`` would count DOWN for
+    short docs, hence the explicit guard)."""
+    tk = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tk, i, n))),
+    )
+    return F.when(F.size(tk) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    broadcast_benchmark: bool = True,
+    keep_clean: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: per-training-document overlap with an
+    evaluation corpus, measured as shared distinct token n-grams (the
+    GPT-3/PaLM-style 13-gram contamination check). Returns one row per
+    contaminated document — ``(id, matched_ngrams, total_ngrams,
+    overlap_frac)`` — or every training document when ``keep_clean``.
+
+    Distributed shape: the benchmark side collapses to a distinct set of
+    64-bit n-gram hashes — eval sets are MB-scale against a 100 TB train
+    corpus, so it broadcasts (set ``broadcast_benchmark=False`` to
+    shuffle-join a corpus-sized right side instead). The train side
+    explodes its per-doc distinct hash array and left-joins the
+    broadcast set, so the only wide exchange is the per-doc count
+    aggregation of (id, 8-byte hash) tuples — text never shuffles.
+    Hashing trades exactness for never moving strings; at 64 bits a
+    million-gram eval set collides with probability ~1e-7."""
+    grams = ngram_hashes(F.col(text_col), n)
+    bench = (
+        benchmark.select(F.explode(ngram_hashes(F.col(text_col), n)).alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    exploded = train.select(
+        F.col(id_col),
+        F.size(grams).cast("long").alias("total_ngrams"),
+        F.explode_outer(grams).alias("g"),
+    )
+    out = (
+        exploded.join(bench, "g", "left")
+        .groupBy(id_col, "total_ngrams")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("matched_ngrams"))
+        .select(
+            id_col,
+            "matched_ngrams",
+            "total_ngrams",
+            F.round(
+                F.col("matched_ngrams").cast("double")
+                / F.greatest(F.col("total_ngrams"), F.lit(1)),
+                6,
+            ).alias("overlap_frac"),
+        )
+    )
+    return out if keep_clean else out.filter(F.col("matched_ngrams") >= 1)
+
+
+# ---------------------------------------------------------------------------
 # Rolling-hash fingerprints (winnowing) — partial-overlap detection
 # ---------------------------------------------------------------------------
 

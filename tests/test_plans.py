@@ -132,6 +132,11 @@ def test_decontaminate_broadcasts_benchmark(spark):
     # feeding the BroadcastExchange
     assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+    # the tokenizer must run ONCE per side, as its own aliased
+    # projection. If split() leaks into the gram transform lambda or an
+    # inferred filter, it re-executes per element — O(len^2) per doc
+    # (measured 113x at sf0.1; see ngram_hashes_from_tokens docstring)
+    assert plan.count("split(lower") == 2, plan
 
 
 def test_text_repetition_no_shuffle_no_python(spark):

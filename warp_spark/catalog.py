@@ -2102,18 +2102,12 @@ def events_hourly_rollup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
     import tempfile
     import uuid
 
-    from warp_spark.streaming import read_event_stream, run_stream_to_memory, windowed_rollup
+    from warp_spark.streaming import run_stream_to_memory, windowed_rollup
 
     d = tempfile.mkdtemp(prefix="warp_stream_entry_")
     name = f"hourly_streamed_{uuid.uuid4().hex[:8]}"
     try:
-        shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-000.parquet")
-        ev = read_event_stream(spark, d)
-        if dict(ev.dtypes)["ts"] == "bigint":
-            ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-        elif dict(ev.dtypes)["ts"] == "timestamp_ntz":
-            # watermarks require TIMESTAMP; session tz is pinned to UTC
-            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        ev = _stage_event_stream(spark, sf_dir, d)
         rolled = windowed_rollup(
             ev,
             "ts",
@@ -2416,6 +2410,115 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     return sessionize(ev, "ts", "30 minutes", keys=["user_id"])
+
+
+def _stage_event_stream(spark: SparkSession, sf_dir: str, tmpdir: str) -> DataFrame:
+    """Stage events.parquet into a temp dir (the file source wants a
+    directory) and open it as a readStream with ``ts`` normalized to a
+    watermarkable TIMESTAMP — shared by every streaming-executed entry."""
+    import shutil
+
+    from warp_spark.streaming import read_event_stream
+
+    shutil.copy(f"{sf_dir}/events.parquet", f"{tmpdir}/part-000.parquet")
+    ev = read_event_stream(spark, tmpdir)
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif dict(ev.dtypes)["ts"] == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev
+
+
+@register(
+    "events_sessionize_streamed",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts)  AS session_start,
+           max(ts)  AS session_end,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def events_sessionize_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_sessionize``: the same session_window
+    builder EXECUTED as a Structured Streaming job (file source →
+    1-day watermark → complete-mode memory sink) against the identical
+    gaps-and-islands oracle — session merging across micro-batches is
+    the hardest stateful path Spark's native windows have."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from warp_spark.streaming import run_stream_to_memory, sessionize
+
+    d = tempfile.mkdtemp(prefix="warp_stream_entry_")
+    name = f"sessionize_streamed_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = _stage_event_stream(spark, sf_dir, d)
+        sessions = sessionize(
+            ev, "ts", "30 minutes", keys=["user_id"], watermark="1 day"
+        )
+        run_stream_to_memory(sessions, name, output_mode="complete")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name)
+
+
+@register(
+    "events_running_totals_stateful",
+    """
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_running_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator tier, driver-verified: per-user running
+    count+sum via ``applyInPandasWithState`` EXECUTED as a streaming job
+    (update-mode memory sink). The sink accumulates one snapshot per
+    micro-batch; the final state per user — last snapshot = the full
+    running total — must hash-match the plain batch GROUP BY oracle.
+    This is the (b) escape-hatch tier of SURVEY §2.7 carrying a real
+    value oracle, not a rows-only check."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from warp_spark.streaming import run_stream_to_memory
+    from warp_spark.streaming.windows import running_totals_stateful
+
+    d = tempfile.mkdtemp(prefix="warp_stream_entry_")
+    name = f"running_totals_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = _stage_event_stream(spark, sf_dir, d)
+        out = running_totals_stateful(ev, "user_id", "value", "ts")
+        run_stream_to_memory(out, name, output_mode="update")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", F.round("total", 2).alias("total"))
+    )
 
 
 @register(
@@ -3765,13 +3868,15 @@ _DRIVER_WINDOW = [
     "ann_topk_ivf",
     "multimodal_decode",
     "multimodal_frame_sample",
-    # event-time block (events_daily_from_hourly was hash-verified in
-    # r01+r02; its slot goes to the NEW streaming-executed twin so
-    # stream-batch equivalence gets driver-side evidence)
-    "events_hourly_rollup",
+    # event-time block (events_daily_from_hourly, events_hourly_rollup
+    # and events_sessionize were each hash-verified in r01+r02; their
+    # slots go to the NEW streaming-EXECUTED entries so stream-batch
+    # equivalence and the applyInPandasWithState stateful tier get
+    # driver-side value evidence)
+    "events_running_totals_stateful",
     "events_sliding_rollup",
     "events_hourly_rollup_streamed",
-    "events_sessionize",
+    "events_sessionize_streamed",
     # flagship TPC-H (kept in-window every round; q6_forecast_revenue —
     # hash-verified in BOTH r01 and r02 — ceded its slot to the new
     # decontamination entry, which needs first driver evidence)

@@ -205,20 +205,44 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def ngram_hashes(text: Column, n: int = 13) -> Column:
-    """Distinct hashed token n-grams of the document, JVM-only: tokenize,
+def ngram_hashes_from_tokens(tk: Column, n: int = 13) -> Column:
+    """Distinct hashed token n-grams from a token-array column:
     enumerate start offsets with ``sequence``, hash each n-token window
     via ``xxhash64(concat_ws(...))`` inside a ``transform`` — one pass,
     whole-stage codegen, no Python. Documents shorter than ``n`` tokens
     yield an empty array (``sequence(1, size-n+1)`` would count DOWN for
-    short docs, hence the explicit guard)."""
-    tk = tokens(text)
+    short docs, hence the explicit guard).
+
+    ``tk`` MUST be a materialized column reference, not the raw
+    ``split(...)`` tree: the split appears (textually once) inside the
+    transform lambda, and Catalyst legally inlines single-use upstream
+    trees into lambdas that then execute once PER ELEMENT — re-splitting
+    the whole document for every gram, O(len²) per doc (measured 80×
+    on the sf0.1 corpus; same CollapseProject pathology as the MinHash
+    signature fold, dedup.py). Projecting the token array under an alias
+    first makes it a multi-use non-cheap alias, which CollapseProject
+    keeps as-is. ``ngram_hashes`` below stages this correctly."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)),
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tk, i, n))),
     )
     return F.when(F.size(tk) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<bigint>")
+    )
+
+
+def ngram_hashes(
+    df: DataFrame, text_col: str, out_col: str, n: int = 13
+) -> DataFrame:
+    """Append a distinct-hashed-token-n-gram column. Two projections by
+    design — tokens materialized under an alias, then the gram transform
+    over the alias — so the tokenizer runs once per document, not once
+    per gram (see ``ngram_hashes_from_tokens``)."""
+    tk = "_ngram_tokens"
+    return (
+        df.withColumn(tk, tokens(F.col(text_col)))
+        .withColumn(out_col, ngram_hashes_from_tokens(F.col(tk), n))
+        .drop(tk)
     )
 
 
@@ -246,18 +270,27 @@ def ngram_contamination(
     aggregation of (id, 8-byte hash) tuples — text never shuffles.
     Hashing trades exactness for never moving strings; at 64 bits a
     million-gram eval set collides with probability ~1e-7."""
-    grams = ngram_hashes(F.col(text_col), n)
+    # explode_outer + explicit isNotNull, NOT plain explode: explode
+    # makes InferFiltersFromGenerate add a `size(grams) > 0` predicate
+    # that pushes below the token projection and re-inlines the gram
+    # tree into a per-doc filter (the O(len²) pathology again, this
+    # time at filter eval). explode_outer infers nothing; the null rows
+    # die on the cheap post-generate isNotNull.
     bench = (
-        benchmark.select(F.explode(ngram_hashes(F.col(text_col), n)).alias("g"))
+        ngram_hashes(benchmark.select(text_col), text_col, "_grams", n)
+        .select(F.explode_outer("_grams").alias("g"))
+        .filter(F.col("g").isNotNull())
         .distinct()
         .withColumn("hit", F.lit(1))
     )
     if broadcast_benchmark:
         bench = F.broadcast(bench)
-    exploded = train.select(
+    exploded = ngram_hashes(
+        train.select(id_col, text_col), text_col, "_grams", n
+    ).select(
         F.col(id_col),
-        F.size(grams).cast("long").alias("total_ngrams"),
-        F.explode_outer(grams).alias("g"),
+        F.size("_grams").cast("long").alias("total_ngrams"),
+        F.explode_outer("_grams").alias("g"),
     )
     out = (
         exploded.join(bench, "g", "left")

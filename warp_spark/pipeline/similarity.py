@@ -349,7 +349,15 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _dcast(F.col(vec_col)).alias("neighbor_vec"),
-        ivf_assign(F.col(vec_col), centroids).alias("centroid_id"),
+        # coalesce(…, -1) makes the assignment provably non-null, so the
+        # probe join's inferred isnotnull(centroid_id) folds to true
+        # instead of pushing below this projection — which re-inlined
+        # the sims UDF and ran the centroid matmul TWICE over the corpus
+        # (audited). -1 matches no probe (cids are 0-based); vectors
+        # only assign null if the UDF returned null, which it cannot.
+        F.coalesce(
+            ivf_assign(F.col(vec_col), centroids), F.lit(-1)
+        ).alias("centroid_id"),
     ).withColumn("c_norm", _norm(F.col("neighbor_vec")))
     sims = _centroid_sims(F.col(vec_col), centroids)
     probe = queries.select(
@@ -363,8 +371,14 @@ def ivf_topk(
     ).select(
         "query_id",
         "query_vec",
-        F.explode(F.transform(F.col("probes"), lambda p: p["cid"])).alias("centroid_id"),
-    ).withColumn("q_norm", _norm(F.col("query_vec")))
+        # explode_outer: plain explode infers `size(transform(probes))>0`,
+        # which substitutes the sims UDF back in and doubles its eval
+        F.explode_outer(
+            F.transform(F.col("probes"), lambda p: p["cid"])
+        ).alias("centroid_id"),
+    ).filter(F.col("centroid_id").isNotNull()).withColumn(
+        "q_norm", _norm(F.col("query_vec"))
+    )
     scored = (
         c.join(F.broadcast(probe), on="centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -446,9 +460,14 @@ def lsh_topk(
                     ),
                 )
             )
+            # explode_outer, NOT explode: explode's inferred
+            # `size(pairs) > 0` filter re-inlines the bucket UDF via
+            # projection substitution and ExtractPythonUDFs then runs a
+            # SECOND ArrowEvalPython pass per side (audited; same
+            # pathology as winnow_overlap_candidates)
             exploded = staged.select(
-                id_alias, vec_alias, norm_alias, F.explode(pairs).alias("tb")
-            )
+                id_alias, vec_alias, norm_alias, F.explode_outer(pairs).alias("tb")
+            ).filter(F.col("tb").isNotNull())
             return exploded.select(
                 id_alias,
                 vec_alias,
@@ -460,8 +479,8 @@ def lsh_topk(
             id_alias,
             vec_alias,
             norm_alias,
-            F.posexplode("bkts").alias("tbl", "bucket"),
-        )
+            F.posexplode_outer("bkts").alias("tbl", "bucket"),
+        ).filter(F.col("bucket").isNotNull())
 
     q = with_buckets(
         queries, id_col, vec_col, "query_id", "query_vec", "q_norm", multi_probe
@@ -534,11 +553,17 @@ def lsh_near_pairs(
                 ),
             )
         )
-        exploded = staged.select("id", F.explode(pairs_tb).alias("tb")).select(
-            "id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+        # explode_outer + isNotNull: see with_buckets — plain explode
+        # doubles the bucket-UDF eval via its inferred size filter
+        exploded = (
+            staged.select("id", F.explode_outer(pairs_tb).alias("tb"))
+            .filter(F.col("tb").isNotNull())
+            .select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
         )
     else:
-        exploded = staged.select("id", F.posexplode("bkts").alias("tbl", "bucket"))
+        exploded = staged.select(
+            "id", F.posexplode_outer("bkts").alias("tbl", "bucket")
+        ).filter(F.col("bucket").isNotNull())
     m = F.col("m")
     cand = (
         exploded.groupBy("tbl", "bucket")

@@ -421,10 +421,19 @@ def winnow_overlap_candidates(
 
     # the fingerprint UDF is the CPU stage — give it a partition per
     # core even when the source is one parquet split (same move as
-    # dedup.simhash_near_pairs)
-    fp = ensure_min_partitions(df.select(id_col, text_col)).select(
-        F.col(id_col), rolling_fingerprints(F.col(text_col), k, window).alias("fps")
-    ).select(F.col(id_col), F.explode("fps").alias("fp"))
+    # dedup.simhash_near_pairs). explode_outer + isNotNull, NOT plain
+    # explode: explode's inferred `size(fps) > 0` filter pushes below
+    # the repartition Exchange and ExtractPythonUDFs then materializes a
+    # SECOND ArrowEvalPython for it — the whole winnow kernel ran twice,
+    # once single-task on the pre-repartition file split (2.4× measured)
+    fp = (
+        ensure_min_partitions(df.select(id_col, text_col))
+        .select(
+            F.col(id_col), rolling_fingerprints(F.col(text_col), k, window).alias("fps")
+        )
+        .select(F.col(id_col), F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
     from warp_spark.pipeline.dedup import bucket_pair_lists
 
     buckets = fp.groupBy("fp").agg(F.collect_list(id_col).alias("m"))

@@ -17,6 +17,7 @@ from warp_spark.aggregators import Aggregator
 from warp_spark.infer import infer, suggest_formulas
 from warp_spark.calculator import ExampleCalculator
 from warp_spark.sampling import stratified_sample
+from warp_spark.pipeline.packing import pack_chunks, chunk_summary
 
 __all__ = [
     "get_spark",
@@ -27,5 +28,7 @@ __all__ = [
     "suggest_formulas",
     "ExampleCalculator",
     "stratified_sample",
+    "pack_chunks",
+    "chunk_summary",
 ]
 __version__ = "0.1.0"

@@ -3804,6 +3804,46 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-3 continuation: sequence packing (concat-and-chop chunk
+# assignment — the pretraining context-window layout) computed with the
+# distributed two-phase prefix sum; oracle is the plain SQL window
+# cumsum over the same whitespace token counts.
+# ---------------------------------------------------------------------------
+@register(
+    "pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0)::BIGINT AS token_offset
+      FROM t
+    )
+    SELECT doc_id, n_tokens, token_offset,
+           (token_offset // 512)::BIGINT                     AS first_chunk,
+           ((token_offset + n_tokens - 1) // 512)::BIGINT    AS last_chunk,
+           ((token_offset + n_tokens - 1) // 512
+            - token_offset // 512 + 1)::BIGINT               AS n_chunks,
+           (token_offset // 512)
+             <> ((token_offset + n_tokens - 1) // 512)       AS spans_boundary
+    FROM c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop packing: every document's global token offset
+    (distributed exclusive prefix sum, no single-task window) and the
+    512-token training chunks it spans."""
+    from warp_spark.pipeline.packing import pack_chunks
+
+    return pack_chunks(_t(spark, sf_dir, "documents").to_df(), chunk_tokens=512)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

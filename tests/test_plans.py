@@ -177,3 +177,20 @@ def test_gapfill_grid_side_broadcasts(spark):
     reshuffles for it."""
     plan = plan_of(spark, "events_gapfill_hourly")
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_char_entropy_no_shuffle_no_python(spark):
+    """Char-entropy stays map-side HOFs: no Exchange (an explode->groupBy
+    formulation would shuffle one row per character), no Python eval."""
+    plan = plan_of(spark, "text_char_entropy")
+    assert "Exchange" not in plan
+    for py in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert py not in plan
+
+
+def test_pack_sequences_distributed_prefix(spark):
+    """Packing must use the two-phase prefix shape: range partition on
+    the order key, never a global single-task window over the data."""
+    plan = plan_of(spark, "pack_sequences")
+    assert "Exchange rangepartitioning" in plan
+    assert "SinglePartition" not in plan or plan.count("Window") >= 2

@@ -542,3 +542,32 @@ def test_pq_topk_recall_and_rerank(spark):
     got = pq_topk(q, emb, k=5, rerank=50).collect()
     assert all(1 <= r["rank"] <= 5 for r in got)
     assert all(r["query_id"] != r["neighbor_id"] for r in got)
+
+
+def test_char_entropy_features(spark):
+    import math
+
+    from warp_spark.pipeline.text import char_entropy_features
+
+    rows = [
+        (1, "aaaa"),          # single symbol → 0 bits
+        (2, "abab"),          # two equiprobable symbols → 1 bit
+        (3, "abcd"),          # four equiprobable symbols → 2 bits
+        (4, "aab"),           # 2/3,1/3 split
+        (5, "AaBb"),          # case-folds to "aabb" → 1 bit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[c.alias(k) for k, c in char_entropy_features(F.col("text")).items()]
+        ).collect()
+    }
+    assert got[1]["char_entropy"] == 0.0
+    assert got[2]["char_entropy"] == pytest.approx(1.0, abs=1e-9)
+    assert got[3]["char_entropy"] == pytest.approx(2.0, abs=1e-9)
+    h = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert got[4]["char_entropy"] == pytest.approx(h, abs=1e-6)
+    assert got[5]["char_entropy"] == pytest.approx(1.0, abs=1e-9)
+    assert got[3]["n_chars"] == 4 and got[3]["n_distinct_chars"] == 4
+    assert got[5]["n_distinct_chars"] == 2

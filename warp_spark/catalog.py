@@ -3844,6 +3844,49 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(_t(spark, sf_dir, "documents").to_df(), chunk_tokens=512)
 
 
+# ---------------------------------------------------------------------------
+# Character-unigram entropy: gibberish/boilerplate signal, pure HOF
+# Column pipeline (no shuffle, no Python). The oracle folds the same
+# p·log2 p terms in the same sorted-alphabet order with the same 0.0
+# init, so the float summation order is engine-identical.
+# ---------------------------------------------------------------------------
+@register(
+    "text_char_entropy",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[\\s\\S]') AS cs
+      FROM documents
+    ),
+    u AS (
+      SELECT doc_id, cs, list_sort(list_distinct(cs)) AS uq, len(cs) AS n
+      FROM t
+    ),
+    k AS (
+      SELECT doc_id, n, uq,
+             list_transform(uq, d -> len(list_filter(cs, c -> c = d))) AS counts
+      FROM u
+    )
+    SELECT doc_id,
+           n       AS n_chars,
+           len(uq) AS n_distinct_chars,
+           CASE WHEN n = 0 THEN 0.0 ELSE
+             round(-list_reduce(
+                 list_prepend(0.0::DOUBLE,
+                   list_transform(counts,
+                     c -> (c::DOUBLE / n) * log2(c::DOUBLE / n))),
+                 (acc, x) -> acc + x), 6)
+           END AS char_entropy
+    FROM k
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.text import char_entropy_features
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    feats = char_entropy_features(F.col("text"))
+    return docs.select("doc_id", *[c.alias(k) for k, c in feats.items()])
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

@@ -191,6 +191,34 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
 
 
+def char_entropy_features(text: Column) -> dict[str, Column]:
+    """Per-document character-unigram Shannon entropy — a cheap
+    gibberish/boilerplate signal (near-zero for repeated padding, high
+    for encrypted/base64 noise; natural language sits in a stable band).
+
+    Entirely higher-order Column expressions, map-side in one codegen
+    stage: chars → sorted distinct alphabet → per-char counts → left
+    fold of p·log2 p *in sorted-alphabet order*, so the float summation
+    order is deterministic and reproducible across engines (the oracle
+    folds the identical term list with the identical init). Per-doc cost
+    is O(distinct_chars × len); the alphabet of natural-language text is
+    tiny, so this stays far cheaper than an explode→groupBy (which would
+    shuffle one row per character at corpus scale)."""
+    chars = F.regexp_extract_all(F.lower(text), F.lit(r"[\s\S]"), F.lit(0))
+    uniq = F.array_sort(F.array_distinct(chars))
+    n = F.size(chars)
+    counts = F.transform(uniq, lambda d: F.size(F.filter(chars, lambda c: c == d)))
+    terms = F.transform(
+        counts, lambda c: (c.cast("double") / n) * F.log2(c.cast("double") / n)
+    )
+    ent = -F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    return {
+        "n_chars": n,
+        "n_distinct_chars": F.size(uniq),
+        "char_entropy": F.when(n == 0, F.lit(0.0)).otherwise(F.round(ent, 6)),
+    }
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text analysis: all quality features + language + fingerprint."""
     text = F.col(text_col)

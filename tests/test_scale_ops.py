@@ -571,3 +571,31 @@ def test_char_entropy_features(spark):
     assert got[5]["char_entropy"] == pytest.approx(1.0, abs=1e-9)
     assert got[3]["n_chars"] == 4 and got[3]["n_distinct_chars"] == 4
     assert got[5]["n_distinct_chars"] == 2
+
+
+def test_incremental_dedup_batch_vs_corpus_only(spark):
+    from warp_spark.pipeline.dedup import incremental_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away home"
+    )
+    near = base + " tonight"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus text about spark plans")],
+        "doc_id long, text string",
+    )
+    twin = "identical twin text only inside the new batch slice here"
+    batch = spark.createDataFrame(
+        [(21, base), (22, "nothing like anything else at all"), (23, near),
+         (24, twin), (25, twin)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in incremental_dedup(corpus, batch).collect()}
+    assert set(got) == {21, 22, 23, 24, 25}
+    assert got[21]["is_dup"] and got[21]["dup_of"] == 1
+    assert got[21]["best_jaccard"] == 1.0
+    assert got[23]["is_dup"] and got[23]["dup_of"] == 1
+    assert not got[22]["is_dup"] and got[22]["dup_of"] is None
+    # batch×batch pairs must never be generated: the twins match each
+    # other but nothing in the corpus, so both stay kept
+    assert not got[24]["is_dup"] and not got[25]["is_dup"]

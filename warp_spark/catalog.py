@@ -3887,6 +3887,46 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", *[c.alias(k) for k, c in feats.items()])
 
 
+# ---------------------------------------------------------------------------
+# Incremental dedup: a "new crawl slice" (sources src16–src19, i.e.
+# doc_id % 20 >= 16) deduped AGAINST the standing corpus (the rest) —
+# batch×corpus LSH pairs only, never corpus×corpus. Oracle: the same
+# md5-minhash band replica with the cross-side join condition, Jaccard
+# verify, then min-matching-corpus-id per batch doc.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_incremental",
+    "WITH "
+    + _DUCK_LSH
+    + """,
+xcand AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+          WHERE a.doc_id % 20 >= 16 AND b.doc_id % 20 < 16),
+ver AS (SELECT c.batch_id, c.corpus_id,
+               round(len(list_intersect(x.sh, y.sh))::DOUBLE
+                     / len(list_distinct(x.sh || y.sh)), 6) AS j
+        FROM xcand c
+        JOIN sh x ON x.doc_id = c.batch_id
+        JOIN sh y ON y.doc_id = c.corpus_id
+        WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+              / len(list_distinct(x.sh || y.sh)) >= 0.5),
+hits AS (SELECT batch_id, min(corpus_id) AS dup_of, max(j) AS best_jaccard
+         FROM ver GROUP BY batch_id)
+SELECT d.doc_id, h.dup_of, h.best_jaccard, h.dup_of IS NOT NULL AS is_dup
+FROM documents d LEFT JOIN hits h ON h.batch_id = d.doc_id
+WHERE d.doc_id % 20 >= 16
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    corpus = docs.filter(F.col("doc_id") % 20 < 16)
+    batch = docs.filter(F.col("doc_id") % 20 >= 16)
+    return incremental_dedup(corpus, batch, threshold=0.5)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

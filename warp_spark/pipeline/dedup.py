@@ -595,3 +595,137 @@ def canonical_clusters(
         F.col("label").alias("canonical_id"),
         (F.col("label") != F.col("id")).alias("is_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (batch-vs-corpus) dedup — the steady-state shape of a
+# production training pipeline: a new crawl slice is deduped AGAINST the
+# standing corpus without re-pairing the corpus with itself.
+# ---------------------------------------------------------------------------
+
+def incremental_lsh_candidates(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Candidate (batch_id, corpus_id) near-dup pairs: batch docs
+    sharing ≥1 LSH band with a corpus doc. Corpus×corpus and
+    batch×batch pairs are never generated — per bucket the pair
+    expansion is the new×old cross product only, so the steady-state
+    cost is |batch|-proportional, not |corpus|²; the standing corpus is
+    re-signatured here but at scale its signatures are a materialized
+    table keyed by ``id_col`` and the first select is a parquet scan.
+
+    Same physical shape as ``minhash_lsh_candidates`` (two shuffles:
+    band groupBy, pair-dedup; nothing broadcast): the two sides union
+    with a tag, the bucket groupBy collects old and new member lists
+    separately (``collect_list`` drops the ``when``-nulled other side),
+    and the HOF expansion crosses them JVM-side."""
+    from warp_spark.skew import ensure_min_partitions
+
+    tagged = corpus.select(
+        F.col(id_col), F.col(text_col), F.lit(False).alias("__new")
+    ).unionByName(
+        batch.select(F.col(id_col), F.col(text_col), F.lit(True).alias("__new"))
+    )
+    if num_hashes == DEFAULT_NUM_HASHES:
+        sig = ensure_min_partitions(tagged).select(
+            F.col(id_col), F.col("__new"), minhash_sig64_udf(F.col(text_col)).alias("__sig")
+        )
+    else:
+        sig = (
+            tagged.select(F.col(id_col), F.col("__new"), shingles(F.col(text_col)).alias("__sh"))
+            .select(
+                F.col(id_col),
+                F.col("__new"),
+                F.transform(F.col("__sh"), md5_hash_pair).alias("__hp"),
+            )
+            .select(
+                F.col(id_col),
+                F.col("__new"),
+                minhash_from_pairs(F.col("__hp"), num_hashes).alias("__sig"),
+            )
+        )
+    banded = sig.select(
+        F.col(id_col),
+        F.col("__new"),
+        F.posexplode(lsh_bands(F.col("__sig"), num_hashes, band_size)).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    buckets = banded.groupBy("band_idx", "band_val").agg(
+        F.collect_list(F.when(F.col("__new"), F.col(id_col))).alias("new_m"),
+        F.collect_list(F.when(~F.col("__new"), F.col(id_col))).alias("old_m"),
+    )
+    new_m, old_m = F.col("new_m"), F.col("old_m")
+    pairs = F.flatten(
+        F.transform(
+            new_m,
+            lambda x: F.transform(
+                old_m, lambda y: F.struct(x.alias("batch_id"), y.alias("corpus_id"))
+            ),
+        )
+    )
+    return (
+        buckets.filter(
+            (F.size(new_m) >= 1)
+            & (F.size(old_m) >= 1)
+            & (F.size(new_m) + F.size(old_m) <= max_bucket_size)
+        )
+        .select(F.explode(pairs).alias("p"))
+        .select("p.*")
+        .distinct()
+    )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Dedup decision for every batch doc against the standing corpus:
+    LSH candidates (batch×corpus only) → exact n-gram Jaccard ≥
+    ``threshold`` → per batch doc the MIN matching corpus id. Returns
+    one row per batch doc: ``id_col, dup_of (nullable), best_jaccard
+    (nullable), is_dup`` — kept docs carry NULL dup_of, so the caller's
+    keep-filter is ``~is_dup`` with no second pass."""
+    cand = incremental_lsh_candidates(
+        corpus, batch, id_col=id_col, text_col=text_col, **lsh_kwargs
+    )
+    sh_new = batch.select(
+        F.col(id_col).alias("batch_id"), shingles(F.col(text_col)).alias("sh_a")
+    )
+    sh_old = corpus.select(
+        F.col(id_col).alias("corpus_id"), shingles(F.col(text_col)).alias("sh_b")
+    )
+    verified = (
+        cand.join(sh_new, "batch_id")
+        .join(sh_old, "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    hits = verified.groupBy("batch_id").agg(
+        F.min("corpus_id").alias("dup_of"),
+        F.max(F.round("jaccard", 6)).alias("best_jaccard"),
+    )
+    return (
+        batch.select(F.col(id_col))
+        .join(hits, F.col(id_col) == F.col("batch_id"), "left")
+        .select(
+            F.col(id_col),
+            F.col("dup_of"),
+            F.col("best_jaccard"),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )

@@ -599,3 +599,22 @@ def test_incremental_dedup_batch_vs_corpus_only(spark):
     # batch×batch pairs must never be generated: the twins match each
     # other but nothing in the corpus, so both stay kept
     assert not got[24]["is_dup"] and not got[25]["is_dup"]
+
+
+def test_cluster_representatives_argmax(spark):
+    from warp_spark.pipeline.dedup import cluster_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)],
+        "doc_id long, canonical_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.4), (20, 0.1)],
+        "doc_id long, quality_score double",
+    )
+    got = {r["doc_id"]: r for r in cluster_representatives(clusters, scores).collect()}
+    # cluster 1: 2 and 3 tie at 0.9 → min id 2 wins over earlier-id 1 (0.2)
+    assert got[1]["rep_id"] == 2 and not got[1]["keep"]
+    assert got[2]["keep"] and got[3]["rep_id"] == 2
+    assert got[10]["keep"] and got[11]["rep_id"] == 10
+    assert got[20]["keep"]  # singleton keeps itself

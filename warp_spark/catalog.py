@@ -3927,6 +3927,62 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(corpus, batch, threshold=0.5)
 
 
+# ---------------------------------------------------------------------------
+# Quality-aware dedup: per near-dup cluster keep the best-quality copy
+# (ties → min id), not the min-id copy. Oracle: the dedup_clusters
+# recursive-CTE components nested as a subquery, joined to the
+# text_quality score, argmax via first_value window.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_keep_best",
+    f"""
+    WITH labels AS ({ORACLES['dedup_clusters']}),
+    q AS (
+      SELECT doc_id,
+             round(least(len(toks) / 100.0, 1.0) * 0.5
+                   + (len(list_filter(toks, x -> list_contains(
+                         ['the','a','of','and','to','in','is','that'], x)))
+                      / len(toks)) * 0.3
+                   + (1 - least((length(regexp_extract_all(text, '[^\\w\\s]'))
+                                 / length(text)) * 10, 1.0)) * 0.2, 6)
+               AS quality_score
+      FROM (SELECT doc_id, text,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents)
+    ),
+    j AS (SELECT l.doc_id, l.canonical_id, q.quality_score
+          FROM labels l JOIN q USING (doc_id)),
+    r AS (SELECT j.*,
+                 first_value(doc_id) OVER (
+                   PARTITION BY canonical_id
+                   ORDER BY quality_score DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                 ) AS rep_id
+          FROM j)
+    SELECT doc_id, canonical_id, quality_score, rep_id,
+           doc_id = rep_id AS keep
+    FROM r
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.dedup import (
+        canonical_clusters,
+        cluster_representatives,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+    from warp_spark.pipeline.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    cand = minhash_lsh_candidates(docs)
+    pairs = ngram_jaccard_pairs(docs, cand, threshold=0.5)
+    clusters = canonical_clusters(docs, pairs)
+    scores = docs.select(
+        "doc_id", quality_features(F.col("text"))["quality_score"].alias("quality_score")
+    )
+    return cluster_representatives(clusters, scores)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

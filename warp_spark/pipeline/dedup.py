@@ -729,3 +729,31 @@ def incremental_dedup(
             F.col("dup_of").isNotNull().alias("is_dup"),
         )
     )
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Quality-aware canonical selection: per near-dup cluster keep the
+    HIGHEST-scoring member (ties → min id) instead of the min-id member
+    — what a curation pipeline actually wants (the best copy survives,
+    not the earliest-crawled one).
+
+    ``clusters`` is a ``canonical_clusters`` result (id, canonical_id);
+    ``scores`` carries ``score_col`` per id. One hash shuffle on
+    ``canonical_id`` for the window — clusters are near-dup groups, so
+    partitions are tiny and skew-free; no global sort, no collect."""
+    from pyspark.sql.window import Window
+
+    j = clusters.select(F.col(id_col), F.col("canonical_id")).join(scores, id_col)
+    w = (
+        Window.partitionBy("canonical_id")
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return j.withColumn("rep_id", F.first(F.col(id_col)).over(w)).withColumn(
+        "keep", F.col(id_col) == F.col("rep_id")
+    )

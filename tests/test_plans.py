@@ -194,3 +194,13 @@ def test_pack_sequences_distributed_prefix(spark):
     plan = plan_of(spark, "pack_sequences")
     assert "Exchange rangepartitioning" in plan
     assert "SinglePartition" not in plan or plan.count("Window") >= 2
+
+
+def test_tokenize_apply_no_shuffle_no_python(spark):
+    """Applying the trained vocab is a literal-map probe per token:
+    the result plan (vocab already collected) must be a pure map-side
+    projection — no Exchange, no Python eval."""
+    plan = plan_of(spark, "tokenize_vocab_ids")
+    assert "Exchange" not in plan
+    for py in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert py not in plan

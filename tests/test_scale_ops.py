@@ -618,3 +618,29 @@ def test_cluster_representatives_argmax(spark):
     assert got[2]["keep"] and got[3]["rep_id"] == 2
     assert got[10]["keep"] and got[11]["rep_id"] == 10
     assert got[20]["keep"]  # singleton keeps itself
+
+
+def test_tokenize_vocab_roundtrip(spark):
+    from warp_spark.pipeline.text import build_vocab, tokenize_ids
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog, the dog!"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = build_vocab(docs, vocab_size=4)
+    v = dict(vocab)
+    # "the" is the most frequent token → id 1; ids are 1..V dense
+    assert v["the"] == 1
+    assert sorted(v.values()) == [1, 2, 3, 4]
+    got = {r["doc_id"]: r for r in tokenize_ids(docs, vocab).collect()}
+    # every in-vocab token maps to its id; OOV → 0
+    assert got[1]["token_ids"][0] == 1 and got[1]["n_tokens"] == 6
+    assert got[1]["n_oov"] == got[1]["token_ids"].count(0)
+    assert got[2]["token_ids"].count(1) == 2  # two "the"
+    assert got[3]["token_ids"] == [] and got[3]["n_tokens"] == 0 and got[3]["n_oov"] == 0
+    # deterministic: rebuilt vocab is identical
+    assert build_vocab(docs, vocab_size=4) == vocab

@@ -3983,6 +3983,56 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_representatives(clusters, scores)
 
 
+# ---------------------------------------------------------------------------
+# Vocabulary tokenization: corpus-trained top-512 token→id vocab (total
+# order: count DESC, token ASC — deterministic cutoff) applied map-side
+# as a literal-map probe per token; 0 = OOV. Oracle: the same vocab via
+# a windowed row_number, applied through an explode → left join →
+# re-aggregate (ORDER BY ordinality) — different physical shape, same
+# function.
+# ---------------------------------------------------------------------------
+@register(
+    "tokenize_vocab_ids",
+    """
+    WITH tok_exp AS (
+      SELECT doc_id, u['tok'] AS tok, u['ord'] AS ord FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'),
+                 (x, i) -> struct_pack(tok := x, ord := i))) AS u
+        FROM documents)
+    ),
+    vocab AS (
+      SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS id
+      FROM tok_exp GROUP BY tok
+      ORDER BY count(*) DESC, tok ASC
+      LIMIT 512
+    ),
+    mapped AS (
+      SELECT e.doc_id, e.ord, COALESCE(v.id, 0) AS id
+      FROM tok_exp e LEFT JOIN vocab v USING (tok)
+    ),
+    agg AS (
+      SELECT doc_id, list(id ORDER BY ord) AS token_ids,
+             count(*) AS n_tokens,
+             sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS n_oov
+      FROM mapped GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.token_ids, []) AS token_ids,
+           COALESCE(a.n_tokens, 0)   AS n_tokens,
+           COALESCE(a.n_oov, 0)      AS n_oov
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def tokenize_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.text import build_vocab, tokenize_ids
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    vocab = build_vocab(docs, vocab_size=512)
+    return tokenize_ids(docs, vocab)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

@@ -480,3 +480,60 @@ def winnow_overlap_candidates(
         .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary tokenization — corpus-trained token→id mapping applied as a
+# broadcast map (the "apply the tokenizer" step of a training pipeline)
+# ---------------------------------------------------------------------------
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 512,
+) -> list[tuple[str, int]]:
+    """Train a frequency vocabulary over the BPE-ish tokens: the top
+    ``vocab_size`` tokens by (count DESC, token ASC) — a total order, so
+    the cutoff is deterministic and engine-reproducible. Ids start at 1;
+    0 is reserved for OOV.
+
+    The count is fully distributed (explode → partial/final groupBy);
+    only the ``vocab_size``-row result is collected — the vocab is the
+    small trained artifact of this operator, exactly like IVF centroids
+    (similarity.py), and is then closure-shipped to executors as a map
+    literal."""
+    toks = F.explode(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_PATTERN), F.lit(0))
+    ).alias("tok")
+    top = (
+        df.select(toks)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .collect()
+    )
+    return [(r["tok"], i + 1) for i, r in enumerate(top)]
+
+
+def tokenize_ids(
+    df: DataFrame,
+    vocab: list[tuple[str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Map every document to its token-id sequence under ``vocab``
+    (unknown tokens → 0). Pure map-side HOFs over a literal map — no
+    join, no shuffle, no Python: the scale cost is one codegen'd map
+    probe per token."""
+    mapping = F.create_map(
+        *[lit for tok, tid in vocab for lit in (F.lit(tok), F.lit(tid))]
+    )
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_PATTERN), F.lit(0))
+    ids = F.transform(toks, lambda t: F.coalesce(F.element_at(mapping, t), F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        ids.alias("token_ids"),
+        F.size(ids).alias("n_tokens"),
+        F.size(F.filter(ids, lambda i: i == 0)).alias("n_oov"),
+    )

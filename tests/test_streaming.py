@@ -252,3 +252,30 @@ def test_streaming_heavy_hitters_bounded_state(spark, events_dir):
                 assert item in summary  # guaranteed heavy hitter present
                 cnt, err = summary[item]
                 assert cnt >= n  # count upper-bounds truth
+
+
+def test_trailing_zscore_flags_spike(spark):
+    """A flat 10-events/hour series with one 100-event spike: the spike
+    hour (with ≥6 trailing hours) must flag, warm-up hours must not."""
+    import datetime as dt
+
+    from warp_spark.streaming.windows import trailing_zscore
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for h in range(30):
+        n = 100 if h == 20 else 10 + (h % 3)  # mild jitter, one spike
+        for i in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=i % 60), "click"))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    got = {r["hour"].hour + 24 * (r["hour"].day - 1): r
+           for r in trailing_zscore(df, "ts", "event_type").collect()}
+    # warm-up: fewer than 6 trailing hours → null score, never flagged
+    for h in range(6):
+        assert got[h]["zscore"] is None and not got[h]["is_anomaly"]
+    assert got[20]["is_anomaly"] and got[20]["zscore"] > 3
+    # ordinary hours with full history stay unflagged
+    assert not got[15]["is_anomaly"] and abs(got[15]["zscore"]) < 3
+    assert got[15]["n_history"] >= 6

@@ -4033,6 +4033,54 @@ def tokenize_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize_ids(docs, vocab)
 
 
+# ---------------------------------------------------------------------------
+# Event-rate anomaly detection: hourly counts per type z-scored against
+# the trailing 24h window (current hour excluded); variance from exact
+# integer moments so scores are bit-reproducible (variance-reducer
+# discipline). The flag compares the ROUNDED z on both sides.
+# ---------------------------------------------------------------------------
+@register(
+    "events_anomaly_zscore",
+    """
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             count(*) AS n_events,
+             (epoch(date_trunc('hour', ts)) // 3600)::BIGINT AS hour_idx
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT hour, event_type, n_events,
+             count(*) OVER fr            AS n_history,
+             sum(n_events) OVER fr       AS s,
+             sum(n_events * n_events) OVER fr AS ss
+      FROM h
+      WINDOW fr AS (PARTITION BY event_type ORDER BY hour_idx
+                    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+      SELECT hour, event_type, n_events, n_history,
+             CASE WHEN n_history >= 6
+                  THEN round(s::DOUBLE / n_history, 6) END AS trailing_mean,
+             CASE WHEN n_history >= 6 AND (n_history * ss - s * s) > 0
+                  THEN round((n_events - s::DOUBLE / n_history)
+                             / sqrt((n_history * ss - s * s)::DOUBLE
+                                    / n_history / n_history), 6)
+             END AS zscore
+      FROM w
+    )
+    SELECT hour, event_type, n_events, n_history, trailing_mean, zscore,
+           COALESCE(abs(zscore) >= 3.0, FALSE) AS is_anomaly
+    FROM z
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.streaming.windows import trailing_zscore
+
+    return trailing_zscore(
+        _events(spark, sf_dir), "ts", "event_type", lookback_hours=24, min_history=6
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

@@ -291,3 +291,66 @@ def heavy_hitters_stateful(
     return df.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def trailing_zscore(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    lookback_hours: int = 24,
+    min_history: int = 6,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Event-rate anomaly detection: hourly counts per ``group_col``,
+    each scored against the trailing ``lookback_hours`` window's
+    mean/std (current hour excluded). Hours with fewer than
+    ``min_history`` trailing observations (or zero variance) get a NULL
+    z-score and are never flagged.
+
+    Scale shape: one shuffle to the hourly grid (partial/final count),
+    then a window partitioned by ``group_col`` ordered by hour index
+    with an integer RANGE frame — per-group state only, no global
+    window. Mean and variance come from exact integer moments
+    (n·Σc² − (Σc)², BIGINT) divided once at the end, so the scores are
+    bit-reproducible across engines (same discipline as the variance
+    reducer oracle)."""
+    from pyspark.sql.window import Window
+
+    hours = (
+        df.groupBy(
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"), F.col(group_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn(
+            "hour_idx", (F.unix_timestamp(F.col("hour")) / 3600).cast("long")
+        )
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("hour_idx")
+        .rangeBetween(-lookback_hours, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("n_events").over(w)
+    ss = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    mean = s.cast("double") / n
+    var = (n * ss - s * s).cast("double") / n / n
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    scored = (
+        hours.withColumn("n_history", n)
+        .withColumn(
+            "trailing_mean",
+            F.when(F.col("n_history") >= min_history, F.round(mean, 6)),
+        )
+        .withColumn(
+            "zscore",
+            F.when((F.col("n_history") >= min_history) & (var > 0), F.round(z, 6)),
+        )
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(F.col("zscore")) >= z_threshold, F.lit(False)),
+        )
+    )
+    return scored.select(
+        "hour", group_col, "n_events", "n_history", "trailing_mean", "zscore", "is_anomaly"
+    )

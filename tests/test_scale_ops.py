@@ -644,3 +644,28 @@ def test_tokenize_vocab_roundtrip(spark):
     assert got[3]["token_ids"] == [] and got[3]["n_tokens"] == 0 and got[3]["n_oov"] == 0
     # deterministic: rebuilt vocab is identical
     assert build_vocab(docs, vocab_size=4) == vocab
+
+
+def test_rebalance_weights_and_sample(spark):
+    from warp_spark.sampling import rebalance_sample, rebalance_weights
+
+    rows = [(i, "a") for i in range(100)] + [(i + 100, "b") for i in range(50)] + [
+        (i + 150, "c") for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    plan = {r["source"]: r for r in rebalance_weights(df, "source").collect()}
+    # binding group c keeps everything; others downsample to 25
+    assert plan["c"]["sampling_rate"] == 1.0 and plan["c"]["expected_rows"] == 25
+    assert plan["a"]["expected_rows"] == 25 and plan["b"]["expected_rows"] == 25
+    assert plan["a"]["sampling_rate"] == pytest.approx(0.25, abs=1e-6)
+    assert plan["a"]["share"] == pytest.approx(100 / 175, abs=1e-6)
+    assert plan["a"]["target_share"] == pytest.approx(1 / 3, abs=1e-6)
+    sampled = rebalance_sample(df, "source", seed=7)
+    got = {r["source"]: r["n"] for r in sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {"a": 25, "b": 25, "c": 25}
+    # explicit target: 80/10/10 → binding is c (25 / 0.1 = 250 scale)
+    plan2 = {r["source"]: r for r in rebalance_weights(
+        df, "source", {"a": 0.8, "b": 0.1, "c": 0.1}).collect()}
+    assert plan2["b"]["expected_rows"] == 12  # floor(0.1 * 125)
+    assert plan2["a"]["expected_rows"] == 100  # a binds: 100/0.8 = 125

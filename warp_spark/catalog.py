@@ -4081,6 +4081,35 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Source-mixture rebalancing plan: per-source downsampling rates toward
+# a uniform mixture without upsampling (the binding source keeps all its
+# rows). The windows run over the GROUP COUNTS (one row per source), so
+# the unpartitioned frames are bounded by group cardinality, not data.
+# ---------------------------------------------------------------------------
+@register(
+    "mixture_rebalance",
+    """
+    WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    s AS (SELECT source, n_docs,
+                 1.0::DOUBLE / (count(*) OVER ()) AS t,
+                 sum(n_docs) OVER ()              AS total
+          FROM c),
+    m AS (SELECT *, min(n_docs / t) OVER () AS scale FROM s)
+    SELECT source, n_docs,
+           round(n_docs / total, 6)        AS share,
+           round(t, 6)                     AS target_share,
+           round((t * scale) / n_docs, 6)  AS sampling_rate,
+           floor(t * scale)::BIGINT        AS expected_rows
+    FROM m
+    """,
+)
+def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.sampling import rebalance_weights
+
+    return rebalance_weights(_t(spark, sf_dir, "documents").to_df(), "source")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

@@ -49,3 +49,68 @@ def stratified_sample(
         .where(F.col(_RANK) <= n)
         .drop(_RANK, _KEY)
     )
+
+
+def rebalance_weights(
+    df: DataFrame,
+    group_col: str,
+    target_shares: Optional[dict[str, float]] = None,
+) -> DataFrame:
+    """Per-group downsampling plan to hit a target mixture (uniform by
+    default) WITHOUT upsampling: the binding group is the one with the
+    least data relative to its target share; every group's rate is
+    scaled so the binding group keeps everything.
+
+    rate_g = (t_g · scale) / n_g with scale = min_g(n_g / t_g) — for a
+    uniform target this reduces to rate_g = min_count / n_g.
+
+    Returns one row per group: ``group_col, n_docs, share, target_share,
+    sampling_rate, expected_rows``. Two tiny aggregates (group counts +
+    an unpartitioned min over the per-group rows, bounded by the number
+    of groups) — the plan is driver-free and the result is the input to
+    ``rebalance_sample``."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    if target_shares is None:
+        t = 1.0 / F.count(F.lit(1)).over(Window.partitionBy())
+    else:
+        m = F.create_map(
+            *[lit for g, s in sorted(target_shares.items()) for lit in (F.lit(g), F.lit(s))]
+        )
+        t = F.element_at(m, F.col(group_col))
+    # materialize the target share first: the scale min is a window over
+    # a window-derived column, which must live in its own projection
+    staged = counts.withColumn("__t", t)
+    total = F.sum("n_docs").over(Window.partitionBy())
+    scale = F.min(F.col("n_docs") / F.col("__t")).over(Window.partitionBy())
+    rows = F.col("__t") * scale
+    return staged.select(
+        F.col(group_col),
+        F.col("n_docs"),
+        F.round(F.col("n_docs") / total, 6).alias("share"),
+        F.round(F.col("__t"), 6).alias("target_share"),
+        F.round(rows / F.col("n_docs"), 6).alias("sampling_rate"),
+        F.floor(rows).cast("long").alias("expected_rows"),
+    )
+
+
+def rebalance_sample(
+    df: DataFrame,
+    group_col: str,
+    target_shares: Optional[dict[str, float]] = None,
+    seed: Optional[int] = None,
+) -> DataFrame:
+    """Apply a ``rebalance_weights`` plan: per-group exact draw of
+    ``expected_rows`` via the stratified window sampler, with the
+    per-group cap joined in (broadcast — the plan has one row per
+    group). Uniform within each group; the output mixture matches the
+    target up to floor rounding."""
+    plan = rebalance_weights(df, group_col, target_shares)
+    rnd = F.rand(seed) if seed is not None else F.rand()
+    w = Window.partitionBy(group_col).orderBy(F.col(_KEY))
+    return (
+        df.join(F.broadcast(plan.select(group_col, "expected_rows")), group_col)
+        .withColumn(_KEY, rnd)
+        .withColumn(_RANK, F.row_number().over(w))
+        .where(F.col(_RANK) <= F.col("expected_rows"))
+        .drop(_RANK, _KEY, "expected_rows")
+    )

@@ -54,18 +54,24 @@ HEADLINE = [
     "asof_purchase_click",
     "range_join_error_views",
     "interval_join_error_bursts",
+    "events_anomaly_zscore",
     # LLM-pipeline: dedup
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "winnow_overlap",
+    "dedup_incremental",
+    "dedup_keep_best",
     # LLM-pipeline: text analysis
     "text_langid",
     "text_quality",
     "text_repetition",
     "text_tfidf_topterms",
+    "text_char_entropy",
     "decontaminate_ngram",
     "pipeline_curation_summary",
+    "tokenize_vocab_ids",
+    "pack_sequences",
     # LLM-pipeline: similarity search
     "ann_topk_bruteforce",
     "ann_topk_ivf",

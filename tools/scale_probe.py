@@ -92,7 +92,10 @@ def main():
         pq_codebooks,
         pq_topk,
     )
-    from warp_spark.pipeline.text import winnow_overlap_candidates
+    from warp_spark.pipeline.dedup import incremental_dedup
+    from warp_spark.pipeline.packing import pack_chunks
+    from warp_spark.pipeline.text import build_vocab, tokenize_ids, winnow_overlap_candidates
+    from warp_spark.streaming.windows import trailing_zscore
 
     from warp_spark.asof import asof_join
     from warp_spark.catalog import _events
@@ -134,6 +137,18 @@ def main():
         cb = pq_codebooks(emb)  # train once per scale, reuse (the scale discipline)
         timed(f"ann_pq_rerank x{mult}", lambda: pq_topk(q, emb, rerank=50, codebooks=cb), results)
         timed(f"winnow_overlap x{mult}", lambda: winnow_overlap_candidates(docs), results)
+        timed(f"pack_chunks x{mult}", lambda: pack_chunks(docs), results)
+        vocab = build_vocab(docs)  # train once per scale, reuse (IVF discipline)
+        timed(f"tokenize_ids x{mult}", lambda: tokenize_ids(docs, vocab), results)
+        timed(
+            f"incremental_dedup x{mult}",
+            lambda: incremental_dedup(
+                docs.filter(F.col("doc_id") % 5 != 0),
+                docs.filter(F.col("doc_id") % 5 == 0),
+            ),
+            results,
+        )
+        timed(f"trailing_zscore x{mult}", lambda: trailing_zscore(ev, "ts", "event_type"), results)
         pairs = minhash_lsh_candidates(docs).persist()
         pairs.count()
         timed(f"star_components x{mult}", lambda: connected_components_star(docs, pairs), results)
@@ -192,6 +207,12 @@ def main():
         "- **winnow_overlap** (rolling-hash winnowing fingerprints) shares",
         "  the bucket-join shape of the other pair finders — only",
         "  (id, fingerprint) tuples shuffle, never text.",
+        "- **pack_chunks** (distributed prefix-sum packing), **tokenize_ids**",
+        "  (map-side literal-vocab probe; vocab re-trained per scale) and",
+        "  **trailing_zscore** (hourly-grid window) are input-linear by",
+        "  construction. **incremental_dedup** expands batch×corpus pairs",
+        "  only — time tracks the 20% batch slice, while pair output grows",
+        "  with duplication depth like the other near-dup finders.",
         "",
         "Other round-3 scale notes:",
         "",

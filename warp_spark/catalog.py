@@ -4110,6 +4110,41 @@ def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rebalance_weights(_t(spark, sf_dir, "documents").to_df(), "source")
 
 
+# Streaming twin of the anomaly detector: the hourly grid is built by a
+# watermarked streaming windowed count drained to a memory sink; the
+# trailing z-score then runs through literally the same scorer as the
+# batch entry, against the identical oracle — stream-batch equivalence
+# for a detector, not just a rollup.
+@register("events_anomaly_zscore_streamed", ORACLES["events_anomaly_zscore"])
+def events_anomaly_zscore_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from warp_spark.streaming import run_stream_to_memory, windowed_rollup
+    from warp_spark.streaming.windows import zscore_from_hourly
+
+    d = tempfile.mkdtemp(prefix="warp_stream_entry_")
+    name = f"zscore_streamed_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = _stage_event_stream(spark, sf_dir, d)
+        counted = windowed_rollup(
+            ev,
+            "ts",
+            "1 hour",
+            groups=["event_type"],
+            aggs={"n_events": Aggregator(F.col("event_id"), "countAll")},
+            watermark="1 day",
+        )
+        run_stream_to_memory(counted, name, output_mode="complete")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    grid = spark.table(name).select(
+        F.col("window_start").alias("hour"), "event_type", "n_events"
+    )
+    return zscore_from_hourly(grid, "event_type")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

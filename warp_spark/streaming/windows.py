@@ -314,17 +314,34 @@ def trailing_zscore(
     (n·Σc² − (Σc)², BIGINT) divided once at the end, so the scores are
     bit-reproducible across engines (same discipline as the variance
     reducer oracle)."""
+    hours = df.groupBy(
+        F.date_trunc("hour", F.col(ts_col)).alias("hour"), F.col(group_col)
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return zscore_from_hourly(
+        hours, group_col,
+        lookback_hours=lookback_hours, min_history=min_history,
+        z_threshold=z_threshold,
+    )
+
+
+def zscore_from_hourly(
+    hours: DataFrame,
+    group_col: str,
+    hour_col: str = "hour",
+    lookback_hours: int = 24,
+    min_history: int = 6,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Score a pre-counted hourly grid (``hour_col, group_col,
+    n_events``) — the shared tail of the batch and streamed detectors:
+    the streamed twin builds the grid with a watermarked windowed count
+    and hands the drained sink here, so batch and stream score through
+    literally the same code."""
     from pyspark.sql.window import Window
 
-    hours = (
-        df.groupBy(
-            F.date_trunc("hour", F.col(ts_col)).alias("hour"), F.col(group_col)
-        )
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .withColumn(
-            "hour_idx", (F.unix_timestamp(F.col("hour")) / 3600).cast("long")
-        )
-    )
+    hours = hours.withColumn(
+        "hour", F.col(hour_col)
+    ).withColumn("hour_idx", (F.unix_timestamp(F.col("hour")) / 3600).cast("long"))
     w = (
         Window.partitionBy(group_col)
         .orderBy("hour_idx")

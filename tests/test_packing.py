@@ -68,3 +68,43 @@ def test_summary(spark, docs):
 def test_rejects_bad_chunk_size(spark, docs):
     with pytest.raises(ValueError):
         pack_chunks(docs, chunk_tokens=0)
+
+
+def test_chunk_documents_overlap(spark):
+    from warp_spark.pipeline.packing import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "short doc")], "doc_id long, text string")
+    got = chunk_documents(df, window=4, stride=3).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r
+    # doc 1: 10 tokens, window 4, stride 3 → ceil((10-4)/3)+1 = 3 chunks
+    assert sorted(by_doc[1]) == [0, 1, 2]
+    assert by_doc[1][0]["chunk_text"] == "t0 t1 t2 t3"
+    assert by_doc[1][1]["chunk_text"] == "t3 t4 t5 t6"
+    assert by_doc[1][2]["chunk_text"] == "t6 t7 t8 t9"
+    assert all(r["chunk_tokens"] == 4 for r in by_doc[1].values())
+    # doc 2: 2 tokens → one short chunk
+    assert sorted(by_doc[2]) == [0]
+    assert by_doc[2][0]["chunk_text"] == "short doc"
+    assert by_doc[2][0]["chunk_tokens"] == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, window=0)
+
+
+def test_assign_split_stable_under_append(spark):
+    from warp_spark.sampling import assign_split
+
+    base = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    bigger = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    a = {r["doc_id"]: r["split"] for r in assign_split(base, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in assign_split(bigger, "doc_id").collect()}
+    # append-stability: every original id keeps its split
+    assert all(b[k] == v for k, v in a.items())
+    assert set(b.values()) == {"train", "val", "test"}
+    # rough proportions at n=400 (md5 is uniform; loose bounds)
+    frac_train = sum(1 for v in b.values() if v == "train") / len(b)
+    assert 0.8 < frac_train < 0.97

@@ -3870,21 +3870,21 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
            n       AS n_chars,
            len(uq) AS n_distinct_chars,
            CASE WHEN n = 0 THEN 0.0 ELSE
-             round(-list_reduce(
+             round(log2(n) - list_reduce(
                  list_prepend(0.0::DOUBLE,
-                   list_transform(counts,
-                     c -> (c::DOUBLE / n) * log2(c::DOUBLE / n))),
-                 (acc, x) -> acc + x), 6)
+                   list_transform(counts, c -> c::DOUBLE * log2(c::DOUBLE))),
+                 (acc, x) -> acc + x) / n, 6)
            END AS char_entropy
     FROM k
     """,
 )
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from warp_spark.pipeline.text import char_entropy_features
+    """H = log2(n) − Σ c·log2(c)/n from the staged sorted-run fold
+    (pipeline/text.py::char_entropy); the oracle folds the identical
+    c·log2(c) terms in the identical sorted-alphabet order."""
+    from warp_spark.pipeline.text import char_entropy
 
-    docs = _t(spark, sf_dir, "documents").to_df()
-    feats = char_entropy_features(F.col("text"))
-    return docs.select("doc_id", *[c.alias(k) for k, c in feats.items()])
+    return char_entropy(_t(spark, sf_dir, "documents").to_df())
 
 
 # ---------------------------------------------------------------------------
@@ -4143,6 +4143,62 @@ def events_anomaly_zscore_streamed(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("window_start").alias("hour"), "event_type", "n_events"
     )
     return zscore_from_hourly(grid, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# RAG-style overlapping chunking: 64-token windows at stride 48, built
+# map-side (sequence + explode inside the scan stage). Oracle: the same
+# windows via range() + list_slice.
+# ---------------------------------------------------------------------------
+@register(
+    "chunk_documents_rag",
+    """
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+               FROM documents),
+    c AS (SELECT doc_id, toks, len(toks) AS n,
+                 ((CASE WHEN len(toks) > 64 THEN len(toks) - 64 ELSE 0 END) + 47) // 48 + 1 AS nc
+          FROM t),
+    e AS (SELECT doc_id, toks, n, unnest(range(0, nc)) AS i FROM c)
+    SELECT doc_id, i AS chunk_idx,
+           array_to_string(list_slice(toks, i*48 + 1, i*48 + 64), ' ') AS chunk_text,
+           least(64, n - i*48) AS chunk_tokens
+    FROM e
+    """,
+)
+def chunk_documents_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.packing import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents").to_df(), window=64, stride=48
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash split: md5-bucket train/val/test assignment that
+# depends only on the id — append-stable, the property an eval split
+# must have. 90/5/5 over 1000 buckets.
+# ---------------------------------------------------------------------------
+@register(
+    "split_assign",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 900 THEN 'train'
+                WHEN bucket < 950 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.sampling import assign_split
+
+    return assign_split(_t(spark, sf_dir, "documents").to_df(), "doc_id").select(
+        "doc_id", "bucket", "split"
+    )
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -98,3 +98,50 @@ def chunk_summary(packed: DataFrame) -> DataFrame:
             F.sum("n_chunks") / (F.max("last_chunk") + 1), 6
         ).alias("avg_docs_per_chunk"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking (the RAG/indexing layout, vs
+    ``pack_chunks``' disjoint training layout): token positions
+    0, stride, 2·stride, … each open a ``window``-token chunk; the final
+    chunk may be short. Row-amplifying but entirely map-side — the
+    per-doc chunk index sequence is built with ``sequence`` and exploded
+    inside the scan's stage, so no shuffle and no Python; downstream
+    embedding/indexing repartitions as it likes.
+
+    Returns ``id_col, chunk_idx, chunk_text, chunk_tokens``.
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = (
+        F.floor((F.greatest(n - window, F.lit(0)) + stride - 1) / stride).cast("int") + 1
+    )
+    staged = docs.select(
+        F.col(id_col), toks.alias("__toks"), n.alias("__n"), n_chunks.alias("__nc")
+    )
+    return (
+        staged.select(
+            F.col(id_col),
+            F.col("__n"),
+            F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("chunk_idx"),
+            F.col("__toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, window), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(window), F.col("__n") - F.col("chunk_idx") * stride).alias(
+                "chunk_tokens"
+            ),
+        )
+    )

@@ -191,32 +191,96 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
 
 
+def _char_run_fold(chars: Column) -> Column:
+    """One fold over a SORTED char array carrying (prev, run, k, s):
+    each run end adds c·log2(c) for that character's count and bumps the
+    distinct counter; the finish step closes the last run. Returns a
+    struct(k = distinct chars, s = Σ c·log2(c) in sorted-alphabet
+    order)."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("k"),
+        F.lit(0.0).alias("s"),
+    )
+
+    def _step(acc, x):
+        closes = acc["prev"].isNotNull() & (x != acc["prev"])
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        rd = acc["run"].cast("double")
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            (acc["k"] + closes.cast("int")).alias("k"),
+            F.when(closes, acc["s"] + rd * F.log2(rd)).otherwise(acc["s"]).alias("s"),
+        )
+
+    def _finish(acc):
+        rd = acc["run"].cast("double")
+        return F.struct(
+            (acc["k"] + (acc["run"] > 0).cast("int")).alias("k"),
+            F.when(acc["run"] > 0, acc["s"] + rd * F.log2(rd)).otherwise(acc["s"]).alias("s"),
+        )
+
+    return F.aggregate(chars, acc0, _step, _finish)
+
+
+def _sorted_chars(text: Column) -> Column:
+    return F.array_sort(
+        F.regexp_extract_all(F.lower(text), F.lit(r"[\s\S]"), F.lit(0))
+    )
+
+
 def char_entropy_features(text: Column) -> dict[str, Column]:
     """Per-document character-unigram Shannon entropy — a cheap
     gibberish/boilerplate signal (near-zero for repeated padding, high
     for encrypted/base64 noise; natural language sits in a stable band).
 
-    Entirely higher-order Column expressions, map-side in one codegen
-    stage: chars → sorted distinct alphabet → per-char counts → left
-    fold of p·log2 p *in sorted-alphabet order*, so the float summation
-    order is deterministic and reproducible across engines (the oracle
-    folds the identical term list with the identical init). Per-doc cost
-    is O(distinct_chars × len); the alphabet of natural-language text is
-    tiny, so this stays far cheaper than an explode→groupBy (which would
-    shuffle one row per character at corpus scale)."""
-    chars = F.regexp_extract_all(F.lower(text), F.lit(r"[\s\S]"), F.lit(0))
-    uniq = F.array_sort(F.array_distinct(chars))
+    H = log2(n) − s/n with s from the sorted-run fold
+    (``_char_run_fold``) — the longest-equal-run discipline from
+    ``repetition_features``: O(n log n) per doc in codegen, no shuffle,
+    no Python. (A per-distinct-char ``filter(chars, c = d)`` counting
+    formulation re-inlines the char extraction per distinct char under
+    CollapseProject — the minhash-chain pathology — measured 32× slower
+    at sf0.1.) Term order is the sorted-alphabet order and the oracle
+    folds the identical c·log2(c) list with the identical 0.0 init and
+    the same final log2(n) − s/n ops, so the float result is
+    engine-identical.
+
+    NOTE: the returned Columns share subtrees; selecting several of them
+    in ONE projection re-evaluates the fold per use. The hot path is
+    ``char_entropy(df)``, which stages chars → fold → arithmetic so each
+    evaluates once."""
+    chars = _sorted_chars(text)
     n = F.size(chars)
-    counts = F.transform(uniq, lambda d: F.size(F.filter(chars, lambda c: c == d)))
-    terms = F.transform(
-        counts, lambda c: (c.cast("double") / n) * F.log2(c.cast("double") / n)
-    )
-    ent = -F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    folded = _char_run_fold(chars)
+    ent = F.log2(n) - folded["s"] / n
     return {
         "n_chars": n,
-        "n_distinct_chars": F.size(uniq),
+        "n_distinct_chars": folded["k"],
         "char_entropy": F.when(n == 0, F.lit(0.0)).otherwise(F.round(ent, 6)),
     }
+
+
+def char_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Staged hot path for char entropy: the sorted char array and the
+    run fold each live in their OWN projection, so the multi-use
+    subtrees are referenced, not textually re-inlined — chars extract
+    once, the fold runs once, only the final arithmetic fans out."""
+    s1 = df.select(F.col(id_col), _sorted_chars(F.col(text_col)).alias("__cs"))
+    s2 = s1.select(
+        F.col(id_col),
+        F.size("__cs").alias("n_chars"),
+        _char_run_fold(F.col("__cs")).alias("__f"),
+    )
+    n = F.col("n_chars")
+    ent = F.log2(n) - F.col("__f")["s"] / n
+    return s2.select(
+        F.col(id_col),
+        n.alias("n_chars"),
+        F.col("__f")["k"].alias("n_distinct_chars"),
+        F.when(n == 0, F.lit(0.0)).otherwise(F.round(ent, 6)).alias("char_entropy"),
+    )
 
 
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -114,3 +114,34 @@ def rebalance_sample(
         .where(F.col(_RANK) <= F.col("expected_rows"))
         .drop(_RANK, _KEY, "expected_rows")
     )
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: Optional[dict[str, float]] = None,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment: bucket =
+    first 8 md5 hex digits of the id, mod ``buckets``; cumulative weight
+    thresholds carve the bucket space. The split a row lands in depends
+    ONLY on its id — stable under corpus growth, re-runs, engine, and
+    partitioning, which is the property a training pipeline needs (no
+    eval example ever drifts into train when data is appended). Pure
+    map-side Column expressions."""
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % buckets
+    )
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = F.col("bucket") < int(round(acc * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("bucket", bucket).withColumn("split", expr)

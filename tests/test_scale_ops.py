@@ -669,3 +669,23 @@ def test_rebalance_weights_and_sample(spark):
         df, "source", {"a": 0.8, "b": 0.1, "c": 0.1}).collect()}
     assert plan2["b"]["expected_rows"] == 12  # floor(0.1 * 125)
     assert plan2["a"]["expected_rows"] == 100  # a binds: 100/0.8 = 125
+
+
+def test_source_token_kl_properties(spark):
+    import math
+
+    from warp_spark.pipeline.text import source_token_kl
+
+    # two identical slices → KL 0 for both; one skewed slice → KL > 0
+    rows = (
+        [(i, "a", "x y z") for i in range(10)]
+        + [(i + 10, "b", "x y z") for i in range(10)]
+        + [(i + 20, "c", "x x x x") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in source_token_kl(df, vocab_size=8).collect()}
+    assert got["a"]["kl_bits"] == got["b"]["kl_bits"]
+    assert got["c"]["kl_bits"] > got["a"]["kl_bits"] >= 0.0
+    # hand-check c: p = {x:1}; q(x) = (10+10+40)/100 = 0.6 → KL = log2(1/0.6)
+    assert got["c"]["kl_bits"] == pytest.approx(math.log2(100 / 60), abs=1e-6)
+    assert got["c"]["n_tokens_in_vocab"] == 40

@@ -4201,6 +4201,51 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Mixture drift: KL(p_source ‖ q_corpus) in bits over the trained
+# top-512 vocabulary; terms folded in ascending-id order on both sides.
+# ---------------------------------------------------------------------------
+@register(
+    "mixture_drift_kl",
+    """
+    WITH tok_exp AS (
+      SELECT source,
+             unnest(regexp_extract_all(lower(text),
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS id
+      FROM tok_exp GROUP BY tok
+      ORDER BY count(*) DESC, tok ASC
+      LIMIT 512
+    ),
+    cs AS (SELECT source, id, count(*) AS c
+           FROM tok_exp JOIN vocab USING (tok) GROUP BY source, id),
+    ns AS (SELECT source, sum(c) AS n_s FROM cs GROUP BY source),
+    g  AS (SELECT id, sum(c) AS cg FROM cs GROUP BY id),
+    nt AS (SELECT sum(c) AS n FROM cs),
+    terms AS (
+      SELECT cs.source, cs.id, ns.n_s,
+             (cs.c::DOUBLE / ns.n_s)
+               * log2((cs.c::DOUBLE / ns.n_s) / (g.cg::DOUBLE / nt.n)) AS t
+      FROM cs JOIN ns USING (source) JOIN g USING (id) CROSS JOIN nt
+    ),
+    arr AS (SELECT source, max(n_s) AS n_tokens_in_vocab,
+                   list(t ORDER BY id) AS ts
+            FROM terms GROUP BY source)
+    SELECT source, n_tokens_in_vocab,
+           round(list_reduce(list_prepend(0.0::DOUBLE, ts), (a, x) -> a + x), 6)
+             AS kl_bits
+    FROM arr
+    """,
+)
+def mixture_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.text import source_token_kl
+
+    return source_token_kl(_t(spark, sf_dir, "documents").to_df())
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

@@ -601,3 +601,70 @@ def tokenize_ids(
         F.size(ids).alias("n_tokens"),
         F.size(F.filter(ids, lambda i: i == 0)).alias("n_oov"),
     )
+
+
+def source_token_kl(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    vocab_size: int = 512,
+) -> DataFrame:
+    """Distribution drift per corpus slice: KL(p_s ‖ q) in bits between
+    each group's token distribution p_s and the corpus-wide q, over the
+    trained top-``vocab_size`` vocabulary — the signal a mixture monitor
+    watches when a new crawl slice arrives.
+
+    Scale shape: one explode→(group, id) count shuffle bounded by corpus
+    tokens; everything after lives on the counts table (≤ groups×vocab
+    rows), where the group/global totals are window sums and the KL term
+    list is folded per group in ascending-id order (sort_array over the
+    collected struct list) — deterministic float summation, same
+    discipline as the char-entropy fold. Zero-count terms contribute 0
+    and are simply absent; q(t) > 0 for every vocab token by
+    construction."""
+    vocab = build_vocab(df, text_col, vocab_size)
+    mapping = F.create_map(
+        *[lit for tok, tid in vocab for lit in (F.lit(tok), F.lit(tid))]
+    )
+    from pyspark.sql.window import Window
+
+    tok_exp = df.select(
+        F.col(group_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_PATTERN), F.lit(0))
+        ).alias("tok"),
+    ).select(F.col(group_col), F.element_at(mapping, F.col("tok")).alias("id"))
+    cs = (
+        tok_exp.filter(F.col("id").isNotNull())
+        .groupBy(group_col, "id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_s = F.sum("c").over(Window.partitionBy(group_col))
+    cg = F.sum("c").over(Window.partitionBy("id"))
+    n = F.sum("c").over(Window.partitionBy())
+    p = F.col("c").cast("double") / F.col("n_s")
+    q = F.col("cg").cast("double") / F.col("n")
+    staged = cs.select(
+        F.col(group_col),
+        F.col("id"),
+        n_s.alias("n_s"),
+        cg.alias("cg"),
+        n.alias("n"),
+        F.col("c"),
+    ).select(
+        F.col(group_col),
+        F.col("id"),
+        F.col("n_s"),
+        (p * F.log2(p / q)).alias("t"),
+    )
+    return staged.groupBy(group_col).agg(
+        F.max("n_s").alias("n_tokens_in_vocab"),
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("id", "t"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["t"],
+            ),
+            6,
+        ).alias("kl_bits"),
+    )

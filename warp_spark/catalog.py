@@ -4246,6 +4246,86 @@ def mixture_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_token_kl(_t(spark, sf_dir, "documents").to_df())
 
 
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters (space-saving, Metwally et al. ICDT'05) run
+# as a real applyInPandasWithState job, judged through its algorithmic
+# guarantees (self-validating invariant row, random_sample pattern):
+# bounded summary size, count conservation (Σcnt = N per key), upper /
+# lower count bounds vs exact truth, and every guaranteed heavy hitter
+# (freq > N/capacity) present in the final summary.
+# ---------------------------------------------------------------------------
+@register(
+    "events_heavy_hitters_streamed",
+    """
+    SELECT CAST(4 AS BIGINT) AS n_keys,
+           TRUE AS size_ok,
+           TRUE AS conservation_ok,
+           TRUE AS upper_ok,
+           TRUE AS lower_ok,
+           TRUE AS present_ok
+    """,
+)
+def events_heavy_hitters_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from warp_spark.streaming import run_stream_to_memory
+    from warp_spark.streaming.windows import heavy_hitters_stateful
+
+    d = tempfile.mkdtemp(prefix="warp_stream_entry_")
+    name = f"heavy_hitters_{uuid.uuid4().hex[:8]}"
+    capacity = 3
+    try:
+        ev = _stage_event_stream(spark, sf_dir, d).withColumn(
+            "k", F.col("user_id") % 4
+        )
+        hh = heavy_hitters_stateful(
+            ev.select("k", "event_type"), "k", "event_type", capacity=capacity
+        )
+        run_stream_to_memory(hh, name, output_mode="update")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    w = Window.partitionBy("k")
+    final = (
+        spark.table(name)
+        .withColumn("__mx", F.max("n_processed").over(w))
+        .filter(F.col("n_processed") == F.col("__mx"))
+        .drop("__mx")
+    )
+    truth = (
+        _events(spark, sf_dir)
+        .withColumn("k", F.col("user_id") % 4)
+        .groupBy("k", F.col("event_type").alias("item"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = truth.groupBy("k").agg(F.sum("n").alias("key_total"))
+    checks = (
+        final.join(truth, ["k", "item"], "left")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.max("n_processed").alias("np"),
+            F.min(F.col("cnt") >= F.coalesce("n", F.lit(0))).alias("up"),
+            F.min(F.col("cnt") - F.col("err") <= F.coalesce("n", F.lit(0))).alias("lo"),
+        )
+        .join(totals, "k")
+    )
+    guaranteed = truth.join(totals, "k").filter(
+        F.col("n") > F.col("key_total") / capacity
+    )
+    missing = guaranteed.join(final.select("k", "item"), ["k", "item"], "left_anti")
+    return checks.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        (F.max("sz") <= capacity).alias("size_ok"),
+        F.min(F.col("np") == F.col("key_total")).alias("conservation_ok"),
+        F.min("up").alias("upper_ok"),
+        F.min("lo").alias("lower_ok"),
+    ).crossJoin(missing.agg((F.count(F.lit(1)) == 0).alias("present_ok")))
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

@@ -232,6 +232,7 @@ def heavy_hitters_stateful(
     key_col: str,
     item_col: str,
     capacity: int = 8,
+    key_type: str = "long",
 ) -> DataFrame:
     """Per-key streaming heavy hitters with BOUNDED state: the
     space-saving algorithm (Metwally et al., ICDT'05) keeps at most
@@ -249,7 +250,9 @@ def heavy_hitters_stateful(
     current summary (one row per tracked item) on every update."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = f"{key_col} long, item string, cnt long, err long"
+    out_schema = (
+        f"{key_col} {key_type}, item string, cnt long, err long, n_processed long"
+    )
     state_schema = "items array<string>, counts array<long>, errs array<long>"
 
     def fn(key, pdfs, state: GroupState):
@@ -279,12 +282,18 @@ def heavy_hitters_stateful(
                 [v[1] for v in summary.values()],
             )
         )
+        # sum(cnt) == items processed so far (each arrival increments
+        # exactly one counter; eviction preserves the evictee's count) —
+        # a per-snapshot discriminator, so "the final summary" is simply
+        # the rows with the max n_processed per key even if the sink
+        # accumulated several micro-batch snapshots
         yield pd.DataFrame(
             {
                 key_col: key[0],
                 "item": list(summary.keys()),
                 "cnt": [v[0] for v in summary.values()],
                 "err": [v[1] for v in summary.values()],
+                "n_processed": int(sum(v[0] for v in summary.values())),
             }
         )
 

@@ -204,3 +204,14 @@ def test_tokenize_apply_no_shuffle_no_python(spark):
     assert "Exchange" not in plan
     for py in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert py not in plan
+
+
+def test_char_entropy_single_evaluation(spark):
+    """The staged entropy pipeline must keep exactly ONE char extract,
+    ONE sort and ONE run fold in the plan — re-inlining any of them per
+    output column is the CollapseProject pathology that cost 4.5× here
+    (and 32× in the per-distinct-char formulation)."""
+    plan = plan_of(spark, "text_char_entropy")
+    assert plan.count("regexp_extract_all") == 1, plan
+    assert plan.count("array_sort") == 1, plan
+    assert plan.count("aggregate(") == 1, plan

@@ -72,6 +72,9 @@ HEADLINE = [
     "pipeline_curation_summary",
     "tokenize_vocab_ids",
     "pack_sequences",
+    "chunk_documents_rag",
+    "split_assign",
+    "mixture_drift_kl",
     # LLM-pipeline: similarity search
     "ann_topk_bruteforce",
     "ann_topk_ivf",

@@ -16,8 +16,13 @@ from warp_spark.dataset import Dataset, Order
 from warp_spark.aggregators import Aggregator
 from warp_spark.infer import infer, suggest_formulas
 from warp_spark.calculator import ExampleCalculator
-from warp_spark.sampling import stratified_sample
-from warp_spark.pipeline.packing import pack_chunks, chunk_summary
+from warp_spark.sampling import (
+    assign_split,
+    rebalance_sample,
+    rebalance_weights,
+    stratified_sample,
+)
+from warp_spark.pipeline.packing import chunk_documents, chunk_summary, pack_chunks
 
 __all__ = [
     "get_spark",
@@ -28,7 +33,11 @@ __all__ = [
     "suggest_formulas",
     "ExampleCalculator",
     "stratified_sample",
+    "assign_split",
+    "rebalance_weights",
+    "rebalance_sample",
     "pack_chunks",
+    "chunk_documents",
     "chunk_summary",
 ]
 __version__ = "0.1.0"

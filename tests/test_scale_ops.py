@@ -689,3 +689,34 @@ def test_source_token_kl_properties(spark):
     # hand-check c: p = {x:1}; q(x) = (10+10+40)/100 = 0.6 → KL = log2(1/0.6)
     assert got["c"]["kl_bits"] == pytest.approx(math.log2(100 / 60), abs=1e-6)
     assert got["c"]["n_tokens_in_vocab"] == 40
+
+
+def test_exact_corr_matrix_known_values(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from warp_spark.stats import exact_corr_matrix
+
+    # y = 2x exactly → corr 1; z anti-correlated with x → corr -1;
+    # w constant → undefined (NULL)
+    rows = [(float(i), 2.0 * i, float(10 - i), 5.0) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "x double, y double, z double, w double")
+    got = {
+        (r["var_a"], r["var_b"]): r["corr"]
+        for r in exact_corr_matrix(
+            df, {k: (F.col(k), 100) for k in ("x", "y", "z", "w")}
+        ).collect()
+    }
+    assert got[("x", "y")] == 1.0
+    assert got[("x", "z")] == -1.0
+    assert got[("x", "w")] is None and got[("y", "w")] is None
+    assert got[("y", "z")] == -1.0
+    # cross-check a non-trivial pair against numpy on the same data
+    import numpy as np
+    rnd = [(1.0, 4.0), (2.0, 3.0), (3.0, 8.0), (4.0, 6.0), (5.0, 5.0)]
+    df2 = spark.createDataFrame(rnd, "a double, b double")
+    got2 = exact_corr_matrix(df2, {"a": (F.col("a"), 1), "b": (F.col("b"), 1)}).collect()[0]
+    a = np.array([r[0] for r in rnd]); b = np.array([r[1] for r in rnd])
+    expected = np.corrcoef(a, b)[0, 1]
+    assert math.isclose(got2["corr"], expected, abs_tol=1e-6)

@@ -4326,6 +4326,57 @@ def events_heavy_hitters_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
     ).crossJoin(missing.agg((F.count(F.lit(1)) == 0).alias("present_ok")))
 
 
+# ---------------------------------------------------------------------------
+# Exact-moment correlation matrix over the lineitem measures: Pearson
+# from decimal(38,0)/HUGEINT integer moments (one pass), cast to double
+# once — bit-stable cross-engine (the variancePopulation discipline).
+# ---------------------------------------------------------------------------
+def _corr_oracle() -> str:
+    vars_ = [("qty", "l_quantity", 1), ("price", "l_extendedprice", 100),
+             ("disc", "l_discount", 100), ("tax", "l_tax", 100)]
+    units = ", ".join(
+        f"CAST(round({c} * {s}, 0) AS HUGEINT) AS {k}" for k, c, s in vars_
+    )
+    sums = ["count(*) AS n"]
+    for k, _, _ in vars_:
+        sums.append(f"sum({k}) AS s_{k}")
+        sums.append(f"sum({k} * {k}) AS p_{k}_{k}")
+    from itertools import combinations
+
+    names = [k for k, _, _ in vars_]
+    for a, b in combinations(names, 2):
+        sums.append(f"sum({a} * {b}) AS p_{a}_{b}")
+    selects = []
+    for a, b in combinations(names, 2):
+        selects.append(f"""SELECT '{a}' AS var_a, '{b}' AS var_b,
+         CASE WHEN (n * p_{a}_{a} - s_{a} * s_{a}) > 0
+                AND (n * p_{b}_{b} - s_{b} * s_{b}) > 0
+              THEN round(CAST(n * p_{a}_{b} - s_{a} * s_{b} AS DOUBLE)
+                         / sqrt(CAST(n * p_{a}_{a} - s_{a} * s_{a} AS DOUBLE))
+                         / sqrt(CAST(n * p_{b}_{b} - s_{b} * s_{b} AS DOUBLE)), 6)
+         END AS corr FROM m""")
+    return f"""
+    WITH u AS (SELECT {units} FROM lineitem),
+    m AS (SELECT {', '.join(sums)} FROM u)
+    {' UNION ALL '.join(selects)}
+    """
+
+
+@register("corr_matrix", _corr_oracle())
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.stats import exact_corr_matrix
+
+    return exact_corr_matrix(
+        _t(spark, sf_dir, "lineitem").to_df(),
+        {
+            "qty": (F.col("l_quantity"), 1),
+            "price": (F.col("l_extendedprice"), 100),
+            "disc": (F.col("l_discount"), 100),
+            "tax": (F.col("l_tax"), 100),
+        },
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

@@ -1,0 +1,82 @@
+"""Exact-moment statistics: correlation matrices that are bit-stable
+across engines.
+
+Floating-point Σxy accumulation is summation-order-dependent, so a
+naive ``corr()`` differs between Spark and any oracle engine in the
+last ulps — the same failure mode as the round-1 variancePopulation
+hash mismatch. The fix is the same discipline (catalog.py
+``aggregate_reducers``): measure each variable in exact integer units
+(fixed-point scale), accumulate count / Σx / Σx² / Σxy as
+``decimal(38,0)`` — order-independent integer arithmetic — and cast to
+double exactly once for the final Pearson ratio
+
+    corr(x, y) = (n·Σxy − Σx·Σy) / √(n·Σx² − (Σx)²) / √(n·Σy² − (Σy)²)
+
+One pass over the data (a single hash aggregate with map-side
+partials, all 2 + k + k(k+1)/2 accumulators in the same agg), then a
+driver-free projection expands the pairs.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+from typing import Mapping, Tuple, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ColumnLike = Union[Column, str]
+
+
+def _col(c: ColumnLike) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def exact_corr_matrix(
+    df: DataFrame,
+    variables: Mapping[str, Tuple[ColumnLike, int]],
+) -> DataFrame:
+    """Pearson correlation for every pair of ``variables`` — each given
+    as (column, fixed-point scale): the column is measured in exact
+    integer units of 1/scale (e.g. prices at scale 100 are cents).
+
+    Returns long form: one row per unordered pair ``(var_a, var_b,
+    corr)`` with var_a < var_b in the mapping's order, corr rounded to
+    6 — identical on any engine that replicates the integer moments."""
+    names = list(variables)
+    ints = {
+        k: F.round(_col(c) * scale, 0).cast("decimal(38,0)")
+        for k, (c, scale) in variables.items()
+    }
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for k in names:
+        aggs.append(F.sum(ints[k]).alias(f"__s_{k}"))
+    for a, b in combinations(names, 2):
+        aggs.append(F.sum(ints[a] * ints[b]).alias(f"__p_{a}_{b}"))
+    for k in names:
+        aggs.append(F.sum(ints[k] * ints[k]).alias(f"__p_{k}_{k}"))
+    one = df.agg(*aggs)
+
+    n = F.col("__n")
+
+    def ss(k: str) -> Column:
+        # n·Σx² − (Σx)² — exact integer, cast once
+        return (n * F.col(f"__p_{k}_{k}") - F.col(f"__s_{k}") * F.col(f"__s_{k}")).cast(
+            "double"
+        )
+
+    rows = []
+    for a, b in combinations(names, 2):
+        cov = (n * F.col(f"__p_{a}_{b}") - F.col(f"__s_{a}") * F.col(f"__s_{b}")).cast(
+            "double"
+        )
+        corr = F.when(
+            (ss(a) > 0) & (ss(b) > 0),
+            F.round(cov / F.sqrt(ss(a)) / F.sqrt(ss(b)), 6),
+        )
+        rows.append(
+            F.struct(
+                F.lit(a).alias("var_a"), F.lit(b).alias("var_b"), corr.alias("corr")
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

@@ -720,3 +720,22 @@ def test_exact_corr_matrix_known_values(spark):
     a = np.array([r[0] for r in rnd]); b = np.array([r[1] for r in rnd])
     expected = np.corrcoef(a, b)[0, 1]
     assert math.isclose(got2["corr"], expected, abs_tol=1e-6)
+
+
+def test_spherical_kmeans_converges_and_deterministic(spark):
+    from warp_spark.pipeline.similarity import spherical_kmeans
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a1, c1, obj1 = spherical_kmeans(emb, k=4, iters=3)
+    # objective improves (or holds) every iteration
+    assert all(b >= a - 1e-9 for a, b in zip(obj1, obj1[1:]))
+    rows = a1.collect()
+    assert len(rows) == emb.count()
+    assert {r["cluster"] for r in rows} <= set(range(4))
+    assert all(-1.000001 <= r["sim"] <= 1.000001 for r in rows)
+    # deterministic end-to-end: same init, same assignments
+    a2, c2, obj2 = spherical_kmeans(emb, k=4, iters=3)
+    assert obj1 == obj2
+    assert {r["vec_id"]: r["cluster"] for r in rows} == {
+        r["vec_id"]: r["cluster"] for r in a2.collect()
+    }

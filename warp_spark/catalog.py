@@ -4377,6 +4377,42 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Spherical k-means over the embeddings, judged through its algorithmic
+# guarantees (invariant row): every vector assigned, ≤ k clusters, the
+# mean-cosine objective non-decreasing across iterations, sims in
+# [-1, 1]. Deterministic hash-ordered init → reproducible runs.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_kmeans",
+    """
+    SELECT CAST(8 AS BIGINT) AS k,
+           CAST(4 AS BIGINT) AS n_iters,
+           TRUE AS assigned_all,
+           TRUE AS clusters_le_k,
+           TRUE AS monotone_ok,
+           TRUE AS sims_valid
+    """,
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.similarity import spherical_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings").to_df()
+    assigned, cents, objectives = spherical_kmeans(emb, k=8, iters=4)
+    monotone = all(
+        b >= a - 1e-9 for a, b in zip(objectives, objectives[1:])
+    )
+    n_total = emb.count()
+    return assigned.agg(
+        F.lit(8).cast("long").alias("k"),
+        F.lit(4).cast("long").alias("n_iters"),
+        (F.count(F.lit(1)) == n_total).alias("assigned_all"),
+        (F.countDistinct("cluster") <= 8).alias("clusters_le_k"),
+        F.lit(monotone).alias("monotone_ok"),
+        ((F.min("sim") >= -1.000001) & (F.max("sim") <= 1.000001)).alias("sims_valid"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

@@ -777,3 +777,80 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spherical k-means (cosine k-means — the standard embedding clustering)
+# ---------------------------------------------------------------------------
+
+def spherical_kmeans(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Distributed spherical k-means: assign every vector to its max-cosine
+    centroid (Arrow matmul, `_centroid_sims`), recompute centroids as the
+    normalized mean of members, repeat. Init is the deterministic
+    hash-ordered draw (`ivf_centroids`) so runs are reproducible with no
+    RNG state.
+
+    Scale shape per iteration: one map-side Arrow scoring pass + one
+    groupBy(cluster) aggregate of per-coordinate sums (k×dim values) —
+    the only driver traffic is the k×dim centroid matrix and one
+    objective scalar (the IVF-centroid discipline). Lineage stays flat
+    because each iteration starts from the raw corpus with new closure
+    centroids, not from the previous iteration's plan.
+
+    Returns (assignments DataFrame ``id_col, cluster, sim``, centroids
+    list, per-iteration objective list). The mean objective (average
+    best-cosine) is non-decreasing across iterations — both k-means
+    steps improve it — which the catalog entry checks as an invariant.
+    """
+    import numpy as np
+
+    cents = [(i, v) for i, v in ivf_centroids(corpus, k, id_col, vec_col)]
+    objectives: list[float] = []
+    assigned = None
+    for _ in range(iters):
+        sims = _centroid_sims(F.col(vec_col), cents)
+        assigned = (
+            corpus.select(F.col(id_col), F.col(vec_col), sims.alias("__sims"))
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                (F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1)
+                .cast("int")
+                .alias("cluster"),
+                F.array_max(F.col("__sims")).alias("sim"),
+            )
+        )
+        stats = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("sim").alias("obj"),
+                F.array(
+                    *[
+                        F.sum(F.element_at(F.col(vec_col), i + 1))
+                        for i in range(len(cents[0][1]))
+                    ]
+                ).alias("vsum"),
+            )
+            .collect()
+        )
+        total_n = sum(r["n"] for r in stats)
+        objectives.append(float(sum(r["obj"] for r in stats)) / total_n)
+        new_cents = []
+        for r in sorted(stats, key=lambda r: r["cluster"]):
+            v = np.array(r["vsum"], dtype=np.float64) / r["n"]
+            nrm = np.linalg.norm(v)
+            if nrm > 0:
+                v = v / nrm
+            new_cents.append((r["cluster"], [float(x) for x in v]))
+        # empty clusters keep their previous centroid
+        have = {c for c, _ in new_cents}
+        new_cents.extend((c, v) for c, v in cents if c not in have)
+        cents = sorted(new_cents, key=lambda t: t[0])
+    return assigned, cents, objectives

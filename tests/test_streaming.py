@@ -279,3 +279,24 @@ def test_trailing_zscore_flags_spike(spark):
     # ordinary hours with full history stay unflagged
     assert not got[15]["is_anomaly"] and abs(got[15]["zscore"]) < 3
     assert got[15]["n_history"] >= 6
+
+
+def test_ewma_recurrence_matches_python(spark):
+    import datetime as dt
+
+    from warp_spark.streaming.windows import ewma
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 7, float(v))
+        for i, v in enumerate([10.0, 20.0, 5.0, 40.0, 1.0])
+    ] + [(99, base, 8, 3.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {r["event_id"]: r["ewma"] for r in ewma(df, "ts", "user_id", "value").collect()}
+    ew = None
+    for i, v in enumerate([10.0, 20.0, 5.0, 40.0, 1.0]):
+        ew = v if ew is None else 0.3 * v + 0.7 * ew
+        assert got[i] == ew  # bit-exact, same recurrence
+    assert got[99] == 3.0  # singleton chain: y_1 = x_1

@@ -4413,6 +4413,82 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Language-ID evaluation: confusion counts + per-language precision/
+# recall of the heuristic against the labeled corpus — the evaluation
+# harness a pipeline needs before trusting a classifier gate.
+# ---------------------------------------------------------------------------
+def _langid_eval_oracle() -> str:
+    return f"""
+    WITH pred AS ({ORACLES['text_langid']}),
+    conf AS (SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2),
+    tp AS (SELECT lang AS l, sum(CASE WHEN lang = lang_pred THEN n ELSE 0 END) AS tp,
+                  sum(n) AS support
+           FROM conf GROUP BY 1),
+    pp AS (SELECT lang_pred AS l, sum(n) AS predicted FROM conf GROUP BY 1)
+    SELECT tp.l AS lang, tp.support, tp.tp AS correct,
+           round(tp.tp::DOUBLE / tp.support, 6) AS recall,
+           CASE WHEN pp.predicted > 0
+                THEN round(tp.tp::DOUBLE / pp.predicted, 6) END AS precision
+    FROM tp LEFT JOIN pp ON pp.l = tp.l
+    """
+
+
+@register("langid_confusion", None)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.text import language_id
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    pred = docs.select("doc_id", "lang", language_id(F.col("text")).alias("lang_pred"))
+    conf = pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    tp = conf.groupBy(F.col("lang").alias("l")).agg(
+        F.sum(F.when(F.col("lang") == F.col("lang_pred"), F.col("n")).otherwise(0)).alias("tp"),
+        F.sum("n").alias("support"),
+    )
+    pp = conf.groupBy(F.col("lang_pred").alias("l")).agg(F.sum("n").alias("predicted"))
+    return tp.join(pp, "l", "left").select(
+        F.col("l").alias("lang"),
+        F.col("support"),
+        F.col("tp").alias("correct"),
+        F.round(F.col("tp").cast("double") / F.col("support"), 6).alias("recall"),
+        F.when(
+            F.col("predicted") > 0,
+            F.round(F.col("tp").cast("double") / F.col("predicted"), 6),
+        ).alias("precision"),
+    )
+
+
+ORACLES["langid_confusion"] = _langid_eval_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Per-user EWMA over event values — the inherently sequential recurrence
+# as one JVM fold per key; oracle replays the identical recurrence with
+# identical 0.3/0.7 literals via a recursive CTE over row_number order.
+# ---------------------------------------------------------------------------
+@register(
+    "events_ewma",
+    """
+    WITH RECURSIVE e AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    r(user_id, event_id, value, rn, ew) AS (
+      SELECT user_id, event_id, value, rn, value::DOUBLE FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.value, e.rn, 0.3 * e.value + 0.7 * r.ew
+      FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, value, ew AS ewma FROM r
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.streaming.windows import ewma
+
+    return ewma(_events(spark, sf_dir), "ts", "user_id", "value", alpha=0.3)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

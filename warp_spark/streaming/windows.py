@@ -380,3 +380,61 @@ def zscore_from_hourly(
     return scored.select(
         "hour", group_col, "n_events", "n_history", "trailing_mean", "zscore", "is_anomaly"
     )
+
+
+def ewma(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    id_col: str = "event_id",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average over event time:
+    y_1 = x_1, y_t = α·x_t + (1−α)·y_{t−1} in (ts, id) order.
+
+    The recurrence is inherently sequential per key, so it runs as ONE
+    fold per key over the sorted collected events (collect_list →
+    sort_array → aggregate) — state per key is its own event list, the
+    shuffle is the single groupBy(key), and the fold is JVM codegen (no
+    Python). For keys with unbounded history the streaming tier
+    (``running_totals_stateful``) is the bounded-state form; this batch
+    form matches the reference's rank/running semantics
+    (QBERankStep.swift:107-122) with a non-decomposable reducer.
+    Returns one row per event: ``key_col, id_col, value_col, ewma``
+    (round 6)."""
+    lst = F.sort_array(
+        F.collect_list(F.struct(F.col(ts_col), F.col(id_col), F.col(value_col)))
+    )
+    a, b = F.lit(alpha), F.lit(1.0 - alpha)
+    acc0 = F.array().cast(f"array<struct<{id_col}:long,v:double,ewma:double>>")
+
+    def _step(acc, x):
+        prev = F.element_at(acc, -1)["ewma"]
+        y = F.when(F.size(acc) == 0, x[value_col]).otherwise(
+            a * x[value_col] + b * prev
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x[id_col].alias(id_col),
+                    x[value_col].alias("v"),
+                    y.alias("ewma"),
+                )
+            ),
+        )
+
+    folded = df.groupBy(key_col).agg(
+        F.aggregate(lst, acc0, _step).alias("__ew")
+    )
+    return folded.select(key_col, F.explode("__ew").alias("r")).select(
+        key_col,
+        F.col(f"r.{id_col}").alias(id_col),
+        F.col("r.v").alias(value_col),
+        # raw double, no round: the fold order is pinned so the value is
+        # bit-identical cross-engine; round() itself is NOT (Spark rounds
+        # the shortest decimal repr HALF_UP, DuckDB rounds the binary
+        # value — they disagree exactly ON .xxxxxx5 boundaries)
+        F.col("r.ewma").alias("ewma"),
+    )

@@ -739,3 +739,22 @@ def test_spherical_kmeans_converges_and_deterministic(spark):
     assert {r["vec_id"]: r["cluster"] for r in rows} == {
         r["vec_id"]: r["cluster"] for r in a2.collect()
     }
+
+
+def test_containment_catches_nested_doc(spark):
+    from warp_spark.pipeline.dedup import containment_pairs
+
+    long = " ".join(f"w{i}" for i in range(40))
+    short = " ".join(f"w{i}" for i in range(10, 22))  # 12 tokens nested in long
+    docs = spark.createDataFrame(
+        [(1, long), (2, short), (3, "totally unrelated words entirely here")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    got = containment_pairs(docs, pairs, threshold=0.8).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    # the SHORT doc (b) is contained in the long one
+    assert r["direction"] == "b_in_a"
+    assert r["containment_b"] == 1.0 and r["containment_a"] < 0.5

@@ -4489,6 +4489,90 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma(_events(spark, sf_dir), "ts", "user_id", "value", alpha=0.3)
 
 
+# ---------------------------------------------------------------------------
+# Asymmetric containment dedup: |A∩B|/|A| over the LSH candidates —
+# nested-document detection that symmetric Jaccard dilutes away.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_containment",
+    "WITH "
+    + _DUCK_LSH
+    + """
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 6) AS containment_a,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh), 6) AS containment_b,
+           CASE WHEN len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh)
+                     >= len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh)
+                THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) >= 0.8
+       OR len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh) >= 0.8
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.dedup import containment_pairs, minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    cand = minhash_lsh_candidates(docs)
+    return containment_pairs(docs, cand, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# Robust per-language quality stats: exact median + MAD (two-pass order
+# statistics — no float-summation order sensitivity at all).
+# ---------------------------------------------------------------------------
+@register(
+    "quality_robust_stats",
+    """
+    WITH q AS (
+      SELECT doc_id, lang,
+             round(least(len(toks) / 100.0, 1.0) * 0.5
+                   + (len(list_filter(toks, x -> list_contains(
+                         ['the','a','of','and','to','in','is','that'], x)))
+                      / len(toks)) * 0.3
+                   + (1 - least((length(regexp_extract_all(text, '[^\\w\\s]'))
+                                 / length(text)) * 10, 1.0)) * 0.2, 6)
+               AS quality_score
+      FROM (SELECT doc_id, lang, text,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents)
+    ),
+    med AS (SELECT lang, median(quality_score) AS med_q, count(*) AS n_docs
+            FROM q GROUP BY lang)
+    SELECT q.lang, max(med.n_docs) AS n_docs,
+           max(med.med_q) AS median_quality,
+           median(abs(q.quality_score - med.med_q)) AS mad_quality
+    FROM q JOIN med ON q.lang = med.lang
+    GROUP BY q.lang
+    """,
+)
+def quality_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median + MAD per language — order-statistic robust stats (no
+    float summation anywhere, so exact cross-engine by construction).
+    Two grouped-median passes over the quality score."""
+    from warp_spark.median import grouped_median
+    from warp_spark.pipeline.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    q = docs.select(
+        "doc_id", "lang",
+        quality_features(F.col("text"))["quality_score"].alias("quality_score"),
+    )
+    med = grouped_median(q, ["lang"], "quality_score", "median", out_col="median_quality")
+    n = q.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    dev = q.join(F.broadcast(med), "lang").withColumn(
+        "__ad", F.abs(F.col("quality_score") - F.col("median_quality"))
+    )
+    mad = grouped_median(dev, ["lang"], "__ad", "median", out_col="mad_quality")
+    return (
+        n.join(F.broadcast(med), "lang")
+        .join(F.broadcast(mad), "lang")
+        .select("lang", "n_docs", "median_quality", "mad_quality")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

@@ -757,3 +757,37 @@ def cluster_representatives(
     return j.withColumn("rep_id", F.first(F.col(id_col)).over(w)).withColumn(
         "keep", F.col(id_col) == F.col("rep_id")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    pair_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric near-dup verification: shingle containment
+    |A∩B| / |A| (and /|B|) for candidate pairs — catches a short doc
+    embedded verbatim in a longer one, which symmetric Jaccard dilutes
+    below any usable threshold (|A∩B|/|A∪B| → |A|/|B| for nested docs).
+    Keeps pairs where EITHER direction reaches ``threshold``; emits the
+    direction so the caller knows which side is the contained one.
+    Same join shape and scale notes as ``ngram_jaccard_pairs``."""
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh"))
+    j = (
+        pair_df.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn("__i", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("c_a", F.col("__i") / F.size("sh_a"))
+        .withColumn("c_b", F.col("__i") / F.size("sh_b"))
+    )
+    return j.filter((F.col("c_a") >= threshold) | (F.col("c_b") >= threshold)).select(
+        "id_a",
+        "id_b",
+        F.round("c_a", 6).alias("containment_a"),
+        F.round("c_b", 6).alias("containment_b"),
+        F.when(F.col("c_a") >= F.col("c_b"), "a_in_b").otherwise("b_in_a").alias(
+            "direction"
+        ),
+    )

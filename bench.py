@@ -75,6 +75,10 @@ HEADLINE = [
     "chunk_documents_rag",
     "split_assign",
     "mixture_drift_kl",
+    "dedup_containment",
+    "quality_robust_stats",
+    "langid_confusion",
+    "corr_matrix",
     # LLM-pipeline: similarity search
     "ann_topk_bruteforce",
     "ann_topk_ivf",

@@ -60,6 +60,7 @@ def scaled_events(ev: DataFrame, mult: int) -> DataFrame:
     ))
     return r.select(
         (F.col("user_id") + F.col("rep") * 100000).alias("user_id"),
+        (F.col("event_id") + F.col("rep") * 100000000).alias("event_id"),
         "ts", "event_type", "value",
     )
 
@@ -92,10 +93,11 @@ def main():
         pq_codebooks,
         pq_topk,
     )
-    from warp_spark.pipeline.dedup import incremental_dedup
+    from warp_spark.pipeline.dedup import containment_pairs, incremental_dedup
     from warp_spark.pipeline.packing import pack_chunks
     from warp_spark.pipeline.text import build_vocab, tokenize_ids, winnow_overlap_candidates
-    from warp_spark.streaming.windows import trailing_zscore
+    from warp_spark.pipeline.similarity import spherical_kmeans
+    from warp_spark.streaming.windows import ewma, trailing_zscore
 
     from warp_spark.asof import asof_join
     from warp_spark.catalog import _events
@@ -103,7 +105,7 @@ def main():
 
     docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
-    ev0 = _events(spark, sf_dir).select("user_id", "ts", "event_type", "value")
+    ev0 = _events(spark, sf_dir).select("user_id", "event_id", "ts", "event_type", "value")
 
     def asof_enrich(ev: DataFrame) -> DataFrame:
         purchases = ev.filter(F.col("event_type") == "purchase")
@@ -149,9 +151,16 @@ def main():
             results,
         )
         timed(f"trailing_zscore x{mult}", lambda: trailing_zscore(ev, "ts", "event_type"), results)
+        timed(f"ewma x{mult}", lambda: ewma(ev, "ts", "user_id", "value"), results)
+        timed(
+            f"kmeans_2iter x{mult}",
+            lambda: spherical_kmeans(emb, k=8, iters=2)[0],
+            results,
+        )
         pairs = minhash_lsh_candidates(docs).persist()
         pairs.count()
         timed(f"star_components x{mult}", lambda: connected_components_star(docs, pairs), results)
+        timed(f"containment x{mult}", lambda: containment_pairs(docs, pairs), results)
         pairs.unpersist()
         docs.unpersist(); emb.unpersist(); ev.unpersist()
 
@@ -213,6 +222,10 @@ def main():
         "  construction. **incremental_dedup** expands batch×corpus pairs",
         "  only — time tracks the 20% batch slice, while pair output grows",
         "  with duplication depth like the other near-dup finders.",
+        "  **ewma** folds each user's chain once (one groupBy shuffle);",
+        "  **kmeans_2iter** is flat-per-iteration (map-side scoring + a",
+        "  k×dim aggregate); **containment** re-verifies the SAME pair",
+        "  table as star_components, so its growth tracks pair output.",
         "",
         "Other round-3 scale notes:",
         "",

@@ -4573,6 +4573,44 @@ def quality_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Z-order (Morton) index — the multi-dimension data-skipping layout key
+# (Delta/Iceberg OPTIMIZE ZORDER). Exact integer bit interleaving on
+# both engines; the pruning proof lives in tests/test_layout.py.
+# ---------------------------------------------------------------------------
+def _morton_sql(cols: list, bits: int) -> str:
+    k = len(cols)
+    mask = (1 << bits) - 1
+    terms = [
+        f"((({c}::BIGINT & {mask}) >> {i} & 1) << {i * k + j})"
+        for j, c in enumerate(cols)
+        for i in range(bits)
+    ]
+    return " | ".join(terms)
+
+
+@register(
+    "zorder_index",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           {_morton_sql(['o_custkey', 'o_orderkey'], 16)} AS zorder_index
+    FROM orders
+    """,
+)
+def zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.layout import morton_index
+
+    return (
+        _t(spark, sf_dir, "orders")
+        .to_df()
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            morton_index(["o_custkey", "o_orderkey"], 16).alias("zorder_index"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

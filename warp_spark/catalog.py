@@ -4611,6 +4611,44 @@ def zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Column profiling — the reference's column-summary surface (Warp shows
+# per-column stats in the data view): one wide aggregate computing
+# count/nulls/distinct/min/max per column in a SINGLE pass, unpivoted
+# to one row per column. Min/max emitted as strings so heterogeneous
+# column types share one schema.
+# ---------------------------------------------------------------------------
+def _profile_oracle() -> str:
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ]
+    selects = []
+    for c in cols:
+        selects.append(f"""
+        SELECT '{c}' AS column_name,
+               count(*)                      AS n_rows,
+               count(*) - count({c})         AS n_nulls,
+               count(DISTINCT {c})           AS n_distinct,
+               min({c})::VARCHAR             AS min_value,
+               max({c})::VARCHAR             AS max_value
+        FROM orders""")
+    return " UNION ALL ".join(selects)
+
+
+@register("profile_orders", _profile_oracle())
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.stats import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "orders").to_df(),
+        [
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        ],
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

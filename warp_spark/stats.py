@@ -80,3 +80,38 @@ def exact_corr_matrix(
             )
         )
     return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def profile_columns(df: DataFrame, columns: list) -> DataFrame:
+    """Column profile — per-column row/null/distinct counts and
+    min/max — in ONE wide aggregate pass (the reference surfaces these
+    stats in its data view). Min/max are emitted as strings so
+    heterogeneous column types share a single output schema; the
+    count_distinct terms make this one shuffle with partial aggregation
+    per column, still a single job.
+
+    Returns one row per column: ``column_name, n_rows, n_nulls,
+    n_distinct, min_value, max_value``."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        aggs.extend(
+            [
+                F.count(F.col(c)).alias(f"__nn_{c}"),
+                F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+                F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+            ]
+        )
+    one = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__mn_{c}").alias("min_value"),
+            F.col(f"__mx_{c}").alias("max_value"),
+        )
+        for c in columns
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

@@ -4649,6 +4649,60 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Percentile quality gate: keep the top 75% of documents PER LANGUAGE by
+# quality score — the per-stratum percentile cut a curation pipeline
+# applies so low-resource languages aren't graded on the English curve.
+# cume_dist is an order statistic: no float accumulation, ties keep or
+# drop together on both engines by definition.
+# ---------------------------------------------------------------------------
+@register(
+    "quality_percentile_cut",
+    """
+    WITH q AS (
+      SELECT doc_id, lang,
+             round(least(len(toks) / 100.0, 1.0) * 0.5
+                   + (len(list_filter(toks, x -> list_contains(
+                         ['the','a','of','and','to','in','is','that'], x)))
+                      / len(toks)) * 0.3
+                   + (1 - least((length(regexp_extract_all(text, '[^\\w\\s]'))
+                                 / length(text)) * 10, 1.0)) * 0.2, 6)
+               AS quality_score
+      FROM (SELECT doc_id, lang, text,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents)
+    ),
+    r AS (SELECT doc_id, lang, quality_score,
+                 cume_dist() OVER (PARTITION BY lang ORDER BY quality_score) AS cd
+          FROM q)
+    SELECT doc_id, lang, quality_score, round(cd, 6) AS quality_pctile,
+           cd > 0.25 AS keep
+    FROM r
+    """,
+)
+def quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-quartile cut per language. cume_dist = rank fraction —
+    deterministic given the (score) ordering; ties share one value so
+    the cut never splits equal-scored docs."""
+    from pyspark.sql import Window
+
+    from warp_spark.pipeline.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    q = docs.select(
+        "doc_id", "lang",
+        quality_features(F.col("text"))["quality_score"].alias("quality_score"),
+    )
+    cd = F.cume_dist().over(Window.partitionBy("lang").orderBy("quality_score"))
+    return q.withColumn("__cd", cd).select(
+        "doc_id",
+        "lang",
+        "quality_score",
+        F.round("__cd", 6).alias("quality_pctile"),
+        (F.col("__cd") > 0.25).alias("keep"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

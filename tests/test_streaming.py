@@ -300,3 +300,61 @@ def test_ewma_recurrence_matches_python(spark):
         ew = v if ew is None else 0.3 * v + 0.7 * ew
         assert got[i] == ew  # bit-exact, same recurrence
     assert got[99] == 3.0  # singleton chain: y_1 = x_1
+
+
+def test_heavy_hitters_multi_batch_final_snapshot(spark, tmp_path):
+    """With maxFilesPerTrigger=1 over two staged files the sink holds
+    snapshots from MULTIPLE micro-batches; the n_processed discriminator
+    must pick the final summary, which still satisfies every
+    space-saving guarantee against the full exact counts."""
+    import shutil
+
+    from warp_spark.streaming.windows import heavy_hitters_stateful
+
+    d = tmp_path / "hh_two_files"
+    d.mkdir()
+    full = batch_events(spark).withColumn("k", F.col("user_id") % 3)
+    half1 = full.filter(F.col("event_id") % 2 == 0)
+    half2 = full.filter(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.mode("overwrite").parquet(str(d / "a"))
+    half2.coalesce(1).write.mode("overwrite").parquet(str(d / "b"))
+    for i, sub in enumerate(["a", "b"]):
+        for f in (d / sub).glob("*.parquet"):
+            shutil.move(str(f), str(d / f"part-{i}.parquet"))
+        shutil.rmtree(d / sub)
+
+    stream = with_ts(
+        read_event_stream(spark, str(d), max_files_per_trigger=1)
+    ).withColumn("k", F.col("user_id") % 3)
+    hh = heavy_hitters_stateful(stream.select("k", "event_type"), "k", "event_type", capacity=3)
+    run_stream_to_memory(hh, "hh_mb", output_mode="update")
+    sink = spark.table("hh_mb")
+    # multiple snapshots per key must actually be present
+    n_snapshots = sink.select("k", "n_processed").distinct().groupBy("k").count()
+    assert all(r["count"] >= 2 for r in n_snapshots.collect())
+    # final snapshot per key = rows at max n_processed
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k")
+    final = sink.withColumn("mx", F.max("n_processed").over(w)).filter(
+        F.col("n_processed") == F.col("mx")
+    )
+    truth = {
+        (r["k"], r["event_type"]): r["n"]
+        for r in full.groupBy("k", "event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    totals = {}
+    for (k, _), n in truth.items():
+        totals[k] = totals.get(k, 0) + n
+    summaries = {}
+    for r in final.collect():
+        summaries.setdefault(r["k"], {})[r["item"]] = (r["cnt"], r["err"], r["n_processed"])
+    for k, s in summaries.items():
+        assert len(s) <= 3
+        # conservation at the final snapshot
+        assert sum(c for c, _, _ in s.values()) == totals[k]
+        for (tk, item), n in truth.items():
+            if tk == k and n > totals[k] / 3:
+                assert item in s
+                cnt, err, _ = s[item]
+                assert cnt >= n and cnt - err <= n

@@ -23,6 +23,8 @@ from warp_spark.sampling import (
     stratified_sample,
 )
 from warp_spark.pipeline.packing import chunk_documents, chunk_summary, pack_chunks
+from warp_spark.layout import morton_index, write_zordered
+from warp_spark.stats import exact_corr_matrix, profile_columns
 
 __all__ = [
     "get_spark",
@@ -39,5 +41,9 @@ __all__ = [
     "pack_chunks",
     "chunk_documents",
     "chunk_summary",
+    "morton_index",
+    "write_zordered",
+    "exact_corr_matrix",
+    "profile_columns",
 ]
 __version__ = "0.1.0"

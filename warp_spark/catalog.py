@@ -4703,6 +4703,121 @@ def quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Relational-surface completeness: ROLLUP with grouping ids, the window
+# function family (lag/lead/ntile/first/last), and INTERSECT/EXCEPT.
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_revenue",
+    """
+    SELECT COALESCE(l_returnflag, '<all>')  AS returnflag,
+           COALESCE(l_linestatus, '<all>')  AS linestatus,
+           GROUPING(l_returnflag)           AS g_flag,
+           GROUPING(l_linestatus)           AS g_status,
+           count(*)                         AS n_rows,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals: (flag, status) → (flag) → grand total in
+    ONE pass — Spark expands the grouping sets map-side, so it's still a
+    single shuffle with partial aggregation, not three queries."""
+    li = _t(spark, sf_dir, "lineitem").to_df()
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            F.col("g_flag").cast("long"),
+            F.col("g_status").cast("long"),
+            "n_rows",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "window_functions_suite",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             row_number() OVER w AS rn,
+             lag(o_totalprice) OVER w AS prev_price,
+             lead(o_totalprice) OVER w AS next_price,
+             first_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND UNBOUNDED FOLLOWING) AS first_price,
+             last_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND UNBOUNDED FOLLOWING) AS last_price,
+             ntile(4) OVER w AS quartile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey, o_orderkey, rn, prev_price, next_price,
+           first_price, last_price, quartile,
+           round(o_totalprice - COALESCE(prev_price, o_totalprice), 2) AS delta_prev
+    FROM o
+    """,
+)
+def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The windowed-value family over one per-customer frame: all seven
+    functions share a single Window spec, so Spark computes them in one
+    WindowExec over one shuffle."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o = _t(spark, sf_dir, "orders").to_df()
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.lag(p).over(w).alias("prev_price"),
+        F.lead(p).over(w).alias("next_price"),
+        F.first(p).over(wf).alias("first_price"),
+        F.last(p).over(wf).alias("last_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(p - F.coalesce(F.lag(p).over(w), p), 2).alias("delta_prev"),
+    )
+
+
+@register(
+    "set_operations",
+    """
+    WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+    urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT 'both' AS segment, o_custkey FROM (
+      SELECT o_custkey FROM big INTERSECT SELECT o_custkey FROM urgent)
+    UNION ALL
+    SELECT 'big_only' AS segment, o_custkey FROM (
+      SELECT o_custkey FROM big EXCEPT SELECT o_custkey FROM urgent)
+    """,
+)
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT segmentation — native Spark set operators
+    (hash-based, null-safe distinct semantics) rather than join
+    emulations."""
+    o = _t(spark, sf_dir, "orders").to_df()
+    big = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        big.intersect(urgent)
+        .select(F.lit("both").alias("segment"), "o_custkey")
+        .unionAll(
+            big.subtract(urgent).select(F.lit("big_only").alias("segment"), "o_custkey")
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

@@ -4818,6 +4818,35 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Exact multi-quantile per group: Spark's interpolating percentile ==
+# DuckDB quantile_cont — order statistics, engine-stable by definition.
+# ---------------------------------------------------------------------------
+@register(
+    "percentiles_exact",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+           round(quantile_cont(l_quantity, 0.90), 6) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").to_df()
+    pcts = [0.25, 0.50, 0.75, 0.90]
+    pc = F.percentile(F.col("l_quantity"), F.array(*[F.lit(p) for p in pcts]))
+    out = li.groupBy("l_returnflag").agg(pc.alias("__p"))
+    return out.select(
+        "l_returnflag",
+        *[
+            F.round(F.element_at("__p", i + 1), 6).alias(f"p{int(p * 100)}")
+            for i, p in enumerate(pcts)
+        ],
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

@@ -4847,6 +4847,35 @@ def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Native LEFT SEMI / LEFT ANTI joins — existence predicates as real join
+# strategies (broadcastable, null-safe), not IN-subquery emulations.
+# ---------------------------------------------------------------------------
+@register(
+    "semi_anti_join",
+    """
+    SELECT 'has_urgent' AS segment, c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT 'no_orders' AS segment, c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").to_df()
+    o = _t(spark, sf_dir, "orders").to_df()
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    has = c.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "leftsemi"
+    ).select(F.lit("has_urgent").alias("segment"), "c_custkey", "c_name")
+    none = c.join(
+        o, F.col("c_custkey") == F.col("o_custkey"), "leftanti"
+    ).select(F.lit("no_orders").alias("segment"), "c_custkey", "c_name")
+    return has.unionAll(none)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

@@ -758,3 +758,22 @@ def test_containment_catches_nested_doc(spark):
     # the SHORT doc (b) is contained in the long one
     assert r["direction"] == "b_in_a"
     assert r["containment_b"] == 1.0 and r["containment_a"] < 0.5
+
+
+def test_bigram_lm_score_ranks_repetition_above_noise(spark):
+    """A corpus-typical doc must outscore a gibberish doc under the
+    corpus-trained bigram model; short docs get NULL (no bigrams)."""
+    from warp_spark.pipeline.text import bigram_lm_scores
+
+    common = "the cat sat on the mat and the cat ran"
+    rows = [(i, common) for i in range(8)] + [
+        (100, "zq xv qj vx zz qq jx"),  # gibberish: unseen bigrams
+        (101, "single"),                # no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_lm_scores(df, vocab_size=32).collect()}
+    assert got[0]["avg_log2_prob"] > got[100]["avg_log2_prob"]
+    assert got[101]["n_bigrams"] == 0 and got[101]["avg_log2_prob"] is None
+    assert got[0]["n_bigrams"] == 9
+    # probabilities: every avg log2 prob is negative
+    assert got[0]["avg_log2_prob"] < 0

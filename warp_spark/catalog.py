@@ -4876,6 +4876,55 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return has.unionAll(none)
 
 
+# ---------------------------------------------------------------------------
+# Bigram language-model quality score (CCNet-style perplexity proxy):
+# add-one-smoothed bigram logprobs over the trained vocab, per-doc
+# average folded in position order. Oracle replays the identical counts,
+# smoothing, and fold.
+# ---------------------------------------------------------------------------
+@register(
+    "text_lm_score",
+    """
+    WITH tok_exp AS (
+      SELECT doc_id, u['tok'] AS tok, u['ord'] AS ord FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'),
+                 (x, i) -> struct_pack(tok := x, ord := i))) AS u
+        FROM documents)
+    ),
+    vocab AS (
+      SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS id
+      FROM tok_exp GROUP BY tok
+      ORDER BY count(*) DESC, tok ASC
+      LIMIT 512
+    ),
+    ids AS (SELECT e.doc_id, e.ord, COALESCE(v.id, 0) AS id
+            FROM tok_exp e LEFT JOIN vocab v USING (tok)),
+    big AS (SELECT a.doc_id, a.ord AS pos, a.id AS prev, b.id AS cur
+            FROM ids a JOIN ids b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1),
+    cb AS (SELECT prev, cur, count(*) AS c FROM big GROUP BY 1, 2),
+    cp AS (SELECT prev, sum(c) AS cc FROM cb GROUP BY 1),
+    terms AS (SELECT big.doc_id, big.pos,
+                     log2((cb.c + 1)::DOUBLE / (cp.cc + 513)) AS t
+              FROM big JOIN cb USING (prev, cur) JOIN cp USING (prev)),
+    agg AS (SELECT doc_id, count(*) AS n_bigrams, list(t ORDER BY pos) AS ts
+            FROM terms GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(a.n_bigrams, 0) AS n_bigrams,
+           CASE WHEN a.n_bigrams > 0 THEN
+             round(list_reduce(list_prepend(0.0::DOUBLE, a.ts),
+                               (x, y) -> x + y) / a.n_bigrams, 6)
+           END AS avg_log2_prob
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.text import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents").to_df())
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

@@ -668,3 +668,68 @@ def source_token_kl(
             6,
         ).alias("kl_bits"),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 512,
+) -> DataFrame:
+    """Language-model quality proxy (the CCNet/perplexity-filter shape):
+    train an add-one-smoothed bigram model over the corpus's token-id
+    sequences (OOV = id 0 participates like any token) and score every
+    document by its average log2 bigram probability — low scores mark
+    gibberish and boilerplate the per-doc ratio features miss.
+
+    Scale shape: the model is two aggregated count tables (distinct
+    bigrams and their context sums — vocabulary-bounded, (V+1)², not
+    corpus-bounded), joined back to the exploded bigram stream; the
+    per-doc average folds its terms in POSITION order from a sorted
+    collected list, so the float summation order is pinned and the
+    DuckDB oracle replays the identical fold. No broadcast of the model
+    is assumed — the count join shuffles on (prev, cur), which AQE can
+    still convert to broadcast when the model is small."""
+    ids = tokenize_ids(df, build_vocab(df, text_col, vocab_size), id_col, text_col)
+    n = F.col("n_tokens")
+    big_arr = F.zip_with(
+        F.slice(F.col("token_ids"), 1, n - 1),
+        F.slice(F.col("token_ids"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    big = (
+        ids.filter(n >= 2)
+        .select(F.col(id_col), F.posexplode(big_arr).alias("pos", "bg"))
+        .select(F.col(id_col), "pos", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    )
+    cb = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c"))
+    cp = cb.groupBy("prev").agg(F.sum("c").alias("cc"))
+    denom = vocab_size + 1  # vocabulary including the OOV id
+    terms = (
+        big.join(cb, ["prev", "cur"])
+        .join(cp, ["prev"])
+        .select(
+            F.col(id_col),
+            "pos",
+            F.log2((F.col("c") + 1).cast("double") / (F.col("cc") + denom)).alias("t"),
+        )
+    )
+    agg = terms.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("pos", "t"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("__s"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.when(
+                F.col("n_bigrams") > 0, F.round(F.col("__s") / F.col("n_bigrams"), 6)
+            ).alias("avg_log2_prob"),
+        )
+    )

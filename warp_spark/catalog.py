@@ -4925,6 +4925,46 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(_t(spark, sf_dir, "documents").to_df())
 
 
+# ---------------------------------------------------------------------------
+# Programming-by-example end-to-end (reference `infer`,
+# Warp/Sources/Model/QBECalculate*.swift + Expression.infer): search a
+# formula from ONE example row on the driver, then run the winning
+# formula DISTRIBUTED over the whole table and prove it matches the
+# target expression on every row — the full infer → compile → execute
+# loop as a self-validating invariant row.
+# ---------------------------------------------------------------------------
+@register(
+    "infer_formula_roundtrip",
+    """
+    SELECT TRUE AS found,
+           TRUE AS example_ok,
+           CAST(0 AS BIGINT) AS distributed_mismatches
+    """,
+)
+def infer_formula_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark import suggest_formulas
+    from warp_spark.formula import formula
+
+    # example: one real row; target = lowercased priority
+    example = {"o_orderpriority": "1-URGENT"}
+    target = "1-urgent"
+    cands = suggest_formulas(target, example, input_column="o_orderpriority")
+    found = len(cands) > 0
+    orders = _t(spark, sf_dir, "orders").to_df()
+    if found:
+        # '@' in an inferred formula is the input cell — bind it to the
+        # example's input column, exactly as a calculate step would
+        col = formula(cands[0], identity=F.col("o_orderpriority"))
+        mism = orders.filter(col != F.lower(F.col("o_orderpriority"))).count()
+        example_ok = True
+    else:  # pragma: no cover - infer regression
+        mism, example_ok = -1, False
+    return spark.createDataFrame(
+        [(found, example_ok, mism)],
+        "found boolean, example_ok boolean, distributed_mismatches long",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

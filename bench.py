@@ -79,6 +79,8 @@ HEADLINE = [
     "quality_robust_stats",
     "langid_confusion",
     "corr_matrix",
+    "text_lm_score",
+    "percentiles_exact",
     # LLM-pipeline: similarity search
     "ann_topk_bruteforce",
     "ann_topk_ivf",

@@ -3892,16 +3892,22 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doc_id % 20 >= 16) deduped AGAINST the standing corpus (the rest) —
 # batch×corpus LSH pairs only, never corpus×corpus. Oracle: the same
 # md5-minhash band replica with the cross-side join condition, Jaccard
-# verify, then min-matching-corpus-id per batch doc.
+# verify, then min-matching-corpus-id per batch doc. The Spark side's
+# 10k bucket-size cap is modeled (`capped` HAVING) so parity holds even
+# if a band bucket ever exceeds the cap at larger SFs (r3 ADVICE item).
 # ---------------------------------------------------------------------------
 @register(
     "dedup_incremental",
     "WITH "
     + _DUCK_LSH
     + """,
+capped AS (SELECT band_idx, band_val FROM bands
+           GROUP BY 1, 2 HAVING count(*) <= 10000),
 xcand AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
           FROM bands a JOIN bands b
             ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+          JOIN capped s
+            ON s.band_idx = a.band_idx AND s.band_val = a.band_val
           WHERE a.doc_id % 20 >= 16 AND b.doc_id % 20 < 16),
 ver AS (SELECT c.batch_id, c.corpus_id,
                round(len(list_intersect(x.sh, y.sh))::DOUBLE
@@ -3989,7 +3995,11 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as a literal-map probe per token; 0 = OOV. Oracle: the same vocab via
 # a windowed row_number, applied through an explode → left join →
 # re-aggregate (ORDER BY ordinality) — different physical shape, same
-# function.
+# function. The id sequence is emitted as a ','-joined STRING on both
+# sides (library API keeps the ArrayType column): the driver's pandas
+# canonicalizer sort/hashes cell values and Python lists are unhashable
+# — the r03 driver err on this entry was exactly that, not a value
+# mismatch.
 # ---------------------------------------------------------------------------
 @register(
     "tokenize_vocab_ids",
@@ -4019,7 +4029,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM mapped GROUP BY doc_id
     )
     SELECT d.doc_id,
-           COALESCE(a.token_ids, []) AS token_ids,
+           array_to_string(COALESCE(a.token_ids, []), ',') AS token_ids_csv,
            COALESCE(a.n_tokens, 0)   AS n_tokens,
            COALESCE(a.n_oov, 0)      AS n_oov
     FROM documents d LEFT JOIN agg a USING (doc_id)
@@ -4030,7 +4040,13 @@ def tokenize_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").to_df()
     vocab = build_vocab(docs, vocab_size=512)
-    return tokenize_ids(docs, vocab)
+    ids = tokenize_ids(docs, vocab)
+    return ids.select(
+        "doc_id",
+        F.array_join("token_ids", ",").alias("token_ids_csv"),
+        "n_tokens",
+        "n_oov",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -792,9 +792,15 @@ def spherical_kmeans(
 ):
     """Distributed spherical k-means: assign every vector to its max-cosine
     centroid (Arrow matmul, `_centroid_sims`), recompute centroids as the
-    normalized mean of members, repeat. Init is the deterministic
-    hash-ordered draw (`ivf_centroids`) so runs are reproducible with no
-    RNG state.
+    normalized mean of the UNIT-NORMALIZED members, repeat. Init is the
+    deterministic hash-ordered draw (`ivf_centroids`) so runs are
+    reproducible with no RNG state.
+
+    Normalizing each member before summing is what makes the mean-cosine
+    objective provably non-decreasing for ARBITRARY input magnitudes:
+    the objective is Σ (x/‖x‖)·c, whose maximizing unit c is the
+    normalized sum of x/‖x‖ — summing raw vectors only optimizes it
+    when inputs are already unit-norm (round-3 ADVICE.md item).
 
     Scale shape per iteration: one map-side Arrow scoring pass + one
     groupBy(cluster) aggregate of per-coordinate sums (k×dim values) —
@@ -807,15 +813,25 @@ def spherical_kmeans(
     list, per-iteration objective list). The mean objective (average
     best-cosine) is non-decreasing across iterations — both k-means
     steps improve it — which the catalog entry checks as an invariant.
+    The returned assignments are recomputed against the FINAL returned
+    centroids (one extra lazy scoring projection, no extra collect), so
+    ``assigned`` and ``cents`` are mutually consistent.
     """
     import numpy as np
 
+    dim = len(corpus.select(vec_col).first()[0])
+    # ‖x‖ staged once so the per-coordinate normalized sums reuse it
+    nrm_col = F.sqrt(
+        F.aggregate(
+            F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
     cents = [(i, v) for i, v in ivf_centroids(corpus, k, id_col, vec_col)]
     objectives: list[float] = []
-    assigned = None
-    for _ in range(iters):
-        sims = _centroid_sims(F.col(vec_col), cents)
-        assigned = (
+
+    def _assign(centroids):
+        sims = _centroid_sims(F.col(vec_col), centroids)
+        return (
             corpus.select(F.col(id_col), F.col(vec_col), sims.alias("__sims"))
             .select(
                 F.col(id_col),
@@ -826,15 +842,25 @@ def spherical_kmeans(
                 F.array_max(F.col("__sims")).alias("sim"),
             )
         )
+
+    for _ in range(iters):
+        assigned = _assign(cents)
+        # stage ‖x‖ in its own projection (CollapseProject discipline)
+        staged = assigned.withColumn("__nrm", nrm_col)
         stats = (
-            assigned.groupBy("cluster")
+            staged.groupBy("cluster")
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum("sim").alias("obj"),
                 F.array(
                     *[
-                        F.sum(F.element_at(F.col(vec_col), i + 1))
-                        for i in range(len(cents[0][1]))
+                        F.sum(
+                            F.when(
+                                F.col("__nrm") > 0,
+                                F.element_at(F.col(vec_col), i + 1) / F.col("__nrm"),
+                            ).otherwise(F.element_at(F.col(vec_col), i + 1))
+                        )
+                        for i in range(dim)
                     ]
                 ).alias("vsum"),
             )
@@ -853,4 +879,6 @@ def spherical_kmeans(
         have = {c for c, _ in new_cents}
         new_cents.extend((c, v) for c, v in cents if c not in have)
         cents = sorted(new_cents, key=lambda t: t[0])
-    return assigned, cents, objectives
+    # assignments consistent with the RETURNED centroids, not the
+    # pre-final-update ones (round-3 ADVICE.md item) — lazy, no collect
+    return _assign(cents), cents, objectives

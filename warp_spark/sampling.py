@@ -73,6 +73,19 @@ def rebalance_weights(
     if target_shares is None:
         t = 1.0 / F.count(F.lit(1)).over(Window.partitionBy())
     else:
+        # an observed group missing from an explicit plan would get a
+        # NULL target share → NULL expected_rows → rebalance_sample
+        # silently drops the whole group (row_number <= NULL filters
+        # everything). Fail loudly instead — the check is one job over
+        # the group-count aggregate, bounded by group cardinality.
+        observed = {r[0] for r in counts.select(group_col).collect()}
+        uncovered = sorted(observed - set(target_shares))
+        if uncovered:
+            raise ValueError(
+                f"target_shares missing observed {group_col} groups "
+                f"{uncovered}; add them (a 0.0 share drops a group "
+                "explicitly)"
+            )
         m = F.create_map(
             *[lit for g, s in sorted(target_shares.items()) for lit in (F.lit(g), F.lit(s))]
         )

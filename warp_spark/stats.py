@@ -42,7 +42,16 @@ def exact_corr_matrix(
 
     Returns long form: one row per unordered pair ``(var_a, var_b,
     corr)`` with var_a < var_b in the mapping's order, corr rounded to
-    6 — identical on any engine that replicates the integer moments."""
+    6 — identical on any engine that replicates the integer moments.
+
+    Headroom bound: moments accumulate in ``decimal(38,0)`` (~38
+    digits), while a HUGEINT oracle has 128 bits (~38.5 digits) — but
+    the DERIVED products ``n·Σxy`` can overflow Spark's decimal first
+    and silently become NULL under non-ANSI mode. With per-variable
+    integer magnitude ≤ 10^d and n rows, ``n·Σxy ≤ n²·10^(2d)`` — keep
+    ``2·log10(n) + 2d ≤ 38`` (e.g. d=9 units is safe to n ≈ 10^10
+    rows). A runtime ``assert_true`` guard fails the job loudly instead
+    of emitting NULL corr if the bound is ever exceeded."""
     names = list(variables)
     ints = {
         k: F.round(_col(c) * scale, 0).cast("decimal(38,0)")
@@ -58,6 +67,27 @@ def exact_corr_matrix(
     one = df.agg(*aggs)
 
     n = F.col("__n")
+    # overflow guard: under non-ANSI Spark a decimal(38,0) product that
+    # exceeds 38 digits silently becomes NULL (the oracle's HUGEINT
+    # keeps going to 128 bits) — fail loudly rather than emit NULL corr
+    moment_cols = [c for c in one.columns if c.startswith(("__s_", "__p_"))]
+    checks = [F.col(c).isNotNull() for c in moment_cols]
+    checks += [
+        (n * F.col(c)).isNotNull() for c in moment_cols if c.startswith("__p_")
+    ]
+    acc = F.lit(True)
+    for c in checks:
+        acc = acc & c
+    all_ok = (n == 0) | acc
+    one = one.filter(
+        F.assert_true(
+            all_ok,
+            F.lit(
+                "exact_corr_matrix: decimal(38,0) moment overflow — reduce "
+                "fixed-point scales or row count (see docstring headroom bound)"
+            ),
+        ).isNull()
+    )
 
     def ss(k: str) -> Column:
         # n·Σx² − (Σx)² — exact integer, cast once

@@ -401,13 +401,18 @@ def ewma(
     (``running_totals_stateful``) is the bounded-state form; this batch
     form matches the reference's rank/running semantics
     (QBERankStep.swift:107-122) with a non-decomposable reducer.
-    Returns one row per event: ``key_col, id_col, value_col, ewma``
-    (round 6)."""
+    Returns one row per event: ``key_col, id_col, value_col, ewma`` —
+    ewma is the RAW double (no rounding: the fold order is pinned, so
+    the value is bit-identical cross-engine, while round() itself is
+    not)."""
     lst = F.sort_array(
         F.collect_list(F.struct(F.col(ts_col), F.col(id_col), F.col(value_col)))
     )
     a, b = F.lit(alpha), F.lit(1.0 - alpha)
-    acc0 = F.array().cast(f"array<struct<{id_col}:long,v:double,ewma:double>>")
+    # accumulator id field mirrors the INPUT id column's type — a
+    # hardcoded `long` failed analysis for string/int event ids
+    id_type = df.schema[id_col].dataType.simpleString()
+    acc0 = F.array().cast(f"array<struct<{id_col}:{id_type},v:double,ewma:double>>")
 
     def _step(acc, x):
         prev = F.element_at(acc, -1)["ewma"]

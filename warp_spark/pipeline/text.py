@@ -526,6 +526,89 @@ def bloom_contamination(
 
 
 # ---------------------------------------------------------------------------
+# BPE merge training — real byte-pair-encoding over the distributed
+# word histogram (Sennrich et al., ACL'16)
+# ---------------------------------------------------------------------------
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 6,
+) -> list[tuple[str, str, str, int]]:
+    """Train ``n_merges`` BPE merges: per iteration, count adjacent
+    symbol pairs over the word HISTOGRAM (pair frequency weighted by
+    word count — the standard trick that bounds every iteration by the
+    vocabulary, not the corpus), pick the argmax under the total order
+    (count DESC, pair ASC — deterministic, engine-reproducible), apply
+    the merge map-side, repeat. Returns [(left, right, merged,
+    weighted_count)] — the trained artifact is O(n_merges).
+
+    Scale shape: ONE corpus-wide shuffle up front (word histogram);
+    each iteration then shuffles only (pair, count) rows bounded by
+    |vocab| × avg word length, plus a 1-row argmax collect — the same
+    bounded-driver-traffic discipline as the tokenizer vocab.
+
+    Word encoding: symbols joined with DOUBLE spaces and double-space
+    padding at both ends (``"  h  i  "``). A merge (a, b) is then
+    ``replace(enc, ' a  b ', ' ab ')`` — each match consumes ONE space
+    from each surrounding gap and the replacement restores it, so
+    left-to-right non-overlapping replace() merges every adjacent
+    occurrence in one pass (the naive single-space encoding misses
+    every second occurrence in runs like ``a b a b``). replace() has
+    identical semantics in Spark and DuckDB, which is what makes the
+    oracle an exact replay."""
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # split to characters via zero-width lookbehind (Java regex; every
+    # char becomes a symbol), then the double-space encoding
+    chars = F.split(F.col("w"), "(?<=.)")
+    enc0 = F.concat(F.lit("  "), F.concat_ws("  ", chars), F.lit("  "))
+    state = words.select("w", "cnt", enc0.alias("enc"))
+    merges: list[tuple[str, str, str, int]] = []
+    for _ in range(n_merges):
+        toks = F.filter(F.split(F.col("enc"), "  "), lambda x: x != "")
+        # guard single-symbol words: sequence(1, 0) counts DOWN in Spark
+        # (same trap as ngram_hashes_from_tokens)
+        pairs = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat(
+                    F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        best = (
+            state.select(F.col("cnt"), F.explode(pairs).alias("p"))
+            .groupBy("p")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("p").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:  # pragma: no cover - corpus exhausted of pairs
+            break
+        left, right = best[0]["p"].split(" ")
+        merged, wc = left + right, int(best[0]["c"])
+        merges.append((left, right, merged, wc))
+        state = state.select(
+            "w",
+            "cnt",
+            F.call_function(
+                "replace",
+                F.col("enc"),
+                F.lit(f" {left}  {right} "),
+                F.lit(f" {merged} "),
+            ).alias("enc"),
+        )
+    return merges
+
+
+# ---------------------------------------------------------------------------
 # Rolling-hash fingerprints (winnowing) — partial-overlap detection
 # ---------------------------------------------------------------------------
 

@@ -74,27 +74,20 @@ def main():
                 **{k: a[k] for k in ("exchanges", "bhj", "smj", "shj", "bnl")},
             )
         )
+    # As of round 4 the ONLY allowed BNL source is the exact/quantized
+    # k-NN baseline: cross-score vs a tiny broadcast query set IS the
+    # right plan (corpus never shuffles; map-side window top-k). The
+    # recall entries embed that baseline. Every former 1-row scalar
+    # crossJoin (q11/q22/tf-idf/funnel/sampling invariants) now inlines
+    # the separately-computed aggregate as literals (catalog._scalar_join
+    # — the DataFrame form of a SQL scalar subquery), so any other BNL
+    # is a regression.
     expected_bnl = {
-        # exact k-NN: cross-score vs a tiny broadcast query set IS the
-        # right plan (corpus never shuffles)
         "ann_topk_bruteforce",
-        # scalar-subquery theta join (c_acctbal > broadcast 1-row avg):
-        # BNL against a single-row build side is N×1 — the canonical plan
-        "q22_idle_customers",
-        # same shape: per-part value > broadcast 1-row (total, count)
-        "q11_important_parts",
-        # self-validating recall entries embed the exact k-NN baseline
-        # above (its documented BNL) plus a 1-row × 1-row metric crossJoin
+        "ann_topk_quantized",
         "ann_topk_lsh",
         "ann_topk_ivf",
         "ann_topk_pq",
-        # invariant row = crossJoin of two single-row aggregates (1×1)
-        "random_sample",
-        # corpus-size scalar: broadcast 1-row n_docs crossJoin (N×1)
-        "text_tfidf_topterms",
-        # invariant row = crossJoin of single-row aggregates (1×1)
-        "stratified_sample",
-        "events_funnel",
     }
     bnl_offenders = [
         n for n, a in rows if a.get("bnl", 0) > 0 and n not in expected_bnl

@@ -161,6 +161,60 @@ def main():
         pairs.count()
         timed(f"star_components x{mult}", lambda: connected_components_star(docs, pairs), results)
         timed(f"containment x{mult}", lambda: containment_pairs(docs, pairs), results)
+        # --- round-3/4 heavyweights (VERDICT r3 item 7) ---
+        from warp_spark.pipeline.dedup import (
+            canonical_clusters,
+            cluster_representatives,
+            ngram_jaccard_pairs,
+        )
+        from warp_spark.pipeline.text import (
+            bigram_lm_scores,
+            bloom_contamination,
+            bpe_train,
+            quality_features,
+            train_bloom_filter,
+        )
+        from warp_spark.pipeline.similarity import quantized_topk
+        from warp_spark.stats import exact_corr_matrix
+
+        def keep_best():
+            ver = ngram_jaccard_pairs(docs, pairs, threshold=0.5)
+            clusters = canonical_clusters(docs, ver)
+            scores = docs.select(
+                "doc_id",
+                quality_features(F.col("text"))["quality_score"].alias("quality_score"),
+            )
+            return cluster_representatives(clusters, scores)
+
+        timed(f"keep_best x{mult}", keep_best, results)
+        timed(f"lm_score x{mult}", lambda: bigram_lm_scores(docs), results)
+        timed(
+            f"corr_matrix x{mult}",
+            lambda: exact_corr_matrix(
+                ev,
+                {
+                    "value": (F.col("value"), 1000),
+                    "uid": (F.col("user_id"), 1),
+                    "eid": (F.col("event_id"), 1),
+                },
+            ),
+            results,
+        )
+        bench_docs = docs.filter(F.col("doc_id") % 10 == 0)
+        bloom = train_bloom_filter(bench_docs)  # trained artifact, reused
+        timed(
+            f"bloom_probe x{mult}",
+            lambda: bloom_contamination(docs.filter(F.col("doc_id") % 10 != 0), bloom),
+            results,
+        )
+        timed(f"ann_quantized x{mult}", lambda: quantized_topk(q, emb), results)
+        # bpe_train returns the merge list (driver artifact) — time the
+        # whole train loop (3 iterations; pair counts are vocab-bounded)
+        t0 = time.time()
+        merges = bpe_train(docs, n_merges=3)
+        dt = time.time() - t0
+        results.append((f"bpe_train3 x{mult}", dt, len(merges)))
+        print(f"  {'bpe_train3 x' + str(mult):34s} {dt:7.2f}s  rows={len(merges)}", flush=True)
         pairs.unpersist()
         docs.unpersist(); emb.unpersist(); ev.unpersist()
 

@@ -86,6 +86,13 @@ HEADLINE = [
     "ann_topk_ivf",
     "ann_topk_pq",
     "embedding_near_pairs",
+    # round-4 additions
+    "decontaminate_bloom",
+    "ann_topk_quantized",
+    "bpe_train_merges",
+    "multimodal_png_real",
+    "multimodal_wav_real",
+    "mutable_dml_roundtrip",
 ]
 
 

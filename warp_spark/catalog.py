@@ -1355,6 +1355,110 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temperature-scaled mixture weights (sampling.py::temperature_weights,
+# the mC4/XLM-R multilingual sampling scheme) at T = 2: w ∝ √share.
+# Raw doubles, NO rounding — √ is IEEE-correctly-rounded and the
+# normalizer folds per-group terms in sorted group order on both sides
+# (char-entropy fold discipline), so the values are bit-identical.
+# ---------------------------------------------------------------------------
+@register(
+    "mixture_temperature",
+    """
+    WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    t AS (SELECT source, n_docs, sqrt(n_docs::DOUBLE) AS r FROM c),
+    d AS (SELECT list_reduce(list_prepend(0.0::DOUBLE, list(r ORDER BY source)),
+                             (a, x) -> a + x) AS den,
+                 sum(n_docs)::DOUBLE AS n
+          FROM t)
+    SELECT t.source, t.n_docs,
+           t.n_docs::DOUBLE / d.n AS share,
+           t.r / d.den AS temp_weight,
+           floor(d.n * (t.r / d.den))::BIGINT AS expected_rows
+    FROM t, d
+    """,
+)
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.sampling import temperature_weights
+
+    return temperature_weights(_t(spark, sf_dir, "documents").to_df(), "source")
+
+
+# ---------------------------------------------------------------------------
+# Multi-format source/sink round-trip (§2.5): one orders slice written
+# to ORC, CSV and JSON and read back through each format's full
+# write→read path, then reduced to per-format fingerprint aggregates
+# (row count + exact-cents sum + key checksum). The oracle computes the
+# same fingerprints straight from parquet — a value mismatch in ANY
+# format's row set flips a sum. Proves the format plumbing end-to-end
+# with driver-side evidence (previously pytest-only for CSV/JSON, and
+# ORC was uncovered).
+# ---------------------------------------------------------------------------
+@register(
+    "source_roundtrip_formats",
+    """
+    WITH s AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 4 = 1),
+    a AS (
+      SELECT count(*) AS n_rows,
+             sum(CAST(round(100 * o_totalprice) AS BIGINT))::BIGINT AS total_cents,
+             sum(o_orderkey * 31 + o_custkey)::BIGINT AS key_checksum
+      FROM s)
+    SELECT f.fmt, a.n_rows, a.total_cents, a.key_checksum
+    FROM (VALUES ('csv'), ('json'), ('orc')) f(fmt), a
+    """,
+)
+def source_roundtrip_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from functools import reduce
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    src = (
+        _t(spark, sf_dir, "orders")
+        .to_df()
+        .select(*cols)
+        .filter(F.col("o_orderkey") % 4 == 1)
+    )
+    root = tempfile.mkdtemp(prefix="warp_fmt_entry_")
+    outs = []
+    try:
+        for fmt in ("csv", "json", "orc"):
+            path = f"{root}/{fmt}"
+            w = src.write.mode("overwrite")
+            if fmt == "csv":
+                w = w.option("header", "true")
+            w.format(fmt).save(path)
+            r = spark.read.format(fmt)
+            if fmt in ("csv", "json"):
+                # explicit schema: proves the typed read path, not inference
+                r = r.schema(
+                    "o_orderkey long, o_custkey long, o_totalprice double, "
+                    "o_orderpriority string"
+                )
+                if fmt == "csv":
+                    r = r.option("header", "true")
+            back = r.load(path)
+            outs.append(
+                back.agg(
+                    F.lit(fmt).alias("fmt"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(F.round(100 * F.col("o_totalprice")).cast("long"))
+                    .alias("total_cents"),
+                    F.sum(F.col("o_orderkey") * 31 + F.col("o_custkey"))
+                    .alias("key_checksum"),
+                )
+            )
+        final = reduce(lambda a, b: a.unionByName(b), outs).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return final
+
+
+# ---------------------------------------------------------------------------
 # Real BPE merge training (Sennrich et al., ACL'16; pipeline/text.py::
 # bpe_train): n iterations of [weighted adjacent-pair count over the
 # word histogram → deterministic argmax (count DESC, pair ASC) → apply
@@ -4315,6 +4419,59 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stream-stream interval join EXECUTED as a real Structured Streaming
+# job (the one join family only streams can get wrong): clicks joined
+# to same-user purchases within [0, 4 h], both sides watermarked so
+# Spark bounds the join state (rows older than watermark+interval are
+# evicted — the 100 TB-stream requirement), drained through an
+# append-mode memory sink. The oracle is the plain batch interval
+# theta-join in SQL — stream-batch equivalence for stream-stream joins,
+# driver-value-verified (the pytest twin is tests/test_streaming.py).
+# ---------------------------------------------------------------------------
+@register(
+    "events_stream_stream_join",
+    """
+    SELECT c.user_id,
+           c.ts AS l_ts, c.event_id AS l_event_id, c.value AS l_value,
+           p.ts AS r_ts, p.event_id AS r_event_id, p.value AS r_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
+    """,
+)
+def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from warp_spark.streaming import run_stream_to_memory, stream_interval_join
+
+    d = tempfile.mkdtemp(prefix="warp_stream_entry_")
+    name = f"ss_join_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = _stage_event_stream(spark, sf_dir, d)
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        joined = stream_interval_join(
+            clicks,
+            purchases,
+            by=["user_id"],
+            lower="INTERVAL 0 SECONDS",
+            upper="INTERVAL 4 HOURS",
+            watermark="1 day",
+        )
+        run_stream_to_memory(joined, name, output_mode="append")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
 # Source-mixture rebalancing plan: per-source downsampling rates toward
 # a uniform mixture without upsampling (the binding source keeps all its
 # rows). The windows run over the GROUP COUNTS (one row per source), so
@@ -5447,6 +5604,8 @@ _DRIVER_WINDOW = [
     "decontaminate_bloom",
     "ann_topk_quantized",
     "bpe_train_merges",
+    "events_stream_stream_join",
+    "source_roundtrip_formats",
     # --- flagship TPC-H, kept every round ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -5454,12 +5613,9 @@ _DRIVER_WINDOW = [
     # --- oracle/plan changed this round ---
     "q22_idle_customers",
     "dedup_incremental",
-    # --- discipline anchors (exact moments, decorrelation) —
-    #     driver-green r03, kept fresh. text_char_entropy /
-    #     dedup_minhash_lsh / dedup_keep_best (all driver-green r03)
-    #     ceded their slots to the three late-round-4 entries above.
-    "q2_min_cost_supplier",
-    "aggregate_reducers",
+    # (text_char_entropy / dedup_minhash_lsh / dedup_keep_best /
+    #  aggregate_reducers / q2_min_cost_supplier — all driver-green in
+    #  r03 — ceded their slots to the five late-round-4 entries above.)
 ]
 
 

@@ -158,3 +158,53 @@ def assign_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn("bucket", bucket).withColumn("split", expr)
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str,
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Temperature-scaled mixture weights (the multilingual-LM sampling
+    scheme, e.g. mC4/XLM-R): w_g ∝ share_g^(1/T). T = 1 reproduces the
+    natural mixture; T → ∞ approaches uniform; T > 1 upweights tail
+    groups. Returns one row per group: ``group_col, n_docs, share,
+    temp_weight, expected_rows`` (expected_rows = floor(N·w_g), the
+    per-group budget when resampling the corpus to its own size).
+
+    Exactness: for the default T = 2 the power is √ — IEEE-correctly-
+    rounded and therefore bit-identical on every engine — and the
+    normalizer folds the per-group terms in SORTED group order
+    (collect_list → sort_array → aggregate, the char-entropy
+    discipline), so the raw-double outputs reproduce exactly
+    cross-engine with no rounding. Other temperatures go through
+    pow(), whose last-ulp behavior is libm-specific — fine for
+    production, but pin T = 2 when differential-testing.
+
+    Scale shape: one group-count shuffle; the normalizer folds the
+    GROUP table (bounded by group cardinality) and only that 1-row
+    aggregate crosses to the driver as inlined literals — the scalar-
+    subquery discipline, no BroadcastNestedLoop."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    if temperature == 2.0:
+        r = F.sqrt(F.col("n_docs").cast("double"))
+    else:
+        r = F.pow(F.col("n_docs").cast("double"), 1.0 / temperature)
+    staged = counts.withColumn("__r", r)
+    den_row = staged.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct(F.col(group_col), F.col("__r")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["__r"],
+        ).alias("__den"),
+        F.sum("n_docs").cast("double").alias("__N"),
+    ).first()
+    den, n_total = float(den_row["__den"]), float(den_row["__N"])
+    w = F.col("__r") / F.lit(den)
+    return staged.select(
+        F.col(group_col),
+        F.col("n_docs"),
+        (F.col("n_docs").cast("double") / F.lit(n_total)).alias("share"),
+        w.alias("temp_weight"),
+        F.floor(F.lit(n_total) * w).cast("long").alias("expected_rows"),
+    )

@@ -4419,6 +4419,109 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming exact dedup EXECUTED (dropDuplicatesWithinWatermark —
+# bounded state: keys older than the watermark horizon are evicted,
+# which is what lets ingest-time dedup run forever at 100 TB/day).
+# WHICH physical row survives per key is arrival-order-dependent on a
+# parallel source, so the entry emits the KEY SET — exactly the
+# distinct keys, deterministic regardless of order — and the oracle is
+# plain SELECT DISTINCT. A dedup that dropped too much or too little
+# changes the key set and hash-fails.
+# ---------------------------------------------------------------------------
+@register(
+    "events_streaming_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from warp_spark.streaming import run_stream_to_memory, streaming_dedup
+
+    d = tempfile.mkdtemp(prefix="warp_stream_entry_")
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = _stage_event_stream(spark, sf_dir, d)
+        deduped = streaming_dedup(ev, ["user_id", "event_type"], watermark="30 days")
+        run_stream_to_memory(deduped, name, output_mode="append")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name).select("user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Late-data rollup across MULTIPLE micro-batches: the events file is
+# split into three chunks ordered NEWEST-FIRST and fed one file per
+# trigger, so batches 2 and 3 deliver strictly LATE data relative to
+# the max event time already seen. With a watermark wide enough to
+# admit it, the final complete-mode aggregate must equal the batch
+# rollup — proving incremental stateful aggregation + late-data merge,
+# not just single-batch equivalence (the r03 streamed entries drained
+# one file in one trigger).
+# ---------------------------------------------------------------------------
+@register(
+    "events_late_data_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_late_data_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from warp_spark.streaming import (
+        read_event_stream,
+        run_stream_to_memory,
+        windowed_rollup,
+    )
+
+    import glob
+    import os
+
+    from pyspark.sql import Window
+
+    d = tempfile.mkdtemp(prefix="warp_stream_entry_")
+    name = f"late_rollup_{uuid.uuid4().hex[:8]}"
+    try:
+        # stage newest-first thirds: each subsequent micro-batch is late
+        batch = _events(spark, sf_dir).withColumn(
+            "__third", F.ntile(3).over(Window.orderBy(F.col("ts").desc()))
+        )
+        for i in (1, 2, 3):
+            batch.filter(F.col("__third") == i).drop("__third").coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{d}/chunk{i}")
+            part = glob.glob(f"{d}/chunk{i}/part-*.parquet")[0]
+            os.rename(part, f"{d}/file_{i:03d}.parquet")
+            shutil.rmtree(f"{d}/chunk{i}", ignore_errors=True)
+        ev = read_event_stream(spark, d, max_files_per_trigger=1)
+        if dict(ev.dtypes)["ts"] == "bigint":
+            ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif dict(ev.dtypes)["ts"] == "timestamp_ntz":
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        rolled = windowed_rollup(
+            ev,
+            "ts",
+            "1 hour",
+            groups=["event_type"],
+            aggs={"n_events": Aggregator(F.col("event_id"), "countAll")},
+            watermark="365 days",
+        )
+        run_stream_to_memory(rolled, name, output_mode="complete")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name).select(
+        F.col("window_start").alias("hour"), "event_type", "n_events"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stream-stream interval join EXECUTED as a real Structured Streaming
 # job (the one join family only streams can get wrong): clicks joined
 # to same-user purchases within [0, 4 h], both sides watermarked so

@@ -1355,6 +1355,72 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bucketed co-located join through the full write→catalog→read→join
+# path (bucketing.py): both sides persisted with bucketBy on the join
+# key, so the join runs with ZERO Exchange on either side — the
+# pre-shuffle-once-at-write-time strategy that turns every subsequent
+# 100 TB join on that key into a local merge (shuffle-freedom is
+# plan-asserted in tests/test_bucketing.py; this entry adds driver-side
+# VALUE evidence through the same path). Oracle replays the join+agg
+# straight from parquet.
+# ---------------------------------------------------------------------------
+@register(
+    "bucketed_join_revenue",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           sum(CAST(round(100 * l_extendedprice * (1 - l_discount)) AS BIGINT))::BIGINT
+             AS revenue_cents
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey % 4 = 1
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from warp_spark.bucketing import read_bucketed, write_bucketed
+
+    tag = uuid.uuid4().hex[:8]
+    t_orders, t_li = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .to_df()
+        .select("o_orderkey", "o_orderpriority")
+        .filter(F.col("o_orderkey") % 4 == 1)
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .to_df()
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .filter(F.col("l_orderkey") % 4 == 1)
+    )
+    try:
+        write_bucketed(orders, t_orders, ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+        write_bucketed(li, t_li, ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+        joined = read_bucketed(spark, t_orders).join(
+            read_bucketed(spark, t_li),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        final = (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(
+                    F.round(
+                        100 * F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("long")
+                ).alias("revenue_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_li}")
+    return final
+
+
+# ---------------------------------------------------------------------------
 # Temperature-scaled mixture weights (sampling.py::temperature_weights,
 # the mC4/XLM-R multilingual sampling scheme) at T = 2: w ∝ √share.
 # Raw doubles, NO rounding — √ is IEEE-correctly-rounded and the
@@ -5718,7 +5784,11 @@ _DRIVER_WINDOW = [
     "dedup_incremental",
     # (text_char_entropy / dedup_minhash_lsh / dedup_keep_best /
     #  aggregate_reducers / q2_min_cost_supplier — all driver-green in
-    #  r03 — ceded their slots to the five late-round-4 entries above.)
+    #  r03 — ceded their slots to the five late-round-4 entries above.
+    #  r05 rotation should pull in the post-window round-4 additions:
+    #  mixture_temperature, events_streaming_dedup,
+    #  events_late_data_rollup, bucketed_join_revenue — all tri-SF green
+    #  under the local gate meanwhile.)
 ]
 
 

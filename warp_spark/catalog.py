@@ -1355,6 +1355,157 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact higher moments (stats.py::exact_skew_kurtosis): population
+# skewness + excess kurtosis per return flag from the TWO-PASS centered
+# integer moments — raw power sums overflow a 38-digit accumulator
+# beyond ~1e9 rows, while |d| = |x − (S div n)| is bounded by the VALUE
+# RANGE, so the centered form survives 100 TB. Raw doubles, no
+# rounding: every float input is an exact integer and the expression
+# tree (fixed parenthesization, √ not pow) is mirrored verbatim here.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_skew_kurtosis",
+    """
+    WITH x AS (SELECT l_returnflag AS g,
+                      CAST(round(100 * l_extendedprice) AS BIGINT) AS v
+               FROM lineitem),
+    gg AS (SELECT g, count(*)::BIGINT AS n, sum(v)::BIGINT AS s FROM x GROUP BY g),
+    b AS (SELECT g, n, s // n AS c, s - n * (s // n) AS r FROM gg),
+    dd AS (SELECT x.g, x.v - b.c AS d FROM x JOIN b USING (g)),
+    m AS (SELECT g,
+                 sum((d * d)::HUGEINT) AS s2,
+                 sum((d * d)::HUGEINT * d) AS s3,
+                 sum((d * d)::HUGEINT * (d * d)) AS s4
+          FROM dd GROUP BY g),
+    f AS (SELECT b.g, b.n,
+                 b.n::DOUBLE AS nd, b.r::DOUBLE AS rd,
+                 m.s2::DOUBLE AS s2d, m.s3::DOUBLE AS s3d, m.s4::DOUBLE AS s4d,
+                 (b.r * b.r)::DOUBLE AS r2d,
+                 (b.r * b.r * b.r)::DOUBLE AS r3d,
+                 ((b.r * b.r)::HUGEINT * (b.r * b.r))::DOUBLE AS r4d
+          FROM b JOIN m USING (g)),
+    mm AS (SELECT g, n, nd,
+                  s2d - r2d / nd AS m2,
+                  s3d - ((3.0 * rd) * s2d) / nd
+                      + (2.0 * r3d) / (nd * nd) AS m3,
+                  s4d - ((4.0 * rd) * s3d) / nd
+                      + ((6.0 * r2d) * s2d) / (nd * nd)
+                      - (3.0 * r4d) / (nd * nd * nd) AS m4
+           FROM f)
+    SELECT g AS l_returnflag, n,
+           CASE WHEN m2 > 0 THEN sqrt(nd) * m3 / (m2 * sqrt(m2)) END AS skewness,
+           CASE WHEN m2 > 0 THEN nd * m4 / (m2 * m2) - 3.0 END AS kurtosis
+    FROM mm
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.stats import exact_skew_kurtosis
+
+    return exact_skew_kurtosis(
+        _t(spark, sf_dir, "lineitem").to_df(),
+        "l_returnflag",
+        F.col("l_extendedprice"),
+        scale=100,
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE: all four grouping sets of (returnflag, linestatus) in ONE pass
+# (Spark expands grouping sets map-side — still a single shuffle with
+# partial aggregation). Completes the grouping-sets family next to
+# rollup_revenue.
+# ---------------------------------------------------------------------------
+@register(
+    "cube_revenue",
+    """
+    SELECT COALESCE(l_returnflag, '<all>')  AS returnflag,
+           COALESCE(l_linestatus, '<all>')  AS linestatus,
+           GROUPING(l_returnflag)           AS g_flag,
+           GROUPING(l_linestatus)           AS g_status,
+           count(*)                         AS n_rows,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").to_df()
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            F.col("g_flag").cast("long"),
+            F.col("g_status").cast("long"),
+            "n_rows",
+            "revenue",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mode + exact median absolute deviation per group: mode
+# = most frequent quantity (ties → smallest value, a total order);
+# MAD = exact median of |x − median(x)| — both medians interpolated,
+# computed over exact integer quantities so the only doubles are two
+# interpolation midpoints (identical cross-engine).
+# ---------------------------------------------------------------------------
+@register(
+    "agg_mode_mad",
+    """
+    WITH q AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
+               FROM lineitem),
+    md AS (SELECT g, median(v) AS med FROM q GROUP BY g),
+    mode_t AS (
+      SELECT g, v AS mode_value FROM (
+        SELECT g, v, row_number() OVER (
+                 PARTITION BY g ORDER BY count(*) DESC, v ASC) AS rn
+        FROM q GROUP BY g, v)
+      WHERE rn = 1),
+    mad_t AS (SELECT q.g, median(abs(q.v - md.med)) AS mad
+              FROM q JOIN md USING (g) GROUP BY q.g)
+    SELECT mode_t.g AS l_returnflag, mode_t.mode_value,
+           md.med AS median_qty, mad_t.mad
+    FROM mode_t JOIN md ON md.g = mode_t.g JOIN mad_t ON mad_t.g = mode_t.g
+    """,
+)
+def agg_mode_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from warp_spark.median import grouped_median
+
+    li = _t(spark, sf_dir, "lineitem").to_df().select(
+        F.col("l_returnflag").alias("g"), F.col("l_quantity").cast("long").alias("v")
+    )
+    counts = li.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("g").orderBy(F.col("c").desc(), F.col("v").asc())
+    mode_t = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("g", F.col("v").alias("mode_value"))
+    )
+    med = grouped_median(li, ["g"], "v", out_col="median_qty")
+    mad_in = li.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("v") - F.col("median_qty")).alias("dev")
+    )
+    mad_t = grouped_median(mad_in, ["g"], "dev", out_col="mad")
+    return (
+        mode_t.join(med, "g")
+        .join(mad_t, "g")
+        .select(
+            F.col("g").alias("l_returnflag"), "mode_value", "median_qty", "mad"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bucketed co-located join through the full write→catalog→read→join
 # path (bucketing.py): both sides persisted with bucketBy on the join
 # key, so the join runs with ZERO Exchange on either side — the
@@ -5787,7 +5938,8 @@ _DRIVER_WINDOW = [
     #  r03 — ceded their slots to the five late-round-4 entries above.
     #  r05 rotation should pull in the post-window round-4 additions:
     #  mixture_temperature, events_streaming_dedup,
-    #  events_late_data_rollup, bucketed_join_revenue — all tri-SF green
+    #  events_late_data_rollup, bucketed_join_revenue,
+    #  agg_skew_kurtosis, cube_revenue, agg_mode_mad — all tri-SF green
     #  under the local gate meanwhile.)
 ]
 

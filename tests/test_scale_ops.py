@@ -889,3 +889,70 @@ def test_bpe_double_space_encoding_merges_runs(spark):
     # second merge sees BOTH 'ab' symbols adjacent in every word
     assert merges[1][:3] == ("ab", "ab", "abab")
     assert merges[1][3] == 3
+
+
+def test_rebalance_weights_raises_on_missing_group(spark):
+    """ADVICE r3: an explicit share plan missing an observed group must
+    fail loudly, not silently drop the group."""
+    import pytest as _pytest
+
+    from warp_spark.sampling import rebalance_weights
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "src string, x int"
+    )
+    with _pytest.raises(ValueError, match="missing observed src groups.*'c'"):
+        rebalance_weights(df, "src", {"a": 0.5, "b": 0.5}).collect()
+    # a 0.0 share is the explicit, visible way to drop a group
+    rows = rebalance_weights(df, "src", {"a": 0.5, "b": 0.5, "c": 0.0}).collect()
+    assert {r["src"]: r["expected_rows"] for r in rows}["c"] == 0
+
+
+def test_ewma_accepts_non_long_id(spark):
+    """ADVICE r3: the accumulator id field derives from the input
+    schema — string event ids must analyze and fold correctly."""
+    from warp_spark.streaming.windows import ewma
+
+    df = spark.createDataFrame(
+        [("k", "e1", 1.0, "2024-01-01 00:00:00"),
+         ("k", "e2", 3.0, "2024-01-01 01:00:00")],
+        "key string, event_id string, value double, ts string",
+    ).selectExpr("key", "event_id", "value", "CAST(ts AS TIMESTAMP) ts")
+    rows = {r["event_id"]: r["ewma"] for r in
+            ewma(df, "ts", "key", "value", id_col="event_id").collect()}
+    assert rows["e1"] == 1.0
+    assert abs(rows["e2"] - (0.3 * 3.0 + 0.7 * 1.0)) < 1e-12
+
+
+def test_exact_skew_kurtosis_matches_numpy(spark):
+    """Two-pass centered moments must agree with the direct numpy
+    population skewness/kurtosis on integer data."""
+    import numpy as np
+
+    from warp_spark.stats import exact_skew_kurtosis
+
+    vals = [1, 1, 2, 3, 5, 8, 13, 21, 34, 55]
+    df = spark.createDataFrame([("g", float(v)) for v in vals], "g string, v double")
+    row = exact_skew_kurtosis(df, "g", "v", scale=1).collect()[0]
+    x = np.array(vals, dtype=np.float64)
+    mu = x.mean()
+    m2, m3, m4 = ((x - mu) ** 2).mean(), ((x - mu) ** 3).mean(), ((x - mu) ** 4).mean()
+    assert abs(row["skewness"] - m3 / m2**1.5) < 1e-9
+    assert abs(row["kurtosis"] - (m4 / m2**2 - 3.0)) < 1e-9
+
+
+def test_temperature_weights_t2_properties(spark):
+    """T=2 weights: sqrt-proportional, sum to 1, tail groups upweighted
+    relative to their natural share."""
+    from pyspark.sql import functions as F
+
+    from warp_spark.sampling import temperature_weights
+
+    df = spark.range(0, 1100).select(
+        F.when(F.col("id") < 1000, "big").otherwise("small").alias("src")
+    )
+    rows = {r["src"]: r for r in temperature_weights(df, "src").collect()}
+    assert abs(sum(r["temp_weight"] for r in rows.values()) - 1.0) < 1e-12
+    # small group: natural share ~0.09, temperature share ~0.24
+    assert rows["small"]["temp_weight"] > rows["small"]["share"]
+    assert rows["big"]["temp_weight"] < rows["big"]["share"]

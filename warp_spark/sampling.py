@@ -94,7 +94,11 @@ def rebalance_weights(
     # a window-derived column, which must live in its own projection
     staged = counts.withColumn("__t", t)
     total = F.sum("n_docs").over(Window.partitionBy())
-    scale = F.min(F.col("n_docs") / F.col("__t")).over(Window.partitionBy())
+    # zero-share groups (explicit drops) are excluded from the binding
+    # min — and under ANSI mode n/0 would raise, not go NULL
+    scale = F.min(
+        F.when(F.col("__t") > 0, F.col("n_docs") / F.col("__t"))
+    ).over(Window.partitionBy())
     rows = F.col("__t") * scale
     return staged.select(
         F.col(group_col),

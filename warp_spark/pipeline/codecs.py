@@ -142,22 +142,30 @@ def decode_png(data: bytes) -> np.ndarray:
             cur = line.copy()
         elif ft == 2:  # Up
             cur = (line.astype(np.int16) + prev).astype(np.uint8)
-        elif ft in (1, 3, 4):  # Sub/Average/Paeth need the running left
-            cur = np.zeros_like(line)
-            left = np.zeros(ch, dtype=np.uint8)
+        elif ft == 1:  # Sub: cur[x] = line[x] + cur[x-1] ≡ running mod-256 sum
+            cur = np.cumsum(line.astype(np.int64), axis=0).astype(np.uint8)
+        elif ft in (3, 4):  # Average/Paeth: true left-to-right dependence —
+            # python-int rows (numpy scalar indexing is ~10× slower)
+            lrow = line.astype(np.int32).tolist()
+            prow = prev.astype(np.int32).tolist()
+            out_row = [[0] * ch for _ in range(w)]
+            left = [0] * ch
             for x in range(w):
-                up = prev[x]
-                ul = prev[x - 1] if x else np.zeros(ch, np.uint8)
-                if ft == 1:
-                    pred = left
-                elif ft == 3:
-                    pred = ((left.astype(np.int16) + up.astype(np.int16)) >> 1).astype(
-                        np.uint8
-                    )
-                else:
-                    pred = _paeth(left, up, ul)
-                cur[x] = (line[x].astype(np.int16) + pred).astype(np.uint8)
-                left = cur[x]
+                up = prow[x]
+                ul = prow[x - 1] if x else [0] * ch
+                px_in = lrow[x]
+                nxt = out_row[x]
+                for c0 in range(ch):
+                    a, b2, cc = left[c0], up[c0], ul[c0]
+                    if ft == 3:
+                        pred = (a + b2) >> 1
+                    else:
+                        p = a + b2 - cc
+                        pa, pb, pc = abs(p - a), abs(p - b2), abs(p - cc)
+                        pred = a if (pa <= pb and pa <= pc) else (b2 if pb <= pc else cc)
+                    nxt[c0] = (px_in[c0] + pred) & 0xFF
+                left = nxt
+            cur = np.array(out_row, dtype=np.uint8).reshape(w, ch)
         else:
             raise ValueError(f"bad filter byte {ft}")
         out[y] = cur

@@ -93,6 +93,12 @@ HEADLINE = [
     "multimodal_png_real",
     "multimodal_wav_real",
     "mutable_dml_roundtrip",
+    "agg_skew_kurtosis",
+    "cube_revenue",
+    "agg_mode_mad",
+    "bucketed_join_revenue",
+    "mixture_temperature",
+    "source_roundtrip_formats",
 ]
 
 

@@ -80,3 +80,33 @@ def test_drop(spark, wh):
     wh.drop("t")
     assert not t.exists()
     assert wh.tables() == []
+
+
+def test_time_travel_versions(spark, tmp_path):
+    """keep_versions retains history; read(version=k) time-travels;
+    pruned versions raise with guidance."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from warp_spark.mutable import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 10).select(F.col("id"), (F.col("id") * 2).alias("x"))
+    t = wh.create("tt", df, keep_versions=3)
+    t.update("id >= 5", {"x": F.col("x") + 100})
+    t.delete("id < 2")
+    assert len(t.versions()) == 3
+    assert t.read(version=0).count() == 10
+    assert t.read(version=1).filter("x >= 100").count() == 5
+    assert t.read(version=2).count() == 8
+    assert t.read().count() == 8  # current == last
+    # negative indexing from the end
+    assert t.read(version=-1).count() == 8
+
+    # with keep_versions=1 (default) history is pruned but logged
+    t2 = wh.create("nott", df)
+    t2.delete("id = 0")
+    assert len(t2.versions()) == 2
+    with _pytest.raises(FileNotFoundError, match="pruned"):
+        t2.read(version=0)
+    assert t2.read(version=1).count() == 9

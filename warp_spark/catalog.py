@@ -1355,6 +1355,88 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time travel over the mutable warehouse (mutable.py): with
+# keep_versions=3 the table retains every committed state, and
+# read(version=k) reads any of them — Delta/Iceberg VERSION AS OF on
+# plain parquet via the _LOG + pointer-swap mechanics. The entry
+# commits three states (create → UPDATE → DELETE), reads ALL THREE back
+# by version index, and fingerprints each; the oracle replays the three
+# states as SQL branches. A time-travel bug (wrong pointer, wrong
+# pruning, log drift) flips a version's fingerprint.
+# ---------------------------------------------------------------------------
+@register(
+    "mutable_time_travel",
+    """
+    WITH v0 AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 5 = 2),
+    v1 AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_totalprice > 150000 THEN 'H' ELSE o_orderstatus END
+               AS o_orderstatus,
+             o_totalprice
+      FROM v0),
+    v2 AS (SELECT * FROM v1 WHERE NOT COALESCE(o_orderkey % 3 = 0, FALSE)),
+    f AS (
+      SELECT 0 AS version, count(*) AS n_rows,
+             sum(CAST(round(100 * o_totalprice) AS BIGINT))::BIGINT AS total_cents,
+             sum(CASE WHEN o_orderstatus = 'H' THEN 1 ELSE 0 END)::BIGINT AS n_h
+      FROM v0
+      UNION ALL
+      SELECT 1, count(*),
+             sum(CAST(round(100 * o_totalprice) AS BIGINT))::BIGINT,
+             sum(CASE WHEN o_orderstatus = 'H' THEN 1 ELSE 0 END)::BIGINT
+      FROM v1
+      UNION ALL
+      SELECT 2, count(*),
+             sum(CAST(round(100 * o_totalprice) AS BIGINT))::BIGINT,
+             sum(CASE WHEN o_orderstatus = 'H' THEN 1 ELSE 0 END)::BIGINT
+      FROM v2)
+    SELECT CAST(version AS BIGINT) AS version, n_rows, total_cents, n_h FROM f
+    """,
+)
+def mutable_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from functools import reduce
+
+    from warp_spark.mutable import Warehouse
+
+    src = (
+        _t(spark, sf_dir, "orders")
+        .to_df()
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") % 5 == 2)
+    )
+    root = tempfile.mkdtemp(prefix="warp_tt_entry_")
+    try:
+        wh = Warehouse(spark, root)
+        t = wh.create("orders_tt", src, keep_versions=3)
+        t.update("o_totalprice > 150000", {"o_orderstatus": F.lit("H")})
+        t.delete("o_orderkey % 3 = 0")
+        outs = []
+        for v in (0, 1, 2):
+            outs.append(
+                t.read(version=v).agg(
+                    F.lit(v).cast("long").alias("version"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(F.round(100 * F.col("o_totalprice")).cast("long"))
+                    .alias("total_cents"),
+                    F.sum(
+                        F.when(F.col("o_orderstatus") == "H", 1).otherwise(0)
+                    ).alias("n_h"),
+                )
+            )
+        final = reduce(lambda a, b: a.unionByName(b), outs).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return final
+
+
+# ---------------------------------------------------------------------------
 # Exact higher moments (stats.py::exact_skew_kurtosis): population
 # skewness + excess kurtosis per return flag from the TWO-PASS centered
 # integer moments — raw power sums overflow a 38-digit accumulator
@@ -5939,8 +6021,9 @@ _DRIVER_WINDOW = [
     #  r05 rotation should pull in the post-window round-4 additions:
     #  mixture_temperature, events_streaming_dedup,
     #  events_late_data_rollup, bucketed_join_revenue,
-    #  agg_skew_kurtosis, cube_revenue, agg_mode_mad — all tri-SF green
-    #  under the local gate meanwhile.)
+    #  agg_skew_kurtosis, cube_revenue, agg_mode_mad,
+    #  mutable_time_travel — all tri-SF green under the local gate
+    #  meanwhile.)
 ]
 
 

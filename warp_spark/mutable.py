@@ -41,11 +41,15 @@ class Warehouse:
         self.root = root
         os.makedirs(root, exist_ok=True)
 
-    def table(self, name: str) -> "MutableTable":
-        return MutableTable(self.spark, os.path.join(self.root, name))
+    def table(self, name: str, keep_versions: int = 1) -> "MutableTable":
+        return MutableTable(
+            self.spark, os.path.join(self.root, name), keep_versions
+        )
 
-    def create(self, name: str, df: DataFrame) -> "MutableTable":
-        t = self.table(name)
+    def create(
+        self, name: str, df: DataFrame, keep_versions: int = 1
+    ) -> "MutableTable":
+        t = self.table(name, keep_versions)
         t.overwrite(df)
         return t
 
@@ -60,16 +64,23 @@ class Warehouse:
 
 
 class MutableTable:
-    """One managed table = a directory holding versioned parquet dirs and
-    a ``_CURRENT`` pointer file."""
+    """One managed table = a directory holding versioned parquet dirs, a
+    ``_CURRENT`` pointer file, and a ``_LOG`` of every version ever
+    committed (poor-man's transaction log). With ``keep_versions > 1``
+    older versions stay on disk and ``read(version=k)`` time-travels to
+    them — the Delta/Iceberg VERSION AS OF shape on plain parquet."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, keep_versions: int = 1):
         self.spark = spark
         self.path = path
+        self.keep_versions = max(1, keep_versions)
 
     # -- plumbing ----------------------------------------------------------
     def _pointer(self) -> str:
         return os.path.join(self.path, "_CURRENT")
+
+    def _log(self) -> str:
+        return os.path.join(self.path, "_LOG")
 
     def _current_dir(self) -> Optional[str]:
         try:
@@ -78,28 +89,57 @@ class MutableTable:
         except FileNotFoundError:
             return None
 
+    def versions(self) -> list[str]:
+        """Every version name ever committed, oldest first (pruned ones
+        included — reading them raises)."""
+        try:
+            with open(self._log()) as fh:
+                return [ln.strip() for ln in fh if ln.strip()]
+        except FileNotFoundError:
+            return []
+
     def _swap_in(self, df: DataFrame) -> None:
-        """Write a new version directory, then atomically repoint."""
+        """Write a new version directory, append to the log, atomically
+        repoint, then prune beyond ``keep_versions``."""
         os.makedirs(self.path, exist_ok=True)
         version = f"v_{uuid.uuid4().hex[:12]}"
         df.write.mode("overwrite").parquet(os.path.join(self.path, version))
-        old = self._current_dir()
+        with open(self._log(), "a") as fh:
+            fh.write(version + "\n")
         tmp = self._pointer() + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(version)
         os.replace(tmp, self._pointer())  # atomic on POSIX
-        if old and os.path.isdir(old):
-            shutil.rmtree(old, ignore_errors=True)
+        live = self.versions()
+        for stale in live[: -self.keep_versions]:
+            d = os.path.join(self.path, stale)
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
 
     def exists(self) -> bool:
         return self._current_dir() is not None
 
     # -- read --------------------------------------------------------------
-    def read(self) -> DataFrame:
-        cur = self._current_dir()
-        if cur is None:
+    def read(self, version: Optional[int] = None) -> DataFrame:
+        """Read the current state, or time-travel to ``version`` — an
+        index into ``versions()`` (0 = first commit, negative from the
+        end). Raises if that version has been pruned."""
+        if version is None:
+            cur = self._current_dir()
+            if cur is None:
+                raise FileNotFoundError(f"table {self.path} does not exist")
+            return self.spark.read.parquet(cur)
+        names = self.versions()
+        if not names:
             raise FileNotFoundError(f"table {self.path} does not exist")
-        return self.spark.read.parquet(cur)
+        name = names[version]
+        d = os.path.join(self.path, name)
+        if not os.path.isdir(d):
+            raise FileNotFoundError(
+                f"version {version} ({name}) was pruned — construct the "
+                f"table with keep_versions > {self.keep_versions} to retain it"
+            )
+        return self.spark.read.parquet(d)
 
     # -- DML (MutableData.swift:125-196) -----------------------------------
     def overwrite(self, df: DataFrame) -> None:

@@ -110,3 +110,30 @@ def test_time_travel_versions(spark, tmp_path):
     with _pytest.raises(FileNotFoundError, match="pruned"):
         t2.read(version=0)
     assert t2.read(version=1).count() == 9
+
+
+def test_insert_merge_schema_evolution(spark, tmp_path):
+    """merge_schema=True keeps new columns on append; old rows read as
+    NULL for the evolved column; default insert still drops extras."""
+    from pyspark.sql import functions as F
+
+    from warp_spark.mutable import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = spark.range(0, 5).select(F.col("id"), (F.col("id") * 2).alias("x"))
+    t = wh.create("evo", base)
+    newer = spark.range(5, 8).select(
+        F.col("id"), (F.col("id") * 2).alias("x"), F.lit("tagged").alias("tag")
+    )
+    t.insert(newer, merge_schema=True)
+    got = t.read()
+    assert set(got.columns) == {"id", "x", "tag"}
+    assert got.count() == 8
+    assert got.filter(F.col("tag").isNull()).count() == 5
+    assert got.filter(F.col("tag") == "tagged").count() == 3
+
+    # default path: extra column silently dropped (reference union align)
+    t2 = wh.create("noevo", base)
+    t2.insert(newer)
+    assert set(t2.read().columns) == {"id", "x"}
+    assert t2.read().count() == 8

@@ -1437,6 +1437,66 @@ def mutable_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Schema evolution on append (mutable.py::insert(merge_schema=True)):
+# a later batch carries a NEW column; the table keeps it, and reads
+# merge file schemas so pre-evolution rows surface NULL — Delta
+# mergeSchema semantics on plain parquet, still append-only. The entry
+# fingerprints the evolved table per channel value (NULL = the old
+# rows); the oracle replays both batches with the evolution inlined.
+# ---------------------------------------------------------------------------
+@register(
+    "mutable_schema_evolution",
+    """
+    WITH old_rows AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS channel
+      FROM orders WHERE o_orderkey % 5 = 1),
+    new_rows AS (
+      SELECT o_orderkey, o_totalprice, 'web' AS channel
+      FROM orders WHERE o_orderkey % 5 = 4),
+    u AS (SELECT * FROM old_rows UNION ALL SELECT * FROM new_rows)
+    SELECT COALESCE(channel, '<pre-evolution>') AS channel,
+           count(*) AS n_rows,
+           sum(CAST(round(100 * o_totalprice) AS BIGINT))::BIGINT AS total_cents
+    FROM u GROUP BY 1
+    """,
+)
+def mutable_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from warp_spark.mutable import Warehouse
+
+    orders = _t(spark, sf_dir, "orders").to_df().select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="warp_evo_entry_")
+    try:
+        wh = Warehouse(spark, root)
+        t = wh.create("orders_evo", orders.filter(F.col("o_orderkey") % 5 == 1))
+        t.insert(
+            orders.filter(F.col("o_orderkey") % 5 == 4).withColumn(
+                "channel", F.lit("web")
+            ),
+            merge_schema=True,
+        )
+        final = (
+            t.read()
+            .groupBy(
+                F.coalesce("channel", F.lit("<pre-evolution>")).alias("channel")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.round(100 * F.col("o_totalprice")).cast("long"))
+                .alias("total_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return final
+
+
+# ---------------------------------------------------------------------------
 # Exact higher moments (stats.py::exact_skew_kurtosis): population
 # skewness + excess kurtosis per return flag from the TWO-PASS centered
 # integer moments — raw power sums overflow a 38-digit accumulator
@@ -6022,8 +6082,8 @@ _DRIVER_WINDOW = [
     #  mixture_temperature, events_streaming_dedup,
     #  events_late_data_rollup, bucketed_join_revenue,
     #  agg_skew_kurtosis, cube_revenue, agg_mode_mad,
-    #  mutable_time_travel — all tri-SF green under the local gate
-    #  meanwhile.)
+    #  mutable_time_travel, mutable_schema_evolution — all tri-SF green
+    #  under the local gate meanwhile.)
 ]
 
 

@@ -128,7 +128,10 @@ class MutableTable:
             cur = self._current_dir()
             if cur is None:
                 raise FileNotFoundError(f"table {self.path} does not exist")
-            return self.spark.read.parquet(cur)
+            reader = self.spark.read
+            if os.path.exists(os.path.join(self.path, "_MERGED")):
+                reader = reader.option("mergeSchema", "true")
+            return reader.parquet(cur)
         names = self.versions()
         if not names:
             raise FileNotFoundError(f"table {self.path} does not exist")
@@ -145,10 +148,16 @@ class MutableTable:
     def overwrite(self, df: DataFrame) -> None:
         self._swap_in(df)
 
-    def insert(self, df: DataFrame) -> None:
+    def insert(self, df: DataFrame, merge_schema: bool = False) -> None:
         """Append rows; aligns columns by name, missing → NULL (the
         reference's union semantics, Data.swift:300-304). Pure append —
-        new parquet files into the current version, no rewrite."""
+        new parquet files into the current version, no rewrite.
+
+        With ``merge_schema=True``, columns in ``df`` that the table
+        does not yet have are KEPT (schema evolution): the new files
+        carry the wider schema and subsequent reads merge file schemas,
+        back-filling NULL for pre-evolution rows — the Delta
+        ``mergeSchema`` behavior on plain parquet, still append-only."""
         cur = self._current_dir()
         if cur is None:
             self._swap_in(df)
@@ -159,9 +168,21 @@ class MutableTable:
             *[
                 (F.col(c) if c.lower() in lower else F.lit(None)).cast(t).alias(c)
                 for c, t in existing.dtypes
-            ]
+            ],
+            *(
+                [
+                    F.col(c)
+                    for c in df.columns
+                    if merge_schema
+                    and c.lower() not in {e.lower() for e, _ in existing.dtypes}
+                ]
+            ),
         )
         aligned.write.mode("append").parquet(cur)
+        if merge_schema and len(aligned.columns) > len(existing.columns):
+            # remember that reads need schema merging from now on
+            with open(os.path.join(self.path, "_MERGED"), "w") as fh:
+                fh.write("1")
 
     def update(self, condition: ExprLike, assignments: Mapping[str, ExprLike]) -> None:
         """UPDATE ... SET ... WHERE: copy-on-write rewrite. Assignments

@@ -137,3 +137,40 @@ def test_insert_merge_schema_evolution(spark, tmp_path):
     t2.insert(newer)
     assert set(t2.read().columns) == {"id", "x"}
     assert t2.read().count() == 8
+
+
+def test_compact_and_vacuum(spark, tmp_path):
+    """Compaction shrinks the file count without changing data; vacuum
+    prunes history beyond the retention count."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from warp_spark.mutable import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = spark.range(0, 100).select(F.col("id"), (F.col("id") % 7).alias("x"))
+    t = wh.create("cmp", base.repartition(8), keep_versions=10)
+    for i in (0, 1, 2):
+        t.insert(spark.range(100 + i, 101 + i).select(
+            F.col("id"), (F.col("id") % 7).alias("x")))
+    before = len(glob.glob(f"{t._current_dir()}/part-*.parquet"))
+    assert before >= 4
+    rows_before = sorted(r["id"] for r in t.read().collect())
+    t.compact(target_files=1)
+    after = len(glob.glob(f"{t._current_dir()}/part-*.parquet"))
+    assert after == 1
+    assert sorted(r["id"] for r in t.read().collect()) == rows_before
+    # pre-compaction dir still reachable (keep_versions=10). NOTE:
+    # inserts append INTO the current version directory (no rewrite),
+    # so version 0 carries the appends — versions snapshot rewrites
+    # (update/delete/compact), not appends.
+    assert t.read(version=0).count() == 103
+    n_versions_on_disk = len([v for v in t.versions()
+                              if (tmp_path / "wh" / "cmp" / v).is_dir()])
+    assert n_versions_on_disk == 2
+    t.vacuum(keep=1)
+    n_after = len([v for v in t.versions()
+                   if (tmp_path / "wh" / "cmp" / v).is_dir()])
+    assert n_after == 1
+    assert t.read().count() == 103

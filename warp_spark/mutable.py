@@ -206,6 +206,25 @@ class MutableTable:
     def truncate(self) -> None:
         self._swap_in(self.read().limit(0))
 
+    def compact(self, target_files: int = 1) -> None:
+        """Small-file compaction: rewrite the current version into
+        ``target_files`` files (inserts append one file per call — at
+        ingest rates that accretes thousands of small files, the
+        classic 100 TB-lake killer). Data is unchanged; the rewrite is
+        a new version, so time travel still sees the pre-compaction
+        state if retained."""
+        self._swap_in(self.read().coalesce(max(1, target_files)))
+
+    def vacuum(self, keep: Optional[int] = None) -> None:
+        """Prune version directories beyond the newest ``keep``
+        (defaults to ``keep_versions``). The log keeps every name —
+        reads of pruned versions raise, as in ``read``."""
+        keep = self.keep_versions if keep is None else max(1, keep)
+        for stale in self.versions()[:-keep]:
+            d = os.path.join(self.path, stale)
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+
     # -- DDL ---------------------------------------------------------------
     def add_column(self, name: str, dtype: str = "string", default: ExprLike = None) -> None:
         df = self.read()

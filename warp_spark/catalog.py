@@ -1828,7 +1828,9 @@ def source_roundtrip_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # not just a final invariant. The merge list is the trained artifact
 # (O(n) driver traffic); pair counting is bounded by |vocab|·word_len.
 # ---------------------------------------------------------------------------
-def _bpe_oracle(n: int) -> str:
+def _bpe_cte_chain(n: int) -> str:
+    """The shared training-replay CTE chain (w0/s0 … p{n}/b{n}/s{n}) —
+    composed by both the trainer oracle and the apply oracle."""
     parts = [
         """
     WITH w0 AS (
@@ -1863,13 +1865,58 @@ def _bpe_oracle(n: int) -> str:
                    || split_part((SELECT p FROM b{k}), ' ', 2) || ' ',
                ' ' || replace((SELECT p FROM b{k}), ' ', '') || ' ') AS enc
       FROM s{k - 1})""")
+    return "".join(parts)
+
+
+def _bpe_oracle(n: int) -> str:
     sel = "\n    UNION ALL\n    ".join(
         f"SELECT CAST({k} AS BIGINT) AS rank, split_part(p, ' ', 1) AS lft, "
         f"split_part(p, ' ', 2) AS rgt, replace(p, ' ', '') AS merged, "
         f"c AS weighted_count FROM b{k}"
         for k in range(1, n + 1)
     )
-    return "".join(parts) + "\n    " + sel
+    return _bpe_cte_chain(n) + "\n    " + sel
+
+
+def _bpe_apply_oracle(n: int) -> str:
+    """Training chain + per-document application: each learned merge is
+    one replace() on the per-word double-space encoding, nested in
+    training order — the exact expression the Spark apply path runs."""
+    expr = (
+        "'  ' || array_to_string(list_transform(range(1, length(w) + 1),"
+        " i -> substring(w, i, 1)), '  ') || '  '"
+    )
+    for k in range(1, n + 1):
+        expr = (
+            f"replace({expr}, "
+            f"' ' || split_part((SELECT p FROM b{k}), ' ', 1) || '  ' "
+            f"|| split_part((SELECT p FROM b{k}), ' ', 2) || ' ', "
+            f"' ' || replace((SELECT p FROM b{k}), ' ', '') || ' ')"
+        )
+    return (
+        _bpe_cte_chain(n)
+        + f""",
+    docw AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+      FROM documents),
+    encd AS (
+      SELECT doc_id, length(w) AS wlen, {expr} AS enc
+      FROM docw WHERE w <> ''),
+    cnt AS (
+      SELECT doc_id,
+             count(*) AS n_words,
+             sum(wlen)::BIGINT AS n_chars_tokenized,
+             sum(len(list_filter(string_split(enc, '  '), x -> x <> '')))::BIGINT
+               AS n_bpe_tokens
+      FROM encd GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(c.n_words, 0)            AS n_words,
+           COALESCE(c.n_chars_tokenized, 0)  AS n_chars_tokenized,
+           COALESCE(c.n_bpe_tokens, 0)       AS n_bpe_tokens
+    FROM documents d LEFT JOIN cnt c USING (doc_id)
+    """
+    )
 
 
 @register("bpe_train_merges", _bpe_oracle(6))
@@ -1881,6 +1928,24 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, l, r, m, c) for i, (l, r, m, c) in enumerate(merges)],
         "rank long, lft string, rgt string, merged string, weighted_count long",
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE APPLY (the other half of the tokenizer loop): the trained merges
+# run map-side over every document — per word, char-encode + n ordered
+# replace()s + split, all inside one higher-order transform (no join,
+# no shuffle, no Python). The oracle re-trains the identical merges via
+# the shared CTE chain and applies the identical nested replaces, so
+# the per-doc compression counts value-match end-to-end: a drift in
+# EITHER training or application breaks the hash.
+# ---------------------------------------------------------------------------
+@register("bpe_apply_tokenize", _bpe_apply_oracle(6))
+def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.text import bpe_apply, bpe_train
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    merges = bpe_train(docs, n_merges=6)
+    return bpe_apply(docs, merges)
 
 
 def _duck_hits(lang_words: list) -> str:
@@ -6082,8 +6147,9 @@ _DRIVER_WINDOW = [
     #  mixture_temperature, events_streaming_dedup,
     #  events_late_data_rollup, bucketed_join_revenue,
     #  agg_skew_kurtosis, cube_revenue, agg_mode_mad,
-    #  mutable_time_travel, mutable_schema_evolution — all tri-SF green
-    #  under the local gate meanwhile.)
+    #  mutable_time_travel, mutable_schema_evolution,
+    #  bpe_apply_tokenize — all tri-SF green under the local gate
+    #  meanwhile.)
 ]
 
 

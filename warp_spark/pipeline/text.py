@@ -608,6 +608,52 @@ def bpe_train(
     return merges
 
 
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply trained BPE merges map-side: every word is char-encoded
+    (the same double-space form as training) and each merge is one
+    replace() in training order, all inside a single higher-order
+    ``transform`` over the word array — pure codegen'd Column ops, no
+    join, no shuffle, no Python. This is the tokenizer-APPLY leg of the
+    loop (``bpe_train`` is the trainer); the per-doc output is the
+    compression the merges bought.
+
+    Returns ``id_col, n_words, n_chars_tokenized, n_bpe_tokens`` — all
+    exact integers."""
+    words_raw = tokens(F.col(text_col))
+
+    def segment_count(w: Column) -> Column:
+        chars = F.split(w, "(?<=.)")
+        e = F.concat(F.lit("  "), F.concat_ws("  ", chars), F.lit("  "))
+        for left, right, merged, _ in merges:
+            e = F.call_function(
+                "replace", e, F.lit(f" {left}  {right} "), F.lit(f" {merged} ")
+            )
+        return F.size(F.filter(F.split(e, "  "), lambda x: x != ""))
+
+    staged = df.select(
+        F.col(id_col),
+        F.filter(words_raw, lambda w: F.length(w) > 0).alias("__w"),
+    )
+    per_word = F.transform(F.col("__w"), segment_count)
+    return staged.select(
+        F.col(id_col),
+        F.size("__w").cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(F.col("__w"), F.length),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_chars_tokenized"),
+        F.aggregate(
+            per_word, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("n_bpe_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rolling-hash fingerprints (winnowing) — partial-overlap detection
 # ---------------------------------------------------------------------------

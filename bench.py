@@ -99,6 +99,9 @@ HEADLINE = [
     "bucketed_join_revenue",
     "mixture_temperature",
     "source_roundtrip_formats",
+    "bpe_apply_tokenize",
+    "mutable_time_travel",
+    "mutable_schema_evolution",
 ]
 
 

@@ -2453,6 +2453,94 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
+# ---------------------------------------------------------------------------
+# Filtered vector search (similarity.py::filtered_topk): neighbors must
+# share the query's label — the metadata predicate turns the
+# brute-force cross product into an EQUI-join on the filter key (BHJ on
+# the broadcast query side, no BNL at all), so a selective filter cuts
+# scoring work proportionally. Exact within the filtered set; full
+# value oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "ann_topk_filtered",
+    """
+    WITH q AS (SELECT vec_id AS query_id, label, embedding AS qe
+               FROM embeddings WHERE vec_id < 10),
+    s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS sim
+          FROM embeddings e JOIN q ON e.label = q.label
+          WHERE e.vec_id != q.query_id)
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM s)
+    WHERE rank <= 5
+    """,
+)
+def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.similarity import filtered_topk
+
+    emb = _t(spark, sf_dir, "embeddings").to_df()
+    return filtered_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval with Reciprocal Rank Fusion (similarity.py::
+# hybrid_rrf_topk): exact-cosine vector leg + distinct-token-overlap
+# lexical leg, fused as Σ 1/(60 + rank) — the standard hybrid-RAG
+# stack, possible here because documents and embeddings share the id
+# space. Both leg ranks are integers under total orders and the fused
+# score is a sum of two 1/int doubles, so the full value surface
+# hash-matches with no rounding.
+# ---------------------------------------------------------------------------
+@register(
+    "hybrid_search_rrf",
+    """
+    WITH qv AS (SELECT vec_id AS qid, embedding AS qe
+                FROM embeddings WHERE vec_id < 10),
+    vraw AS (SELECT qv.qid, e.vec_id AS id,
+                    row_number() OVER (PARTITION BY qv.qid
+                      ORDER BY round(list_cosine_similarity(
+                                 e.embedding::DOUBLE[], qv.qe::DOUBLE[]), 6) DESC,
+                               e.vec_id) AS rv
+             FROM embeddings e, qv WHERE e.vec_id != qv.qid),
+    vleg AS (SELECT * FROM vraw WHERE rv <= 50),
+    dt AS (SELECT doc_id AS id,
+                  unnest(list_distinct(
+                    regexp_split_to_array(lower(trim(text)), '\\s+'))) AS tok
+           FROM documents),
+    qt AS (SELECT doc_id AS qid,
+                  unnest(list_distinct(
+                    regexp_split_to_array(lower(trim(text)), '\\s+'))) AS tok
+           FROM documents WHERE doc_id < 10),
+    ov AS (SELECT qt.qid, dt.id, count(*) AS overlap
+           FROM dt JOIN qt USING (tok) WHERE dt.id != qt.qid GROUP BY 1, 2),
+    lraw AS (SELECT qid, id,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY overlap DESC, id) AS rl
+             FROM ov),
+    lleg AS (SELECT * FROM lraw WHERE rl <= 50),
+    fused AS (
+      SELECT COALESCE(v.qid, l.qid) AS query_id,
+             COALESCE(v.id, l.id)   AS item_id,
+             COALESCE(1.0::DOUBLE / (60 + v.rv), 0.0::DOUBLE)
+               + COALESCE(1.0::DOUBLE / (60 + l.rl), 0.0::DOUBLE) AS rrf_score
+      FROM vleg v FULL JOIN lleg l ON v.qid = l.qid AND v.id = l.id)
+    SELECT query_id, item_id, rrf_score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, item_id) AS rank
+      FROM fused)
+    WHERE rank <= 5
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.similarity import hybrid_rrf_topk
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    emb = _t(spark, sf_dir, "embeddings").to_df()
+    return hybrid_rrf_topk(docs, emb, query_ids=range(10), k=5)
+
+
 def _ann_recall_check(approx: DataFrame, exact: DataFrame, floor: float) -> DataFrame:
     """Self-validating ANN harness: an approximate index has no SQL
     oracle, but its *contract* does — recall@k against the in-Spark
@@ -6148,8 +6236,8 @@ _DRIVER_WINDOW = [
     #  events_late_data_rollup, bucketed_join_revenue,
     #  agg_skew_kurtosis, cube_revenue, agg_mode_mad,
     #  mutable_time_travel, mutable_schema_evolution,
-    #  bpe_apply_tokenize — all tri-SF green under the local gate
-    #  meanwhile.)
+    #  bpe_apply_tokenize, ann_topk_filtered, hybrid_search_rrf — all
+    #  tri-SF green under the local gate meanwhile.)
 ]
 
 

@@ -779,6 +779,119 @@ def pq_topk(
     )
 
 
+def filtered_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    filter_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Filtered (metadata-constrained) exact top-k: neighbors must share
+    ``filter_col`` with the query — the "filtered vector search" every
+    production store offers (search within a tenant / language /
+    category).
+
+    The plan story is the point: the metadata predicate turns the
+    brute-force CROSS product into an EQUI-join on the filter key
+    (BroadcastHashJoin on the tiny query side) — each corpus row is
+    scored only against same-key queries, so selective filters cut
+    scoring work proportionally, and the kNN-baseline BNL disappears
+    entirely. Returns ``query_id, neighbor_id, sim, rank`` (rank within
+    the filtered candidate set)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(filter_col).alias("__fk"),
+        _dcast(F.col(vec_col)).alias("query_vec"),
+    ).withColumn("q_norm", _norm(F.col("query_vec")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(filter_col).alias("__fk"),
+        _dcast(F.col(vec_col)).alias("neighbor_vec"),
+    ).withColumn("c_norm", _norm(F.col("neighbor_vec")))
+    scored = (
+        c.join(F.broadcast(q), "__fk")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", _staged_sim())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_ids,
+    k: int = 5,
+    leg_depth: int = 50,
+    rrf_k: int = 60,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al.,
+    SIGIR'09): a VECTOR leg (exact cosine top-``leg_depth``) and a
+    LEXICAL leg (distinct-token overlap top-``leg_depth``) fused as
+    score = Σ_legs 1/(rrf_k + rank) — the standard hybrid-RAG retrieval
+    stack. Items missing from a leg contribute 0 for it.
+
+    Determinism: both leg ranks are integers under total orders, and
+    the fused score is a sum of two 1/(int) doubles — identical on any
+    IEEE engine, no rounding. Scale shape: the vector leg is the
+    kNN-baseline broadcast scan; the lexical leg joins exploded
+    distinct tokens against the broadcast query-token set (corpus
+    tokens never shuffle — one count aggregate per (query, doc)); the
+    fusion is a full outer join of two ≤ queries×leg_depth tables."""
+    qset = list(query_ids)
+    vq = emb.filter(F.col(vec_id_col).isin(qset))
+    vleg = brute_force_topk(vq, emb, k=leg_depth, id_col=vec_id_col, vec_col=vec_col).select(
+        "query_id", F.col("neighbor_id").alias("item_id"), F.col("rank").alias("rv")
+    )
+    toks = F.array_distinct(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    )
+    dt = docs.select(F.col(doc_id_col).alias("item_id"), F.explode(toks).alias("tok"))
+    qt = (
+        docs.filter(F.col(doc_id_col).isin(qset))
+        .select(F.col(doc_id_col).alias("query_id"), F.explode(toks).alias("tok"))
+    )
+    ov = (
+        dt.join(F.broadcast(qt), "tok")
+        .filter(F.col("item_id") != F.col("query_id"))
+        .groupBy("query_id", "item_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("overlap").desc(), F.col("item_id")
+    )
+    lleg = (
+        ov.withColumn("rl", F.row_number().over(wl))
+        .filter(F.col("rl") <= leg_depth)
+        .select("query_id", "item_id", "rl")
+    )
+    fused = vleg.join(lleg, ["query_id", "item_id"], "full").select(
+        "query_id",
+        "item_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("rv")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("rl")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("item_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", "rrf_score", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # int8 scalar quantization — the 4× memory/bandwidth compression every
 # production vector store applies before ANN search

@@ -956,3 +956,37 @@ def test_temperature_weights_t2_properties(spark):
     # small group: natural share ~0.09, temperature share ~0.24
     assert rows["small"]["temp_weight"] > rows["small"]["share"]
     assert rows["big"]["temp_weight"] < rows["big"]["share"]
+
+
+def test_prefix_filter_join_is_exact_vs_naive(spark):
+    """The prefix-filter similarity join must find EXACTLY the pairs a
+    naive all-pairs Jaccard finds — completeness is the whole point vs
+    LSH."""
+    from pyspark.sql import functions as F
+
+    from warp_spark.pipeline.dedup import prefix_filter_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    t = 0.9
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_jaccard_pairs(docs, threshold=t).collect()
+    }
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    tk = docs.select(F.col("doc_id"), toks.alias("tk"))
+    naive = (
+        tk.alias("a").crossJoin(tk.alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn(
+            "j",
+            F.size(F.array_intersect("a.tk", "b.tk")).cast("double")
+            / F.size(F.array_union("a.tk", "b.tk")),
+        )
+        .filter(F.col("j") >= t)
+    )
+    want = {(r["a.doc_id"] if "a.doc_id" in r else r[0], r[1])
+            for r in naive.select(F.col("a.doc_id"), F.col("b.doc_id")).collect()}
+    assert got == want
+    assert len(got) > 0  # non-degenerate corpus slice

@@ -4767,6 +4767,56 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# EXACT set-similarity join via prefix filtering (AllPairs/PPJoin
+# family, dedup.py::prefix_filter_jaccard_pairs): unlike the LSH
+# entries this finds EVERY pair with token Jaccard ≥ 0.95 — rare-first
+# canonical token order, prefix inverted index, exact-rational length
+# filter, candidates-only verification. The oracle replays the whole
+# algorithm (same order, same floor-double prefix length, same rational
+# filter); exactness vs the naive all-pairs join is additionally
+# pytest-pinned at sf0.001 (tests/test_scale_ops.py).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_prefix_filter_exact",
+    """
+    WITH toksx AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               regexp_split_to_array(lower(trim(text)), '\\s+'))) AS tok
+      FROM documents),
+    freq AS (SELECT tok, count(*) AS cnt FROM toksx GROUP BY tok),
+    ordered AS (
+      SELECT doc_id, list(tok ORDER BY cnt, tok) AS st
+      FROM toksx JOIN freq USING (tok) GROUP BY doc_id),
+    pre AS (
+      SELECT doc_id, st, len(st) AS n,
+             list_slice(st, 1,
+               (len(st) - floor(0.95::DOUBLE * len(st)) + 1)::BIGINT) AS pf
+      FROM ordered),
+    px AS (SELECT doc_id, n, unnest(pf) AS tok FROM pre),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM px a JOIN px b ON a.tok = b.tok
+      WHERE a.doc_id < b.doc_id
+        AND least(a.n, b.n) * 1000000 >= 950000 * greatest(a.n, b.n)),
+    ver AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(x.st, y.st))::DOUBLE
+               / len(list_distinct(x.st || y.st)) AS jaccard
+      FROM cand c JOIN pre x ON x.doc_id = c.id_a
+                  JOIN pre y ON y.doc_id = c.id_b)
+    SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.95
+    """,
+)
+def dedup_prefix_filter_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(
+        _t(spark, sf_dir, "documents").to_df(), threshold=0.95
+    )
+
+
+# ---------------------------------------------------------------------------
 # Quality-aware dedup: per near-dup cluster keep the best-quality copy
 # (ties → min id), not the min-id copy. Oracle: the dedup_clusters
 # recursive-CTE components nested as a subquery, joined to the
@@ -6236,8 +6286,9 @@ _DRIVER_WINDOW = [
     #  events_late_data_rollup, bucketed_join_revenue,
     #  agg_skew_kurtosis, cube_revenue, agg_mode_mad,
     #  mutable_time_travel, mutable_schema_evolution,
-    #  bpe_apply_tokenize, ann_topk_filtered, hybrid_search_rrf — all
-    #  tri-SF green under the local gate meanwhile.)
+    #  bpe_apply_tokenize, ann_topk_filtered, hybrid_search_rrf,
+    #  dedup_prefix_filter_exact — all tri-SF green under the local
+    #  gate meanwhile.)
 ]
 
 

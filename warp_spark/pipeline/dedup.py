@@ -791,3 +791,85 @@ def containment_pairs(
             "direction"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join via prefix filtering (AllPairs/PPJoin
+# family — Bayardo et al. WWW'07, Xiao et al. WWW'08): unlike
+# MinHash+LSH this is EXACT — every pair with token Jaccard ≥ t is
+# found, no probabilistic recall
+# ---------------------------------------------------------------------------
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All document pairs with distinct-token Jaccard ≥ ``threshold``,
+    found EXACTLY via prefix filtering: tokens are put in the canonical
+    rarest-first global order (frequency ASC, token ASC — frequent
+    tokens sort last and stay OUT of prefixes, which is what keeps the
+    inverted-index buckets small); a doc's prefix is its first
+    n − floor(t·n) + 1 tokens, and any qualifying pair must share a
+    token in BOTH prefixes (the first common token in global order is
+    provably inside each — if it weren't, the suffix alone would have
+    to hold ≥ t·n common tokens and it is shorter than that). Pairs
+    sharing a prefix token are then length-filtered
+    (min·10⁶ ≥ round(t·10⁶)·max, an exact RATIONAL comparison so float
+    noise can never drop a boundary pair) and verified with exact
+    Jaccard.
+
+    vs MinHash+LSH: LSH is O(docs·bands) with tunable recall < 1;
+    prefix filtering is exact-complete with pruning that grows with t.
+    Scale shape: one explode+count shuffle (global frequencies), one
+    sort-collect per doc, one self-equi-join on prefix tokens (bounded
+    by rare-token document frequencies), then candidates-only
+    verification — no all-pairs stage anywhere. Returns
+    ``id_a, id_b, jaccard`` (raw double: one int/int division)."""
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    ex = df.select(F.col(id_col), toks.alias("__tk")).select(
+        F.col(id_col), F.explode("__tk").alias("tok")
+    )
+    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    ordered = (
+        ex.join(freq, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("cnt"), F.col("tok")))
+            ).alias("__st")
+        )
+        .select(
+            F.col(id_col),
+            F.transform(F.col("__st"), lambda s: s["tok"]).alias("st"),
+            F.size("__st").alias("n"),
+        )
+    )
+    p_len = (F.col("n") - F.floor(F.lit(threshold) * F.col("n")) + 1).cast("int")
+    pre = ordered.withColumn("pf", F.slice(F.col("st"), 1, p_len))
+    px = pre.select(F.col(id_col).alias("pid"), F.col("n"), F.explode("pf").alias("tok"))
+    t_num = int(round(threshold * 1_000_000))
+    a, b = px.alias("a"), px.alias("b")
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("a.pid") < F.col("b.pid"))
+        .filter(
+            F.least(F.col("a.n"), F.col("b.n")) * F.lit(1_000_000)
+            >= F.lit(t_num) * F.greatest(F.col("a.n"), F.col("b.n"))
+        )
+        .select(F.col("a.pid").alias("id_a"), F.col("b.pid").alias("id_b"))
+        .distinct()
+    )
+    ver = cand.join(
+        pre.select(F.col(id_col).alias("id_a"), F.col("st").alias("st_a")), "id_a"
+    ).join(
+        pre.select(F.col(id_col).alias("id_b"), F.col("st").alias("st_b")), "id_b"
+    )
+    j = (
+        F.size(F.array_intersect("st_a", "st_b")).cast("double")
+        / F.size(F.array_union("st_a", "st_b"))
+    )
+    return ver.select("id_a", "id_b", j.alias("jaccard")).filter(
+        F.col("jaccard") >= F.lit(threshold)
+    )

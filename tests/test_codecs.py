@@ -92,3 +92,41 @@ def test_wav_features_match_sample_rule(spark):
         assert (r["n_samples"], r["n_channels"]) == (n, 1)
         assert r["sum_abs"] == int(np.abs(s).sum())
         assert r["s_first"] == int(s[0]) and r["s_last"] == int(s[-1])
+
+
+def test_y4m_roundtrip():
+    from warp_spark.pipeline.codecs import decode_y4m, encode_y4m
+
+    rng = np.random.RandomState(11)
+    frames = rng.randint(0, 256, (7, 10, 24)).astype(np.uint8)
+    dec, w, h, fps = decode_y4m(encode_y4m(frames, fps=30))
+    assert (w, h, fps) == (24, 10, 30)
+    assert dec.shape == frames.shape and (dec == frames).all()
+
+
+def test_y4m_rejects_bad_input():
+    from warp_spark.pipeline.codecs import decode_y4m, encode_y4m
+
+    with pytest.raises(ValueError, match="not a Y4M"):
+        decode_y4m(b"RIFF....")
+    with pytest.raises(ValueError, match="even dimensions"):
+        encode_y4m(np.zeros((1, 3, 4), np.uint8))
+
+
+def test_y4m_features_match_pixel_rule(spark):
+    from warp_spark.pipeline.codecs import synth_y4m_payloads, y4m_decode_features
+
+    df = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    feats = {
+        r["doc_id"]: r
+        for r in y4m_decode_features(synth_y4m_payloads(df)).collect()
+    }
+    for d in (0, 3, 9, 19):
+        n, h, w = 2 + d % 4, 8 + 2 * (d % 4), 16 + 2 * (d % 8)
+        i = np.arange(h * w, dtype=np.int64)
+        total = sum(int(((d * 17 + f * 29 + i * 3) % 256).sum()) for f in range(n))
+        r = feats[d]
+        assert (r["width"], r["height"], r["n_frames"]) == (w, h, n)
+        assert r["fps"] == 24 + d % 2
+        assert r["sum_luma"] == total
+        assert r["frame0_sum"] == int(((d * 17 + i * 3) % 256).sum())

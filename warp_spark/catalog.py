@@ -1818,6 +1818,47 @@ def source_roundtrip_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL Y4M (YUV4MPEG2) video round-trip — completes the real-codec
+# triple (PNG image / WAV audio / Y4M video): per doc a deterministic
+# multi-frame luma clip — pixel(f, i) = (id·17 + f·29 + i·3) mod 256 —
+# encoded to an actual YUV4MPEG2 stream (header tags, FRAME markers,
+# planar 4:2:0) and parsed back by the real decoder. Oracle replays the
+# pixel rule per frame; integer outputs only.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_y4m_real",
+    """
+    WITH g AS (SELECT doc_id,
+                      2 + doc_id % 4        AS n_frames,
+                      8 + 2 * (doc_id % 4)  AS height,
+                      16 + 2 * (doc_id % 8) AS width,
+                      24 + doc_id % 2       AS fps
+               FROM documents),
+    fx AS (SELECT doc_id, unnest(range(0, n_frames)) AS f FROM g),
+    px AS (SELECT fx.doc_id, fx.f, unnest(range(0, g.height * g.width)) AS i
+           FROM fx JOIN g USING (doc_id)),
+    pf AS (SELECT doc_id, f,
+                  sum((doc_id * 17 + f * 29 + i * 3) % 256)::BIGINT AS fsum
+           FROM px GROUP BY doc_id, f),
+    agg AS (SELECT pf.doc_id,
+                   sum(pf.fsum)::BIGINT AS sum_luma,
+                   max(CASE WHEN pf.f = 0 THEN pf.fsum END) AS frame0_sum,
+                   max(CASE WHEN pf.f = g.n_frames - 1 THEN pf.fsum END)
+                     AS last_frame_sum
+            FROM pf JOIN g USING (doc_id) GROUP BY pf.doc_id)
+    SELECT g.doc_id, g.width, g.height, g.n_frames, g.fps,
+           a.sum_luma, a.frame0_sum, a.last_frame_sum
+    FROM g JOIN agg a USING (doc_id)
+    """,
+)
+def multimodal_y4m_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.codecs import synth_y4m_payloads, y4m_decode_features
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    return y4m_decode_features(synth_y4m_payloads(docs))
+
+
+# ---------------------------------------------------------------------------
 # Real BPE merge training (Sennrich et al., ACL'16; pipeline/text.py::
 # bpe_train): n iterations of [weighted adjacent-pair count over the
 # word histogram → deterministic argmax (count DESC, pair ASC) → apply
@@ -6287,8 +6328,8 @@ _DRIVER_WINDOW = [
     #  agg_skew_kurtosis, cube_revenue, agg_mode_mad,
     #  mutable_time_travel, mutable_schema_evolution,
     #  bpe_apply_tokenize, ann_topk_filtered, hybrid_search_rrf,
-    #  dedup_prefix_filter_exact — all tri-SF green under the local
-    #  gate meanwhile.)
+    #  dedup_prefix_filter_exact, multimodal_y4m_real — all tri-SF
+    #  green under the local gate meanwhile.)
 ]
 
 

@@ -2,7 +2,7 @@
 libraries — behind the same Arrow-batched ``mapInPandas`` plumbing as
 the stubbed paths in ``multimodal.py``.
 
-Two formats are fully real here:
+Three formats are fully real here:
 
 - **PNG** (``encode_png`` / ``decode_png``): writes and parses actual
   PNG byte streams — signature, IHDR/IDAT/IEND chunks, CRC-32, zlib
@@ -12,6 +12,9 @@ Two formats are fully real here:
   every filter type is exercised, not just filter 0.
 - **WAV** (``encode_wav`` / ``decode_wav``): canonical RIFF/WAVE
   PCM — fmt/data chunk walk, 8/16-bit mono/stereo.
+- **Y4M** (``encode_y4m`` / ``decode_y4m``): YUV4MPEG2 — the real
+  uncompressed video interchange format (the ffmpeg/x264 pipe format);
+  header tags, FRAME markers, planar 4:2:0 YUV.
 
 These are the "one real codec behind the same API" tier the stub
 docstrings promise (multimodal.py:37,86,132): swap ``_decode_stub`` for
@@ -361,6 +364,140 @@ def synth_wav_payloads(
                 i = np.arange(n, dtype=np.int64)
                 s = ((d * 131 + i * 17) % 2048) - 1024
                 payloads.append(encode_wav(s.astype(np.int16), 8000 * (1 + d % 3)))
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, out_col: payloads})
+
+    return df.select(id_col).mapInPandas(run, schema=f"{id_col} long, {out_col} binary")
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) — the real uncompressed video interchange format
+# (what ffmpeg/x264 pipe to each other); completes the real-codec
+# triple: PNG (image), WAV (audio), Y4M (video)
+# ---------------------------------------------------------------------------
+
+def encode_y4m(frames: "np.ndarray", fps: int = 25) -> bytes:
+    """Encode (N, H, W) uint8 luma frames as a real YUV4MPEG2 stream
+    (4:2:0: chroma planes at quarter size, fixed 128 = neutral). H and W
+    must be even (4:2:0 subsampling)."""
+    f = np.asarray(frames, dtype=np.uint8)
+    n, h, w = f.shape
+    if h % 2 or w % 2:
+        raise ValueError("Y4M 4:2:0 needs even dimensions")
+    header = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode()
+    chroma = bytes([128]) * ((h // 2) * (w // 2))
+    out = bytearray(header)
+    for i in range(n):
+        out += b"FRAME\n"
+        out += f[i].tobytes()
+        out += chroma + chroma  # U then V planes
+    return bytes(out)
+
+
+def decode_y4m(data: bytes):
+    """Parse a YUV4MPEG2 stream: header tags (W/H/F/C), FRAME markers,
+    planar YUV — returns (luma frames (N, H, W) uint8, width, height,
+    fps_num). Supports C420 (and C420jpeg/C420mpeg2 aliases); anything
+    else raises."""
+    if not data.startswith(b"YUV4MPEG2") or b"\n" not in data:
+        raise ValueError("not a Y4M stream")
+    nl = data.index(b"\n")
+    head = data[:nl].decode("ascii", "strict")
+    w = h = fps = None
+    colorspace = "C420"
+    for tag in head.split()[1:]:
+        if tag[0] == "W":
+            w = int(tag[1:])
+        elif tag[0] == "H":
+            h = int(tag[1:])
+        elif tag[0] == "F":
+            fps = int(tag[1:].split(":")[0])
+        elif tag[0] == "C":
+            colorspace = tag
+    if w is None or h is None:
+        raise ValueError("missing W/H in Y4M header")
+    if not colorspace.startswith("C420"):
+        raise ValueError(f"unsupported colorspace {colorspace}")
+    luma_size = w * h
+    frame_size = luma_size + 2 * (w // 2) * (h // 2)
+    pos, frames = nl + 1, []
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)
+        if not data[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("bad FRAME marker")
+        pos = fnl + 1
+        frames.append(
+            np.frombuffer(data, np.uint8, luma_size, pos).reshape(h, w)
+        )
+        pos += frame_size
+    return np.stack(frames) if frames else np.zeros((0, h, w), np.uint8), w, h, fps
+
+
+Y4M_FEATURE_SCHEMA = (
+    "doc_id long, width long, height long, n_frames long, fps long, "
+    "sum_luma long, frame0_sum long, last_frame_sum long"
+)
+
+
+def y4m_decode_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decode REAL Y4M payloads and emit integer luma statistics — the
+    video leg of the real-codec tier, same mapInPandas contract as the
+    PNG/WAV featurizers."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames, w, h, fps = decode_y4m(bytes(payload))
+                flat = frames.astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        frames.shape[0],
+                        fps,
+                        int(flat.sum()),
+                        int(flat[0].sum()) if len(frames) else 0,
+                        int(flat[-1].sum()) if len(frames) else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_frames", "fps",
+                    "sum_luma", "frame0_sum", "last_frame_sum",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=Y4M_FEATURE_SCHEMA)
+
+
+def synth_y4m_payloads(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "payload"
+) -> DataFrame:
+    """Deterministic REAL-Y4M payload builder: per doc a
+    (2 + id%4)-frame clip of (8 + 2·(id%4)) × (16 + 2·(id%8)) luma with
+    pixel(f, i) = (id·17 + f·29 + i·3) mod 256 at fps 24 + id%2 —
+    replayable by a SQL oracle from the rule alone."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                n, h, w = 2 + d % 4, 8 + 2 * (d % 4), 16 + 2 * (d % 8)
+                i = np.arange(h * w, dtype=np.int64)
+                frames = np.stack(
+                    [
+                        ((d * 17 + f * 29 + i * 3) % 256)
+                        .astype(np.uint8)
+                        .reshape(h, w)
+                        for f in range(n)
+                    ]
+                )
+                payloads.append(encode_y4m(frames, fps=24 + d % 2))
             yield pd.DataFrame({"doc_id": pdf[id_col].values, out_col: payloads})
 
     return df.select(id_col).mapInPandas(run, schema=f"{id_col} long, {out_col} binary")

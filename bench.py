@@ -102,6 +102,10 @@ HEADLINE = [
     "bpe_apply_tokenize",
     "mutable_time_travel",
     "mutable_schema_evolution",
+    "ann_topk_filtered",
+    "hybrid_search_rrf",
+    "dedup_prefix_filter_exact",
+    "multimodal_y4m_real",
 ]
 
 

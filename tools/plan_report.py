@@ -88,6 +88,8 @@ def main():
         "ann_topk_lsh",
         "ann_topk_ivf",
         "ann_topk_pq",
+        # embeds the exact-kNN vector leg (brute_force_topk crossJoin)
+        "hybrid_search_rrf",
     }
     bnl_offenders = [
         n for n, a in rows if a.get("bnl", 0) > 0 and n not in expected_bnl

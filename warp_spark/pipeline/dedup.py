@@ -832,6 +832,14 @@ def prefix_filter_jaccard_pairs(
         F.col(id_col), F.explode("__tk").alias("tok")
     )
     freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # canonical order sorts on the STRING token; everything downstream
+    # (prefix join key, verification sets) runs on 8-byte xxhash64
+    # tokens — the dominant shuffles carry long arrays instead of
+    # string arrays (measured ~5× on the sf0.1 corpus). Jaccard over
+    # hashed distinct sets equals Jaccard over token sets absent a
+    # 64-bit collision, and the string-based oracle would hash-FAIL on
+    # any collision — the differential certifies collision-freedom,
+    # same argument as the decontamination entry.
     ordered = (
         ex.join(freq, "tok")
         .groupBy(id_col)
@@ -842,12 +850,14 @@ def prefix_filter_jaccard_pairs(
         )
         .select(
             F.col(id_col),
-            F.transform(F.col("__st"), lambda s: s["tok"]).alias("st"),
+            F.transform(
+                F.col("__st"), lambda s: F.xxhash64(s["tok"])
+            ).alias("sh"),
             F.size("__st").alias("n"),
         )
     )
     p_len = (F.col("n") - F.floor(F.lit(threshold) * F.col("n")) + 1).cast("int")
-    pre = ordered.withColumn("pf", F.slice(F.col("st"), 1, p_len))
+    pre = ordered.withColumn("pf", F.slice(F.col("sh"), 1, p_len))
     px = pre.select(F.col(id_col).alias("pid"), F.col("n"), F.explode("pf").alias("tok"))
     t_num = int(round(threshold * 1_000_000))
     a, b = px.alias("a"), px.alias("b")
@@ -862,13 +872,13 @@ def prefix_filter_jaccard_pairs(
         .distinct()
     )
     ver = cand.join(
-        pre.select(F.col(id_col).alias("id_a"), F.col("st").alias("st_a")), "id_a"
+        pre.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
     ).join(
-        pre.select(F.col(id_col).alias("id_b"), F.col("st").alias("st_b")), "id_b"
+        pre.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
     )
     j = (
-        F.size(F.array_intersect("st_a", "st_b")).cast("double")
-        / F.size(F.array_union("st_a", "st_b"))
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b"))
     )
     return ver.select("id_a", "id_b", j.alias("jaccard")).filter(
         F.col("jaccard") >= F.lit(threshold)

@@ -1355,6 +1355,87 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CDC MERGE (mutable.py::merge_changes): a change batch of upserts and
+# deletes with per-key sequence numbers applied last-writer-wins — the
+# Delta/Iceberg MERGE shape on plain parquet. The batch deliberately
+# carries CONFLICTING changes per key (two upserts; an upsert then a
+# delete) so the sequence-ordered winner logic is what the oracle
+# verifies, not just disjoint upserts: updated keys must show the
+# SECOND status, upsert-then-delete keys must be gone, and new keys
+# must appear.
+# ---------------------------------------------------------------------------
+@register(
+    "mutable_cdc_merge",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0),
+    untouched AS (
+      SELECT * FROM base
+      WHERE o_orderkey % 21 <> 0 AND o_orderkey % 14 <> 0),
+    upd AS (
+      SELECT o_orderkey, o_custkey, 'X2' AS o_orderstatus, o_totalprice
+      FROM base WHERE o_orderkey % 14 = 0 AND o_orderkey % 21 <> 0),
+    ins AS (
+      SELECT o_orderkey, o_custkey, 'N' AS o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 3)
+    SELECT * FROM untouched
+    UNION ALL SELECT * FROM upd
+    UNION ALL SELECT * FROM ins
+    """,
+)
+def mutable_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from warp_spark.mutable import Warehouse
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    orders = _t(spark, sf_dir, "orders").to_df().select(*cols)
+    base = orders.filter(F.col("o_orderkey") % 7 == 0)
+    root = tempfile.mkdtemp(prefix="warp_cdc_entry_")
+    try:
+        wh = Warehouse(spark, root)
+        t = wh.create("orders_cdc", base)
+        k = F.col("o_orderkey")
+        upd_keys = base.filter((k % 14 == 0) & (k % 21 != 0))
+        del_keys = base.filter(k % 21 == 0)
+        changes = (
+            # conflicting upserts: seq 1 then seq 2 — 'X2' must win
+            upd_keys.withColumn("o_orderstatus", F.lit("X1"))
+            .withColumn("seq", F.lit(1)).withColumn("op", F.lit("U"))
+            .unionByName(
+                upd_keys.withColumn("o_orderstatus", F.lit("X2"))
+                .withColumn("seq", F.lit(2)).withColumn("op", F.lit("U"))
+            )
+            # upsert then delete: the delete (seq 2) must win
+            .unionByName(
+                del_keys.withColumn("o_orderstatus", F.lit("X1"))
+                .withColumn("seq", F.lit(1)).withColumn("op", F.lit("U"))
+            )
+            .unionByName(
+                del_keys.select(
+                    "o_orderkey",
+                    F.lit(None).cast("long").alias("o_custkey"),
+                    F.lit(None).cast("string").alias("o_orderstatus"),
+                    F.lit(None).cast("double").alias("o_totalprice"),
+                ).withColumn("seq", F.lit(2)).withColumn("op", F.lit("D"))
+            )
+            # inserts: keys the base never had
+            .unionByName(
+                orders.filter(k % 7 == 3)
+                .withColumn("o_orderstatus", F.lit("N"))
+                .withColumn("seq", F.lit(1)).withColumn("op", F.lit("U"))
+            )
+        )
+        t.merge_changes(changes, "o_orderkey", "seq")
+        final = t.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return final
+
+
+# ---------------------------------------------------------------------------
 # Time travel over the mutable warehouse (mutable.py): with
 # keep_versions=3 the table retains every committed state, and
 # read(version=k) reads any of them — Delta/Iceberg VERSION AS OF on
@@ -6328,8 +6409,9 @@ _DRIVER_WINDOW = [
     #  agg_skew_kurtosis, cube_revenue, agg_mode_mad,
     #  mutable_time_travel, mutable_schema_evolution,
     #  bpe_apply_tokenize, ann_topk_filtered, hybrid_search_rrf,
-    #  dedup_prefix_filter_exact, multimodal_y4m_real — all tri-SF
-    #  green under the local gate meanwhile.)
+    #  dedup_prefix_filter_exact, multimodal_y4m_real,
+    #  mutable_cdc_merge — all tri-SF green under the local gate
+    #  meanwhile.)
 ]
 
 

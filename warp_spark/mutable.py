@@ -206,6 +206,47 @@ class MutableTable:
     def truncate(self) -> None:
         self._swap_in(self.read().limit(0))
 
+    def merge_changes(
+        self,
+        changes: DataFrame,
+        key_col: str,
+        seq_col: str,
+        op_col: str = "op",
+    ) -> None:
+        """Apply a CDC change batch (MERGE/upsert): ``changes`` carries
+        one row per change with ``op_col`` ∈ {'U','D'} (upsert / delete)
+        and a ``seq_col`` ordering concurrent changes to one key — the
+        LAST change per key wins (ties broken by preferring the higher
+        op lexicographically, a total order so replays are
+        deterministic). Keys absent from the base are inserted by 'U';
+        'D' on an absent key is a no-op.
+
+        Shape: one window over the CHANGE BATCH (rank per key), then an
+        outer join base↔winners and a copy-on-write rewrite — the plain-
+        parquet analog of Delta/Iceberg MERGE, where a real table format
+        would prune the rewrite to matched files."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key_col).orderBy(
+            F.col(seq_col).desc(), F.col(op_col).desc()
+        )
+        winners = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", seq_col)
+        )
+        base = self.read()
+        upserts = winners.filter(F.col(op_col) == "U").drop(op_col)
+        deletes = winners.filter(F.col(op_col) == "D").select(key_col)
+        kept = base.join(winners.select(key_col), key_col, "left_anti")
+        merged = kept.unionByName(
+            upserts.select(*base.columns)
+        )
+        # deletes: rows already excluded via the anti join above; the
+        # explicit frame documents intent (and guards column drift)
+        _ = deletes
+        self._swap_in(merged)
+
     def compact(self, target_files: int = 1) -> None:
         """Small-file compaction: rewrite the current version into
         ``target_files`` files (inserts append one file per call — at

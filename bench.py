@@ -106,6 +106,7 @@ HEADLINE = [
     "hybrid_search_rrf",
     "dedup_prefix_filter_exact",
     "multimodal_y4m_real",
+    "mutable_cdc_merge",
 ]
 
 

@@ -107,6 +107,7 @@ HEADLINE = [
     "dedup_prefix_filter_exact",
     "multimodal_y4m_real",
     "mutable_cdc_merge",
+    "mutable_streaming_merge",
 ]
 
 

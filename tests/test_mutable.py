@@ -174,3 +174,59 @@ def test_compact_and_vacuum(spark, tmp_path):
                    if (tmp_path / "wh" / "cmp" / v).is_dir()])
     assert n_after == 1
     assert t.read().count() == 103
+
+
+def test_merge_changes_lww(spark, wh):
+    """Conflicting changes per key resolve by (seq desc, op desc): the
+    second upsert wins; upsert-then-delete deletes; an upsert on an
+    absent key inserts; a delete on an absent key is a no-op."""
+    t = wh.create(
+        "m", spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id int, v string")
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "u1", 1, "U"),
+            (1, "u2", 2, "U"),  # conflicting upserts: seq 2 wins
+            (2, "x", 1, "U"),
+            (2, None, 2, "D"),  # upsert then delete: gone
+            (4, "new", 1, "U"),  # insert (absent key)
+            (9, None, 1, "D"),  # delete absent key: no-op
+        ],
+        "id int, v string, seq int, op string",
+    )
+    t.merge_changes(changes, "id", "seq")
+    assert rows(t.read()) == [(1, "u2"), (3, "c"), (4, "new")]
+
+
+def test_merge_stream_applies_batches_in_order(spark, tmp_path):
+    """Two staged change files drained with maxFilesPerTrigger=1 (mtimes
+    force the order): the second micro-batch overwrites the first, so
+    streaming delivery equals the global last-writer-wins merge."""
+    import glob
+    import os
+    import shutil
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = wh.create("s", spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"))
+    d = tmp_path / "changes"
+    d.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, "s1", 1, "U"), (3, "s1", 1, "U")], "id int, v string, seq int, op string"
+    )
+    b2 = spark.createDataFrame(
+        [(1, "s2", 2, "U"), (2, None, 2, "D")], "id int, v string, seq int, op string"
+    )
+    for i, b in enumerate((b1, b2), 1):
+        b.coalesce(1).write.mode("overwrite").parquet(str(d / f"stage{i}"))
+        part = glob.glob(str(d / f"stage{i}" / "part-*.parquet"))[0]
+        tgt = str(d / f"file_{i:03d}.parquet")
+        os.rename(part, tgt)
+        shutil.rmtree(d / f"stage{i}", ignore_errors=True)
+        os.utime(tgt, (1_700_000_000 + 100 * i,) * 2)
+    stream = (
+        spark.readStream.schema("id int, v string, seq int, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    t.merge_stream(stream, "id", "seq")
+    assert rows(t.read()) == [(1, "s2"), (3, "s1")]

@@ -1436,6 +1436,106 @@ def mutable_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# STREAMING CDC apply (mutable.py::merge_stream): the change log is
+# delivered as a Structured Streaming file source in TWO ordered
+# micro-batches (maxFilesPerTrigger=1, mtimes pin the order) and each
+# batch MERGEs into the warehouse table via foreachBatch — Delta's
+# streaming-upsert pattern on plain parquet. Batch 1 upserts 'S1' on
+# the update+delete keys and inserts 'N' keys; batch 2 overwrites the
+# update keys with 'S2' and deletes the delete keys — so the final
+# state is only right if the batches commit in order AND each commit
+# is a correct last-writer-wins merge. The oracle replays the net
+# effect of the full change log in SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "mutable_streaming_merge",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 6 = 1),
+    untouched AS (
+      SELECT * FROM base
+      WHERE o_orderkey % 12 <> 7 AND o_orderkey % 18 <> 13),
+    upd AS (
+      SELECT o_orderkey, o_custkey, 'S2' AS o_orderstatus, o_totalprice
+      FROM base WHERE o_orderkey % 12 = 7 AND o_orderkey % 18 <> 13),
+    ins AS (
+      SELECT o_orderkey, o_custkey, 'N' AS o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 6 = 4)
+    SELECT * FROM untouched
+    UNION ALL SELECT * FROM upd
+    UNION ALL SELECT * FROM ins
+    """,
+)
+def mutable_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from warp_spark.mutable import Warehouse
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    orders = _t(spark, sf_dir, "orders").to_df().select(*cols)
+    k = F.col("o_orderkey")
+    base = orders.filter(k % 6 == 1)
+    root = tempfile.mkdtemp(prefix="warp_cdc_stream_")
+    try:
+        wh = Warehouse(spark, os.path.join(root, "wh"))
+        t = wh.create("orders_stream_cdc", base)
+        upd = base.filter((k % 12 == 7) & (k % 18 != 13))
+        dele = base.filter(k % 18 == 13)
+        b1 = (
+            upd.unionByName(dele)
+            .withColumn("o_orderstatus", F.lit("S1"))
+            .unionByName(
+                orders.filter(k % 6 == 4).withColumn("o_orderstatus", F.lit("N"))
+            )
+            .withColumn("seq", F.lit(1))
+            .withColumn("op", F.lit("U"))
+        )
+        b2 = (
+            upd.withColumn("o_orderstatus", F.lit("S2"))
+            .withColumn("op", F.lit("U"))
+            .unionByName(
+                dele.select(
+                    "o_orderkey",
+                    F.lit(None).cast("long").alias("o_custkey"),
+                    F.lit(None).cast("string").alias("o_orderstatus"),
+                    F.lit(None).cast("double").alias("o_totalprice"),
+                ).withColumn("op", F.lit("D"))
+            )
+            .withColumn("seq", F.lit(2))
+        )
+        d = os.path.join(root, "changes")
+        os.makedirs(d)
+        for i, b in ((1, b1), (2, b2)):
+            b.select(*cols, "seq", "op").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/stage{i}")
+            part = glob.glob(f"{d}/stage{i}/part-*.parquet")[0]
+            tgt = f"{d}/file_{i:03d}.parquet"
+            os.rename(part, tgt)
+            shutil.rmtree(f"{d}/stage{i}", ignore_errors=True)
+            # distinct mtimes: FileStreamSource orders new files by
+            # modification time — this pins batch 1 before batch 2
+            os.utime(tgt, (1_700_000_000 + 100 * i,) * 2)
+        stream = (
+            spark.readStream.schema(
+                "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+                "o_totalprice double, seq int, op string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        t.merge_stream(stream, "o_orderkey", "seq")
+        final = t.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return final
+
+
+# ---------------------------------------------------------------------------
 # Time travel over the mutable warehouse (mutable.py): with
 # keep_versions=3 the table retains every committed state, and
 # read(version=k) reads any of them — Delta/Iceberg VERSION AS OF on

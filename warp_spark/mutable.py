@@ -247,6 +247,47 @@ class MutableTable:
         _ = deletes
         self._swap_in(merged)
 
+    def merge_stream(
+        self,
+        changes: DataFrame,
+        key_col: str,
+        seq_col: str,
+        op_col: str = "op",
+        checkpoint: Optional[str] = None,
+    ) -> None:
+        """Apply a CDC change STREAM (a streaming DataFrame) to this
+        table: each micro-batch goes through :meth:`merge_changes` via
+        ``foreachBatch`` — the Structured Streaming MERGE-sink pattern
+        (Delta's streaming upsert) on plain parquet. Batches commit in
+        micro-batch order, so when the stream delivers changes in
+        non-decreasing ``seq_col`` order the final state equals one
+        global last-writer-wins merge of the whole change log; within a
+        batch ``seq_col`` (then ``op_col``) resolves conflicts exactly
+        as in the batch path. ``availableNow`` drains all staged input
+        and stops, so callers read the final state synchronously.
+
+        At scale each micro-batch costs one copy-on-write rewrite (the
+        honest plain-parquet bound); bind the same ``foreachBatch`` body
+        to Delta/Iceberg MERGE for file-pruned row-level batches.
+        Ref: MutableData.swift:40-63 (mutation contract); streaming
+        delivery is this port's extension tier."""
+        ckpt = checkpoint or os.path.join(self.path, f"_ckpt_{uuid.uuid4().hex[:8]}")
+
+        def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            self.merge_changes(batch_df, key_col, seq_col, op_col)
+
+        q = (
+            changes.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if checkpoint is None:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
     def compact(self, target_files: int = 1) -> None:
         """Small-file compaction: rewrite the current version into
         ``target_files`` files (inserts append one file per call — at

@@ -108,6 +108,8 @@ HEADLINE = [
     "multimodal_y4m_real",
     "mutable_cdc_merge",
     "mutable_streaming_merge",
+    "agg_kmv_distinct",
+    "sample_bottomk",
 ]
 
 

@@ -990,3 +990,54 @@ def test_prefix_filter_join_is_exact_vs_naive(spark):
             for r in naive.select(F.col("a.doc_id"), F.col("b.doc_id")).collect()}
     assert got == want
     assert len(got) > 0  # non-degenerate corpus slice
+
+
+def test_bottomk_sample_deterministic_and_mergeable(spark):
+    """Bottom-k is RNG-free: same rows every run, and the bottom-k of a
+    union equals the bottom-k of the per-shard bottom-k's (the property
+    that lets executors keep only k candidates each)."""
+    from warp_spark.sampling import bottomk_sample
+
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    a = sorted(r["k"] for r in bottomk_sample(df, "k", 20).collect())
+    b = sorted(r["k"] for r in bottomk_sample(df, "k", 20).collect())
+    assert a == b and len(a) == 20
+    lo = df.where("k < 250")
+    hi = df.where("k >= 250")
+    merged = bottomk_sample(
+        bottomk_sample(lo, "k", 20).unionByName(bottomk_sample(hi, "k", 20)),
+        "k",
+        20,
+    )
+    assert sorted(r["k"] for r in merged.collect()) == a
+
+
+def test_bottomk_sample_per_group(spark):
+    from pyspark.sql import functions as F
+
+    from warp_spark.sampling import bottomk_sample
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    out = bottomk_sample(df, "k", 10, group_col="g")
+    per = {r["g"]: r["n"] for r in out.groupBy("g").count().withColumnRenamed("count", "n").collect()}
+    assert per == {0: 10, 1: 10, 2: 10}
+
+
+def test_kmv_distinct_estimate_and_exact_path(spark):
+    """Small cardinality (< k) reports the exact distinct-hash count;
+    large cardinality estimates within the sketch's error envelope."""
+    from pyspark.sql import functions as F
+
+    from warp_spark.sampling import kmv_distinct
+
+    small = spark.range(0, 1000).select((F.col("id") % 50).alias("v"))
+    row = kmv_distinct(small, "v", k=256).collect()[0]
+    assert row["n_hashes"] == 50 and row["est_distinct"] == 50.0
+
+    big = spark.range(0, 20000).select(F.col("id").alias("v"))
+    row = kmv_distinct(big, "v", k=256).collect()[0]
+    # rel std err ≈ 1/sqrt(k-2) ≈ 6.3%; 4σ envelope
+    assert abs(row["est_distinct"] - 20000) / 20000 < 0.25
+    assert row["n_hashes"] == 20000

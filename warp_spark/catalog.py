@@ -902,6 +902,94 @@ def agg_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch + bottom-k sampling
+# (sampling.py): the bottom-k of a uniform md5-derived hash is (a) a
+# deterministic uniform sample and (b) a mergeable distinct-count
+# sketch — D̂ = (k-1)·2³²/h₍ₖ₎ from the k-th smallest hash. Unlike the
+# HLL++ entry above (invariant-bounded), KMV is RNG-free so the
+# ESTIMATE ITSELF value-matches the DuckDB replay bit-for-bit: the
+# oracle recomputes the same hashes, the same k-th order statistic,
+# and the same one-multiply-one-divide estimator.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_kmv_distinct",
+    """
+    WITH h AS (
+      SELECT DISTINCT o_orderpriority AS grp,
+             ('0x' || substring(md5(o_custkey::VARCHAR), 1, 8))::BIGINT AS hv
+      FROM orders),
+    r AS (SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+          FROM h),
+    per AS (SELECT grp, count(*) AS n_hashes,
+                   max(CASE WHEN rn = 256 THEN hv END) AS hvk
+            FROM r GROUP BY grp),
+    ex AS (SELECT o_orderpriority AS grp,
+                  count(DISTINCT o_custkey) AS n_exact
+           FROM orders GROUP BY 1)
+    SELECT p.grp AS o_orderpriority, e.n_exact, p.n_hashes,
+           CASE WHEN p.n_hashes >= 256
+                THEN (255.0 * 4294967296.0) / p.hvk::DOUBLE
+                ELSE p.n_hashes::DOUBLE END AS est_distinct,
+           CASE WHEN p.n_hashes >= 256
+                THEN abs((255.0 * 4294967296.0) / p.hvk::DOUBLE
+                         - e.n_exact::DOUBLE) / e.n_exact::DOUBLE <= 0.2
+                ELSE TRUE END AS within_20pct
+    FROM per p JOIN ex e USING (grp)
+    """,
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.sampling import kmv_distinct
+
+    orders = _t(spark, sf_dir, "orders").to_df()
+    sk = kmv_distinct(orders, "o_custkey", k=256, group_col="o_orderpriority")
+    exact = orders.groupBy(F.col("o_orderpriority")).agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    joined = sk.join(F.broadcast(exact), "o_orderpriority")
+    within = F.when(
+        F.col("n_hashes") >= 256,
+        F.abs(F.col("est_distinct") - F.col("n_exact").cast("double"))
+        / F.col("n_exact").cast("double")
+        <= 0.2,
+    ).otherwise(F.lit(True))
+    return joined.select(
+        "o_orderpriority",
+        "n_exact",
+        "n_hashes",
+        "est_distinct",
+        within.alias("within_20pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k sampling (sampling.py::bottomk_sample): the RNG-free uniform
+# draw — smallest k hashes of the key. Deterministic, so the SAMPLED
+# ROWS THEMSELVES value-match the oracle (random_sample above can only
+# invariant-check); compiles to TakeOrderedAndProject (map-side top-k,
+# k·P rows to the driver-side merge, no full sort — same scale shape
+# as random_sample's n·P bound).
+# ---------------------------------------------------------------------------
+@register(
+    "sample_bottomk",
+    """
+    WITH h AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice,
+             ('0x' || substring(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT AS hv
+      FROM orders),
+    s AS (SELECT * FROM h ORDER BY hv, o_orderkey LIMIT 100)
+    SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice FROM s
+    """,
+)
+def sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.sampling import bottomk_sample
+
+    orders = _t(spark, sf_dir, "orders").to_df().select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    return bottomk_sample(orders, "o_orderkey", 100)
+
+
+# ---------------------------------------------------------------------------
 # transpose — driver-side small-data utility (Raster.swift:657-694). The
 # region table is fixed (5 rows at every SF), so the transposed shape is
 # SQL-expressible as a conditional-aggregation pivot: header = first

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _RANK = "__strat_rank"
@@ -49,6 +49,83 @@ def stratified_sample(
         .where(F.col(_RANK) <= n)
         .drop(_RANK, _KEY)
     )
+
+
+def _hash32(col: Column) -> Column:
+    """Uniform 32-bit hash from the first 8 md5 hex digits — the
+    deterministic cross-engine uniform used throughout (assign_split,
+    bloom positions): DuckDB replays it as
+    ``('0x' || substring(md5(x::VARCHAR), 1, 8))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def bottomk_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    group_col: Optional[str] = None,
+) -> DataFrame:
+    """Deterministic uniform sample: the ``k`` rows whose 32-bit hash of
+    ``id_col`` is smallest (per ``group_col`` group when given). The
+    bottom-k of a uniform hash is a uniform draw without replacement
+    that needs NO RNG — reproducible across engines, runs, and
+    partitionings — and it is MERGEABLE: bottom-k of a union is the
+    bottom-k of the per-shard bottom-k's, so at 100 TB each executor
+    keeps only k candidates and just k·P rows reach the final selection
+    (the global form compiles to TakeOrderedAndProject — map-side
+    top-k, no full sort). Ties (hash collisions) break on the id."""
+    hv = _hash32(F.col(id_col))
+    if group_col is None:
+        return (
+            df.withColumn("__hv", hv)
+            .orderBy("__hv", id_col)
+            .limit(k)
+            .drop("__hv")
+        )
+    w = Window.partitionBy(group_col).orderBy("__hv", id_col)
+    return (
+        df.withColumn("__hv", hv)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__hv", "__rn")
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    k: int = 256,
+    group_col: Optional[str] = None,
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch: hash every value to
+    a uniform 32-bit integer, keep the k smallest distinct hashes, and
+    estimate D̂ = (k-1)·2³² / h₍ₖ₎ from the k-th smallest (Bar-Yossef
+    et al. 2002 — the bottom-k dual of HyperLogLog, rel. std. error
+    ≈ 1/√(k-2)). Groups with fewer than k distinct hashes report the
+    exact distinct-hash count. Hash-based and RNG-free, so unlike
+    HLL++ the ESTIMATE ITSELF is deterministic and value-matchable
+    cross-engine (the estimator arithmetic is one fold-free multiply
+    and divide, mirrored verbatim in the DuckDB oracle).
+
+    Returns one row per group: ``[group_col,] n_hashes, est_distinct``.
+    Scale shape: map-side partial distinct on (group, hash), one
+    shuffle; the window and the aggregate reuse the same partitioning.
+    The sketch is mergeable (union the hash sets, re-take the k
+    smallest), which is what makes it a streaming/partitioned-rollup
+    distinct counter at 100 TB."""
+    groups = [group_col] if group_col else []
+    h = df.select(*groups, _hash32(F.col(value_col)).alias("__hv")).distinct()
+    w = Window.partitionBy(*groups).orderBy("__hv")
+    r = h.withColumn("__rn", F.row_number().over(w))
+    per = r.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max(F.when(F.col("__rn") == k, F.col("__hv"))).alias("__hvk"),
+    )
+    est = F.when(
+        F.col("n_hashes") >= k,
+        F.lit(float((k - 1) * 4294967296.0)) / F.col("__hvk").cast("double"),
+    ).otherwise(F.col("n_hashes").cast("double"))
+    return per.select(*groups, "n_hashes", est.alias("est_distinct"))
 
 
 def rebalance_weights(

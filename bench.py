@@ -110,6 +110,7 @@ HEADLINE = [
     "mutable_streaming_merge",
     "agg_kmv_distinct",
     "sample_bottomk",
+    "partitioned_write_prune",
 ]
 
 

@@ -233,3 +233,30 @@ def test_driver_window_is_the_queries_prefix():
     oracles = m.oracle_sql()
     missing = [n for n in _DRIVER_WINDOW if n not in oracles]
     assert not missing, f"windowed entries without oracles: {missing}"
+
+
+def test_partitioned_read_prunes_partitions(spark):
+    """A filter on a hive-partition column becomes a planning-time
+    PartitionFilter — excluded directories are never listed into the
+    scan (the coarse layout dimension; zorder covers row groups)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from warp_spark.catalog import _events
+    from warp_spark.layout import write_hive_partitioned
+
+    d = tempfile.mkdtemp(prefix="warp_part_plan_")
+    try:
+        write_hive_partitioned(_events(spark, SF), d, ["event_type"])
+        df = spark.read.parquet(d).filter(F.col("event_type") == "click")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        pf = plan.split("PartitionFilters: [", 1)
+        assert len(pf) == 2, plan
+        assert "event_type" in pf[1].split("]", 1)[0]
+        # the data filter must NOT also appear as a pushed data filter —
+        # it is satisfied entirely by pruning
+        assert df.count() == _events(spark, SF).filter("event_type = 'click'").count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -5993,6 +5993,54 @@ def zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hive-partitioned layout + planning-time partition pruning
+# (layout.py::write_hive_partitioned): events written one directory per
+# event_type, read back through a partition-column filter — the layout
+# dimension where excluded partitions are never listed or scanned
+# (PartitionFilters, pinned by tests/test_plans.py). The oracle runs
+# the same filtered rollup on the flat table: a value match proves the
+# partitioned write+read round-trip loses/duplicates nothing and the
+# partition-column values survive the directory encoding.
+# ---------------------------------------------------------------------------
+@register(
+    "partitioned_write_prune",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY 1, 2
+    """,
+)
+def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from warp_spark.layout import write_hive_partitioned
+
+    d = tempfile.mkdtemp(prefix="warp_part_entry_")
+    try:
+        write_hive_partitioned(_events(spark, sf_dir), d, ["event_type"])
+        back = spark.read.parquet(d).filter(
+            F.col("event_type").isin("click", "purchase")
+        )
+        out = (
+            back.groupBy(
+                "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Column profiling — the reference's column-summary surface (Warp shows
 # per-column stats in the data view): one wide aggregate computing
 # count/nulls/distinct/min/max per column in a SINGLE pass, unpivoted

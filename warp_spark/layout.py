@@ -77,3 +77,23 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_hive_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as hive-partitioned parquet (one directory per
+    distinct partition-column tuple) — the COARSE layout dimension
+    complementing Z-order's row-group clustering: a reader filtering on
+    a partition column never lists, opens, or schedules the excluded
+    directories (pruning happens at planning time, before a byte is
+    read — ``PartitionFilters`` in the scan, proven by
+    tests/test_plans.py). The 100 TB discipline: partition on the
+    low-cardinality always-filtered dimensions (date, source, type) and
+    cluster WITHIN partitions on the high-cardinality ones; keep the
+    partition count in the thousands — every directory costs listing
+    metadata and at least one file."""
+    df.write.mode(mode).partitionBy(*list(partition_by)).parquet(path)

@@ -1041,3 +1041,41 @@ def test_kmv_distinct_estimate_and_exact_path(spark):
     # rel std err ≈ 1/sqrt(k-2) ≈ 6.3%; 4σ envelope
     assert abs(row["est_distinct"] - 20000) / 20000 < 0.25
     assert row["n_hashes"] == 20000
+
+
+def test_prefix_filter_shingle_mode_is_exact_vs_naive(spark):
+    """Shingle-element mode: exactly the pairs naive all-pairs shingle
+    Jaccard finds — the exact-complete ground truth for the set metric
+    MinHash+LSH approximates."""
+    from pyspark.sql import functions as F
+
+    from warp_spark.pipeline.dedup import prefix_filter_jaccard_pairs, shingles
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    t = 0.5
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_jaccard_pairs(
+            docs, threshold=t, elements="shingles"
+        ).collect()
+    }
+    tk = docs.select(F.col("doc_id"), shingles(F.col("text")).alias("tk"))
+    naive = (
+        tk.alias("a")
+        .crossJoin(tk.alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn(
+            "j",
+            F.size(F.array_intersect("a.tk", "b.tk")).cast("double")
+            / F.size(F.array_union("a.tk", "b.tk")),
+        )
+        .filter(F.col("j") >= t)
+    )
+    want = {
+        (r[0], r[1])
+        for r in naive.select(F.col("a.doc_id"), F.col("b.doc_id")).collect()
+    }
+    assert got == want
+    assert len(got) > 0  # non-degenerate at this threshold

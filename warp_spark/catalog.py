@@ -5088,41 +5088,48 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "dedup_prefix_filter_exact",
-    """
-    WITH toksx AS (
-      SELECT doc_id,
-             unnest(list_distinct(
-               regexp_split_to_array(lower(trim(text)), '\\s+'))) AS tok
-      FROM documents),
-    freq AS (SELECT tok, count(*) AS cnt FROM toksx GROUP BY tok),
+    "WITH "
+    + _DUCK_SHINGLES
+    + """,
+    exsh AS (SELECT doc_id, unnest(sh) AS tok FROM sh),
+    freq AS (SELECT tok, count(*) AS cnt FROM exsh GROUP BY tok),
     ordered AS (
       SELECT doc_id, list(tok ORDER BY cnt, tok) AS st
-      FROM toksx JOIN freq USING (tok) GROUP BY doc_id),
+      FROM exsh JOIN freq USING (tok) GROUP BY doc_id),
     pre AS (
       SELECT doc_id, st, len(st) AS n,
              list_slice(st, 1,
-               (len(st) - floor(0.95::DOUBLE * len(st)) + 1)::BIGINT) AS pf
+               (len(st) - floor(0.7::DOUBLE * len(st)) + 1)::BIGINT) AS pf
       FROM ordered),
     px AS (SELECT doc_id, n, unnest(pf) AS tok FROM pre),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM px a JOIN px b ON a.tok = b.tok
       WHERE a.doc_id < b.doc_id
-        AND least(a.n, b.n) * 1000000 >= 950000 * greatest(a.n, b.n)),
+        AND least(a.n, b.n) * 1000000 >= 700000 * greatest(a.n, b.n)),
     ver AS (
       SELECT c.id_a, c.id_b,
              len(list_intersect(x.st, y.st))::DOUBLE
                / len(list_distinct(x.st || y.st)) AS jaccard
       FROM cand c JOIN pre x ON x.doc_id = c.id_a
                   JOIN pre y ON y.doc_id = c.id_b)
-    SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.95
+    SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.7
     """,
 )
 def dedup_prefix_filter_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join over SHINGLE sets (the same
+    3-gram universe MinHash signs — this is the exact-complete ground
+    truth for the metric the LSH entries approximate). The oracle
+    replicates the prefix+length pruning but NOT the positional
+    filter: that one only discards pairs exact verification would
+    reject anyway, so both sides converge on identical pairs.
+    Token-element mode exists but degenerates on this corpus's 31-word
+    vocabulary (near-quadratic candidates) — see
+    prefix_filter_jaccard_pairs."""
     from warp_spark.pipeline.dedup import prefix_filter_jaccard_pairs
 
     return prefix_filter_jaccard_pairs(
-        _t(spark, sf_dir, "documents").to_df(), threshold=0.95
+        _t(spark, sf_dir, "documents").to_df(), threshold=0.7, elements="shingles"
     )
 
 

@@ -805,6 +805,7 @@ def prefix_filter_jaccard_pairs(
     threshold: float = 0.7,
     id_col: str = "doc_id",
     text_col: str = "text",
+    elements: str = "tokens",
 ) -> DataFrame:
     """All document pairs with distinct-token Jaccard ≥ ``threshold``,
     found EXACTLY via prefix filtering: tokens are put in the canonical
@@ -826,9 +827,32 @@ def prefix_filter_jaccard_pairs(
     sort-collect per doc, one self-equi-join on prefix tokens (bounded
     by rare-token document frequencies), then candidates-only
     verification — no all-pairs stage anywhere. Returns
-    ``id_a, id_b, jaccard`` (raw double: one int/int division)."""
-    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-    ex = df.select(F.col(id_col), toks.alias("__tk")).select(
+    ``id_a, id_b, jaccard`` (raw double: one int/int division).
+
+    ``elements`` picks the set universe: ``"tokens"`` (distinct words)
+    or ``"shingles"`` (distinct word 3-grams — the SAME sets MinHash
+    signs, making this the exact-complete ground truth for the metric
+    ``minhash_lsh_candidates`` approximates). Prefix filtering lives on
+    element rarity: a tiny token vocabulary (this corpus: 31 words)
+    makes token prefixes non-selective and the join near-quadratic,
+    while the shingle universe is combinatorially larger and stays
+    selective — prefer shingles for natural text.
+
+    Candidates also pass the PPJoin POSITIONAL filter: a shared prefix
+    element at 0-based positions (pa, pb) of the canonical orders
+    bounds the overlap by ub = min(n_a − pa, n_b − pb) (the match plus
+    everything after it on each side), and J ≥ t needs overlap
+    ≥ t/(1+t)·(n_a+n_b) — checked as the exact rational
+    ub·(10⁶ + t·10⁶) ≥ t·10⁶·(n_a+n_b). A pair survives if ANY shared
+    prefix element passes (the first common one has the largest ub, so
+    this equals the classic first-match check)."""
+    if elements == "shingles":
+        sets = shingles(F.col(text_col))
+    elif elements == "tokens":
+        sets = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    else:
+        raise ValueError(f"elements must be 'tokens' or 'shingles', got {elements!r}")
+    ex = df.select(F.col(id_col), sets.alias("__tk")).select(
         F.col(id_col), F.explode("__tk").alias("tok")
     )
     freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
@@ -858,15 +882,26 @@ def prefix_filter_jaccard_pairs(
     )
     p_len = (F.col("n") - F.floor(F.lit(threshold) * F.col("n")) + 1).cast("int")
     pre = ordered.withColumn("pf", F.slice(F.col("sh"), 1, p_len))
-    px = pre.select(F.col(id_col).alias("pid"), F.col("n"), F.explode("pf").alias("tok"))
+    px = pre.select(
+        F.col(id_col).alias("pid"),
+        F.col("n"),
+        F.posexplode("pf").alias("pos", "tok"),
+    )
     t_num = int(round(threshold * 1_000_000))
     a, b = px.alias("a"), px.alias("b")
+    overlap_ub = F.least(
+        F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+    )
     cand = (
         a.join(b, "tok")
         .filter(F.col("a.pid") < F.col("b.pid"))
         .filter(
             F.least(F.col("a.n"), F.col("b.n")) * F.lit(1_000_000)
             >= F.lit(t_num) * F.greatest(F.col("a.n"), F.col("b.n"))
+        )
+        .filter(
+            overlap_ub * F.lit(1_000_000 + t_num)
+            >= F.lit(t_num) * (F.col("a.n") + F.col("b.n"))
         )
         .select(F.col("a.pid").alias("id_a"), F.col("b.pid").alias("id_b"))
         .distinct()

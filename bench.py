@@ -111,6 +111,7 @@ HEADLINE = [
     "agg_kmv_distinct",
     "sample_bottomk",
     "partitioned_write_prune",
+    "dedup_lsh_recall",
 ]
 
 

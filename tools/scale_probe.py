@@ -215,6 +215,21 @@ def main():
         dt = time.time() - t0
         results.append((f"bpe_train3 x{mult}", dt, len(merges)))
         print(f"  {'bpe_train3 x' + str(mult):34s} {dt:7.2f}s  rows={len(merges)}", flush=True)
+        # --- round-4 additions ---
+        from warp_spark.pipeline.dedup import prefix_filter_jaccard_pairs
+        from warp_spark.sampling import bottomk_sample, kmv_distinct
+
+        timed(
+            f"prefix_filter x{mult}",
+            lambda: prefix_filter_jaccard_pairs(docs, 0.7, elements="shingles"),
+            results,
+        )
+        timed(
+            f"kmv_distinct x{mult}",
+            lambda: kmv_distinct(ev, "user_id", group_col="event_type"),
+            results,
+        )
+        timed(f"bottomk_sample x{mult}", lambda: bottomk_sample(docs, "doc_id", 100), results)
         pairs.unpersist()
         docs.unpersist(); emb.unpersist(); ev.unpersist()
 
@@ -295,6 +310,17 @@ def main():
         "  tests/test_scale_ops.py). **ann_quantized** scans corpus×queries",
         "  like the exact baseline but on int8 — same flat-at-constant-",
         "  query-count shape, 4× less broadcast/scan traffic.",
+        "- **Round-4 additions**: **prefix_filter** (exact shingle-set",
+        "  similarity join, PPJoin positional pruning) produces the",
+        "  quadratic-in-duplication-depth pair output like the other",
+        "  near-dup finders (~2600× pairs at 16×) in ~16× time —",
+        "  sub-linear per result row; the prefix index keeps candidates",
+        "  bounded by rare-shingle document frequencies.",
+        "  **kmv_distinct** and **bottomk_sample** are the flattest rows",
+        "  in the table (≤ 1.8× at 16× data): a KMV sketch shuffles one",
+        "  (group, hash) distinct table and bottom-k ships k·P rows",
+        "  through TakeOrderedAndProject — both O(model), not O(data),",
+        "  past the scan.",
         "",
         "Other round-3 scale notes:",
         "",

@@ -5134,6 +5134,69 @@ def dedup_prefix_filter_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LSH recall measured against exact ground truth — the tuning
+# methodology entry: prefix filtering (exact-complete, same shingle
+# universe) supplies the TRUE pairs at J ≥ 0.7; MinHash+LSH candidates
+# are scored by how many they find. Both pipelines are deterministic,
+# so the recall itself (one int/int division) value-matches the DuckDB
+# replay of BOTH pipelines. This is how you pick bands/rows at 100 TB:
+# measure recall on a slice with the exact join, then deploy LSH with
+# the measured operating point — here 6 bands × 2 rows gives an
+# expected miss rate of (1 − J²)⁶ ≈ 2% at J = 0.7.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_lsh_recall",
+    "WITH "
+    + _DUCK_LSH
+    + """,
+    exsh AS (SELECT doc_id, unnest(sh) AS tok FROM sh),
+    freq AS (SELECT tok, count(*) AS cnt FROM exsh GROUP BY tok),
+    ordered AS (
+      SELECT doc_id, list(tok ORDER BY cnt, tok) AS st
+      FROM exsh JOIN freq USING (tok) GROUP BY doc_id),
+    pre AS (
+      SELECT doc_id, st, len(st) AS n,
+             list_slice(st, 1,
+               (len(st) - floor(0.7::DOUBLE * len(st)) + 1)::BIGINT) AS pf
+      FROM ordered),
+    px AS (SELECT doc_id, n, unnest(pf) AS tok FROM pre),
+    pcand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM px a JOIN px b ON a.tok = b.tok
+      WHERE a.doc_id < b.doc_id
+        AND least(a.n, b.n) * 1000000 >= 700000 * greatest(a.n, b.n)),
+    truth AS (
+      SELECT c.id_a, c.id_b
+      FROM pcand c JOIN pre x ON x.doc_id = c.id_a
+                   JOIN pre y ON y.doc_id = c.id_b
+      WHERE len(list_intersect(x.st, y.st))::DOUBLE
+              / len(list_distinct(x.st || y.st)) >= 0.7)
+    SELECT count(*)::BIGINT AS n_true,
+           count(c.id_a)::BIGINT AS n_found,
+           count(c.id_a)::DOUBLE / count(*) AS recall
+    FROM truth tr LEFT JOIN cand c
+      ON c.id_a = tr.id_a AND c.id_b = tr.id_b
+    """,
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.dedup import (
+        minhash_lsh_candidates,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    truth = prefix_filter_jaccard_pairs(
+        docs, threshold=0.7, elements="shingles"
+    ).select("id_a", "id_b")
+    lsh = minhash_lsh_candidates(docs).withColumn("__hit", F.lit(1))
+    return truth.join(lsh, ["id_a", "id_b"], "left").agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.count("__hit").alias("n_found"),
+        (F.count("__hit").cast("double") / F.count(F.lit(1))).alias("recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Quality-aware dedup: per near-dup cluster keep the best-quality copy
 # (ties → min id), not the min-id copy. Oracle: the dedup_clusters
 # recursive-CTE components nested as a subquery, joined to the

@@ -420,18 +420,28 @@ def ngram_strings_from_tokens(tk: Column, n: int = 13) -> Column:
     )
 
 
-def bloom_positions(g: Column, m_bits: int, k: int) -> Column:
-    """The ``k`` bit positions of one n-gram: disjoint 8-hex-char slices
-    of md5(g) mod ``m_bits`` — replicable in any engine with md5 (the
-    same cross-engine discipline as the minhash oracle's hash pairs).
-    md5's 32 hex chars bound k ≤ 4."""
-    h = F.md5(g)
+def bloom_positions_from_hex(h: Column, m_bits: int, k: int) -> Column:
+    """The ``k`` bit positions from an ALREADY-COMPUTED md5 hex string:
+    disjoint 8-hex-char slices mod ``m_bits``. Callers must md5 the
+    gram ONCE and pass the hex — building the array from ``md5(g)``
+    inline duplicates the md5 subtree per slice, and higher-order-
+    function lambdas get no common-subexpression elimination (k=4
+    md5s per gram, measured 4× the probe cost). md5's 32 hex chars
+    bound k ≤ 4."""
     return F.array(
         *[
             (F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long") % m_bits)
             for j in range(k)
         ]
     )
+
+
+def bloom_positions(g: Column, m_bits: int, k: int) -> Column:
+    """Bit positions of one n-gram — md5 evaluated once, replicable in
+    any engine with md5 (the same cross-engine discipline as the
+    minhash oracle's hash pairs). Prefer ``bloom_positions_from_hex``
+    with a staged md5 column when probing inside HOF lambdas."""
+    return bloom_positions_from_hex(F.md5(g), m_bits, k)
 
 
 def train_bloom_filter(
@@ -461,7 +471,10 @@ def train_bloom_filter(
         .select(ngram_strings_from_tokens(F.col(tk), n).alias("_grams"))
         .select(F.explode_outer("_grams").alias("g"))
         .filter(F.col("g").isNotNull())
-        .select(F.explode(bloom_positions(F.col("g"), m_bits, k)).alias("p"))
+        .select(F.md5("g").alias("h"))  # md5 once, staged before the slices
+        .select(
+            F.explode(bloom_positions_from_hex(F.col("h"), m_bits, k)).alias("p")
+        )
         .distinct()
         .collect()
     )
@@ -506,16 +519,22 @@ def bloom_contamination(
         )
         return word.bitwiseAND(mask) != 0
 
+    # md5 each gram ONCE in its own transform, then probe positions from
+    # the staged hex — the HOF-lambda analog of the CollapseProject
+    # staging rule (no common-subexpression elimination inside lambdas;
+    # inlining md5 into the position array costs k=4 md5s per gram)
+    hx = "_bloom_md5"
     flagged = F.filter(
-        F.col(gr),
-        lambda g: F.forall(
-            bloom_positions(g, m_bits, k), lambda p: bit_set(p)
+        F.col(hx),
+        lambda h: F.forall(
+            bloom_positions_from_hex(h, m_bits, k), lambda p: bit_set(p)
         ),
     )
     return (
         train.select(F.col(id_col), F.col(text_col))
         .withColumn(tk, tokens(F.col(text_col)))
         .withColumn(gr, ngram_strings_from_tokens(F.col(tk), n))
+        .withColumn(hx, F.transform(F.col(gr), lambda g: F.md5(g)))
         .select(
             F.col(id_col),
             F.size(gr).cast("long").alias("total_ngrams"),

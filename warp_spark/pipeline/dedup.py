@@ -64,7 +64,14 @@ def shingles(text: Column, n: int = 3) -> Column:
 def md5_hash_pair(s: Column) -> Column:
     """Two independent 32-bit hashes from ONE md5: (h1, h2) = the first
     and second 8 hex chars as integers. Engine-portable bit-for-bit
-    (DuckDB: ``('0x'||substring(md5(s),1,8))::BIGINT``)."""
+    (DuckDB: ``('0x'||substring(md5(s),1,8))::BIGINT``).
+
+    Caveat: inside a HOF lambda the shared ``md5(s)`` subtree is
+    evaluated once per struct field (no common-subexpression
+    elimination in lambdas — see bloom_positions_from_hex in text.py
+    for the staged-hex pattern). Only the non-default signature tier
+    uses this in a lambda (the default tier is the Arrow UDF), so the
+    2× stays off the hot path."""
     h = F.md5(s)
     return F.struct(
         F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),

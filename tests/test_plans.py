@@ -260,3 +260,12 @@ def test_partitioned_read_prunes_partitions(spark):
         assert df.count() == _events(spark, SF).filter("event_type = 'click'").count()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bottomk_sample_no_full_sort(spark):
+    """Global bottom-k must compile to TakeOrderedAndProject (map-side
+    top-k + k·P-row driver merge) — never a global Sort + Exchange;
+    same pin as random_sample, but for the deterministic sampler."""
+    plan = plan_of(spark, "sample_bottomk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan

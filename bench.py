@@ -112,6 +112,7 @@ HEADLINE = [
     "sample_bottomk",
     "partitioned_write_prune",
     "dedup_lsh_recall",
+    "events_kmv_hourly",
 ]
 
 

@@ -990,6 +990,65 @@ def sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# KMV over time buckets — the hypertable form of the distinct counter:
+# per-hour distinct-user estimates from a k=64 sketch. This is what a
+# continuous aggregate keeps at 100 TB (64 hashes per bucket instead
+# of every user id; buckets merge by re-taking the k smallest). At
+# sf0.01 each hour holds < k distinct users (exact path); at sf0.1 it
+# crosses k (estimator path) — the SFs exercise both branches, and
+# everything value-matches because the sketch is RNG-free.
+# ---------------------------------------------------------------------------
+@register(
+    "events_kmv_hourly",
+    """
+    WITH h AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS hour,
+             ('0x' || substring(md5(user_id::VARCHAR), 1, 8))::BIGINT AS hv
+      FROM events),
+    r AS (SELECT hour, hv, row_number() OVER (PARTITION BY hour ORDER BY hv) AS rn
+          FROM h),
+    per AS (SELECT hour, count(*) AS n_hashes,
+                   max(CASE WHEN rn = 64 THEN hv END) AS hvk
+            FROM r GROUP BY hour),
+    ex AS (SELECT date_trunc('hour', ts) AS hour,
+                  count(DISTINCT user_id) AS n_exact
+           FROM events GROUP BY 1)
+    SELECT p.hour, e.n_exact, p.n_hashes,
+           CASE WHEN p.n_hashes >= 64
+                THEN (63.0 * 4294967296.0) / p.hvk::DOUBLE
+                ELSE p.n_hashes::DOUBLE END AS est_distinct,
+           CASE WHEN p.n_hashes >= 64
+                THEN abs((63.0 * 4294967296.0) / p.hvk::DOUBLE
+                         - e.n_exact::DOUBLE) / e.n_exact::DOUBLE <= 0.5
+                ELSE TRUE END AS within_50pct
+    FROM per p JOIN ex e USING (hour)
+    """,
+)
+def events_kmv_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.sampling import kmv_distinct
+
+    ev = _events(spark, sf_dir).withColumn(
+        "hour", F.date_trunc("hour", F.col("ts"))
+    )
+    sk = kmv_distinct(ev, "user_id", k=64, group_col="hour")
+    exact = ev.groupBy("hour").agg(F.countDistinct("user_id").alias("n_exact"))
+    joined = sk.join(exact, "hour")
+    within = F.when(
+        F.col("n_hashes") >= 64,
+        F.abs(F.col("est_distinct") - F.col("n_exact").cast("double"))
+        / F.col("n_exact").cast("double")
+        <= 0.5,
+    ).otherwise(F.lit(True))
+    return joined.select(
+        "hour",
+        "n_exact",
+        "n_hashes",
+        "est_distinct",
+        within.alias("within_50pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # transpose — driver-side small-data utility (Raster.swift:657-694). The
 # region table is fixed (5 rows at every SF), so the transposed shape is
 # SQL-expressible as a conditional-aggregation pivot: header = first

@@ -113,6 +113,8 @@ HEADLINE = [
     "partitioned_write_prune",
     "dedup_lsh_recall",
     "events_kmv_hourly",
+    "asof_tolerance_stale",
+    "events_stream_static_enrich",
 ]
 
 

@@ -3317,6 +3317,66 @@ def events_hourly_rollup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(name).withColumn("total_value", F.round("total_value", 2))
 
 
+# ---------------------------------------------------------------------------
+# Stream-STATIC enrichment join EXECUTED as a streaming job — the most
+# common production streaming join (fact stream × dimension table):
+# each micro-batch broadcast-joins the static customer dimension, then
+# the enriched stream rolls up per (hour, market segment). The static
+# side is read once per micro-batch plan, never shuffled per row — at
+# 100 TB/day the dimension is the broadcast side and the stream never
+# repartitions for the join. Oracle: the plain batch join+rollup SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "events_stream_static_enrich",
+    """
+    SELECT date_trunc('hour', e.ts)                    AS window_start,
+           date_trunc('hour', e.ts) + INTERVAL 1 HOUR  AS window_end,
+           COALESCE(c.c_mktsegment, 'UNKNOWN')         AS segment,
+           count(*)                                    AS n_events,
+           round(sum(e.value), 2)                      AS total_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from warp_spark.streaming import run_stream_to_memory, windowed_rollup
+
+    d = tempfile.mkdtemp(prefix="warp_stream_entry_")
+    name = f"stream_static_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = _stage_event_stream(spark, sf_dir, d)
+        dim = (
+            _t(spark, sf_dir, "customer")
+            .to_df()
+            .select(
+                F.col("c_custkey").alias("user_id"),
+                F.col("c_mktsegment").alias("segment"),
+            )
+        )
+        enriched = ev.join(F.broadcast(dim), "user_id", "left").withColumn(
+            "segment", F.coalesce("segment", F.lit("UNKNOWN"))
+        )
+        rolled = windowed_rollup(
+            enriched,
+            "ts",
+            "1 hour",
+            groups=["segment"],
+            aggs={
+                "n_events": Aggregator(F.col("event_id"), "countAll"),
+                "total_value": Aggregator(F.col("value"), "sum"),
+            },
+            watermark="1 day",
+        )
+        run_stream_to_memory(rolled, name, output_mode="complete")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name).withColumn("total_value", F.round("total_value", 2))
+
+
 @register(
     "events_sliding_rollup",
     """
@@ -3957,6 +4017,68 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "ts", "value",
         F.col("ts_right").alias("click_ts"), "click_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join with a TOLERANCE bound — the staleness-capped variant
+# (pandas merge_asof's tolerance): a prior click older than 2 hours is
+# no attribution at all. Equivalence used by the oracle: backward picks
+# the MOST RECENT prior match, so if that one is outside tolerance no
+# older one can be inside — post-nulling the ASOF match is exactly the
+# tolerance semantics.
+# ---------------------------------------------------------------------------
+@register(
+    "asof_tolerance_stale",
+    """
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts AS cts, max(value) AS click_value
+               FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           CASE WHEN c.cts >= p.ts - INTERVAL 2 HOUR THEN c.cts END
+             AS click_ts,
+           CASE WHEN c.cts >= p.ts - INTERVAL 2 HOUR THEN c.click_value END
+             AS click_value,
+           (c.cts IS NOT NULL AND c.cts < p.ts - INTERVAL 2 HOUR)
+             AS dropped_stale
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts
+    """,
+)
+def asof_tolerance_stale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases enriched with the most recent prior click ONLY when it
+    is at most 2 hours old; `dropped_stale` marks rows where a match
+    existed but aged out (computed from the un-bounded join so the
+    tolerance path itself is what the oracle checks)."""
+    from warp_spark.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    bounded = asof_join(
+        purchases, clicks, on="ts", by="user_id",
+        tolerance=F.expr("INTERVAL 2 HOURS"),
+    )
+    unbounded = asof_join(purchases, clicks, on="ts", by="user_id").select(
+        "event_id", F.col("ts_right").alias("__any_ts")
+    )
+    return (
+        bounded.join(unbounded, "event_id")
+        .select(
+            "event_id", "user_id", "ts", "value",
+            F.col("ts_right").alias("click_ts"),
+            "click_value",
+            (
+                F.col("__any_ts").isNotNull()
+                & (F.col("__any_ts") < F.col("ts") - F.expr("INTERVAL 2 HOURS"))
+            ).alias("dropped_stale"),
+        )
     )
 
 

@@ -115,6 +115,8 @@ HEADLINE = [
     "events_kmv_hourly",
     "asof_tolerance_stale",
     "events_stream_static_enrich",
+    "join_full_outer",
+    "events_moving_avg_range",
 ]
 
 

@@ -3377,6 +3377,105 @@ def events_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).withColumn("total_value", F.round("total_value", 2))
 
 
+# ---------------------------------------------------------------------------
+# FULL OUTER join — the one join family the relational surface had not
+# yet oracle-proven (left/inner/theta/semi/anti/as-of/range/interval
+# all have entries; the reference itself stops at left/inner,
+# Data.swift:113-130). Both sides filtered to disjoint-ish subsets so
+# matched, left-only, AND right-only rows all appear.
+# ---------------------------------------------------------------------------
+@register(
+    "join_full_outer",
+    """
+    WITH c AS (SELECT c_custkey, c_mktsegment FROM customer
+               WHERE c_custkey % 2 = 0),
+         o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+               WHERE o_orderkey % 3 = 0)
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+           (c.c_custkey IS NOT NULL AND o.o_orderkey IS NOT NULL) AS matched
+    FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .to_df()
+        .select("c_custkey", "c_mktsegment")
+        .filter(F.col("c_custkey") % 2 == 0)
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .to_df()
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(F.col("o_orderkey") % 3 == 0)
+    )
+    j = cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_mktsegment",
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("c_custkey").isNotNull() & F.col("o_orderkey").isNotNull()).alias(
+            "matched"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE window frame — the moving-window family the suite entry's
+# ROWS frames can't express: per-user trailing-1-hour moving average.
+# Both engines order by epoch MICROseconds with a numeric RANGE frame,
+# so the frame contents are identical by construction (event ts carry
+# microsecond components; an INTERVAL frame over the raw timestamp
+# would hinge on each engine's sub-second comparison). The average
+# divides an exact milli-unit long sum once — bit-stable.
+# ---------------------------------------------------------------------------
+@register(
+    "events_moving_avg_range",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS tus,
+             CAST(round(value * 1000, 0) AS BIGINT) AS mv
+      FROM events)
+    SELECT user_id, event_id, ts,
+           sum(mv) OVER w AS mv_sum,
+           count(*) OVER w AS n_window,
+           (sum(mv) OVER w)::DOUBLE / 1000 / count(*) OVER w AS moving_avg
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts",
+        # ts may arrive TIMESTAMP_NTZ (SF-dependent parquet encoding);
+        # the session runs UTC so the cast is value-preserving
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.round(F.col("value") * 1000, 0).cast("long").alias("mv"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("mv").over(w).alias("mv_sum"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        (F.sum("mv").over(w).cast("double") / 1000 / F.count(F.lit(1)).over(w)).alias(
+            "moving_avg"
+        ),
+    )
+
+
 @register(
     "events_sliding_rollup",
     """

@@ -117,6 +117,7 @@ HEADLINE = [
     "events_stream_static_enrich",
     "join_full_outer",
     "events_moving_avg_range",
+    "validate_rules",
 ]
 
 

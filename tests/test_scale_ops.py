@@ -1079,3 +1079,41 @@ def test_prefix_filter_shingle_mode_is_exact_vs_naive(spark):
     }
     assert got == want
     assert len(got) > 0  # non-degenerate at this threshold
+
+
+def test_check_rules_and_enforce(spark):
+    """Rule table in one pass: NULL rule results are violations; enforce
+    keeps exactly the all-pass rows."""
+    from pyspark.sql import functions as F
+
+    from warp_spark.validate import check_rules, enforce
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 100.0)], "id int, x double"
+    )
+    out = {r["rule"]: r for r in check_rules(df, {
+        "x_positive": F.col("x") > 0,          # -5 fails, NULL fails
+        "id_not_null": F.col("id").isNotNull(),
+    }).collect()}
+    assert out["x_positive"]["n_violations"] == 2
+    assert out["x_positive"]["violation_ppm"] == 500000
+    assert not out["x_positive"]["passed"]
+    assert out["id_not_null"]["n_violations"] == 0 and out["id_not_null"]["passed"]
+    kept = sorted(r["id"] for r in enforce(df, {"x_positive": F.col("x") > 0}).collect())
+    assert kept == [1, 4]
+
+
+def test_check_rules_single_scan(spark):
+    """All rules fold into ONE aggregate over one scan — no per-rule
+    jobs (the plan holds a single FileScan/aggregate pair)."""
+    from pyspark.sql import functions as F
+
+    from warp_spark.validate import check_rules
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    plan = check_rules(df, {
+        "a": F.col("o_totalprice") > 0,
+        "b": F.col("o_orderkey").isNotNull(),
+        "c": F.col("o_custkey") > 0,
+    })._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan

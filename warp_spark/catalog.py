@@ -3423,6 +3423,56 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Data-quality expectation checks (validate.py) — the promotion gate a
+# training pipeline runs per batch: a rule table evaluated in ONE
+# map-side pass (one wide conditional aggregate + unpivot explode —
+# never a job per rule). NULL rule results count as violations. The
+# rate is exact integer ppm (floor division), not a rounded float —
+# the no-boundary-round discipline.
+# ---------------------------------------------------------------------------
+@register(
+    "validate_rules",
+    """
+    WITH a AS (
+      SELECT count(*) AS n,
+        sum(CASE WHEN o_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS v_key,
+        sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS v_pos,
+        sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS v_dom,
+        sum(CASE WHEN o_totalprice < 200000 THEN 0 ELSE 1 END) AS v_cap,
+        sum(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01' THEN 0 ELSE 1 END)
+          AS v_date
+      FROM orders),
+    r AS (
+      SELECT 'key_not_null' AS rule, n, v_key AS v FROM a
+      UNION ALL SELECT 'positive_price', n, v_pos FROM a
+      UNION ALL SELECT 'status_in_domain', n, v_dom FROM a
+      UNION ALL SELECT 'price_under_200k', n, v_cap FROM a
+      UNION ALL SELECT 'date_from_1996', n, v_date FROM a)
+    SELECT rule, n::BIGINT AS n_rows, v::BIGINT AS n_violations,
+           (v::BIGINT * 1000000) // n::BIGINT AS violation_ppm,
+           v = 0 AS passed
+    FROM r ORDER BY rule
+    """,
+)
+def validate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.validate import check_rules
+
+    orders = _t(spark, sf_dir, "orders").to_df()
+    return check_rules(
+        orders,
+        {
+            "key_not_null": F.col("o_orderkey").isNotNull(),
+            "positive_price": F.col("o_totalprice") > 0,
+            "status_in_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+            "price_under_200k": F.col("o_totalprice") < 200000,
+            "date_from_1996": F.col("o_orderdate") >= F.lit("1996-01-01").cast(
+                "timestamp"
+            ),
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
 # Time-RANGE window frame — the moving-window family the suite entry's
 # ROWS frames can't express: per-user trailing-1-hour moving average.
 # Both engines order by epoch MICROseconds with a numeric RANGE frame,

@@ -118,6 +118,7 @@ HEADLINE = [
     "join_full_outer",
     "events_moving_avg_range",
     "validate_rules",
+    "mutable_change_feed",
 ]
 
 

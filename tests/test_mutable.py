@@ -230,3 +230,29 @@ def test_merge_stream_applies_batches_in_order(spark, tmp_path):
     )
     t.merge_stream(stream, "id", "seq")
     assert rows(t.read()) == [(1, "s2"), (3, "s1")]
+
+
+def test_changes_cdf(spark, wh):
+    """table_changes between two versions: insert / delete /
+    update_preimage+postimage, computed from a keyed version diff."""
+    t = wh.create(
+        "cdf",
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id int, v string"
+        ),
+        keep_versions=3,
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", 1, "U"), (3, None, 1, "D"), (4, "d", 1, "U")],
+        "id int, v string, seq int, op string",
+    )
+    t.merge_changes(changes, "id", "seq")
+    got = sorted(
+        (r["_change_type"], r["id"], r["v"]) for r in t.changes("id", 0).collect()
+    )
+    assert got == [
+        ("delete", 3, "c"),
+        ("insert", 4, "d"),
+        ("update_postimage", 2, "B"),
+        ("update_preimage", 2, "b"),
+    ]

@@ -1683,6 +1683,78 @@ def mutable_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Change data feed (mutable.py::changes) — Delta's table_changes on
+# plain parquet, composing the warehouse tier: create v0, apply ONE
+# CDC merge carrying updates + deletes + inserts, then DIFF the two
+# retained versions by key. The oracle derives the same change rows
+# straight from the orders table, so a CDF bug (wrong pre/post image,
+# missed delete, phantom insert) value-mismatches.
+# ---------------------------------------------------------------------------
+@register(
+    "mutable_change_feed",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 2),
+    upd AS (SELECT * FROM base
+            WHERE o_orderkey % 12 = 6 AND o_orderkey % 20 <> 14),
+    del AS (SELECT * FROM base WHERE o_orderkey % 20 = 14),
+    ins AS (SELECT o_orderkey, o_custkey, 'N' AS o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 4 = 3)
+    SELECT 'delete' AS _change_type, o_orderkey, o_custkey,
+           o_orderstatus, o_totalprice FROM del
+    UNION ALL
+    SELECT 'update_preimage', o_orderkey, o_custkey,
+           o_orderstatus, o_totalprice FROM upd
+    UNION ALL
+    SELECT 'update_postimage', o_orderkey, o_custkey, 'U2', o_totalprice
+    FROM upd
+    UNION ALL
+    SELECT 'insert', o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM ins
+    """,
+)
+def mutable_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from warp_spark.mutable import Warehouse
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    orders = _t(spark, sf_dir, "orders").to_df().select(*cols)
+    k = F.col("o_orderkey")
+    base = orders.filter(k % 4 == 2)
+    root = tempfile.mkdtemp(prefix="warp_cdf_entry_")
+    try:
+        wh = Warehouse(spark, root)
+        t = wh.create("orders_cdf", base, keep_versions=3)
+        upd = base.filter((k % 12 == 6) & (k % 20 != 14))
+        dele = base.filter(k % 20 == 14)
+        batch = (
+            upd.withColumn("o_orderstatus", F.lit("U2")).withColumn("op", F.lit("U"))
+            .unionByName(
+                dele.select(
+                    "o_orderkey",
+                    F.lit(None).cast("long").alias("o_custkey"),
+                    F.lit(None).cast("string").alias("o_orderstatus"),
+                    F.lit(None).cast("double").alias("o_totalprice"),
+                ).withColumn("op", F.lit("D"))
+            )
+            .unionByName(
+                orders.filter(k % 4 == 3)
+                .withColumn("o_orderstatus", F.lit("N"))
+                .withColumn("op", F.lit("U"))
+            )
+            .withColumn("seq", F.lit(1))
+        )
+        t.merge_changes(batch, "o_orderkey", "seq")
+        feed = t.changes("o_orderkey", 0).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return feed
+
+
+# ---------------------------------------------------------------------------
 # Time travel over the mutable warehouse (mutable.py): with
 # keep_versions=3 the table retains every committed state, and
 # read(version=k) reads any of them — Delta/Iceberg VERSION AS OF on

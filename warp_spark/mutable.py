@@ -288,6 +288,59 @@ class MutableTable:
         if checkpoint is None:
             shutil.rmtree(ckpt, ignore_errors=True)
 
+    def changes(
+        self, key_col: str, version_from: int, version_to: int = -1
+    ) -> DataFrame:
+        """Change data feed between two RETAINED versions (Delta's
+        ``table_changes`` on plain parquet): a keyed row diff emitting
+        one row per change — ``insert`` (key only in TO), ``delete``
+        (key only in FROM), and ``update_preimage``/``update_postimage``
+        pairs for keys in both whose payload differs (null-safe struct
+        comparison). Requires key-unique versions and ``keep_versions``
+        retention covering ``version_from``; appends land in the current
+        version directory (no snapshot), so diff against rewrite commits
+        (update/delete/merge/overwrite/compact).
+
+        Shape: ONE full outer join on the key; the per-row change list
+        is built as an array of typed structs and exploded — no second
+        pass, no EXCEPT (which would diff whole rows and read both
+        versions twice)."""
+        f = self.read(version=version_from)
+        t = self.read(version=version_to)
+        shared = [c for c in t.columns if c != key_col and c in f.columns]
+        pre = F.col("__pre")
+        post = F.col("__post")
+
+        def typed(kind: str, payload: Column) -> Column:
+            return F.struct(F.lit(kind).alias("_change_type"), payload.alias("p"))
+
+        j = (
+            f.select(key_col, F.struct(*shared).alias("__pre"))
+            .join(
+                t.select(key_col, F.struct(*shared).alias("__post")),
+                key_col,
+                "full_outer",
+            )
+        )
+        differs = pre.isNotNull() & post.isNotNull() & ~pre.eqNullSafe(post)
+        arr = F.array_compact(
+            F.array(
+                F.when(pre.isNotNull() & post.isNull(), typed("delete", pre)),
+                F.when(pre.isNull() & post.isNotNull(), typed("insert", post)),
+                F.when(differs, typed("update_preimage", pre)),
+                F.when(differs, typed("update_postimage", post)),
+            )
+        )
+        c = F.col("__c")
+        return (
+            j.select(F.col(key_col), F.explode(arr).alias("__c"))
+            .select(
+                c["_change_type"].alias("_change_type"),
+                F.col(key_col),
+                *[c["p"][s].alias(s) for s in shared],
+            )
+        )
+
     def compact(self, target_files: int = 1) -> None:
         """Small-file compaction: rewrite the current version into
         ``target_files`` files (inserts append one file per call — at

@@ -119,6 +119,7 @@ HEADLINE = [
     "events_moving_avg_range",
     "validate_rules",
     "mutable_change_feed",
+    "grouping_sets_margins",
 ]
 
 

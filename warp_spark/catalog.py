@@ -6646,6 +6646,56 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS — the general form ROLLUP/CUBE specialize
+# (both already have entries): an arbitrary set list, here the two
+# single-dimension margins plus the cross table but NO grand total —
+# a shape neither rollup nor cube can produce. Still one shuffle with
+# map-side expansion.
+# ---------------------------------------------------------------------------
+@register(
+    "grouping_sets_margins",
+    """
+    SELECT COALESCE(o_orderpriority, '<all>') AS priority,
+           COALESCE(o_orderstatus, '<all>')   AS status,
+           GROUPING(o_orderpriority)          AS g_priority,
+           GROUPING(o_orderstatus)            AS g_status,
+           count(*)                           AS n_rows,
+           round(sum(o_totalprice), 2)        AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus))
+    """,
+)
+def grouping_sets_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").to_df()
+    return (
+        orders.groupingSets(
+            [
+                ["o_orderpriority", "o_orderstatus"],
+                ["o_orderpriority"],
+                ["o_orderstatus"],
+            ],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.grouping("o_orderstatus").alias("g_status"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.col("g_priority").cast("long"),
+            F.col("g_status").cast("long"),
+            "n_rows",
+            "total",
+        )
+    )
+
+
 @register(
     "window_functions_suite",
     """

@@ -256,3 +256,23 @@ def test_changes_cdf(spark, wh):
         ("update_postimage", 2, "B"),
         ("update_preimage", 2, "b"),
     ]
+
+
+def test_changes_cdf_across_schema_evolution(spark, wh):
+    """changes() diffs on the SHARED columns when the TO version carries
+    an evolved (wider) schema — the version diff never fails on column
+    drift, it narrows to the comparable surface."""
+    from pyspark.sql import functions as F
+
+    t = wh.create(
+        "cdfe",
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"),
+        keep_versions=3,
+    )
+    t.update(F.col("id") == 2, {"v": F.lit("B")})  # rewrite commit (v1)
+    t.add_column("extra", "string", default=F.lit("x"))  # widens schema (v2)
+    got = sorted(
+        (r["_change_type"], r["id"], r["v"]) for r in t.changes("id", 0).collect()
+    )
+    assert got == [("update_postimage", 2, "B"), ("update_preimage", 2, "b")]
+    assert set(t.changes("id", 0).columns) == {"_change_type", "id", "v"}

@@ -120,6 +120,7 @@ HEADLINE = [
     "validate_rules",
     "mutable_change_feed",
     "grouping_sets_margins",
+    "events_kmv_streamed",
 ]
 
 

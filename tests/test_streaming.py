@@ -358,3 +358,54 @@ def test_heavy_hitters_multi_batch_final_snapshot(spark, tmp_path):
                 assert item in s
                 cnt, err, _ = s[item]
                 assert cnt >= n and cnt - err <= n
+
+
+def test_kmv_stateful_two_batches_equals_batch_sketch(spark, tmp_path):
+    """Bottom-k state is order-insensitive: the final streamed sketch
+    over two micro-batches equals the batch KMV on the full data —
+    n_stored, k-th hash, and estimate all value-equal."""
+    import shutil
+
+    from warp_spark.sampling import _hash32, kmv_distinct
+    from warp_spark.streaming.windows import kmv_stateful
+
+    d = tmp_path / "kmv_two_files"
+    d.mkdir()
+    full = batch_events(spark)
+    half1 = full.filter(F.col("event_id") % 2 == 0)
+    half2 = full.filter(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.mode("overwrite").parquet(str(d / "a"))
+    half2.coalesce(1).write.mode("overwrite").parquet(str(d / "b"))
+    for i, sub in enumerate(["a", "b"]):
+        for f in (d / sub).glob("*.parquet"):
+            shutil.move(str(f), str(d / f"part-{i}.parquet"))
+        shutil.rmtree(d / sub)
+
+    k = 4  # small k so the eviction path actually runs
+    stream = with_ts(read_event_stream(spark, str(d), max_files_per_trigger=1))
+    sk = kmv_stateful(
+        stream.select("event_type", _hash32(F.col("user_id")).alias("hv")),
+        "event_type",
+        "hv",
+        k=k,
+    )
+    run_stream_to_memory(sk, "kmv_mb", output_mode="update")
+    sink = spark.table("kmv_mb")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    final = {
+        r["event_type"]: (r["n_stored"], r["kth_hash"], r["est_distinct"])
+        for r in sink.withColumn("mx", F.max("n_processed").over(w))
+        .filter(F.col("n_processed") == F.col("mx"))
+        .collect()
+    }
+    batch = {
+        r["event_type"]: (r["n_hashes"], r["est_distinct"])
+        for r in kmv_distinct(full, "user_id", k=k, group_col="event_type").collect()
+    }
+    assert set(final) == set(batch)
+    for et, (n_stored, _, est) in final.items():
+        n_hashes, batch_est = batch[et]
+        assert n_stored == min(n_hashes, k)
+        assert est == batch_est  # bit-equal: same estimator arithmetic

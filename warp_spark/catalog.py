@@ -6180,6 +6180,73 @@ def events_heavy_hitters_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# STREAMING KMV distinct counter (streaming/windows.py::kmv_stateful):
+# per-event-type distinct users estimated from O(k) state on an
+# unbounded stream. Bottom-k state is ORDER-INSENSITIVE — however the
+# stream batches arrivals, the final sketch is identical — so unlike
+# the space-saving entry this streaming sketch carries a FULL value
+# oracle: the DuckDB replay reproduces n_stored, the k-th hash, and
+# the estimate bit-for-bit. Hashing runs JVM-side before the Python
+# state step (which only merges sorted longs).
+# ---------------------------------------------------------------------------
+@register(
+    "events_kmv_streamed",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substring(md5(user_id::VARCHAR), 1, 8))::BIGINT AS hv
+      FROM events),
+    r AS (SELECT event_type, hv,
+                 row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+          FROM h),
+    per AS (SELECT event_type, count(*) AS nd,
+                   max(CASE WHEN rn = 64 THEN hv END) AS hvk,
+                   max(CASE WHEN rn <= 64 THEN hv END) AS mx
+            FROM r GROUP BY event_type),
+    tot AS (SELECT event_type, count(*) AS n_processed
+            FROM events GROUP BY event_type)
+    SELECT p.event_type,
+           least(p.nd, 64)::BIGINT AS n_stored,
+           CASE WHEN p.nd >= 64 THEN p.hvk ELSE p.mx END AS kth_hash,
+           CASE WHEN p.nd >= 64
+                THEN (63.0 * 4294967296.0) / p.hvk::DOUBLE
+                ELSE p.nd::DOUBLE END AS est_distinct,
+           t.n_processed::BIGINT AS n_processed
+    FROM per p JOIN tot t USING (event_type)
+    """,
+)
+def events_kmv_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from warp_spark.sampling import _hash32
+    from warp_spark.streaming import run_stream_to_memory
+    from warp_spark.streaming.windows import kmv_stateful
+
+    d = tempfile.mkdtemp(prefix="warp_stream_entry_")
+    name = f"kmv_streamed_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = _stage_event_stream(spark, sf_dir, d)
+        src = ev.select(
+            F.col("event_type"), _hash32(F.col("user_id")).alias("hv")
+        )
+        sk = kmv_stateful(src, "event_type", "hv", k=64)
+        run_stream_to_memory(sk, name, output_mode="update")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    w = Window.partitionBy("event_type")
+    return (
+        spark.table(name)
+        .withColumn("__mx", F.max("n_processed").over(w))
+        .filter(F.col("n_processed") == F.col("__mx"))
+        .drop("__mx")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact-moment correlation matrix over the lineitem measures: Pearson
 # from decimal(38,0)/HUGEINT integer moments (one pass), cast to double
 # once — bit-stable cross-engine (the variancePopulation discipline).

@@ -302,6 +302,70 @@ def heavy_hitters_stateful(
     )
 
 
+def kmv_stateful(
+    df: DataFrame,
+    key_col: str,
+    hash_col: str,
+    k: int = 64,
+    key_type: str = "string",
+) -> DataFrame:
+    """Per-key streaming KMV distinct counter: state = the k smallest
+    distinct 32-bit hashes seen so far (O(k) per key forever). Unlike
+    the space-saving summary, bottom-k state is ORDER-INSENSITIVE —
+    the final sketch is identical however arrivals are batched — so
+    the streamed estimate value-matches a batch/SQL replay exactly
+    (the only streaming sketch here with a full value oracle, not an
+    invariant one). Pre-hash the values JVM-side (sampling.py::_hash32)
+    and feed the hash column; the Python state step then only merges
+    sorted longs. Emits ``key, n_stored, kth_hash, est_distinct,
+    n_processed`` per update; the final snapshot per key is the rows
+    with max n_processed. Estimator: (k-1)·2³²/h₍ₖ₎, exact path below
+    k stored hashes — identical arithmetic to sampling.kmv_distinct."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} {key_type}, n_stored long, kth_hash long, "
+        "est_distinct double, n_processed long"
+    )
+    state_schema = "hashes array<long>, n_processed long"
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            stored, n_proc = state.get
+            cur = set(stored)
+        else:
+            cur, n_proc = set(), 0
+        for pdf in pdfs:
+            vals = pdf[hash_col].tolist()
+            n_proc += len(vals)
+            cur.update(int(v) for v in vals)
+            if len(cur) > k:
+                cur = set(sorted(cur)[:k])
+        stored = sorted(cur)
+        state.update((stored, int(n_proc)))
+        if len(stored) >= k:
+            kth = stored[k - 1]
+            est = float((k - 1) * 4294967296.0) / float(kth)
+        else:
+            kth = stored[-1] if stored else 0
+            est = float(len(stored))
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                "n_stored": [len(stored)],
+                "kth_hash": [int(kth)],
+                "est_distinct": [est],
+                "n_processed": [int(n_proc)],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def trailing_zscore(
     df: DataFrame,
     ts_col: str,

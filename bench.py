@@ -121,6 +121,7 @@ HEADLINE = [
     "mutable_change_feed",
     "grouping_sets_margins",
     "events_kmv_streamed",
+    "events_sessionize_dynamic",
 ]
 
 

@@ -3887,6 +3887,55 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, "ts", "30 minutes", keys=["user_id"])
 
 
+# ---------------------------------------------------------------------------
+# DYNAMIC session gaps — each event extends the session by its OWN
+# duration (clicks cool off in 10 minutes, everything else in 30):
+# Spark's session_window(ts, gap_column) form. Sessions merge exactly
+# when an event lands within the running MAXIMUM of previous
+# (ts + gap) reaches — the oracle's gaps-and-islands uses that
+# running max, not lag (a long-gap event can bridge past a short-gap
+# one, which plain lag-based islands get wrong).
+# ---------------------------------------------------------------------------
+@register(
+    "events_sessionize_dynamic",
+    """
+    WITH e AS (
+      SELECT user_id, ts,
+             ts + CASE WHEN event_type = 'click'
+                       THEN INTERVAL 10 MINUTE
+                       ELSE INTERVAL 30 MINUTE END AS reach
+      FROM events),
+    x AS (
+      SELECT user_id, ts, reach,
+             max(reach) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prev_reach
+      FROM e),
+    num AS (
+      SELECT user_id, ts,
+             sum(CASE WHEN prev_reach IS NULL OR ts > prev_reach
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM x)
+    SELECT user_id,
+           min(ts)  AS session_start,
+           max(ts)  AS session_end,
+           count(*) AS n_events
+    FROM num
+    GROUP BY user_id, session_no
+    """,
+)
+def events_sessionize_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.streaming import sessionize
+
+    ev = _events(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "click", "10 minutes").otherwise(
+        "30 minutes"
+    )
+    return sessionize(ev, "ts", gap, keys=["user_id"])
+
+
 def _stage_event_stream(spark: SparkSession, sf_dir: str, tmpdir: str) -> DataFrame:
     """Stage events.parquet into a temp dir (the file source wants a
     directory) and open it as a readStream with ``ts`` normalized to a

@@ -19,7 +19,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from typing import Mapping, Optional, Sequence
+from typing import Mapping, Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -77,7 +77,7 @@ def hourly_rollup(df: DataFrame, ts_col: str, groups: Sequence[str], aggs: Mappi
 def sessionize(
     df: DataFrame,
     ts_col: str,
-    gap: str,
+    gap: Union[str, Column],
     keys: Sequence[str],
     watermark: Optional[str] = None,
 ) -> DataFrame:
@@ -85,7 +85,12 @@ def sessionize(
     one session per key. Emits the observed span (first/last event time)
     plus the event count — the observable footprint, engine-portable
     (Spark's raw session_window end extends past the last event by
-    ``gap``, which no other engine reproduces)."""
+    ``gap``, which no other engine reproduces).
+
+    ``gap`` may be a Column for DYNAMIC gaps (each event extends the
+    session by its own duration — e.g. clicks close faster than
+    purchases); sessions then merge exactly when an event lands within
+    the running maximum of previous (ts + gap) reaches."""
     if watermark is not None and df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     return (

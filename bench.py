@@ -1,8 +1,13 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
-``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+``local[$SPARK_GRAFT_CPUS]``.  Prints the full per-query timing map as
+one JSON line, then a compact final JSON line
+``{"metric": "headline_queries_total", "value": N, "unit": "sec",
+"n_queries": K, "sf": ...}`` — the final line is what the driver's
+bounded tail capture parses (the one-line-with-full-map format outgrew
+the 2,000-char capture at 94 queries and cost round 4 its official
+bench number).
 
 Each query is fully materialized via a count-collect (not collect of all
 rows — the driver measures engine time, not driver-transfer time... but
@@ -165,13 +170,27 @@ def main():
     timings = {name: round(t, 3) for name, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
+    # The driver captures only the last ~2,000 chars of stdout; at 94
+    # queries the full per-query map no longer fits on one line (this is
+    # why BENCH_r04.json came back ``parsed: null``).  Print the
+    # detailed map FIRST (for humans / logs), then a compact final line
+    # that stays well under the capture window at any query count.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_detail",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
                 "sf": sf,
             }
         )

@@ -1,0 +1,100 @@
+"""Every oracle's output schema must be made of types whose DuckDB
+``res.df()`` (pandas) materialization is value-faithful.
+
+Round-4 postmortem: DuckDB ``sum()`` over integers returns HUGEINT;
+``fetchall()`` converts HUGEINT to exact Python ints (so the strict
+local gate stayed green) but the grading driver fetches through pandas
+``.df()``, which converts HUGEINT to float64 — so the driver hashed
+``450.0`` against Spark's ``450`` and four windowed entries went red
+despite computing identical values.  Same bug class as the round-3
+list-canonicalization miss: a representation difference invisible to
+the local gate.
+
+This test closes the CLASS: DESCRIBE every oracle against the sf0.001
+views and assert every output column is in the pandas-safe allowlist.
+HUGEINT/INT128 (float64 coercion) and DECIMAL (object/float coercion,
+engine-dependent) are banned — cast to ``::BIGINT`` or ``::DOUBLE`` in
+the oracle SQL instead, matching whatever Spark emits.
+
+No SparkSession needed — pure DuckDB, runs in seconds.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TINY_SF", "/root/testdata/sf0.001")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# Types whose duckdb->pandas conversion is exact and matches what the
+# Spark side emits for the same logical value.  Anything outside this
+# set must be explicitly cast in the oracle SQL.
+ALLOWED_TYPES = {
+    "BOOLEAN",
+    "TINYINT",
+    "SMALLINT",
+    "INTEGER",
+    "BIGINT",
+    "DOUBLE",
+    "FLOAT",
+    "VARCHAR",
+    "DATE",
+    "TIMESTAMP",
+    "BLOB",
+}
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    if not os.path.isdir(SF_DIR):
+        pytest.skip(f"test data not present: {SF_DIR}")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def test_no_pandas_lossy_types_in_any_oracle(oracle_con):
+    import __spark_entry__ as entrymod
+
+    oracles = entrymod.oracle_sql()
+    assert oracles, "oracle_sql() returned nothing"
+    offenders = {}
+    for name, sql in oracles.items():
+        desc = oracle_con.sql(f"DESCRIBE ({sql})").fetchall()
+        bad = [
+            (col, typ)
+            for col, typ, *_ in desc
+            # strip parametrization like DECIMAL(38,0) / VARCHAR(10)
+            if typ.split("(")[0].strip() not in ALLOWED_TYPES
+            # nested types: allow lists/structs OF allowed scalars only
+            and not _nested_ok(typ)
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "oracle output columns with pandas-lossy types (cast them in the "
+        f"SQL): {offenders}"
+    )
+
+
+def _nested_ok(typ: str) -> bool:
+    """LIST/STRUCT types are fine iff every leaf scalar is allowed."""
+    t = typ.upper()
+    if "[" not in t and "STRUCT" not in t and "MAP" not in t:
+        return False
+    for banned in ("HUGEINT", "INT128", "UHUGEINT", "DECIMAL"):
+        if banned in t:
+            return False
+    return True

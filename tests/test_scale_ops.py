@@ -722,6 +722,43 @@ def test_exact_corr_matrix_known_values(spark):
     assert math.isclose(got2["corr"], expected, abs_tol=1e-6)
 
 
+def test_exact_corr_matrix_overflow_guard_fires(spark):
+    """The decimal(38,0) headroom bound (stats.py docstring:
+    2·log10(n) + 2d ≤ 38) must FAIL LOUDLY, not emit NULL corr, when a
+    moment product overflows. Values near 10^18 at scale 100 make
+    Σx·Σy ≈ 10^40 > 10^38 with just a few rows. Under ANSI mode (the
+    Spark 4 default) the overflow raises NUMERIC_VALUE_OUT_OF_RANGE at
+    the aggregate itself; under legacy non-ANSI configs the product
+    NULLs silently and the assert_true guard in exact_corr_matrix is
+    what trips — either way the job dies with a diagnosable error
+    instead of returning NULL correlations."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from warp_spark.stats import exact_corr_matrix
+
+    big = 9.0e17  # scale 100 → integer units ~9e19, products ~8e39 > 1e38
+    rows = [(big + i, big - i) for i in range(4)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    bad = exact_corr_matrix(df, {"x": (F.col("x"), 100), "y": (F.col("y"), 100)})
+    with pytest.raises(Exception) as exc:
+        bad.collect()
+    msg = str(exc.value)
+    assert (
+        "NUMERIC_VALUE_OUT_OF_RANGE" in msg  # ANSI: raise at the aggregate
+        or "overflow" in msg  # non-ANSI: the assert_true guard message
+    )
+
+    # and the SAFE side of the bound still returns real numbers (d=9
+    # digits of integer magnitude, well within 2·log10(n)+2d ≤ 38)
+    ok_rows = [(1.0e7 + i, 2.0e7 - i) for i in range(4)]
+    ok = exact_corr_matrix(
+        spark.createDataFrame(ok_rows, "x double, y double"),
+        {"x": (F.col("x"), 100), "y": (F.col("y"), 100)},
+    ).collect()
+    assert ok[0]["corr"] is not None
+
+
 def test_spherical_kmeans_converges_and_deterministic(spark):
     from warp_spark.pipeline.similarity import spherical_kmeans
 

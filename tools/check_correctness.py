@@ -15,6 +15,8 @@ import time
 from datetime import date, datetime
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, ".")
 
@@ -39,6 +41,30 @@ def norm(v):
         return tuple(norm(x) for x in v)
     if isinstance(v, bytes):
         return v.hex()
+    return v
+
+
+def from_pandas(v):
+    """Convert a pandas/numpy cell to the plain-Python value the driver
+    sees.  The driver fetches DuckDB results via ``res.df()`` (pandas),
+    NOT ``fetchall()`` — the two disagree on HUGEINT (exact int vs
+    float64), which cost four red driver cells in round 4 while the
+    fetchall-based local gate stayed green.  BOTH sides go through
+    pandas (Spark via toPandas, DuckDB via .df()) so representation
+    quirks pandas applies to each side equally (NULL double → NaN,
+    nullable int64 → float64) cancel out, exactly as they do at the
+    driver — while one-sided quirks (HUGEINT → float64 only on the
+    DuckDB side) still surface as the mismatches they are."""
+    if v is None or v is pd.NaT:
+        return None
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, np.ndarray):
+        return [from_pandas(x) for x in v.tolist()]
+    if isinstance(v, (list, tuple)):
+        return [from_pandas(x) for x in v]
     return v
 
 
@@ -73,7 +99,11 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            srows = [
+                tuple(from_pandas(v) for v in row)
+                for row in spdf.itertuples(index=False, name=None)
+            ]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
@@ -87,7 +117,13 @@ def main():
         try:
             res = con.sql(sql)
             ocols = list(res.columns)
-            orows = [tuple(r) for r in res.fetchall()]
+            # driver-faithful fetch: pandas .df(), not fetchall() —
+            # see from_pandas() for why
+            odf = res.df()
+            orows = [
+                tuple(from_pandas(v) for v in row)
+                for row in odf.itertuples(index=False, name=None)
+            ]
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)

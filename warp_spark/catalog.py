@@ -9,6 +9,28 @@ Conventions:
   engines' floating-point summation orders cannot flip the hash;
 - every query is expressed through the warp_spark Dataset/function
   layer (this is the engine under test), not raw SQL.
+
+EXACTNESS CHECKLIST — every new entry must obey all five rules (each
+one is a class of cross-engine hash mismatch that cost a driver round):
+1. Integer moments in decimal(38,0): compute sums/sums-of-squares of
+   integers exactly, cast to double ONCE at the end (variance, corr,
+   skew/kurtosis — use two-pass CENTERED moments when raw power sums
+   could overflow 38 digits). √ is IEEE-exact; pow() is not.
+2. Pin the fold order of any float reduction: sort the term list by a
+   deterministic key (alphabet, id) on BOTH sides and fold from the
+   same init (DuckDB bare `0.0` is DECIMAL — write `0.0::DOUBLE`).
+3. NEVER round() a boundary-prone value: Spark rounds the shortest
+   decimal repr HALF_UP, DuckDB rounds the binary value — they disagree
+   exactly on .xxxxxx5. Use floor(x+0.5) for half-up, or compare raw
+   doubles with fixed parenthesization mirrored verbatim in the SQL.
+4. Cast every integer-aggregate oracle column: DuckDB sum(int) is
+   HUGEINT, which the driver's pandas fetch converts to float64 while
+   Spark emits long — add `::BIGINT` (or `::DOUBLE` if Spark emits
+   double). tests/test_oracle_types.py DESCRIBEs all oracles and bans
+   HUGEINT/DECIMAL outputs; the local gate fetches via .df() like the
+   driver.
+5. Guard divisions: Spark 4 runs ANSI mode — n/0 RAISES, so wrap with
+   F.when(denom != 0, ...) and mirror NULLIF/CASE in the oracle.
 """
 
 from __future__ import annotations
@@ -3561,7 +3583,7 @@ def validate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(round(value * 1000, 0) AS BIGINT) AS mv
       FROM events)
     SELECT user_id, event_id, ts,
-           sum(mv) OVER w AS mv_sum,
+           (sum(mv) OVER w)::BIGINT AS mv_sum,
            count(*) OVER w AS n_window,
            (sum(mv) OVER w)::DOUBLE / 1000 / count(*) OVER w AS moving_avg
     FROM e
@@ -5176,8 +5198,8 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'FAST'
                 WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'MEDIUM'
                 ELSE 'SLOW' END AS speed,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count
     FROM lineitem JOIN orders ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -5745,7 +5767,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id,
            array_to_string(COALESCE(a.token_ids, []), ',') AS token_ids_csv,
            COALESCE(a.n_tokens, 0)   AS n_tokens,
-           COALESCE(a.n_oov, 0)      AS n_oov
+           COALESCE(a.n_oov, 0)::BIGINT AS n_oov
     FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
 )
@@ -6117,7 +6139,7 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                * log2((cs.c::DOUBLE / ns.n_s) / (g.cg::DOUBLE / nt.n)) AS t
       FROM cs JOIN ns USING (source) JOIN g USING (id) CROSS JOIN nt
     ),
-    arr AS (SELECT source, max(n_s) AS n_tokens_in_vocab,
+    arr AS (SELECT source, max(n_s)::BIGINT AS n_tokens_in_vocab,
                    list(t ORDER BY id) AS ts
             FROM terms GROUP BY source)
     SELECT source, n_tokens_in_vocab,
@@ -6395,7 +6417,7 @@ def _langid_eval_oracle() -> str:
                   sum(n) AS support
            FROM conf GROUP BY 1),
     pp AS (SELECT lang_pred AS l, sum(n) AS predicted FROM conf GROUP BY 1)
-    SELECT tp.l AS lang, tp.support, tp.tp AS correct,
+    SELECT tp.l AS lang, tp.support::BIGINT AS support, tp.tp::BIGINT AS correct,
            round(tp.tp::DOUBLE / tp.support, 6) AS recall,
            CASE WHEN pp.predicted > 0
                 THEN round(tp.tp::DOUBLE / pp.predicted, 6) END AS precision
@@ -7203,89 +7225,83 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # the window is rotated every round and the rotation is documented here
 # and in PARITY.md.
 #
-# Round-4 window: every entry that has NEVER been driver-judged
-# (36 of them — the r03 additions queued for exactly this rotation),
-# the one red r03 cell (tokenize_vocab_ids, harness canonicalization
-# fixed this round), the three NEW round-4 entries (DML round-trip,
-# real PNG/WAV codecs), the flagship TPC-H trio kept in-window every
-# round, the two entries whose ORACLES changed this round
-# (dedup_incremental bucket-cap modeling, q22 scalar-inline refactor),
-# and four anchors for the exactness/plan disciplines. After this
-# round every catalog entry will have had at least one driver-judged
-# round. All displaced entries were hash-verified by the driver in a
-# prior round and remain covered by the tri-SF strict local gate
-# (tools/check_correctness.py) and pytest; the prefix invariant itself
-# is pinned by tests/test_plans.py::test_driver_window_is_the_queries_prefix.
+# Round-5 window: the 30 entries that have NEVER been driver-judged
+# (the post-window round-4 additions — mutable tier, KMV family,
+# prefix-filter pair, full-outer/as-of/RANGE-frame, grouping sets,
+# streaming executions), the FOUR red r04 cells (q12_priority_by_delay,
+# mixture_drift_kl, langid_confusion, tokenize_vocab_ids — all four
+# shared one root cause, DuckDB HUGEINT sum columns reaching the
+# driver's pandas fetch as float64; their oracles now cast ::BIGINT and
+# tests/test_oracle_types.py bans the type class catalog-wide), the
+# flagship TPC-H trio kept in-window every round, and displaced
+# driver-green keepers spanning each tier (relational, reducers,
+# function suites, dedup, text, events) to re-anchor the disciplines.
+# After this round every catalog entry has driver-judged evidence.
+# All displaced entries were hash-verified by the driver in a prior
+# round and remain covered by the tri-SF strict local gate
+# (tools/check_correctness.py, which now fetches BOTH sides via pandas
+# exactly like the driver) and pytest; the prefix invariant itself is
+# pinned by tests/test_plans.py::test_driver_window_is_the_queries_prefix.
 # ===========================================================================
 
 _DRIVER_WINDOW = [
-    # --- never driver-judged (r03 additions) ---
-    "stratified_sample",
-    "agg_approx_sketch",
-    "text_repetition",
-    "text_tfidf_topterms",
-    "pipeline_curation_summary",
-    "dedup_clusters_star",
-    "winnow_overlap",
-    "embedding_semantic_dedup",
-    "ann_topk_pq",
-    "events_funnel",
-    "events_user_retention",
-    "events_gapfill_hourly",
-    "q11_important_parts",
+    # --- never driver-judged (post-window round-4 additions) ---
+    "mixture_temperature",
+    "events_streaming_dedup",
+    "events_late_data_rollup",
+    "bucketed_join_revenue",
+    "agg_skew_kurtosis",
+    "cube_revenue",
+    "agg_mode_mad",
+    "mutable_time_travel",
+    "mutable_schema_evolution",
+    "bpe_apply_tokenize",
+    "ann_topk_filtered",
+    "hybrid_search_rrf",
+    "dedup_prefix_filter_exact",
+    "multimodal_y4m_real",
+    "mutable_cdc_merge",
+    "mutable_streaming_merge",
+    "agg_kmv_distinct",
+    "sample_bottomk",
+    "partitioned_write_prune",
+    "dedup_lsh_recall",
+    "events_kmv_hourly",
+    "asof_tolerance_stale",
+    "events_stream_static_enrich",
+    "join_full_outer",
+    "events_moving_avg_range",
+    "validate_rules",
+    "mutable_change_feed",
+    "grouping_sets_margins",
+    "events_kmv_streamed",
+    "events_sessionize_dynamic",
+    # --- the four red r04 cells, oracles fixed (::BIGINT casts) ---
     "q12_priority_by_delay",
-    "q20_promotable_suppliers",
-    "q21_waiting_suppliers",
-    "chunk_documents_rag",
-    "split_assign",
     "mixture_drift_kl",
-    "events_heavy_hitters_streamed",
-    "corr_matrix",
-    "embedding_kmeans",
     "langid_confusion",
-    "events_ewma",
-    "dedup_containment",
-    "quality_robust_stats",
-    "zorder_index",
-    "profile_orders",
-    "quality_percentile_cut",
-    "rollup_revenue",
-    "window_functions_suite",
-    "set_operations",
-    "percentiles_exact",
-    "semi_anti_join",
-    "text_lm_score",
-    "infer_formula_roundtrip",
-    # --- the only red r03 cell, fixed (token_ids now a joined string) ---
     "tokenize_vocab_ids",
-    # --- new round-4 entries ---
-    "mutable_dml_roundtrip",
-    "multimodal_png_real",
-    "multimodal_wav_real",
-    "decontaminate_bloom",
-    "ann_topk_quantized",
-    "bpe_train_merges",
-    "events_stream_stream_join",
-    "source_roundtrip_formats",
     # --- flagship TPC-H, kept every round ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    # --- oracle/plan changed this round ---
-    "q22_idle_customers",
-    "dedup_incremental",
-    # (text_char_entropy / dedup_minhash_lsh / dedup_keep_best /
-    #  aggregate_reducers / q2_min_cost_supplier — all driver-green in
-    #  r03 — ceded their slots to the five late-round-4 entries above.
-    #  r05 rotation should pull in the post-window round-4 additions:
-    #  mixture_temperature, events_streaming_dedup,
-    #  events_late_data_rollup, bucketed_join_revenue,
-    #  agg_skew_kurtosis, cube_revenue, agg_mode_mad,
-    #  mutable_time_travel, mutable_schema_evolution,
-    #  bpe_apply_tokenize, ann_topk_filtered, hybrid_search_rrf,
-    #  dedup_prefix_filter_exact, multimodal_y4m_real,
-    #  mutable_cdc_merge — all tri-SF green under the local gate
-    #  meanwhile.)
+    # --- displaced driver-green keepers re-anchoring each tier ---
+    "aggregate_reducers",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "functions_math",
+    "functions_string",
+    "functions_datetime",
+    "coercion_semantics",
+    "dedup_minhash_lsh",
+    "dedup_keep_best",
+    "text_char_entropy",
+    "events_sessionize",
+    "asof_purchase_click",
+    "pivot_linestatus",
+    # (new round-5 entries displace keepers from the bottom of this
+    #  keeper block as they land — keepers are all driver-green in a
+    #  prior round and stay under the tri-SF local gate.)
 ]
 
 

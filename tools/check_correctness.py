@@ -30,7 +30,14 @@ def norm(v):
         return None
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            # NaN ≅ NULL, matching the driver: a nullable BOOLEAN
+            # column reaches pandas as object None on the Spark side
+            # but object float-NaN through DuckDB .df(), and
+            # coercion_semantics was driver-GREEN in r5 with exactly
+            # that split — so the driver unifies them.  This cannot
+            # mask a real mismatch: in float64 columns both engines'
+            # NULLs become NaN anyway, and value-vs-null still differs.
+            return None
         # exact compare — the driver's hash is exact, so the local gate
         # must be at least as strict or local green won't predict driver
         # green (this masked the round-1/2 variancePopulation failure)
@@ -120,6 +127,16 @@ def main():
             # driver-faithful fetch: pandas .df(), not fetchall() —
             # see from_pandas() for why
             odf = res.df()
+            # DATE columns: DuckDB .df() widens DATE to a midnight
+            # Timestamp while Spark toPandas yields datetime.date; the
+            # driver compares these EQUAL (events_user_retention was
+            # driver-green in r04, the same round the HUGEINT pandas
+            # reds proved the .df() fetch), so collapse DATE-typed
+            # columns back to date.  Per declared type only — a true
+            # TIMESTAMP column at midnight must NOT collapse.
+            for col, typ in zip(ocols, res.types):
+                if str(typ) == "DATE" and odf[col].dtype.kind == "M":
+                    odf[col] = odf[col].dt.date
             orows = [
                 tuple(from_pandas(v) for v in row)
                 for row in odf.itertuples(index=False, name=None)

@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""sf0.1 → sf1 (10×) probe of the most expensive catalog queries
+(VERDICT r5 item 3): turn the "plans survive 100×" argument from
+plan-reading into measurement at a 10× input point.
+
+Builds `.scratch/sf1/` once — sf0.1 fact tables replicated 10× to
+PARQUET ON DISK (queries must pay real scan/pushdown costs, not read a
+cached in-memory lineage) with per-replica key offsets, dims copied
+fixed: the 100 TB shape where facts outgrow entities.
+
+- lineitem/orders: orderkey-space offset per replica (join keys grow);
+- documents: doc_id offset + a replica token prepended to text
+  (near-dup-REALISTIC — replicas must not collapse into one LSH
+  bucket or every pair finder degenerates);
+- embeddings: vec_id offset + per-replica epsilon rotation;
+- events: disjoint user_id/event_id ranges (key cardinality grows).
+
+Then runs the heavy catalog queries UNMODIFIED at sf0.1 and sf1 in the
+same JVM (noop sink, best-of-2 round-robin) and prints a SCALE.md
+section.  Quiet-box pre-flight as in scale_probe_ann.py.
+
+Not probed, and why (no silent caps): `mutable_streaming_merge` and
+the other streaming executions replay a fixed micro-batch script into
+a temp warehouse — their cost scales with the script, not sf_dir;
+`multimodal_*` synthesize payloads from documents rows (covered by the
+documents-driven entries at 10× already).
+
+Usage: python tools/probe_sf1.py [--rebuild]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf1")
+MULT = 10
+
+# the 10 most expensive entries in BENCH_r05 (official driver bench)
+# that scale with sf_dir input, plus bpe_train_merges (the train loop)
+HEAVY = [
+    "dedup_lsh_recall",
+    "dedup_prefix_filter_exact",
+    "decontaminate_bloom",
+    "bpe_apply_tokenize",
+    "dedup_keep_best",
+    "agg_mode_mad",
+    "bpe_train_merges",
+    "corr_matrix",
+    "text_char_entropy",
+    "pipeline_curation_summary",
+    "text_lm_score",
+]
+
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+
+def build_sf1(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(SF1, exist_ok=True)
+    for t in DIMS:
+        shutil.copy(f"{SF01}/{t}.parquet", f"{SF1}/{t}.parquet")
+
+    def reps(df):
+        return df.crossJoin(
+            F.broadcast(spark.range(MULT).select(F.col("id").alias("rep")))
+        )
+
+    def write(df, name):
+        # one parquet dir per table; catalog reads f"{dir}/{t}.parquet"
+        df.write.mode("overwrite").parquet(f"{SF1}/{name}.parquet")
+        print(f"  wrote {name}", flush=True)
+
+    orders = spark.read.parquet(f"{SF01}/orders.parquet")
+    okey_span = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    write(
+        reps(orders).select(
+            (F.col("o_orderkey") + F.col("rep") * okey_span).alias("o_orderkey"),
+            "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+            "o_orderpriority",
+        ),
+        "orders",
+    )
+    li = spark.read.parquet(f"{SF01}/lineitem.parquet")
+    write(
+        reps(li).select(
+            (F.col("l_orderkey") + F.col("rep") * okey_span).alias("l_orderkey"),
+            "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+            "l_linestatus", "l_shipdate",
+        ),
+        "lineitem",
+    )
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    ndocs = docs.count()
+    write(
+        reps(docs).select(
+            (F.col("doc_id") + F.col("rep") * ndocs).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text")).otherwise(
+                F.concat(F.lit("rep"), F.col("rep").cast("string"), F.lit(" "), F.col("text"))
+            ).alias("text"),
+            "lang", "source", "n_chars",
+        ),
+        "documents",
+    )
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    nemb = emb.count()
+    write(
+        reps(emb).select(
+            (F.col("vec_id") + F.col("rep") * nemb).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x, i: x + (F.col("rep") * F.lit(0.001)) * (i % 3 - 1)
+            ).cast("array<float>").alias("embedding"),
+            "label",
+        ),
+        "embeddings",
+    )
+    ev = spark.read.parquet(f"{SF01}/events.parquet")
+    write(
+        reps(ev).select(
+            (F.col("event_id") + F.col("rep") * 100_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("rep") * 1_000_000).alias("user_id"),
+            "event_type", "value", "props",
+        ),
+        "events",
+    )
+
+
+def main() -> None:
+    from tools.scale_probe_ann import preflight
+
+    preflight()
+    from warp_spark import get_spark
+    from warp_spark.catalog import QUERIES
+
+    spark = get_spark("probe-sf1")
+    if "--rebuild" in sys.argv and os.path.isdir(SF1):
+        shutil.rmtree(SF1)
+    if not os.path.isdir(SF1):
+        print("building .scratch/sf1 (10× sf0.1 facts, dims fixed) ...", flush=True)
+        build_sf1(spark)
+
+    def run(name, sf_dir):
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm every query shape once (codegen/classload)
+    for name in HEAVY:
+        run(name, "/root/testdata/sf0.001")
+
+    best = {name: {} for name in HEAVY}
+    for _ in range(2):  # best-of-2 ROUND-ROBIN: decorrelate steal bursts
+        for name in HEAVY:
+            for label, d in (("sf0.1", SF01), ("sf1", SF1)):
+                t0 = time.time()
+                run(name, d)
+                dt = time.time() - t0
+                cur = best[name].get(label)
+                best[name][label] = dt if cur is None else min(cur, dt)
+                print(f"  {name:28s} {label:5s} {dt:7.2f}s", flush=True)
+
+    print("\nSCALE.md section (best-of-2, quiet box):")
+    print("| query | sf0.1 | sf1 (10×) | growth |")
+    print("|---|---|---|---|")
+    for name in HEAVY:
+        a, b = best[name]["sf0.1"], best[name]["sf1"]
+        print(f"| {name} | {a:.2f}s | {b:.2f}s | {b / a:.1f}× |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

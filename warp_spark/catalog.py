@@ -7225,83 +7225,81 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # the window is rotated every round and the rotation is documented here
 # and in PARITY.md.
 #
-# Round-5 window: the 30 entries that have NEVER been driver-judged
-# (the post-window round-4 additions — mutable tier, KMV family,
-# prefix-filter pair, full-outer/as-of/RANGE-frame, grouping sets,
-# streaming executions), the FOUR red r04 cells (q12_priority_by_delay,
-# mixture_drift_kl, langid_confusion, tokenize_vocab_ids — all four
-# shared one root cause, DuckDB HUGEINT sum columns reaching the
-# driver's pandas fetch as float64; their oracles now cast ::BIGINT and
-# tests/test_oracle_types.py bans the type class catalog-wide), the
-# flagship TPC-H trio kept in-window every round, and displaced
-# driver-green keepers spanning each tier (relational, reducers,
-# function suites, dedup, text, events) to re-anchor the disciplines.
-# After this round every catalog entry has driver-judged evidence.
-# All displaced entries were hash-verified by the driver in a prior
-# round and remain covered by the tri-SF strict local gate
-# (tools/check_correctness.py, which now fetches BOTH sides via pandas
-# exactly like the driver) and pytest; the prefix invariant itself is
+# Round-6 window: every catalog entry is already driver-judged green
+# (r5 closed the loop at 160/160), so FRESHNESS is now the rotation
+# criterion — each round re-anchors the entries whose latest driver
+# evidence is oldest, keeping the rolling invariant "no entry's latest
+# evidence older than ~3 rounds" reachable.  This window is the 30
+# entries last judged in r02 (relational basics, formula language,
+# text/dedup/ANN baselines, the hourly/daily event rollups — including
+# events_daily_from_hourly, whose DATE output column re-proves the
+# date-vs-midnight-timestamp equivalence the local gate now normalizes
+# per declared type), the flagship TPC-H trio kept in-window every
+# round, and the first 17 of the r03-vintage entries (sampling,
+# transpose, dedup clusters/simhash, LSH/IVF ANN, multimodal stubs,
+# sliding rollup, list/json/binary function suites, salted/two-phase
+# aggregation, range/interval joins) — the remaining 20 r03-vintage
+# entries rotate in r7.  All displaced entries were hash-verified by
+# the driver in a prior round and remain covered by the tri-SF strict
+# local gate (tools/check_correctness.py, driver-faithful pandas fetch
+# + per-type DATE collapse) and pytest; the prefix invariant itself is
 # pinned by tests/test_plans.py::test_driver_window_is_the_queries_prefix.
 # ===========================================================================
 
 _DRIVER_WINDOW = [
-    # --- never driver-judged (post-window round-4 additions) ---
-    "mixture_temperature",
-    "events_streaming_dedup",
-    "events_late_data_rollup",
-    "bucketed_join_revenue",
-    "agg_skew_kurtosis",
-    "cube_revenue",
-    "agg_mode_mad",
-    "mutable_time_travel",
-    "mutable_schema_evolution",
-    "bpe_apply_tokenize",
-    "ann_topk_filtered",
-    "hybrid_search_rrf",
-    "dedup_prefix_filter_exact",
-    "multimodal_y4m_real",
-    "mutable_cdc_merge",
-    "mutable_streaming_merge",
-    "agg_kmv_distinct",
-    "sample_bottomk",
-    "partitioned_write_prune",
-    "dedup_lsh_recall",
-    "events_kmv_hourly",
-    "asof_tolerance_stale",
-    "events_stream_static_enrich",
-    "join_full_outer",
-    "events_moving_avg_range",
-    "validate_rules",
-    "mutable_change_feed",
-    "grouping_sets_margins",
-    "events_kmv_streamed",
-    "events_sessionize_dynamic",
-    # --- the four red r04 cells, oracles fixed (::BIGINT casts) ---
-    "q12_priority_by_delay",
-    "mixture_drift_kl",
-    "langid_confusion",
-    "tokenize_vocab_ids",
+    # --- stalest evidence: last driver-judged r02 (30) ---
+    "filter_calculate",
+    "select_distinct",
+    "unique_expression",
+    "sort_offset_limit",
+    "join_left_aggregate",
+    "join_theta",
+    "union_by_name",
+    "rank_running_total",
+    "q10_returned_items",
+    "flatten_melt",
+    "explode_split_rows",
+    "explode_split_columns",
+    "dummies_onehot",
+    "search_contains",
+    "filter_set_in",
+    "agg_pack_statuses",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint_tokens",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "embedding_near_pairs",
+    "ann_topk_bruteforce",
+    "formula_nl_calculate",
+    "formula_calculate",
+    "formula_filter",
+    "sequencer_enumerate",
+    "events_hourly_rollup",
+    "events_daily_from_hourly",
+    "chain_order_buckets",
     # --- flagship TPC-H, kept every round ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    # --- displaced driver-green keepers re-anchoring each tier ---
-    "aggregate_reducers",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "functions_math",
-    "functions_string",
-    "functions_datetime",
-    "coercion_semantics",
-    "dedup_minhash_lsh",
-    "dedup_keep_best",
-    "text_char_entropy",
-    "events_sessionize",
-    "asof_purchase_click",
-    "pivot_linestatus",
-    # (new round-5 entries displace keepers from the bottom of this
-    #  keeper block as they land — keepers are all driver-green in a
-    #  prior round and stay under the tri-SF local gate.)
+    # --- r03-vintage rotation, first 17 (rest rotate in r7) ---
+    "random_sample",
+    "transpose_region",
+    "dedup_clusters",
+    "dedup_simhash",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "events_sliding_rollup",
+    "functions_lists",
+    "functions_binary",
+    "functions_json",
+    "agg_minimum_count",
+    "join_salted_aggregate",
+    "agg_two_phase",
+    "range_join_error_views",
+    "interval_join_error_bursts",
 ]
 
 

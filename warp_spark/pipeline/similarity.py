@@ -944,23 +944,27 @@ def quantized_topk(
     columns (``qdot``, ``qnorm2`` = Σqb²) are pure integers. Same
     kNN-baseline plan shape as brute_force_topk (corpus never shuffles;
     map-side window top-k) with a 4× smaller broadcast."""
-    q = int8_quantize(queries, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("q").alias("qa")
-    )
-    c = int8_quantize(corpus, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("q").alias("qb")
-    )
-
     def isum(arr: Column) -> Column:
         return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
+    q = int8_quantize(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("q").alias("qa")
+    )
+    # Σqb² depends only on the corpus vector — stage it BELOW the join
+    # (once per corpus row, not once per corpus×query pair; the same
+    # per-side staging discipline as brute_force_topk's norms, which
+    # measured ~5× there).  Same exact integers either way.
+    c = int8_quantize(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("q").alias("qb")
+    ).withColumn(
+        "qnorm2", isum(F.transform(F.col("qb"), lambda x: (x * x).cast("long")))
+    )
+
     qdot = isum(F.zip_with(F.col("qa"), F.col("qb"), lambda a, b: (a * b).cast("long")))
-    qn2 = isum(F.transform(F.col("qb"), lambda x: (x * x).cast("long")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("qdot", qdot)
-        .withColumn("qnorm2", qn2)
     )
     # per query Σqa² is constant, so cosine order ≡ qdot/√Σqb² order
     qcos = F.col("qdot") / F.sqrt(F.col("qnorm2").cast("double"))

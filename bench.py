@@ -127,6 +127,9 @@ HEADLINE = [
     "grouping_sets_margins",
     "events_kmv_streamed",
     "events_sessionize_dynamic",
+    # round-6 additions
+    "text_pii_redact",
+    "ann_topk_ivfpq",
 ]
 
 

@@ -1166,3 +1166,82 @@ def test_check_rules_single_scan(spark):
         "c": F.col("o_custkey") > 0,
     })._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1, plan
+
+
+def test_ivfpq_topk_recall_and_probe_honesty(spark):
+    from warp_spark.pipeline.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_centroids,
+        ivfpq_topk,
+    )
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(q, emb, k=5).collect()}
+    got = ivfpq_topk(q, emb, k=5, n_centroids=16, nprobe=4, rerank=50).collect()
+    rr = {(r["query_id"], r["neighbor_id"]) for r in got}
+    # recall is bounded above by IVF's candidate recall (nprobe lists)
+    # and below by the entry's floor
+    assert len(rr & ex) / len(ex) >= 0.3
+    assert all(1 <= r["rank"] <= 5 for r in got)
+    assert all(r["query_id"] != r["neighbor_id"] for r in got)
+    # index honesty: every returned neighbor really lives in one of its
+    # query's probed lists — the inverted file pruned, it didn't leak
+    cents = ivf_centroids(emb, 16)
+    assign = {
+        r["vec_id"]: r["cid"]
+        for r in emb.select(
+            "vec_id", ivf_assign(F.col("embedding"), cents).alias("cid")
+        ).collect()
+    }
+    cmat = np.stack([v for _, v in cents]).astype(np.float64)
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    qrows = q.select("vec_id", "embedding").collect()
+    for qr in qrows:
+        qv = np.array(qr["embedding"], dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
+        probes = set(np.argsort(-(qv @ cmat.T), kind="stable")[:4].tolist())
+        for r in got:
+            if r["query_id"] == qr["vec_id"]:
+                assert assign[r["neighbor_id"]] in probes
+    # deterministic end-to-end (RNG-free training + stable sorts)
+    again = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in
+             ivfpq_topk(q, emb, k=5, n_centroids=16, nprobe=4, rerank=50).collect()}
+    assert again == {(r["query_id"], r["neighbor_id"], r["rank"]) for r in got}
+
+
+def test_redact_pii_semantics(spark):
+    from warp_spark.pipeline.text import redact_pii
+
+    rows = [
+        (1, "mail me at a.b+c@ex-ample.org or x@y.io thanks"),
+        (2, "call 555-123-4567 and 555-000-1111"),
+        (3, "hosts 10.0.0.1 and 192.168.255.254 up"),
+        (4, "ssn 123-45-6789 on file"),
+        # sequencing: both dotted quads are consumed by the IPv4 rule
+        # BEFORE the loose phone rule (which also matches dotted digit
+        # runs) gets to see them — n_phone stays 0
+        (5, "hosts 10.0.0.1 then 10.0.0.2"),
+        # and an SSN-shaped group is taken by the SSN rule, not phone
+        (6, "no pii here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert (got[1]["n_email"], got[1]["n_phone"]) == (2, 0)
+    assert got[2]["n_phone"] == 2
+    assert (got[3]["n_ipv4"], got[3]["n_phone"]) == (2, 0)
+    assert (got[4]["n_ssn"], got[4]["n_phone"]) == (1, 0)
+    assert (got[5]["n_ipv4"], got[5]["n_phone"]) == (2, 0)
+    assert all(
+        got[6][c] == 0 for c in ("n_email", "n_ipv4", "n_ssn", "n_phone")
+    )
+    # the md5 is of the REDACTED text: identical inputs with different
+    # PII spellings redact to identical bytes
+    pair = spark.createDataFrame(
+        [(10, "reach a@b.co now"), (11, "reach c.d@e-f.org now")],
+        "doc_id long, text string",
+    )
+    h = [r["redacted_md5"] for r in redact_pii(pair).collect()]
+    assert h[0] == h[1]

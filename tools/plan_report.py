@@ -88,6 +88,7 @@ def main():
         "ann_topk_lsh",
         "ann_topk_ivf",
         "ann_topk_pq",
+        "ann_topk_ivfpq",
         # embeds the exact-kNN vector leg (brute_force_topk crossJoin)
         "hybrid_search_rrf",
     }

@@ -7211,6 +7211,129 @@ def multimodal_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_decode_features(synth_wav_payloads(docs))
 
 
+# PII redaction (pipeline/text.py::redact_pii): the scrub pass every
+# training-data pipeline runs first.  The synthetic corpus contains no
+# PII, so the entry INJECTS it deterministically from doc_id (the same
+# replay-the-generation-rule oracle pattern as the codec entries):
+# doc_id%4 selects an email / phone / IPv4 / SSN-shaped suffix whose
+# digits derive from doc_id arithmetic both engines compute exactly.
+# The oracle replays injection + the identical sequential
+# regexp_replace chain; emitting md5(redacted) proves the replacement
+# bytes match, not just the counts.  Patterns are restricted to the
+# Java-regex ∩ RE2 syntax subset (no lookaround/backrefs).
+@register(
+    "text_pii_redact",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             text || CASE doc_id % 4
+               WHEN 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+               WHEN 1 THEN ' call 555-' || lpad(((doc_id*7) % 1000)::VARCHAR, 3, '0')
+                          || '-' || lpad(((doc_id*13) % 10000)::VARCHAR, 4, '0')
+               WHEN 2 THEN ' host 10.' || (doc_id % 256)::VARCHAR || '.'
+                          || ((doc_id*37) % 256)::VARCHAR || '.'
+                          || ((doc_id % 254) + 1)::VARCHAR
+               ELSE ' id 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+             END AS t0
+      FROM documents
+    ),
+    s1 AS (SELECT doc_id,
+                  len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+                  regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+           FROM p),
+    s2 AS (SELECT doc_id, n_email,
+                  len(regexp_extract_all(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ipv4,
+                  regexp_replace(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t2
+           FROM s1),
+    s3 AS (SELECT doc_id, n_email, n_ipv4,
+                  len(regexp_extract_all(t2, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))::BIGINT AS n_ssn,
+                  regexp_replace(t2, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS t3
+           FROM s2),
+    s4 AS (SELECT doc_id, n_email, n_ipv4, n_ssn,
+                  len(regexp_extract_all(t3, '\\+?\\d[\\d().\\- ]{6,}\\d'))::BIGINT AS n_phone,
+                  regexp_replace(t3, '\\+?\\d[\\d().\\- ]{6,}\\d', '<PHONE>', 'g') AS t4
+           FROM s3)
+    SELECT doc_id, n_email, n_ipv4, n_ssn, n_phone, md5(t4) AS redacted_md5
+    FROM s4
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    did = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 4 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            )
+            .when(
+                did % 4 == 1,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad(((did * 7) % 1000).cast("string"), 3, "0"),
+                    F.lit("-"),
+                    F.lpad(((did * 13) % 10000).cast("string"), 4, "0"),
+                ),
+            )
+            .when(
+                did % 4 == 2,
+                F.concat(
+                    F.lit(" host 10."),
+                    (did % 256).cast("string"),
+                    F.lit("."),
+                    ((did * 37) % 256).cast("string"),
+                    F.lit("."),
+                    ((did % 254) + 1).cast("string"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit(" id 123-45-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                )
+            ),
+        ).alias("text"),
+    )
+    return redact_pii(injected)
+
+
+# IVF-PQ ANN (similarity.py::ivfpq_topk): the Faiss-IndexIVFPQ
+# composition — coarse inverted-file pruning to nprobe/n_centroids of
+# the corpus, PQ ADC scoring over 16 B/vector codes inside the probed
+# lists only, exact re-rank of the shortlist.  ~64× fewer scanned
+# bytes than raw brute force at these defaults before any raw vector
+# is touched.  Self-validating recall floor vs the oracle-checked
+# exact baseline, like the other approximate-index entries; the floor
+# sits below IVF's candidate-recall ceiling (nprobe-bounded), which
+# PQ scoring inside the lists cannot exceed.
+@register(
+    "ann_topk_ivfpq",
+    """
+    SELECT CAST(10 AS BIGINT) AS n_queries,
+           CAST(0.3 AS DOUBLE) AS recall_floor,
+           true               AS recall_ge_floor
+    """,
+)
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.similarity import brute_force_topk, ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings").to_df()
+    q = emb.filter(F.col("vec_id") < 10)
+    return _ann_recall_check(
+        ivfpq_topk(q, emb, k=5, n_centroids=16, nprobe=4, rerank=50),
+        brute_force_topk(q, emb, k=5),
+        floor=0.3,
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

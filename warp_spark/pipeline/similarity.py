@@ -760,6 +760,21 @@ def pq_topk(
     )
     if rerank <= k:
         return out
+    return _exact_rerank(out, queries, corpus, k, id_col, vec_col)
+
+
+def _exact_rerank(
+    shortlist: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Production two-stage tail shared by the compressed-index paths
+    (pq_topk, ivfpq_topk): ONLY the shortlist ids join back to their raw
+    vectors for exact cosine — the raw corpus is touched for
+    |shortlist|·|queries| rows, never scanned."""
     qv = queries.select(
         F.col(id_col).alias("query_id"), _dcast(F.col(vec_col)).alias("query_vec")
     ).withColumn("q_norm", _norm(F.col("query_vec")))
@@ -767,16 +782,133 @@ def pq_topk(
         F.col(id_col).alias("neighbor_id"), _dcast(F.col(vec_col)).alias("neighbor_vec")
     ).withColumn("c_norm", _norm(F.col("neighbor_vec")))
     exact = (
-        out.select("query_id", "neighbor_id")
+        shortlist.select("query_id", "neighbor_id")
         .join(cv, "neighbor_id")
         .join(F.broadcast(qv), "query_id")
         .withColumn("sim", _staged_sim())
     )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 16,
+    n_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: Optional[list] = None,
+    codebooks=None,
+    rerank: int = 0,
+) -> DataFrame:
+    """IVF-PQ: the composition every production vector store runs at
+    scale (Faiss IndexIVFPQ; Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI'11 §IV) — a coarse inverted file
+    prunes the corpus to ``nprobe``/``n_centroids`` of its lists, then
+    product-quantized ADC scores ONLY the surviving codes, then (with
+    ``rerank``>k) the exact tail re-ranks the shortlist.
+
+    Why the composition matters at 100 TB: IVF alone still reads raw
+    vectors (256 B each here) for every probed row; PQ alone still
+    scores every code in the corpus.  Together the query-time work is
+    (nprobe/n_centroids) · |corpus| code gathers over 16 B/vector codes
+    — a ~4 · 16 = 64× reduction in scanned bytes at these defaults
+    before the shortlist touches a raw vector.
+
+    Scale shape: centroids and codebooks are O(model) driver artifacts
+    (train once, pass in — same discipline as ivf_topk/pq_topk); the
+    corpus pass computes centroid_id + PQ codes in ONE narrow
+    projection (no shuffle, no raw-vector movement); probe-list
+    membership is enforced INSIDE the Arrow scoring kernel against the
+    closure-captured per-query probe sets — the corpus is never joined
+    or shuffled, map-side top-k bounds the window input to
+    shortlist·P·|queries| rows exactly like pq_topk."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    if centroids is None:
+        centroids = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, m, n_codes, vec_col, id_col)
+    books = np.stack([np.array(b, dtype=np.float64) for b in codebooks])  # (m,k,sub)
+    sub = books.shape[2]
+
+    # queries: driver-side LUTs + probe lists (small-query contract)
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    qm = np.stack([np.array(r[vec_col], dtype=np.float64) for r in q_rows])
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    luts = np.einsum("qjs,jcs->qjc", qm.reshape(len(qm), len(books), sub), books)
+    cmat = np.stack([v for _, v in centroids]).astype(np.float64)
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    csims = qm @ cmat.T  # same cosine the corpus-side ivf_assign uses
+    probe_sets = [
+        np.argsort(-csims[i], kind="stable")[:nprobe] for i in range(len(qids))
+    ]
+
+    # corpus: inverted-file assignment + PQ codes, one narrow pass
+    codes = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.coalesce(ivf_assign(F.col(vec_col), centroids), F.lit(-1)).alias(
+            "centroid_id"
+        ),
+        pq_encode(F.col(vec_col), codebooks).alias("codes"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+    shortlist = max(k, rerank)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            nid = pdf["neighbor_id"].to_numpy()
+            cent = pdf["centroid_id"].to_numpy()
+            outs = []
+            for qi in range(len(qids)):
+                # the inverted-file prune: only rows in a probed list score
+                keep = np.isin(cent, probe_sets[qi]) & (nid != qids[qi])
+                if not keep.any():
+                    continue
+                ck, nk = c[keep], nid[keep]
+                s = luts[qi][np.arange(len(books)), ck].sum(axis=1)
+                top = np.argsort(-s, kind="stable")[:shortlist]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            "neighbor_id": nk[top],
+                            "sim": s[top].round(6),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    partial = codes.mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    out = (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+    if rerank <= k:
+        return out
+    return _exact_rerank(out, queries, corpus, k, id_col, vec_col)
 
 
 def filtered_topk(

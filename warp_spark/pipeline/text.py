@@ -1004,3 +1004,55 @@ def bigram_lm_scores(
             ).alias("avg_log2_prob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-level PII redaction (the catalog / hot-path form of
+# scrub_pii above)
+# ---------------------------------------------------------------------------
+
+# scrub_pii's rules plus an SSN-shaped rule.  ORDER IS SEMANTICS —
+# rules apply sequentially, each on the text the previous rule
+# produced: the IPv4 rule must precede the loose phone rule (an IP is
+# a phone-shaped digit run) and so must the SSN rule (a 3-2-4 group is
+# too).  Patterns stay in the Java-regex ∩ RE2 subset like
+# PII_PATTERNS (no lookaround/backrefs).
+PII_RULES = [PII_PATTERNS[0], PII_PATTERNS[1]] + [
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    PII_PATTERNS[2],
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """DataFrame-level staged variant of ``scrub_pii``: same sequential
+    count-then-replace semantics (each count is of ACTUAL redactions —
+    taken on the text state its rule sees, so overlapping categories
+    never double-count one span), but each intermediate text lives in
+    its OWN projection.  ``scrub_pii`` nests the replace chain inside
+    every count expression — fine for ad-hoc Column use, but the
+    nesting re-evaluates each regexp_replace once per downstream
+    reader; the staged form runs every regex exactly once per row, the
+    shape a 100 TB scrub pass needs.  Still pure JVM Column ops in
+    whole-stage codegen; nothing shuffles.
+
+    Emits ``id_col, n_email, n_ipv4, n_ssn, n_phone, redacted_md5`` —
+    the md5 of the fully-redacted text proves the replacement BYTES
+    (not just the counts) match the differential oracle.
+    """
+    out = df.select(F.col(id_col), F.col(text_col).alias("__t0"))
+    for i, (name, pat, tag) in enumerate(PII_RULES):
+        cur, nxt = f"__t{i}", f"__t{i + 1}"
+        kept = [id_col] + [f"n_{n}" for n, _, _ in PII_RULES[:i]]
+        out = out.select(
+            *kept,
+            F.regexp_count(F.col(cur), F.lit(pat)).cast("long").alias(f"n_{name}"),
+            F.regexp_replace(F.col(cur), pat, tag).alias(nxt),
+        )
+    final = f"__t{len(PII_RULES)}"
+    return out.select(
+        F.col(id_col),
+        *[F.col(f"n_{n}") for n, _, _ in PII_RULES],
+        F.md5(F.col(final)).alias("redacted_md5"),
+    )

@@ -269,3 +269,16 @@ def test_bottomk_sample_no_full_sort(spark):
     plan = plan_of(spark, "sample_bottomk")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_pii_redact_stages_each_regex_once(spark):
+    """redact_pii exists (vs scrub_pii) precisely so each regexp runs
+    once per row: 4 sequential rules must compile to exactly 4
+    regexp_replace and 4 regexp_count occurrences in the optimized
+    plan.  If CollapseProject ever re-inlines the replace chain into
+    both of a stage's readers (count + next replace), these counts
+    double — the same pathology pinned for text_char_entropy above."""
+    plan = optimized_of(spark, "text_pii_redact")
+    assert plan.count("regexp_replace") == 4, plan
+    # regexp_count compiles to size(regexp_extract_all(...))
+    assert plan.count("regexp_extract_all") == 4, plan

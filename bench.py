@@ -130,6 +130,7 @@ HEADLINE = [
     # round-6 additions
     "text_pii_redact",
     "ann_topk_ivfpq",
+    "embedding_decontaminate",
 ]
 
 

@@ -1245,3 +1245,27 @@ def test_redact_pii_semantics(spark):
     )
     h = [r["redacted_md5"] for r in redact_pii(pair).collect()]
     assert h[0] == h[1]
+
+
+def test_semantic_contamination_semantics(spark):
+    from warp_spark.pipeline.similarity import semantic_contamination
+
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0, 0.0, 0.0]),   # parallel to eval 100 → sim 1.0
+            (2, [0.0, 0.0, 3.0, 0.0]),   # orthogonal to both → 0.0
+            (3, [1.0, 1.0, 0.0, 0.0]),   # 45° to both → ~0.7071
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r for r in semantic_contamination(tr, ev, 0.5).collect()}
+    assert got[1]["max_sim"] == 1.0 and got[1]["contaminated"]
+    assert got[2]["max_sim"] == 0.0 and not got[2]["contaminated"]
+    assert got[3]["max_sim"] == pytest.approx(0.707107, abs=1e-6)
+    assert got[3]["contaminated"]
+    # exactly one row per training vector, none fabricated
+    assert set(got) == {1, 2, 3}

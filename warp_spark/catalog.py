@@ -7334,6 +7334,35 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Embedding-space decontamination (similarity.py::semantic_contamination):
+# for every training vector the max cosine vs an eval set (vec_id%50==0
+# plays the benchmark here) — the semantic analogue of
+# decontaminate_ngram/bloom, catching paraphrased eval leakage.  The
+# eval matrix is a kernel closure: FileScan → MapInPandas, zero joins,
+# zero shuffles.  Value oracle via DuckDB list_cosine_similarity — the
+# same einsum-vs-list parity the embedding_near_pairs oracle has proven
+# since round 2; round is monotone so round-after-max == max-after-round.
+@register(
+    "embedding_decontaminate",
+    """
+    WITH ev AS (SELECT embedding FROM embeddings WHERE vec_id % 50 = 0),
+    tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0)
+    SELECT t.vec_id,
+           round(max(list_cosine_similarity(t.embedding::DOUBLE[], e.embedding::DOUBLE[])), 6) AS max_sim,
+           round(max(list_cosine_similarity(t.embedding::DOUBLE[], e.embedding::DOUBLE[])), 6) >= 0.4 AS contaminated
+    FROM tr t CROSS JOIN ev e
+    GROUP BY t.vec_id
+    """,
+)
+def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.similarity import semantic_contamination
+
+    emb = _t(spark, sf_dir, "embeddings").to_df()
+    ev = emb.filter(F.col("vec_id") % 50 == 0)
+    tr = emb.filter(F.col("vec_id") % 50 != 0)
+    return semantic_contamination(tr, ev, threshold=0.4)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 
@@ -7362,7 +7391,9 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # transpose, dedup clusters/simhash, LSH/IVF ANN, multimodal stubs,
 # sliding rollup, list/json/binary function suites, salted/two-phase
 # aggregation, range/interval joins) — the remaining 20 r03-vintage
-# entries rotate in r7.  All displaced entries were hash-verified by
+# entries rotate in r7, together with the three NEW round-6 entries
+# (text_pii_redact, ann_topk_ivfpq, embedding_decontaminate — all
+# tri-SF green locally).  All displaced entries were hash-verified by
 # the driver in a prior round and remain covered by the tri-SF strict
 # local gate (tools/check_correctness.py, driver-faithful pandas fetch
 # + per-type DATE collapse) and pytest; the prefix invariant itself is

@@ -1211,3 +1211,66 @@ def spherical_kmeans(
     # assignments consistent with the RETURNED centroids, not the
     # pre-final-update ones (round-3 ADVICE.md item) — lazy, no collect
     return _assign(cents), cents, objectives
+
+
+def semantic_contamination(
+    train: DataFrame,
+    evalset: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: for every training
+    vector, the max cosine against the eval set, plus a contaminated
+    flag — the semantic analogue of the n-gram/bloom decontamination in
+    pipeline/text.py (catches paraphrased eval leakage that exact-gram
+    checks miss).
+
+    Scale shape: eval sets are MB-sized by nature, so the normalized
+    eval matrix rides into the Arrow kernel as a closure — ZERO joins,
+    ZERO shuffles, one narrow corpus pass emitting one row per training
+    vector (FileScan → MapInPandas and nothing else; at 100 TB this is
+    embarrassingly parallel and the eval matrix broadcasts once per
+    executor).
+
+    Exactness: per-pair sims use the same fixed-order ``'ij,ij->i'``
+    einsum reduction as ``_block_pair_scorer`` (shape-independent
+    summation order), so ``round(max, 6)`` value-matches DuckDB's
+    ``list_cosine_similarity`` — the cross-engine cosine parity proven
+    by the ``embedding_near_pairs`` oracle since round 2.  ``round`` is
+    monotone, so round-after-max equals max-after-round; both sides
+    round after the max."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    ev_rows = evalset.select(vec_col).collect()  # O(eval set), by contract small
+    em = np.stack([np.array(r[vec_col], dtype=np.float64) for r in ev_rows])
+    em = em / np.linalg.norm(em, axis=1, keepdims=True)
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("max_sim", T.DoubleType()),
+            T.StructField("contaminated", T.BooleanType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            x = x / np.linalg.norm(x, axis=1, keepdims=True)
+            sims = np.empty((len(x), len(em)))
+            for j in range(len(em)):
+                sims[:, j] = np.einsum("ij,ij->i", x, np.broadcast_to(em[j], x.shape))
+            mx = np.round(sims.max(axis=1), 6)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "max_sim": mx,
+                    "contaminated": mx >= threshold,
+                }
+            )
+
+    return train.select(id_col, vec_col).mapInPandas(score, schema)

@@ -131,6 +131,7 @@ HEADLINE = [
     "text_pii_redact",
     "ann_topk_ivfpq",
     "embedding_decontaminate",
+    "fuzzy_link_names",
 ]
 
 

@@ -1269,3 +1269,35 @@ def test_semantic_contamination_semantics(spark):
     assert got[3]["contaminated"]
     # exactly one row per training vector, none fabricated
     assert set(got) == {1, 2, 3}
+
+
+def test_fuzzy_best_match_single_edit_complete(spark):
+    """Prefix+suffix blocking must be COMPLETE for single-edit pairs:
+    every dirty record derived by one edit finds its clean source, at
+    the right distance, through at least one of the two block keys —
+    including edits placed to defeat each key individually."""
+    from warp_spark.pipeline.dedup import fuzzy_best_match
+
+    clean = spark.createDataFrame(
+        [(i, f"{i * 2654435761 % 10**8:08d}") for i in range(1, 30)],
+        "rec_id long, name string",
+    )
+    rows = []
+    for i, nm in [(r["rec_id"], r["name"]) for r in clean.collect()]:
+        if i % 4 == 1:
+            d = nm[:3] + nm[4:]          # interior deletion: breaks neither key
+        elif i % 4 == 2:
+            d = nm[0] + "x" + nm[2:]     # front substitution: breaks the prefix key
+        elif i % 4 == 3:
+            d = nm + "q"                 # append: breaks the suffix key
+        else:
+            d = nm
+        rows.append((i, d))
+    dirty = spark.createDataFrame(rows, "rec_id long, name string")
+    got = {r["a_id"]: r for r in
+           fuzzy_best_match(dirty, clean, max_dist=1).collect()}
+    assert set(got) == set(range(1, 30))   # complete: every dirty resolved
+    for i in range(1, 30):
+        assert got[i]["b_id"] == i         # ... to its own source
+        assert got[i]["dist"] == (0 if i % 4 == 0 else 1)
+        assert got[i]["n_cand"] >= 1

@@ -7363,6 +7363,80 @@ def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_contamination(tr, ev, threshold=0.4)
 
 
+# Edit-distance record linkage (pipeline/dedup.py::fuzzy_best_match):
+# resolve dirty records to their best clean match under Levenshtein ≤ 1
+# with prefix+suffix equi-join blocking.  The corpus has no entity
+# names, so the entry GENERATES them (replay-the-rule oracle pattern):
+# an 8-digit multiplicative-hash name per doc_id — entropy at BOTH
+# string ends, so neither block key degenerates — and a dirty side with
+# one deterministic edit per doc_id%4 (none / interior deletion /
+# front substitution / append), each leaving at least one block key
+# intact by construction.  Levenshtein is exact-integer in both
+# engines: a float-free oracle surface.
+@register(
+    "fuzzy_link_names",
+    """
+    WITH n AS (
+      SELECT doc_id, lpad(((doc_id * 2654435761) % 100000000)::VARCHAR, 8, '0') AS nm
+      FROM documents
+    ),
+    c AS (SELECT doc_id AS b_id, nm AS name_b FROM n),
+    d AS (SELECT doc_id AS a_id,
+                 CASE doc_id % 4
+                   WHEN 0 THEN nm
+                   WHEN 1 THEN substr(nm, 1, 3) || substr(nm, 5, 8)
+                   WHEN 2 THEN substr(nm, 1, 1) || 'x' || substr(nm, 3, 8)
+                   ELSE nm || 'q'
+                 END AS name_a
+          FROM n),
+    ka AS (SELECT a_id, name_a, 'p:' || substr(name_a, 1, 3) AS bk FROM d
+           UNION ALL
+           SELECT a_id, name_a, 's:' || substr(name_a, -3, 3) FROM d),
+    kb AS (SELECT b_id, name_b, 'p:' || substr(name_b, 1, 3) AS bk FROM c
+           UNION ALL
+           SELECT b_id, name_b, 's:' || substr(name_b, -3, 3) FROM c),
+    cand AS (SELECT DISTINCT a_id, b_id, name_a, name_b
+             FROM ka JOIN kb USING (bk)),
+    scored AS (SELECT a_id, b_id, name_a, name_b,
+                      levenshtein(name_a, name_b)::BIGINT AS dist
+               FROM cand
+               WHERE levenshtein(name_a, name_b) <= 1),
+    ranked AS (SELECT *,
+                      count(*) OVER (PARTITION BY a_id) AS n_cand,
+                      row_number() OVER (PARTITION BY a_id
+                                         ORDER BY dist, b_id) AS rk
+               FROM scored)
+    SELECT a_id, b_id, name_a, name_b, dist, n_cand
+    FROM ranked WHERE rk = 1
+    """,
+)
+def fuzzy_link_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.dedup import fuzzy_best_match
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    did = F.col("doc_id")
+    named = docs.select(
+        "doc_id",
+        F.lpad(((did * 2654435761) % 100000000).cast("string"), 8, "0").alias("nm"),
+    )
+    clean = named.select(F.col("doc_id").alias("rec_id"), F.col("nm").alias("name"))
+    dirty = named.select(
+        F.col("doc_id").alias("rec_id"),
+        F.when(did % 4 == 1,
+               F.concat(F.substring("nm", 1, 3), F.substring("nm", 5, 8)))
+        .when(did % 4 == 2,
+              F.concat(F.substring("nm", 1, 1), F.lit("x"), F.substring("nm", 3, 8)))
+        .when(did % 4 == 3, F.concat(F.col("nm"), F.lit("q")))
+        .otherwise(F.col("nm"))
+        .alias("name"),
+    )
+    out = fuzzy_best_match(dirty, clean, col="name", id_col="rec_id", max_dist=1)
+    return out.select(
+        "a_id", "b_id", "name_a", "name_b",
+        F.col("dist").cast("long").alias("dist"), "n_cand",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 
@@ -7391,9 +7465,10 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # transpose, dedup clusters/simhash, LSH/IVF ANN, multimodal stubs,
 # sliding rollup, list/json/binary function suites, salted/two-phase
 # aggregation, range/interval joins) — the remaining 20 r03-vintage
-# entries rotate in r7, together with the three NEW round-6 entries
-# (text_pii_redact, ann_topk_ivfpq, embedding_decontaminate — all
-# tri-SF green locally).  All displaced entries were hash-verified by
+# entries rotate in r7, together with the four NEW round-6 entries
+# (text_pii_redact, ann_topk_ivfpq, embedding_decontaminate,
+# fuzzy_link_names — all tri-SF green locally).  All displaced entries
+# were hash-verified by
 # the driver in a prior round and remain covered by the tri-SF strict
 # local gate (tools/check_correctness.py, driver-faithful pandas fetch
 # + per-type DATE collapse) and pytest; the prefix invariant itself is

@@ -24,7 +24,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -924,4 +924,76 @@ def prefix_filter_jaccard_pairs(
     )
     return ver.select("id_a", "id_b", j.alias("jaccard")).filter(
         F.col("jaccard") >= F.lit(threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance record linkage (fuzzy join) — the string-similarity
+# counterpart of the set-similarity joins above
+# ---------------------------------------------------------------------------
+
+def fuzzy_best_match(
+    dirty: DataFrame,
+    clean: DataFrame,
+    col: str = "name",
+    id_col: str = "rec_id",
+    max_dist: int = 1,
+    prefix: int = 3,
+) -> DataFrame:
+    """Resolve every ``dirty`` record to its best ``clean`` match under
+    Levenshtein distance ≤ ``max_dist`` — classic record linkage
+    (deduplicating user/entity tables before training joins them in).
+
+    Candidates come from TWO equi-join blocking passes, prefix and
+    suffix of length ``prefix``: a single-edit pair (the dominant
+    dirty-data case) cannot disturb both ends of the string when
+    ``prefix < len/2 + 1``, so one of the two block keys always agrees
+    — single-edit recall is provably complete (pytested).  Multi-edit
+    pairs confined to one end are also caught; arbitrary scattered
+    edits need q-gram blocking (``minhash_lsh_candidates`` over char
+    shingles covers that regime).
+
+    Scale shape: two hash equi-joins on narrow (block_key, id, string)
+    tuples — no all-pairs stage, no broadcast of either corpus-sized
+    side; candidates dedup in the same per-dirty-id shuffle the best-
+    match window needs.  Levenshtein is exact-integer in every engine,
+    so the oracle surface is float-free.  Ties break (distance ASC,
+    clean id ASC) for determinism.  Returns one row per dirty record
+    that has a candidate: ``a_id, b_id, name_a, name_b, dist, n_cand``
+    (n_cand = how many in-threshold candidates competed — the linkage
+    ambiguity signal reviewers act on).
+    """
+    a = dirty.select(
+        F.col(id_col).alias("a_id"), F.col(col).alias("name_a")
+    )
+    b = clean.select(
+        F.col(id_col).alias("b_id"), F.col(col).alias("name_b")
+    )
+
+    def keyed(df, name_c, key_alias):
+        pre = F.substring(F.col(name_c), 1, prefix)
+        suf = F.substring(
+            F.col(name_c), -prefix, prefix
+        )
+        return (
+            df.withColumn(key_alias, F.explode(F.array(
+                F.concat(F.lit("p:"), pre), F.concat(F.lit("s:"), suf)
+            )))
+        )
+
+    cand = (
+        keyed(a, "name_a", "bk")
+        .join(keyed(b, "name_b", "bk"), on="bk")
+        .select("a_id", "b_id", "name_a", "name_b")
+        .distinct()  # a pair may meet in both the prefix and suffix block
+        .withColumn("dist", F.levenshtein(F.col("name_a"), F.col("name_b")))
+        .filter(F.col("dist") <= max_dist)
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("dist").asc(), F.col("b_id").asc())
+    nc = Window.partitionBy("a_id")
+    return (
+        cand.withColumn("n_cand", F.count(F.lit(1)).over(nc))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("a_id", "b_id", "name_a", "name_b", "dist", "n_cand")
     )

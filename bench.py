@@ -132,6 +132,10 @@ HEADLINE = [
     "ann_topk_ivfpq",
     "embedding_decontaminate",
     "fuzzy_link_names",
+    "dedup_duplicate_spans",
+    "training_shuffle_shards",
+    "dedup_span_masking",
+    "training_shuffle_global",
 ]
 
 

@@ -1301,3 +1301,136 @@ def test_fuzzy_best_match_single_edit_complete(spark):
         assert got[i]["b_id"] == i         # ... to its own source
         assert got[i]["dist"] == (0 if i % 4 == 0 else 1)
         assert got[i]["n_cand"] >= 1
+
+
+def test_duplicate_span_stats_semantics(spark):
+    """A hand-built corpus where the duplicated 3-gram instances are
+    knowable by eye: docs 1 and 2 share 'a b c'; doc 3 repeats its own
+    3-gram ('x y z x y z' — within-doc multiplicity counts, the
+    ExactSubstr semantics); doc 4 is unique; doc 5 is too short."""
+    from warp_spark.pipeline.dedup import duplicate_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # grams: 'a b c', 'b c d'
+            (2, "a b c e"),          # grams: 'a b c', 'b c e'
+            (3, "x y z x y z"),      # grams: xyz, yzx, zxy, xyz
+            (4, "p q r s"),          # unique
+            (5, "u v"),              # < n tokens: excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_span_stats(docs, n=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[1]["total_grams"], out[1]["dup_grams"]) == (2, 1)
+    assert (out[2]["total_grams"], out[2]["dup_grams"]) == (2, 1)
+    # doc 3: 4 gram instances, 'x y z' occurs twice -> both instances dup
+    assert (out[3]["total_grams"], out[3]["dup_grams"]) == (4, 2)
+    assert (out[4]["total_grams"], out[4]["dup_grams"]) == (2, 0)
+    assert out[1]["dup_ppm"] == 500000
+    assert out[3]["dup_ppm"] == 500000
+    assert out[4]["dup_ppm"] == 0
+
+
+def test_deterministic_shuffle_reproducible_and_dense(spark):
+    """Same seed → identical order; different seed → different order;
+    per-shard positions are dense 1..len(shard); n_shards validated."""
+    from warp_spark.sampling import deterministic_shuffle
+
+    docs = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    a = deterministic_shuffle(docs, seed="s1", n_shards=8).collect()
+    b = deterministic_shuffle(docs, seed="s1", n_shards=8).collect()
+    c = deterministic_shuffle(docs, seed="s2", n_shards=8).collect()
+    key = lambda rows: sorted((r["doc_id"], r["shard"], r["pos_in_shard"]) for r in rows)
+    assert key(a) == key(b)
+    assert key(a) != key(c)
+    assert {r["shard"] for r in a} <= set(range(8))
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    with pytest.raises(ValueError):
+        deterministic_shuffle(docs, n_shards=7)
+
+
+def test_deterministic_shuffle_partition_parallel_window(spark):
+    """The rank must be PARTITION BY shard — a global-window plan would
+    be the one-task serialization this op exists to avoid."""
+    from warp_spark.sampling import deterministic_shuffle
+
+    docs = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+    plan = deterministic_shuffle(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # hashpartitioning on shard, never SinglePartition feeding the window
+    assert "hashpartitioning(shard" in plan
+
+
+def test_mask_duplicate_spans_interval_merge(spark):
+    """Overlapping duplicated 3-gram instances must coalesce into one
+    maximal region (no double-counted tokens); disjoint ones must not.
+    Doc 1/2 share 'a b c d' → two overlapping grams each, one region
+    of 4 tokens; doc 3 repeats its own gram at positions 1 and 7 →
+    two disjoint regions."""
+    from warp_spark.pipeline.dedup import mask_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d x"),            # grams: abc(1-3), bcd(2-4) both dup
+            (2, "a b c d y"),
+            (3, "k l m p q r k l m"),    # 'k l m' at 1-3 and 7-9
+            (4, "k l m z1 z2 z3"),        # makes 'k l m' corpus-dup
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in mask_duplicate_spans(docs, n=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    r1 = out[1]
+    assert (r1["n_dup_instances"], r1["n_regions"], r1["masked_tokens"]) == (2, 1, 4)
+    assert r1["total_tokens"] == 5
+    assert r1["masked_ppm"] == 800000
+    r3 = out[3]
+    assert (r3["n_dup_instances"], r3["n_regions"], r3["masked_tokens"]) == (2, 2, 6)
+    r4 = out[4]
+    assert (r4["n_dup_instances"], r4["n_regions"], r4["masked_tokens"]) == (1, 1, 3)
+
+
+def test_mask_duplicate_spans_single_sort_for_windows(spark):
+    """All three window passes (prev-max, flag, running region id) must
+    share one (doc, start) sort — the plan may contain exactly one
+    Exchange keyed on the document id for the island stage."""
+    from warp_spark.pipeline.dedup import mask_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    plan = (
+        mask_duplicate_spans(docs, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("hashpartitioning(doc_id") <= 2  # island window + final agg reuse
+
+
+def test_deterministic_shuffle_global_matches_serial_order(spark):
+    """The two-phase prefix position must equal the serial definition
+    row_number() OVER (ORDER BY shuffle_key, id) — verified by sorting
+    the output by key and checking positions are the dense 1..N in
+    that order — and must be reproducible under the seed."""
+    from warp_spark.sampling import deterministic_shuffle_global
+
+    docs = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    out = deterministic_shuffle_global(docs, seed="s1", num_partitions=7).collect()
+    assert len(out) == 300
+    by_key = sorted(out, key=lambda r: (r["shuffle_key"], r["doc_id"]))
+    assert [r["position"] for r in by_key] == list(range(1, 301))
+    again = deterministic_shuffle_global(docs, seed="s1", num_partitions=7).collect()
+    assert sorted((r["doc_id"], r["position"]) for r in out) == sorted(
+        (r["doc_id"], r["position"]) for r in again
+    )

@@ -55,6 +55,9 @@ HEAVY = [
     "text_char_entropy",
     "pipeline_curation_summary",
     "text_lm_score",
+    # round-6 additions: the corpus gram census + interval-merge masking
+    "dedup_duplicate_spans",
+    "dedup_span_masking",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

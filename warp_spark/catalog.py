@@ -7437,6 +7437,177 @@ def fuzzy_link_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus-duplicated-span statistics (pipeline/dedup.py::
+# duplicate_span_stats): Lee et al. 2022 ExactSubstr dedup approximated
+# at word-10-gram granularity — which gram INSTANCES occur >= 2 times
+# corpus-wide (multiplicity counted, so within-doc boilerplate counts),
+# per-document duplicated fraction as exact integer ppm.  Distinct from
+# dedup_ngram_jaccard (pairwise doc similarity) and text_repetition
+# (within-doc only): this is the corpus-level census that finds the
+# spans a masking pass would drop.  Spark joins on xxhash64 gram
+# hashes; the oracle joins literal gram strings, so the differential
+# also certifies the hash path collision-free at test scale.
+@register(
+    "dedup_duplicate_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(tk) - 10 + 2),
+             i -> array_to_string(list_slice(tk, i, i + 9), ' '))) AS g
+      FROM toks WHERE len(tk) >= 10
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    per AS (
+      SELECT gr.doc_id,
+             count(*)::BIGINT AS total_grams,
+             sum(CASE WHEN d.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS dup_grams
+      FROM grams gr LEFT JOIN dup d ON gr.g = d.g
+      GROUP BY 1
+    )
+    SELECT doc_id, total_grams, dup_grams,
+           (dup_grams * 1000000) // total_grams AS dup_ppm
+    FROM per
+    """,
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(_t(spark, sf_dir, "documents").to_df(), n=10)
+
+
+# Seeded deterministic training shuffle (sampling.py::
+# deterministic_shuffle): the reproducible corpus → shards → in-shard
+# order step of an epoch-based training dataloader.  md5(seed:id) keys
+# make the order a pure function of the seed; the rank is a
+# partition-parallel PARTITION BY shard window (a global position
+# would serialize — dataloaders consume shards independently, so
+# within-shard order is the contract).  Full-value oracle: every
+# column, including the md5 keys and the dense per-shard positions,
+# value-hashes against DuckDB.
+@register(
+    "training_shuffle_shards",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('epoch1:' || doc_id::VARCHAR) AS shuffle_key
+      FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, shuffle_key,
+             (((strpos('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substr(shuffle_key, 2, 1)) - 1)
+              % 8)::BIGINT AS shard
+      FROM keyed
+    )
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard
+                              ORDER BY shuffle_key, doc_id)::BIGINT AS pos_in_shard,
+           shuffle_key
+    FROM sharded
+    """,
+)
+def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.sampling import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    return deterministic_shuffle(docs, seed="epoch1", n_shards=8)
+
+
+# Span MASKING (pipeline/dedup.py::mask_duplicate_spans): the second
+# half of ExactSubstr dedup — duplicated gram instances merged into
+# maximal token regions via the gaps-and-islands interval merge
+# (running max(end) flags region starts, running sum numbers regions),
+# all three window passes sharing ONE (doc, start) sort/Exchange.
+# Exact integer masked-fraction ppm; overlap coalescing means
+# masked_tokens never double-counts, which the oracle re-derives with
+# the same windowed SQL over literal gram strings.
+@register(
+    "dedup_span_masking",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, tk, len(tk)::BIGINT AS total_tokens,
+             unnest(range(1, len(tk) - 10 + 2)) AS i
+      FROM toks WHERE len(tk) >= 10
+    ),
+    grams AS (
+      SELECT doc_id, total_tokens, i AS s, i + 9 AS e,
+             array_to_string(list_slice(tk, i, i + 9), ' ') AS g
+      FROM pos
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    dupi AS (SELECT gr.doc_id, gr.total_tokens, gr.s, gr.e
+             FROM grams gr JOIN dup d ON gr.g = d.g),
+    isl AS (
+      SELECT doc_id, total_tokens, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM dupi
+    ),
+    flag AS (
+      SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS nf
+      FROM isl
+    ),
+    reg AS (
+      SELECT *, sum(nf) OVER (PARTITION BY doc_id ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+      FROM flag
+    ),
+    regions AS (
+      SELECT doc_id, total_tokens, rid,
+             min(s) AS rs, max(e) AS re, count(*) AS inst
+      FROM reg GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, total_tokens,
+           sum(inst)::BIGINT             AS n_dup_instances,
+           count(*)::BIGINT              AS n_regions,
+           sum(re - rs + 1)::BIGINT      AS masked_tokens,
+           (sum(re - rs + 1)::BIGINT * 1000000) // total_tokens AS masked_ppm
+    FROM regions
+    GROUP BY 1, 2
+    """,
+)
+def dedup_span_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.dedup import mask_duplicate_spans
+
+    return mask_duplicate_spans(_t(spark, sf_dir, "documents").to_df(), n=10)
+
+
+# Global-order variant of the training shuffle (sampling.py::
+# deterministic_shuffle_global): one total position over the whole
+# corpus, computed as the distributed two-phase prefix (range-partition
+# on the md5 key → per-partition row_number → broadcast exclusive
+# prefix of partition counts) — the scale-safe equivalent of
+# row_number() OVER (ORDER BY key), which is exactly what the oracle
+# declares. Complements training_shuffle_shards: shards for
+# dataloaders, this for curriculum/resumable single-stream order.
+@register(
+    "training_shuffle_global",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('epoch1:' || doc_id::VARCHAR) AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id,
+           row_number() OVER (ORDER BY shuffle_key, doc_id)::BIGINT AS position,
+           shuffle_key
+    FROM keyed
+    """,
+)
+def training_shuffle_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.sampling import deterministic_shuffle_global
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    return deterministic_shuffle_global(docs, seed="epoch1")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 
@@ -7465,9 +7636,11 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # transpose, dedup clusters/simhash, LSH/IVF ANN, multimodal stubs,
 # sliding rollup, list/json/binary function suites, salted/two-phase
 # aggregation, range/interval joins) — the remaining 20 r03-vintage
-# entries rotate in r7, together with the four NEW round-6 entries
+# entries rotate in r7, together with the eight NEW round-6 entries
 # (text_pii_redact, ann_topk_ivfpq, embedding_decontaminate,
-# fuzzy_link_names — all tri-SF green locally).  All displaced entries
+# fuzzy_link_names, dedup_duplicate_spans, training_shuffle_shards,
+# dedup_span_masking, training_shuffle_global — all tri-SF green
+# locally).  All displaced entries
 # were hash-verified by
 # the driver in a prior round and remain covered by the tri-SF strict
 # local gate (tools/check_correctness.py, driver-faithful pandas fetch

@@ -997,3 +997,182 @@ def fuzzy_best_match(
         .filter(F.col("__rk") == 1)
         .select("a_id", "b_id", "name_a", "name_b", "dist", "n_cand")
     )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-level duplicated-substring detection at token n-gram
+    granularity — the distributed approximation of suffix-array exact
+    substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"). A gram INSTANCE is duplicated when
+    its n-token window occurs ``min_count``-or-more times corpus-wide
+    (counting multiplicity, so within-document repeats count — exactly
+    the spans ExactSubstr would mask). Returns one row per document
+    with >= 1 gram: ``(id, total_grams, dup_grams, dup_ppm)`` where
+    ``dup_ppm`` is the exact integer parts-per-million duplicated
+    fraction (floor division — a rounded float rate can flip on
+    .xxxxxx5 boundaries cross-engine).
+
+    Distributed shape: positional grams (multiplicity KEPT — this is
+    the one op where ``array_distinct`` would be wrong) are hashed to
+    8-byte xxhash64 longs in one codegen'd transform, so text never
+    shuffles; the corpus-wide gram census is a groupBy on the hash
+    (map-side partial aggregation makes it skew-immune — boilerplate
+    grams, the very thing this op hunts, are pre-combined per
+    partition), filtered to the duplicated set BEFORE the join back, so
+    the second shuffle carries only grams that matter. At 100 TB you
+    would persist the exploded gram stream between the census and the
+    join-back legs; here recompute is cheaper than the cache. The
+    differential oracle joins on literal gram strings, certifying the
+    hash path collision-free at test scale."""
+    tk = "_ds_tokens"
+    staged = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias(tk)
+    )
+    # tokens staged under an alias in their own projection (the
+    # CollapseProject discipline, see text.ngram_hashes_from_tokens);
+    # sequence() counts DOWN when size < n, hence the guard.
+    grams_col = F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col(tk), i, n))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    exploded = (
+        staged.select(
+            F.col(id_col),
+            F.size(grams_col).cast("long").alias("total_grams"),
+            F.explode_outer(grams_col).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    dup_set = (
+        exploded.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("g", F.lit(1).alias("_dup"))
+    )
+    return (
+        exploded.join(dup_set, "g", "left")
+        .groupBy(id_col, "total_grams")
+        .agg(
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0)))
+            .cast("long")
+            .alias("dup_grams")
+        )
+        .select(
+            F.col(id_col),
+            F.col("total_grams"),
+            F.col("dup_grams"),
+            F.expr("(dup_grams * 1000000) DIV total_grams").alias("dup_ppm"),
+        )
+    )
+
+
+def mask_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """The masking half of ExactSubstr dedup (Lee et al. 2022): merge
+    every corpus-duplicated n-gram instance (see
+    ``duplicate_span_stats``) into MAXIMAL token regions — overlapping
+    or chained spans coalesce, so the masked-token count never double
+    counts — and report, per document with >= 1 duplicated instance:
+    ``(id, total_tokens, n_dup_instances, n_regions, masked_tokens,
+    masked_ppm)``. ``masked_ppm`` is the exact integer fraction of the
+    document a masking pass would drop.
+
+    The interval merge is the gaps-and-islands pattern, fully
+    partition-parallel per document: running ``max(end)`` over the
+    preceding rows flags region starts (``start > prev_max_end``), a
+    running sum of the flags numbers the regions, and a per-region
+    aggregate yields merged bounds — three window passes over ONE
+    partitioning (doc, ordered by start), so Spark plans a single sort
+    + Exchange for all of them. Census and join-back legs are shaped
+    exactly like ``duplicate_span_stats`` (8-byte hashes, map-side
+    partial agg, dup-set filtered before the join)."""
+    tk = "_ms_tokens"
+    staged = docs.select(F.col(id_col), tokens(F.col(text_col)).alias(tk))
+    grams_col = F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col(tk), i, n))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # posexplode_outer + isNotNull, not posexplode: same
+    # InferFiltersFromGenerate O(len²) pathology as ngram_contamination.
+    inst = (
+        staged.select(
+            F.col(id_col),
+            F.size(tk).cast("long").alias("total_tokens"),
+            F.posexplode_outer(grams_col).alias("pos", "g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    dup_set = (
+        inst.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("g")
+    )
+    dupi = inst.join(dup_set, "g", "inner").select(
+        F.col(id_col),
+        F.col("total_tokens"),
+        (F.col("pos") + 1).alias("s"),
+        (F.col("pos") + n).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = (
+        dupi.withColumn("_pme", F.max("e").over(w_prev))
+        .withColumn(
+            "_nf",
+            F.when(
+                F.col("_pme").isNull() | (F.col("s") > F.col("_pme")), 1
+            ).otherwise(0),
+        )
+        .withColumn("_rid", F.sum("_nf").over(w_run))
+    )
+    regions = flagged.groupBy(id_col, "total_tokens", "_rid").agg(
+        F.min("s").alias("_rs"),
+        F.max("e").alias("_re"),
+        F.count(F.lit(1)).alias("_inst"),
+    )
+    return (
+        regions.groupBy(id_col, "total_tokens")
+        .agg(
+            F.sum("_inst").cast("long").alias("n_dup_instances"),
+            F.count(F.lit(1)).cast("long").alias("n_regions"),
+            F.sum(F.col("_re") - F.col("_rs") + 1)
+            .cast("long")
+            .alias("masked_tokens"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("total_tokens"),
+            F.col("n_dup_instances"),
+            F.col("n_regions"),
+            F.col("masked_tokens"),
+            F.expr("(masked_tokens * 1000000) DIV total_tokens").alias(
+                "masked_ppm"
+            ),
+        )
+    )

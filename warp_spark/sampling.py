@@ -289,3 +289,113 @@ def temperature_weights(
         w.alias("temp_weight"),
         F.floor(F.lit(n_total) * w).cast("long").alias("expected_rows"),
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "seed0",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Seeded deterministic global shuffle into training shards — the
+    "shuffle your corpus once, reproducibly" step every epoch-based
+    training pipeline needs. Each row gets ``shuffle_key =
+    md5(seed:id)``, a shard ``(0..n_shards-1)`` from the key's first
+    two hex nibbles, and a dense ``pos_in_shard`` rank ordered by the
+    key — re-running with the same seed reproduces the exact order;
+    changing the seed reshuffles.
+
+    Distributed shape: sharding is one hash Exchange and the per-shard
+    rank is a partition-parallel window (PARTITION BY shard) — a
+    GLOBAL position would serialize into one WindowExec task at 100 TB,
+    and no dataloader needs it: training readers consume shards
+    independently, so within-shard order IS the shuffle contract. (A
+    true global rank, when wanted, is the distributed two-phase prefix
+    rank in dataset.py.) md5 (not xxhash64) keys keep the op
+    differentially testable cross-engine; ``n_shards`` must divide 256
+    so the two-nibble shard stays uniform."""
+    if 256 % n_shards != 0:
+        raise ValueError(f"n_shards must divide 256, got {n_shards}")
+    key = F.md5(
+        F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+    )
+    staged = df.select(F.col(id_col), key.alias("shuffle_key"))
+    hexv = (
+        (
+            F.call_function(
+                "instr",
+                F.lit("0123456789abcdef"),
+                F.substring("shuffle_key", 1, 1),
+            )
+            - 1
+        )
+        * 16
+        + F.call_function(
+            "instr",
+            F.lit("0123456789abcdef"),
+            F.substring("shuffle_key", 2, 1),
+        )
+        - 1
+    )
+    sharded = staged.withColumn(
+        "shard", (hexv % n_shards).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return sharded.select(
+        F.col(id_col),
+        F.col("shard"),
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
+        F.col("shuffle_key"),
+    )
+
+
+def deterministic_shuffle_global(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "seed0",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Seeded deterministic shuffle with a GLOBAL position — for the
+    consumers that do need one total order (curriculum schedules,
+    resumable single-stream readers), computed the scale-safe way: the
+    distributed two-phase prefix of ``dataset.py::_rank_prefix``, never
+    a global single-task window. Range-partition on the md5 key
+    (sample-based bounds, so partitions stay balanced under any seed),
+    ``row_number`` within each partition, then add the broadcast
+    exclusive prefix of per-partition row counts — every stage is
+    partition-parallel; the only single-partition window runs over the
+    N_partitions-row totals side table, not the data. The persist pins
+    the range-partitioner's sampled bounds so the totals leg sees the
+    same row placement as the row leg (repartitionByRange re-samples
+    per materialization)."""
+    key = F.md5(
+        F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+    )
+    staged = df.select(F.col(id_col), key.alias("shuffle_key"))
+    spark = df.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    pid = "__shuf_pid"
+    ranged = (
+        staged.repartitionByRange(n, F.col("shuffle_key"), F.col(id_col))
+        .withColumn(pid, F.spark_partition_id())
+        .persist()
+    )
+    wrow = Window.partitionBy(pid).orderBy("shuffle_key", id_col)
+    local = ranged.withColumn("_lrn", F.row_number().over(wrow))
+    totals = ranged.groupBy(pid).agg(F.count(F.lit(1)).alias("_t"))
+    ow = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        F.col(pid), F.sum("_t").over(ow).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), pid, "left")
+        .select(
+            F.col(id_col),
+            (F.col("_lrn") + F.coalesce(F.col("_off"), F.lit(0)))
+            .cast("long")
+            .alias("position"),
+            F.col("shuffle_key"),
+        )
+    )

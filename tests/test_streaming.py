@@ -409,3 +409,40 @@ def test_kmv_stateful_two_batches_equals_batch_sketch(spark, tmp_path):
         n_hashes, batch_est = batch[et]
         assert n_stored == min(n_hashes, k)
         assert est == batch_est  # bit-equal: same estimator arithmetic
+
+
+def test_countmin_streamed_two_batches_equals_batch_sketch(spark, tmp_path):
+    """CountMin cells are integer adds — order- and batching-insensitive:
+    the drained two-micro-batch sketch (max per cell over update-mode
+    emissions, counts are monotone) equals the batch sketch cell-for-cell."""
+    import shutil
+
+    from warp_spark.sketches import countmin_build
+
+    d = tmp_path / "cm_two_files"
+    d.mkdir()
+    full = batch_events(spark)
+    half1 = full.filter(F.col("event_id") % 2 == 0)
+    half2 = full.filter(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.mode("overwrite").parquet(str(d / "a"))
+    half2.coalesce(1).write.mode("overwrite").parquet(str(d / "b"))
+    for i, sub in enumerate(["a", "b"]):
+        for f in (d / sub).glob("*.parquet"):
+            shutil.move(str(f), str(d / f"part-{i}.parquet"))
+        shutil.rmtree(d / sub)
+
+    stream = with_ts(read_event_stream(spark, str(d), max_files_per_trigger=1))
+    sk = countmin_build(stream.select("user_id"), "user_id", depth=4, width=64)
+    run_stream_to_memory(sk, "cm_mb", output_mode="update")
+    streamed = {
+        (r["cm_row"], r["cm_bucket"]): r["cm_count"]
+        for r in spark.table("cm_mb")
+        .groupBy("cm_row", "cm_bucket")
+        .agg(F.max("cm_count").alias("cm_count"))
+        .collect()
+    }
+    batch = {
+        (r["cm_row"], r["cm_bucket"]): r["cm_count"]
+        for r in countmin_build(full.select("user_id"), "user_id", depth=4, width=64).collect()
+    }
+    assert streamed == batch

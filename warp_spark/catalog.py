@@ -6251,6 +6251,83 @@ def events_heavy_hitters_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# STREAMING CountMin frequency sketch: the sketch build
+# (sketches.py::countmin_build) is a plain posexplode + streaming
+# groupBy count, so it runs UNCHANGED as a streaming aggregation —
+# depth×width integer cells of state on an unbounded stream, no custom
+# state function needed. Counter state is ORDER-INSENSITIVE (integer
+# adds), so the drained sketch value-matches the batch replay exactly,
+# and the downstream point-probe of the top-10 users (batch, against
+# the tiny snapshot) carries the never-underestimate guarantee as a
+# checkable column. The update-mode memory sink keeps every per-batch
+# emission of a cell; counts are monotone, so max() per cell is the
+# final snapshot.
+# ---------------------------------------------------------------------------
+@register(
+    "events_countmin_streamed",
+    """
+    WITH rows4 AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    ex AS (SELECT user_id, count(*) AS exact_count FROM events GROUP BY 1),
+    top AS (SELECT * FROM ex ORDER BY exact_count DESC, user_id LIMIT 10),
+    sk AS (
+      SELECT s.r AS cm_row,
+             (('0x' || substring(md5(s.r::VARCHAR || ':' || e.user_id::VARCHAR), 1, 8))::BIGINT
+              % 512) AS cm_bucket,
+             count(*) AS cm_count
+      FROM events e CROSS JOIN rows4 s
+      GROUP BY 1, 2),
+    probe AS (
+      SELECT t.user_id, t.exact_count, min(sk.cm_count) AS est_count
+      FROM top t CROSS JOIN rows4 s
+      JOIN sk ON sk.cm_row = s.r
+             AND sk.cm_bucket =
+                 (('0x' || substring(md5(s.r::VARCHAR || ':' || t.user_id::VARCHAR), 1, 8))::BIGINT
+                  % 512)
+      GROUP BY 1, 2)
+    SELECT user_id, exact_count::BIGINT AS exact_count,
+           est_count::BIGINT AS est_count,
+           est_count >= exact_count AS never_under
+    FROM probe
+    """,
+)
+def events_countmin_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from warp_spark.sketches import countmin_build, countmin_estimate
+    from warp_spark.streaming import run_stream_to_memory
+
+    d = tempfile.mkdtemp(prefix="warp_stream_entry_")
+    name = f"cm_streamed_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = _stage_event_stream(spark, sf_dir, d)
+        sketch = countmin_build(ev.select("user_id"), "user_id", depth=4, width=512)
+        run_stream_to_memory(sketch, name, output_mode="update")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    snapshot = (
+        spark.table(name)
+        .groupBy("cm_row", "cm_bucket")
+        .agg(F.max("cm_count").alias("cm_count"))
+    )
+    ev_batch = _t(spark, sf_dir, "events").to_df().select("user_id")
+    top = (
+        ev_batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("user_id"))
+        .limit(10)
+    )
+    est = countmin_estimate(snapshot, top, "user_id", depth=4, width=512)
+    return est.select(
+        "user_id",
+        "exact_count",
+        "est_count",
+        (F.col("est_count") >= F.col("exact_count")).alias("never_under"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # STREAMING KMV distinct counter (streaming/windows.py::kmv_stateful):
 # per-event-type distinct users estimated from O(k) state on an
 # unbounded stream. Bottom-k state is ORDER-INSENSITIVE — however the

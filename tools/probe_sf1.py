@@ -58,6 +58,16 @@ HEAVY = [
     # round-6 additions: the corpus gram census + interval-merge masking
     "dedup_duplicate_spans",
     "dedup_span_masking",
+    # round-6 sketch/graph tier: pagerank is the one iterative entry
+    # (3 supersteps over the part co-purchase graph — edges densify
+    # sub-10x because the part key space is fixed, the realistic item-
+    # graph shape); the sketches pin that O(sketch-size) state stays
+    # input-linear in scan cost only
+    "graph_pagerank",
+    "agg_countmin_freq",
+    "agg_hll_distinct",
+    "agg_hdr_quantiles",
+    "sample_weighted",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
@@ -146,6 +156,8 @@ def main() -> None:
     spark = get_spark("probe-sf1")
     if "--rebuild" in sys.argv and os.path.isdir(SF1):
         shutil.rmtree(SF1)
+    picked = [a for a in sys.argv[1:] if not a.startswith("--")]
+    heavy = [n for n in HEAVY if n in picked] if picked else HEAVY
     if not os.path.isdir(SF1):
         print("building .scratch/sf1 (10× sf0.1 facts, dims fixed) ...", flush=True)
         build_sf1(spark)
@@ -155,12 +167,12 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     # warm every query shape once (codegen/classload)
-    for name in HEAVY:
+    for name in heavy:
         run(name, "/root/testdata/sf0.001")
 
-    best = {name: {} for name in HEAVY}
+    best = {name: {} for name in heavy}
     for _ in range(2):  # best-of-2 ROUND-ROBIN: decorrelate steal bursts
-        for name in HEAVY:
+        for name in heavy:
             for label, d in (("sf0.1", SF01), ("sf1", SF1)):
                 t0 = time.time()
                 run(name, d)
@@ -172,7 +184,7 @@ def main() -> None:
     print("\nSCALE.md section (best-of-2, quiet box):")
     print("| query | sf0.1 | sf1 (10×) | growth |")
     print("|---|---|---|---|")
-    for name in HEAVY:
+    for name in heavy:
         a, b = best[name]["sf0.1"], best[name]["sf1"]
         print(f"| {name} | {a:.2f}s | {b:.2f}s | {b / a:.1f}× |")
     spark.stop()

@@ -143,6 +143,7 @@ HEADLINE = [
     "sample_weighted",
     "graph_pagerank",
     "events_countmin_streamed",
+    "rank_running_distinct",
 ]
 
 

@@ -218,6 +218,9 @@ def test_rank_prefix_matches_window(spark):
         "rmin": Aggregator(F.col("v"), "min"),
         "rmax": Aggregator(F.col("v"), "max"),
         "rcnt": Aggregator(F.col("v"), "count"),
+        # countDistinct distributes via the first-occurrence-marker
+        # pre-pass; k is unique here, so both paths see one total order
+        "rcd": Aggregator(F.col("v"), "countDistinct"),
     }
     by = [Order("k")]
     a = ds.rank(ranks, by, strategy="prefix", num_partitions=7).to_df()

@@ -606,6 +606,52 @@ def rank_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Running DISTINCT count through the distributed prefix path
+# (dataset.py::_rank_prefix_with_count_distinct): Spark rejects
+# count(DISTINCT) as a window function outright, so this is first-
+# occurrence marking (one value-partitioned row_number) feeding the
+# two-phase prefix SUM — every stage parallel, the reducer that used
+# to be the rank() fallback's only data-sized single-task case.  The
+# oracle replays the identical decomposition (DuckDB also has no
+# DISTINCT windows).  Sort key (ts, event_id) is unique, so the total
+# order is engine-independent.
+# ---------------------------------------------------------------------------
+@register(
+    "rank_running_distinct",
+    """
+    WITH m AS (
+      SELECT event_id, ts, user_id,
+             CASE WHEN user_id IS NOT NULL
+                    AND row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+      WHERE event_type = 'purchase')
+    SELECT event_id,
+           row_number() OVER (ORDER BY ts, event_id) AS rank,
+           sum(first_seen) OVER (ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             AS seen_users
+    FROM m
+    """,
+)
+def rank_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .rank(
+            {
+                "rank": Aggregator(F.col("event_id"), "countAll"),
+                "seen_users": Aggregator(F.col("user_id"), "countDistinct"),
+            },
+            by=[Order("ts"), Order("event_id")],
+        )
+        .select_columns(["event_id", "rank", "seen_users"])
+    )
+    return out.to_df()
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q6-style: tight filter → global aggregate (single row)
 # ---------------------------------------------------------------------------
 @register(

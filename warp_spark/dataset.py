@@ -285,6 +285,13 @@ class Dataset:
     # value = f(local running value within range partition, exclusive
     # prefix of per-partition totals))
     _PREFIX_REDUCERS = frozenset({"countAll", "count", "sum", "average", "min", "max"})
+    # countDistinct distributes too, via a first-occurrence-marking
+    # pre-pass (mark each value's first row in the total order, then
+    # running-SUM the 0/1 markers through the same prefix machinery);
+    # only concat/list remain window-only, and for those the OUTPUT is
+    # O(n²) bytes — no partition strategy fixes byte volume, so the
+    # single-task window is not what caps them at scale
+    _GLOBAL_DISTRIBUTABLE = _PREFIX_REDUCERS | {"countDistinct"}
 
     def rank(
         self,
@@ -308,12 +315,16 @@ class Dataset:
           combine each row's local value with the exclusive prefix of the
           per-partition totals (one tiny N_partitions-row side table,
           broadcast back). No stage ever moves the full data to a single
-          task — this is the 100 TB path.
+          task — this is the 100 TB path. ``countDistinct`` rides the
+          same path via a first-occurrence-marking pre-pass
+          (``_rank_prefix_with_count_distinct``).
         - ``"window"``: single global window
           (``Window.orderBy(...).rowsBetween(unboundedPreceding,
           currentRow)``) — Spark serializes this into ONE task; kept only
-          as the fallback for non-decomposable reducers (countDistinct,
-          concat, list) and for differential-testing the prefix path.
+          as the fallback for the reducers whose running OUTPUT is
+          inherently O(n²) bytes (concat, list — no partition strategy
+          fixes byte volume) and for differential-testing the prefix
+          path.
         """
         # windowed variants of the reducers (plain aggregate functions —
         # the batch reducers in aggregators.py wrap them with group-level
@@ -324,26 +335,37 @@ class Dataset:
             "min": F.min,
             "max": F.max,
             "count": lambda c: F.count(F.when(to_number(c).isNotNull(), 1)),
-            "countDistinct": F.count_distinct,
             "concat": lambda c: F.concat_ws("", F.collect_list(c.cast("string"))),
             "list": F.collect_list,
         }
-        order_keys = (
-            [k for o in by for k in o.to_columns()] if by else [F.col(ROW_ID)]
-        )
+        # dtype-probe each sort key like sort() does — date/timestamp
+        # keys order natively and must not go through the coerced-double
+        # collation (NTZ timestamps cannot even cast to double)
+        def _keys(o: Order) -> list[Column]:
+            try:
+                dtype = self.df.select(_col(o.expression)).schema[0].dataType
+            except Exception:
+                dtype = None
+            return o.to_columns(dtype)
+
+        order_keys = [k for o in by for k in _keys(o)] if by else [F.col(ROW_ID)]
         if (
             not partition_by
             and strategy in ("auto", "prefix")
-            and all(a.reduce in self._PREFIX_REDUCERS for a in ranks.values())
+            and all(a.reduce in self._GLOBAL_DISTRIBUTABLE for a in ranks.values())
         ):
+            if any(a.reduce == "countDistinct" for a in ranks.values()):
+                return self._rank_prefix_with_count_distinct(
+                    ranks, order_keys, num_partitions
+                )
             return self._rank_prefix(ranks, order_keys, num_partitions)
         if strategy == "prefix":
-            bad = [n for n, a in ranks.items() if a.reduce not in self._PREFIX_REDUCERS]
+            bad = [n for n, a in ranks.items() if a.reduce not in self._GLOBAL_DISTRIBUTABLE]
             raise ValueError(f"reducers not prefix-decomposable: {bad}")
         if not partition_by:
             import warnings
 
-            bad = [n for n, a in ranks.items() if a.reduce not in self._PREFIX_REDUCERS]
+            bad = [n for n, a in ranks.items() if a.reduce not in self._GLOBAL_DISTRIBUTABLE]
             reason = (
                 f"reducers {bad} are not prefix-decomposable"
                 if bad
@@ -361,16 +383,73 @@ class Dataset:
             base = Window.partitionBy(*[_col(p) for p in partition_by]).orderBy(*order_keys)
         framed = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         out = self.df
+        cd_markers: list[str] = []
         for name, agg in ranks.items():
             if agg.reduce == "countAll":
                 # simple rank = running countAll (QBERankStep.swift:107-122)
                 c = F.row_number().over(base)
+            elif agg.reduce == "countDistinct":
+                # Spark rejects count(DISTINCT) as a window function
+                # (DISTINCT_WINDOW_FUNCTION_UNSUPPORTED), so even the
+                # fallback uses first-occurrence marking: mark each
+                # value's first row, running-sum the markers
+                cval = agg._map_col()
+                parts = [_col(p) for p in partition_by] if partition_by else []
+                mw = Window.partitionBy(cval, *parts).orderBy(*order_keys)
+                m = f"__cdw_{name}"
+                out = out.withColumn(
+                    m,
+                    (cval.isNotNull() & (F.row_number().over(mw) == 1)).cast("long"),
+                )
+                cd_markers.append(m)
+                c = F.sum(F.col(m)).over(framed)
             elif agg.reduce in window_reducers:
                 c = window_reducers[agg.reduce](agg._map_col()).over(framed)
             else:
                 raise ValueError(f"reducer {agg.reduce!r} not supported as running aggregate")
             out = out.withColumn(name, c)
-        return Dataset(out)
+        return Dataset(out.drop(*cd_markers))
+
+    def _rank_prefix_with_count_distinct(
+        self,
+        ranks: Mapping[str, Aggregator],
+        order_keys: Sequence[Column],
+        num_partitions: Optional[int],
+    ) -> "Dataset":
+        """Distributed global running countDistinct: mark each value's
+        FIRST occurrence in the total order (a value-partitioned window
+        — one hash shuffle on the value, state = one row_number), then
+        running-SUM the 0/1 markers through the standard two-phase
+        prefix path.  The running sum of first-occurrence markers at
+        row r is exactly the number of distinct non-null values among
+        rows ≤ r.
+
+        Consistency requires ONE total order shared by the marker pass
+        and the prefix pass, so the sort keys are extended with a row
+        id (attached here if absent — arbitrary but FIXED, the same
+        role physical row order plays in the single-window fallback's
+        tie behavior) and the whole lineage is pinned by the prefix
+        path's persist.  Skew bound: the marker window colocates the
+        hottest value's rows, but carries only (value, keys, id) —
+        at 100 TB that is the narrow projection, not the data."""
+        df = self.df
+        added_id = ROW_ID not in df.columns
+        if added_id:
+            df = df.withColumn(ROW_ID, F.monotonically_increasing_id())
+        full_keys = [*order_keys, F.col(ROW_ID)]
+        markers: dict[str, Column] = {}
+        for name, agg in ranks.items():
+            if agg.reduce == "countDistinct":
+                c = agg._map_col()
+                w = Window.partitionBy(c).orderBy(*full_keys)
+                markers[f"__cd_{name}"] = (
+                    c.isNotNull() & (F.row_number().over(w) == 1)
+                ).cast("long")
+        out = Dataset(df.withColumns(markers))._rank_prefix(
+            ranks, full_keys, num_partitions
+        )
+        drop = list(markers) + ([ROW_ID] if added_id else [])
+        return Dataset(out.df.drop(*drop))
 
     def _rank_prefix(
         self,
@@ -422,6 +501,13 @@ class Dataset:
                 cnt = F.count(F.when(num.isNotNull(), 1))
                 local, off = add(h, cnt.over(wframe), cnt, F.sum)
                 finals[name] = local + F.coalesce(off, F.lit(0))
+            elif kind == "countDistinct":
+                # running sum of the 0/1 first-occurrence markers built
+                # by _rank_prefix_with_count_distinct (LONG, not the
+                # to_number double path — the fallback returns long)
+                m = F.sum(F.col(f"__cd_{name}"))
+                local, off = add(h, m.over(wframe), m, F.sum)
+                finals[name] = (local + F.coalesce(off, F.lit(0))).cast("long")
             elif kind == "sum":
                 local, off = add(h, F.sum(num).over(wframe), F.sum(num), F.sum)
                 finals[name] = F.when(

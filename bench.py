@@ -144,6 +144,7 @@ HEADLINE = [
     "graph_pagerank",
     "events_countmin_streamed",
     "rank_running_distinct",
+    "graph_triangle_counts",
 ]
 
 

@@ -71,3 +71,22 @@ def test_weighted_sample_clamps_and_is_mergeable(spark):
         a.unionByName(b).orderBy("ticket_key", "id").limit(50).collect()
     )
     assert sorted(r["id"] for r in merged) == sorted(r["id"] for r in rows)
+
+
+def test_triangle_counts_known_graphs(spark):
+    from warp_spark.pipeline.graph import triangle_counts
+
+    # K4: every vertex sits in C(3,2)=3 triangles; reversed/duplicate
+    # edges must not change anything
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    out = {r["node"]: r["triangles"] for r in triangle_counts(_edges(spark, k4)).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    # 4-cycle: no triangles at all
+    square = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    assert triangle_counts(_edges(spark, square)).count() == 0
+
+    # two triangles sharing vertex 0
+    bowtie = [(0, 1), (1, 2), (2, 0), (0, 3), (3, 4), (4, 0)]
+    out = {r["node"]: r["triangles"] for r in triangle_counts(_edges(spark, bowtie)).collect()}
+    assert out == {0: 2, 1: 1, 2: 1, 3: 1, 4: 1}

@@ -105,7 +105,11 @@ def main():
         "`dedup_clusters` and `graph_pagerank` show flat plans because",
         "their iterative rounds run through localCheckpoint (lineage",
         "truncated by design; per-superstep shape is one co-partitioned",
-        "join + one sum-by-dst aggregation).",
+        "join + one sum-by-dst aggregation).  `graph_triangle_counts`",
+        "shows an INFLATED textual count: its persisted oriented-edge",
+        "build is referenced three times (wedge join twice + closure",
+        "probe) and plan toString expands the cached subtree at each",
+        "InMemoryTableScan — runtime executes that subtree once.",
         "",
         '## WindowExec "No Partition Defined" warnings (benign, bounded)',
         "",

@@ -8004,6 +8004,52 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Per-vertex triangle counting (pipeline/graph.py::triangle_counts)
+# over the part co-purchase graph — the third canonical graph shape
+# next to component-finding and PageRank.  The Spark side runs the
+# degree-ordered edge-iterator (orient low→high by (degree, node), so
+# the wedge self-join is O(m^1.5) instead of hub² — the 100 TB plan);
+# the oracle replays the orientation-independent definition naively
+# (u<v three-way join), and both count every triangle exactly once, so
+# the per-node totals match exactly.  Top-20 by participation, node
+# tiebreak.
+# ---------------------------------------------------------------------------
+@register(
+    "graph_triangle_counts",
+    """
+    WITH und AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    tris AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM und e1
+      JOIN und e2 ON e2.u = e1.v
+      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+    nodes AS (SELECT unnest([a, b, c]) AS node FROM tris)
+    SELECT node AS l_partkey, count(*)::BIGINT AS triangles
+    FROM nodes GROUP BY 1 ORDER BY triangles DESC, node LIMIT 20
+    """,
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem").to_df().select("l_orderkey", "l_partkey")
+    other = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
+    edges = (
+        li.join(other, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("dst"))
+        .select(F.col("l_partkey").alias("src"), "dst")
+    )
+    out = triangle_counts(edges)
+    return (
+        out.select(F.col("node").alias("l_partkey"), "triangles")
+        .orderBy(F.col("triangles").desc(), "l_partkey")
+        .limit(20)
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

@@ -64,6 +64,8 @@ HEAVY = [
     # graph shape); the sketches pin that O(sketch-size) state stays
     # input-linear in scan cost only
     "graph_pagerank",
+    "graph_triangle_counts",
+    "rank_running_distinct",
     "agg_countmin_freq",
     "agg_hll_distinct",
     "agg_hdr_quantiles",

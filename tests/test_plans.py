@@ -282,3 +282,36 @@ def test_pii_redact_stages_each_regex_once(spark):
     assert plan.count("regexp_replace") == 4, plan
     # regexp_count compiles to size(regexp_extract_all(...))
     assert plan.count("regexp_extract_all") == 4, plan
+
+
+def test_sample_weighted_no_shuffle_no_python(spark):
+    """The weighted sampler's ticket-min key is a scan-side HOF and the
+    selection is a map-side top-k: TakeOrderedAndProject, zero Exchange,
+    zero Python — only k rows per partition ever move."""
+    plan = plan_of(spark, "sample_weighted")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_triangle_counts_caches_oriented_build_once(spark):
+    """The oriented-edge build feeds the wedge join twice plus the
+    closure probe; the persist must survive into the executed plan
+    (three InMemoryTableScans of ONE cached build) — an unpersist-
+    before-execution regression would drop them to zero and silently
+    triple the build. Also: no BNL anywhere in the wedge pipeline."""
+    plan = plan_of(spark, "graph_triangle_counts")
+    assert plan.count("InMemoryTableScan") == 3
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_running_distinct_uses_prefix_path(spark):
+    """rank_running_distinct must run the distributed decomposition:
+    a value-partitioned marker window (PARTITION BY user_id — never a
+    whole-data unpartitioned window) followed by the range-partitioned
+    prefix machinery. The only allowed unpartitioned window is the
+    N-partitions-row offsets side table."""
+    plan = plan_of(spark, "rank_running_distinct")
+    assert "Exchange rangepartitioning" in plan
+    assert "Exchange hashpartitioning(user_id" in plan

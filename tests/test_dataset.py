@@ -419,3 +419,19 @@ def test_transpose_roundtrip(spark):
         return [tuple(r) for r in df.orderBy(df.columns[0]).collect()]
     assert len(cells(once)) == 10                     # 11 cols → 10 value rows
     assert [t[1:] for t in cells(twice)] == [t[1:] for t in cells(src)]
+
+
+def test_rank_count_distinct_partitioned_window(spark):
+    """Partitioned running countDistinct goes through the window path
+    (partitions parallelize it natively) — Spark has no DISTINCT window
+    functions, so this exercises the marker rewrite under partition_by."""
+    rows = [("a", 1), ("a", 1), ("a", 2), ("b", 5), ("b", None), ("b", 5)]
+    data = [(g, i, v) for i, (g, v) in enumerate(rows)]
+    ds = Dataset.from_df(spark.createDataFrame(data, "g string, i long, v long"))
+    out = ds.rank(
+        {"cd": Aggregator(F.col("v"), "countDistinct")},
+        by=[Order("i")],
+        partition_by=["g"],
+    ).to_df()
+    got = {r["i"]: r["cd"] for r in out.collect()}
+    assert got == {0: 1, 1: 1, 2: 2, 3: 1, 4: 1, 5: 1}

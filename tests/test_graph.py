@@ -90,3 +90,12 @@ def test_triangle_counts_known_graphs(spark):
     bowtie = [(0, 1), (1, 2), (2, 0), (0, 3), (3, 4), (4, 0)]
     out = {r["node"]: r["triangles"] for r in triangle_counts(_edges(spark, bowtie)).collect()}
     assert out == {0: 2, 1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_weighted_sample_null_weight_gets_one_ticket_null_id_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, 5), (None, 99)], "id long, wt long"
+    )
+    rows = weighted_bottomk_sample(df, "id", F.col("wt"), k=10, max_weight=8).collect()
+    by_id = {r["id"]: r["w"] for r in rows}
+    assert by_id == {1: 1, 2: 5}  # NULL weight -> 1 ticket; NULL id gone

@@ -117,3 +117,22 @@ def test_hdr_quantile_bucket_contains_exact_quantile(spark):
     assert out["q50_lo"] <= exact["q50"] <= out["q50_hi"]
     assert out["q99_lo"] <= exact["q99"] <= out["q99_hi"]
     assert out["n"] == 10007
+
+
+def test_hll_ignores_nulls(spark):
+    base = spark.range(0, 5000).select(F.col("id").alias("v"))
+    with_nulls = base.unionByName(
+        spark.range(0, 50).select(F.lit(None).cast("long").alias("v"))
+    )
+    a = hll_distinct(base, "v").collect()[0]
+    b = hll_distinct(with_nulls, "v").collect()[0]
+    assert (a["hll_s"], a["hll_empty"]) == (b["hll_s"], b["hll_empty"])
+
+
+def test_countmin_estimate_keeps_null_probe_rows(spark):
+    df = spark.range(0, 100).select((F.col("id") % 5).alias("k"))
+    sketch = countmin_build(df, "k")
+    probes = spark.createDataFrame([(0,), (None,)], "k long")
+    rows = {r["k"]: r["est_count"] for r in countmin_estimate(sketch, probes, "k").collect()}
+    assert rows[0] == 20
+    assert rows[None] == 0  # never seen, not silently dropped

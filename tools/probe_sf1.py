@@ -159,6 +159,11 @@ def main() -> None:
     if "--rebuild" in sys.argv and os.path.isdir(SF1):
         shutil.rmtree(SF1)
     picked = [a for a in sys.argv[1:] if not a.startswith("--")]
+    unknown = [a for a in picked if a not in HEAVY]
+    if unknown:
+        raise SystemExit(
+            f"not in HEAVY (typo? add it to the list first): {unknown}"
+        )
     heavy = [n for n in HEAVY if n in picked] if picked else HEAVY
     if not os.path.isdir(SF1):
         print("building .scratch/sf1 (10× sf0.1 facts, dims fixed) ...", flush=True)

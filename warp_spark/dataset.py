@@ -149,18 +149,20 @@ class Dataset:
         """Distinct values of an expression (Data.swift:252-254)."""
         return Dataset(self.df.select(_col(expression).alias(alias)).distinct())
 
-    def sort(self, orders: Sequence[Order]) -> "Dataset":
+    def _order_columns(self, orders: Sequence[Order]) -> list[Column]:
+        """Dtype-probed sort columns for a list of Orders — shared by
+        sort() and rank(). Date/timestamp keys order natively and must
+        not go through the coerced-double collation (NTZ timestamps
+        cannot even cast to double); an unresolvable key (e.g. refs
+        into a later plan) falls back to coercing collation LOUDLY,
+        since a date-typed key would then collate as its string form."""
         import warnings
 
-        keys = []
+        keys: list[Column] = []
         for o in orders:
             try:
                 dtype = self.df.select(_col(o.expression)).schema[0].dataType
             except Exception:
-                # unresolvable against this frame (e.g. refs into a later
-                # plan): fall back to coerced-double + string-tiebreak
-                # collation — loudly, since a date-typed key would then
-                # collate as its string form
                 warnings.warn(
                     f"sort key {o.expression!r} did not resolve for dtype "
                     "probing; using coercing collation",
@@ -169,7 +171,10 @@ class Dataset:
                 )
                 dtype = None
             keys.extend(o.to_columns(dtype))
-        return Dataset(self.df.orderBy(*keys))
+        return keys
+
+    def sort(self, orders: Sequence[Order]) -> "Dataset":
+        return Dataset(self.df.orderBy(*self._order_columns(orders)))
 
     def aggregate(
         self,
@@ -338,17 +343,7 @@ class Dataset:
             "concat": lambda c: F.concat_ws("", F.collect_list(c.cast("string"))),
             "list": F.collect_list,
         }
-        # dtype-probe each sort key like sort() does — date/timestamp
-        # keys order natively and must not go through the coerced-double
-        # collation (NTZ timestamps cannot even cast to double)
-        def _keys(o: Order) -> list[Column]:
-            try:
-                dtype = self.df.select(_col(o.expression)).schema[0].dataType
-            except Exception:
-                dtype = None
-            return o.to_columns(dtype)
-
-        order_keys = [k for o in by for k in _keys(o)] if by else [F.col(ROW_ID)]
+        order_keys = self._order_columns(by) if by else [F.col(ROW_ID)]
         if (
             not partition_by
             and strategy in ("auto", "prefix")
@@ -378,11 +373,22 @@ class Dataset:
                 RuntimeWarning,
                 stacklevel=2,
             )
+        out = self.df
+        cd_present = any(a.reduce == "countDistinct" for a in ranks.values())
+        added_id = False
+        if cd_present:
+            # the marker window and the running-sum frame must resolve
+            # ties from ONE total order (otherwise a tied row can see a
+            # running count that excludes its own value) — extend the
+            # sort keys with a row id, mirroring the prefix path
+            if ROW_ID not in out.columns:
+                out = out.withColumn(ROW_ID, F.monotonically_increasing_id())
+                added_id = True
+            order_keys = [*order_keys, F.col(ROW_ID)]
         base = Window.orderBy(*order_keys)
         if partition_by:
             base = Window.partitionBy(*[_col(p) for p in partition_by]).orderBy(*order_keys)
         framed = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        out = self.df
         cd_markers: list[str] = []
         for name, agg in ranks.items():
             if agg.reduce == "countAll":
@@ -408,7 +414,8 @@ class Dataset:
             else:
                 raise ValueError(f"reducer {agg.reduce!r} not supported as running aggregate")
             out = out.withColumn(name, c)
-        return Dataset(out.drop(*cd_markers))
+        drop = cd_markers + ([ROW_ID] if added_id else [])
+        return Dataset(out.drop(*drop))
 
     def _rank_prefix_with_count_distinct(
         self,

@@ -120,8 +120,19 @@ def weighted_bottomk_sample(
     the id.  DuckDB replay:
     ``list_min(list_transform(range(0, w), t -> ('0x' ||
     substring(md5(id || ':' || t), 1, 8))::BIGINT))``.
+
+    NULL handling: a NULL weight means "unknown" and gets the
+    conservative 1 ticket (Spark's least/greatest SKIP nulls, so
+    without the coalesce a NULL weight would silently win max_weight
+    tickets); rows with a NULL id are excluded — they carry no stable
+    identity to hash, their NULL key would sort first on Spark but
+    last in the DuckDB replay, and all of them would share one ticket
+    sequence anyway.
     """
-    w = F.greatest(F.lit(1), F.least(F.lit(max_weight), weight)).cast("long")
+    df = df.where(F.col(id_col).isNotNull())
+    w = F.greatest(
+        F.lit(1), F.least(F.lit(max_weight), F.coalesce(weight, F.lit(1)))
+    ).cast("long")
     ticket = lambda t: _hash32(  # noqa: E731
         F.concat(F.col(id_col).cast("string"), F.lit(":"), t.cast("string"))
     )

@@ -90,16 +90,18 @@ def countmin_estimate(
     """
     key = F.col(key_col)
     cells = F.array(*[_md5_mod(key, i, width) for i in range(depth)])
+    # carry every probe column through the explode and group them back
+    # — no join-back to the probe lineage, so the (possibly expensive)
+    # probe plan executes exactly once, and a NULL probe key survives
+    # as its own group (cells are NULL → no sketch match → est 0)
+    # instead of being dropped by a null-rejecting equi-join
     exploded = probes.select(
-        key.alias("__k"), F.posexplode(cells).alias("cm_row", "cm_bucket")
+        *probes.columns, F.posexplode(cells).alias("cm_row", "cm_bucket")
     )
-    joined = exploded.join(
-        F.broadcast(sketch), ["cm_row", "cm_bucket"], "left"
-    ).select("__k", F.coalesce("cm_count", F.lit(0)).alias("cm_count"))
-    est = joined.groupBy("__k").agg(F.min("cm_count").alias("est_count"))
-    return probes.join(
-        F.broadcast(est), probes[key_col] == est["__k"], "inner"
-    ).drop("__k")
+    joined = exploded.join(F.broadcast(sketch), ["cm_row", "cm_bucket"], "left")
+    return joined.groupBy(*probes.columns).agg(
+        F.min(F.coalesce("cm_count", F.lit(0))).alias("est_count")
+    )
 
 
 # HLL with m = 256 registers (b = 8 index bits): rel. std. error
@@ -144,6 +146,10 @@ def hll_distinct(
     ``[group_col,] hll_empty BIGINT, hll_s BIGINT, est_distinct DOUBLE``.
     """
     groups = [group_col] if group_col else []
+    # NULLs are not values (countDistinct semantics): without the
+    # filter a NULL hash falls through the rank F.when to MAX_RANK and
+    # materializes a phantom present register, inflating the estimate
+    df = df.where(F.col(value_col).isNotNull())
     h = F.conv(
         F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
@@ -234,6 +240,8 @@ def hdr_quantiles(
     Returns one row per group: ``group, n, q{XX}_lo, q{XX}_hi`` —
     all BIGINT, so the oracle comparison is integer-exact.
     """
+    if len(set(qs)) != len(qs):
+        raise ValueError(f"duplicate quantiles in qs: {qs}")
     hist = (
         df.select(F.col(group_col), hdr_bucket(cents_col, sub_bits).alias("__key"))
         .groupBy(group_col, "__key")
@@ -253,11 +261,11 @@ def hdr_quantiles(
         target = F.ceil(F.lit(q) * F.col("__n").cast("double")).cast("long")
         pick = F.min(F.when(F.col("__cum") >= target, F.col("__key")))
         name = f"q{int(round(q * 100)):02d}"
-        names.append((name, pick))
+        names.append(name)
         aggs.append(pick.alias(f"__{name}_key"))
     out = cum.groupBy(group_col).agg(*aggs)
     cols = [F.col(group_col), F.col("n")]
-    for name, _ in names:
+    for name in names:
         lo, hi = hdr_bounds(F.col(f"__{name}_key"), sub_bits)
         cols += [lo.alias(f"{name}_lo"), hi.alias(f"{name}_hi")]
     return out.select(*cols)

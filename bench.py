@@ -145,6 +145,8 @@ HEADLINE = [
     "events_countmin_streamed",
     "rank_running_distinct",
     "graph_triangle_counts",
+    "sample_weighted_stratified",
+    "events_hdr_streamed",
 ]
 
 

@@ -99,3 +99,19 @@ def test_weighted_sample_null_weight_gets_one_ticket_null_id_excluded(spark):
     rows = weighted_bottomk_sample(df, "id", F.col("wt"), k=10, max_weight=8).collect()
     by_id = {r["id"]: r["w"] for r in rows}
     assert by_id == {1: 1, 2: 5}  # NULL weight -> 1 ticket; NULL id gone
+
+
+def test_weighted_sample_grouped_draws_k_per_group(spark):
+    from warp_spark.sampling import weighted_bottomk_sample
+
+    df = spark.range(0, 900).select(
+        "id", (F.col("id") % 3).cast("string").alias("g"), (F.col("id") % 7 + 1).alias("wt")
+    )
+    out = weighted_bottomk_sample(df, "id", F.col("wt"), k=20, group_col="g")
+    per = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {"0": 20, "1": 20, "2": 20}
+    # grouped draw restricted to one group == global draw on that group
+    only0 = weighted_bottomk_sample(df.filter(F.col("g") == "0"), "id", F.col("wt"), k=20)
+    a = sorted(r["id"] for r in out.filter(F.col("g") == "0").collect())
+    b = sorted(r["id"] for r in only0.collect())
+    assert a == b

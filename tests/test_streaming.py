@@ -446,3 +446,48 @@ def test_countmin_streamed_two_batches_equals_batch_sketch(spark, tmp_path):
         for r in countmin_build(full.select("user_id"), "user_id", depth=4, width=64).collect()
     }
     assert streamed == batch
+
+
+def test_hdr_streamed_two_batches_equals_batch_histogram(spark, tmp_path):
+    """HDR bucket counters are integer adds — the drained two-micro-
+    batch histogram equals the batch build cell-for-cell, so the
+    quantile bounds read off it are batch-identical too."""
+    import shutil
+
+    from warp_spark.sketches import hdr_bucket
+
+    d = tmp_path / "hdr_two_files"
+    d.mkdir()
+    full = batch_events(spark)
+    half1 = full.filter(F.col("event_id") % 2 == 0)
+    half2 = full.filter(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.mode("overwrite").parquet(str(d / "a"))
+    half2.coalesce(1).write.mode("overwrite").parquet(str(d / "b"))
+    for i, sub in enumerate(["a", "b"]):
+        for f in (d / sub).glob("*.parquet"):
+            shutil.move(str(f), str(d / f"part-{i}.parquet"))
+        shutil.rmtree(d / sub)
+
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    stream = with_ts(read_event_stream(spark, str(d), max_files_per_trigger=1))
+    hist = (
+        stream.select("event_type", hdr_bucket(cents, 5).alias("__key"))
+        .groupBy("event_type", "__key")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    run_stream_to_memory(hist, "hdr_mb", output_mode="update")
+    streamed = {
+        (r["event_type"], r["__key"]): r["__cnt"]
+        for r in spark.table("hdr_mb")
+        .groupBy("event_type", "__key")
+        .agg(F.max("__cnt").alias("__cnt"))
+        .collect()
+    }
+    batch = {
+        (r["event_type"], r["__key"]): r["__cnt"]
+        for r in full.select("event_type", hdr_bucket(cents, 5).alias("__key"))
+        .groupBy("event_type", "__key")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .collect()
+    }
+    assert streamed == batch

@@ -8050,6 +8050,114 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Stratified weighted sampling (sampling.py::weighted_bottomk_sample
+# with group_col): k weighted winners from EVERY language — one hash
+# shuffle on the stratum key then a per-group window rank, the
+# training-mixture form of the global draw (minority languages keep
+# their quota instead of being outdrawn by the head stratum).
+# ---------------------------------------------------------------------------
+@register(
+    "sample_weighted_stratified",
+    """
+    WITH keyed AS (
+      SELECT doc_id, lang, least(8, 1 + n_chars // 64)::BIGINT AS w,
+             list_min(list_transform(range(0, (least(8, 1 + n_chars // 64))::INT),
+               t -> ('0x' || substring(md5(doc_id::VARCHAR || ':' || t::VARCHAR), 1, 8))::BIGINT))
+               AS ticket_key
+      FROM documents),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY ticket_key, doc_id) AS rn
+      FROM keyed)
+    SELECT doc_id, lang, w, ticket_key
+    FROM ranked WHERE rn <= 15
+    """,
+)
+def sample_weighted_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.sampling import weighted_bottomk_sample
+
+    docs = _t(spark, sf_dir, "documents").to_df().select(
+        "doc_id", "lang", "n_chars"
+    )
+    weight = F.lit(1) + F.expr("n_chars div 64")
+    return weighted_bottomk_sample(
+        docs, "doc_id", weight, k=15, max_weight=8, group_col="lang"
+    ).select("doc_id", "lang", "w", "ticket_key")
+
+
+# ---------------------------------------------------------------------------
+# STREAMING HDR quantile histogram: the log-linear bucket build
+# (sketches.py::hdr_bucket) is one streaming groupBy count per
+# (event_type, bucket) — a few hundred integer cells of state on an
+# unbounded stream; quantiles read off the DRAINED histogram
+# (sketches.py::hdr_quantiles_from_hist), never rescanning the stream.
+# Counter cells are batching-insensitive, so the streamed histogram —
+# and therefore the [lo, hi] quantile bounds — value-match the batch
+# replay exactly. 15th real streaming execution.
+# ---------------------------------------------------------------------------
+@register(
+    "events_hdr_streamed",
+    """
+    WITH c AS (
+      SELECT event_type,
+             floor(value * 100.0::DOUBLE + 0.5::DOUBLE)::BIGINT AS cents
+      FROM events),
+    b AS (
+      SELECT event_type,
+             (greatest(length(bin(cents)) - 5, 0) * 32
+              + (cents >> greatest(length(bin(cents)) - 5, 0)))::BIGINT AS key
+      FROM c),
+    hist AS (SELECT event_type, key, count(*) AS cnt FROM b GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, key, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY key) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM hist),
+    pick AS (
+      SELECT event_type, max(n)::BIGINT AS n,
+             min(CASE WHEN cum >= ceil(0.5::DOUBLE * n::DOUBLE) THEN key END) AS q50_key,
+             min(CASE WHEN cum >= ceil(0.95::DOUBLE * n::DOUBLE) THEN key END) AS q95_key
+      FROM cum GROUP BY 1)
+    SELECT event_type, n,
+           ((q50_key % 32) << (q50_key // 32))::BIGINT AS q50_lo,
+           (((q50_key % 32 + 1) << (q50_key // 32)) - 1)::BIGINT AS q50_hi,
+           ((q95_key % 32) << (q95_key // 32))::BIGINT AS q95_lo,
+           (((q95_key % 32 + 1) << (q95_key // 32)) - 1)::BIGINT AS q95_hi
+    FROM pick
+    """,
+)
+def events_hdr_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from warp_spark.sketches import hdr_bucket, hdr_quantiles_from_hist
+    from warp_spark.streaming import run_stream_to_memory
+
+    d = tempfile.mkdtemp(prefix="warp_stream_entry_")
+    name = f"hdr_streamed_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = _stage_event_stream(spark, sf_dir, d)
+        cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+        hist = (
+            ev.select("event_type", hdr_bucket(cents, 5).alias("__key"))
+            .groupBy("event_type", "__key")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        run_stream_to_memory(hist, name, output_mode="update")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    snapshot = (
+        spark.table(name)
+        .groupBy("event_type", "__key")
+        .agg(F.max("__cnt").alias("__cnt"))
+    )
+    return hdr_quantiles_from_hist(
+        snapshot, "event_type", qs=(0.5, 0.95), sub_bits=5
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

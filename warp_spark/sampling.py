@@ -97,6 +97,7 @@ def weighted_bottomk_sample(
     weight: Column,
     k: int,
     max_weight: int = 64,
+    group_col: Optional[str] = None,
 ) -> DataFrame:
     """Deterministic weighted sample without replacement: row *i* holds
     ``weight_i`` lottery tickets, ticket *t* of row *i* hashes to
@@ -111,9 +112,12 @@ def weighted_bottomk_sample(
     a zero-shuffle HOF, no explode, no replication — and the global
     top-k compiles to TakeOrderedAndProject (map-side top-k, mergeable:
     each of P partitions surfaces k candidates, k·P rows reach the
-    final heap).  Weights clamp to [1, max_weight] so per-row work is
-    bounded: at 100 TB the scan stays O(rows·max_weight) hash evals
-    with no data movement until the k-row result.
+    final heap).  With ``group_col`` the draw is per group (one hash
+    shuffle on the group key, then a per-group window rank — the
+    stratified form: k weighted winners from every language/source).
+    Weights clamp to [1, max_weight] so per-row work is bounded: at
+    100 TB the scan stays O(rows·max_weight) hash evals with no data
+    movement until the k-row result.
 
     Returns the winning rows with ``w`` (clamped weight) and
     ``ticket_key`` (the winning ticket hash) appended; ties break on
@@ -137,11 +141,14 @@ def weighted_bottomk_sample(
         F.concat(F.col(id_col).cast("string"), F.lit(":"), t.cast("string"))
     )
     key = F.array_min(F.transform(F.sequence(F.lit(0), w - 1), ticket))
+    keyed = df.withColumn("w", w).withColumn("ticket_key", key)
+    if group_col is None:
+        return keyed.orderBy("ticket_key", id_col).limit(k)
+    gw = Window.partitionBy(group_col).orderBy("ticket_key", id_col)
     return (
-        df.withColumn("w", w)
-        .withColumn("ticket_key", key)
-        .orderBy("ticket_key", id_col)
-        .limit(k)
+        keyed.withColumn("__rn", F.row_number().over(gw))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
     )
 
 

@@ -240,13 +240,27 @@ def hdr_quantiles(
     Returns one row per group: ``group, n, q{XX}_lo, q{XX}_hi`` —
     all BIGINT, so the oracle comparison is integer-exact.
     """
-    if len(set(qs)) != len(qs):
-        raise ValueError(f"duplicate quantiles in qs: {qs}")
     hist = (
         df.select(F.col(group_col), hdr_bucket(cents_col, sub_bits).alias("__key"))
         .groupBy(group_col, "__key")
         .agg(F.count(F.lit(1)).alias("__cnt"))
     )
+    return hdr_quantiles_from_hist(hist, group_col, qs=qs, sub_bits=sub_bits)
+
+
+def hdr_quantiles_from_hist(
+    hist: DataFrame,
+    group_col: str,
+    qs: Sequence[float] = (0.5, 0.95, 0.99),
+    sub_bits: int = 5,
+) -> DataFrame:
+    """Quantile read-off over an ALREADY-BUILT ``(group, __key, __cnt)``
+    histogram — the entry point for histograms that arrive from
+    elsewhere: a drained streaming aggregation, or per-shard histograms
+    merged by summing counts (the 100 TB rollup).  Same output shape
+    as :func:`hdr_quantiles`."""
+    if len(set(qs)) != len(qs):
+        raise ValueError(f"duplicate quantiles in qs: {qs}")
     w = (
         Window.partitionBy(group_col)
         .orderBy("__key")

@@ -1,7 +1,7 @@
 """Seed-pinned random differential: generate small relational pipelines
 from one AST and run them BOTH as a DataFrame chain (Spark) and as SQL
 (DuckDB) over the same parquet — the property-based complement to the
-164 hand-written catalog oracles (SURVEY §5's differential strategy,
+hand-written catalog oracles (SURVEY §5's differential strategy,
 generalized).
 
 Design constraints that keep it deterministic and flake-free:

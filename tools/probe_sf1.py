@@ -70,6 +70,7 @@ HEAVY = [
     "agg_hll_distinct",
     "agg_hdr_quantiles",
     "sample_weighted",
+    "sample_weighted_stratified",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

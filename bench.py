@@ -147,6 +147,7 @@ HEADLINE = [
     "graph_triangle_counts",
     "sample_weighted_stratified",
     "events_hdr_streamed",
+    "profile_join_cardinality",
 ]
 
 

@@ -8158,6 +8158,75 @@ def events_hdr_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Join-cardinality / skew profiler — the 100 TB pre-flight: before
+# running an expensive join, compute its EXACT output size and the
+# skew keys from per-side key histograms (|A ⋈ B| = Σ_k a_k·b_k),
+# without executing the join itself.  Two map-side-combinable
+# aggregations + one join of the (small) count tables; the totals are
+# inlined as literals via the _scalar_join discipline (no BNL, no
+# unpartitioned window).  A key whose pair count dwarfs the others is
+# exactly the key AQE skew-join / salting will have to split.
+# Profiles customer ⋈ orders on custkey: top-5 heaviest join keys with
+# their share of the total output.
+# ---------------------------------------------------------------------------
+@register(
+    "profile_join_cardinality",
+    """
+    WITH a AS (SELECT c_custkey AS k, count(*) AS n_left
+               FROM customer GROUP BY 1),
+    b AS (SELECT o_custkey AS k, count(*) AS n_right
+          FROM orders GROUP BY 1),
+    p AS (SELECT a.k, a.n_left, b.n_right, a.n_left * b.n_right AS pairs
+          FROM a JOIN b USING (k)),
+    tot AS (SELECT sum(pairs) AS total_pairs,
+                   count(*) AS matched_keys FROM p)
+    SELECT p.k AS join_key, p.n_left::BIGINT AS n_left,
+           p.n_right::BIGINT AS n_right, p.pairs::BIGINT AS pairs,
+           t.total_pairs::BIGINT AS total_pairs,
+           t.matched_keys::BIGINT AS matched_keys,
+           (p.pairs * 1000000 // t.total_pairs)::BIGINT AS share_ppm
+    FROM p CROSS JOIN tot t
+    ORDER BY pairs DESC, join_key LIMIT 5
+    """,
+)
+def profile_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        _t(spark, sf_dir, "customer")
+        .to_df()
+        .groupBy(F.col("c_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_left"))
+    )
+    b = (
+        _t(spark, sf_dir, "orders")
+        .to_df()
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_right"))
+    )
+    p = a.join(b, "k").select(
+        "k", "n_left", "n_right",
+        (F.col("n_left") * F.col("n_right")).alias("pairs"),
+    )
+    tot = p.agg(
+        F.sum("pairs").alias("total_pairs"),
+        F.count(F.lit(1)).alias("matched_keys"),
+    )
+    out = _scalar_join(p, tot)
+    return (
+        out.select(
+            F.col("k").alias("join_key"),
+            "n_left",
+            "n_right",
+            "pairs",
+            "total_pairs",
+            "matched_keys",
+            F.expr("(pairs * 1000000L) div total_pairs").alias("share_ppm"),
+        )
+        .orderBy(F.col("pairs").desc(), "join_key")
+        .limit(5)
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

@@ -148,6 +148,7 @@ HEADLINE = [
     "sample_weighted_stratified",
     "events_hdr_streamed",
     "profile_join_cardinality",
+    "agg_kmv_overlap",
 ]
 
 

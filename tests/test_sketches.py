@@ -136,3 +136,23 @@ def test_countmin_estimate_keeps_null_probe_rows(spark):
     rows = {r["k"]: r["est_count"] for r in countmin_estimate(sketch, probes, "k").collect()}
     assert rows[0] == 20
     assert rows[None] == 0  # never seen, not silently dropped
+
+
+def test_kmv_overlap_estimates_track_truth(spark):
+    from warp_spark.sampling import kmv_overlap
+
+    # A = 0..3999, B = 2000..7999: union 8000, intersection 2000, J=0.25
+    a = spark.range(0, 4000).select(F.col("id").alias("v"))
+    b = spark.range(2000, 8000).select(F.col("id").alias("v"))
+    row = kmv_overlap(a, b, "v", k=256).collect()[0]
+    assert row["n_bottom"] == 256
+    assert abs(row["est_union"] - 8000) / 8000 < 0.3
+    assert abs(row["est_jaccard"] - 0.25) < 0.12  # binomial on 256 draws
+    assert abs(row["est_intersection"] - 2000) / 2000 < 0.5
+
+    # disjoint sets: exact-zero overlap, exact union below k
+    c = spark.range(0, 100).select(F.col("id").alias("v"))
+    d = spark.range(100, 150).select(F.col("id").alias("v"))
+    row = kmv_overlap(c, d, "v", k=256).collect()[0]
+    assert row["c_both"] == 0 and row["est_union"] == 150.0
+    assert row["est_jaccard"] == 0.0 and row["est_intersection"] == 0.0

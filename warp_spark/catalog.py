@@ -8227,6 +8227,58 @@ def profile_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# KMV set-overlap estimation (sampling.py::kmv_overlap): how much do
+# two user populations overlap, from k-row sketch state — the corpus-
+# overlap question at 100 TB answered without materializing the
+# intersection.  The bottom-k of the union's distinct hashes is a
+# uniform sample of A ∪ B, so membership-in-both within it estimates
+# Jaccard; intersection = Ĵ · D̂_union.  md5 state only, so all three
+# ESTIMATES value-match the replay (the kmv_distinct discipline on a
+# union sketch); parenthesization of the double arithmetic mirrored
+# verbatim.  Viewers vs purchasers over events, k = 128.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_kmv_overlap",
+    """
+    WITH ha AS (SELECT DISTINCT
+                  ('0x' || substring(md5(user_id::VARCHAR), 1, 8))::BIGINT AS hv
+                FROM events WHERE event_type = 'view' AND user_id IS NOT NULL),
+    hb AS (SELECT DISTINCT
+             ('0x' || substring(md5(user_id::VARCHAR), 1, 8))::BIGINT AS hv
+           FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+    u AS (SELECT DISTINCT hv FROM (SELECT hv FROM ha UNION ALL SELECT hv FROM hb)),
+    bottom AS (SELECT hv FROM u ORDER BY hv LIMIT 128),
+    flags AS (
+      SELECT b.hv,
+             CASE WHEN a.hv IS NOT NULL AND c.hv IS NOT NULL THEN 1 ELSE 0 END AS in_both
+      FROM bottom b
+      LEFT JOIN ha a ON a.hv = b.hv
+      LEFT JOIN hb c ON c.hv = b.hv),
+    stats AS (SELECT count(*) AS n_bottom, max(hv) AS kth_hash,
+                     sum(in_both) AS c_both FROM flags)
+    SELECT n_bottom::BIGINT AS n_bottom, kth_hash::BIGINT AS kth_hash,
+           c_both::BIGINT AS c_both,
+           CASE WHEN n_bottom >= 128
+                THEN (127.0 * 4294967296.0) / kth_hash::DOUBLE
+                ELSE n_bottom::DOUBLE END AS est_union,
+           c_both::DOUBLE / n_bottom::DOUBLE AS est_jaccard,
+           (c_both::DOUBLE / n_bottom::DOUBLE)
+             * (CASE WHEN n_bottom >= 128
+                     THEN (127.0 * 4294967296.0) / kth_hash::DOUBLE
+                     ELSE n_bottom::DOUBLE END) AS est_intersection
+    FROM stats
+    """,
+)
+def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.sampling import kmv_overlap
+
+    ev = _t(spark, sf_dir, "events").to_df().select("event_type", "user_id")
+    a = ev.where(F.col("event_type") == "view")
+    b = ev.where(F.col("event_type") == "purchase")
+    return kmv_overlap(a, b, "user_id", k=128)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

@@ -460,3 +460,68 @@ def deterministic_shuffle_global(
             F.col("shuffle_key"),
         )
     )
+
+
+def kmv_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """KMV set-overlap estimation between two sides' distinct values —
+    the sketch answer to "how much do these two corpora overlap?"
+    without materializing the intersection.
+
+    bottom  = k smallest distinct hashes of A ∪ B
+    Ĵ       = |{h ∈ bottom : h ∈ A ∧ h ∈ B}| / |bottom|
+              (the bottom-k of the union is a uniform sample of A ∪ B,
+               so membership-in-both within it estimates Jaccard)
+    D̂_union = (k−1)·2³² / h₍ₖ₎      (exact count below k hashes)
+    D̂_inter = Ĵ · D̂_union
+
+    Everything is md5-hash state — RNG-free, so the ESTIMATES value-
+    match a SQL replay (the kmv_distinct discipline applied to the
+    union sketch).  Scale shape: per-side distinct-hash aggregations,
+    one k-row TakeOrdered, two broadcast membership joins of the k-row
+    bottom set — no pairwise work, and per-side bottom-k sketches
+    merge (union, re-take k smallest), so pre-sketched shards compose.
+
+    Returns ONE row: ``n_bottom, kth_hash, c_both, est_union,
+    est_jaccard, est_intersection``.
+    """
+    ha = df_a.select(_hash32(F.col(value_col)).alias("hv")).where(
+        F.col(value_col).isNotNull()
+    ).distinct()
+    hb = df_b.select(_hash32(F.col(value_col)).alias("hv")).where(
+        F.col(value_col).isNotNull()
+    ).distinct()
+    u = ha.union(hb).distinct()
+    bottom = u.orderBy("hv").limit(k)
+    flagged = (
+        bottom.join(ha.withColumn("__ina", F.lit(1)), "hv", "left")
+        .join(hb.withColumn("__inb", F.lit(1)), "hv", "left")
+        .select(
+            "hv",
+            (F.coalesce("__ina", F.lit(0)) * F.coalesce("__inb", F.lit(0))).alias(
+                "__both"
+            ),
+        )
+    )
+    stats = flagged.agg(
+        F.count(F.lit(1)).alias("n_bottom"),
+        F.max("hv").alias("kth_hash"),
+        F.sum("__both").alias("c_both"),
+    )
+    est_union = F.when(
+        F.col("n_bottom") >= k,
+        F.lit(float((k - 1) * 4294967296.0)) / F.col("kth_hash").cast("double"),
+    ).otherwise(F.col("n_bottom").cast("double"))
+    est_j = F.col("c_both").cast("double") / F.col("n_bottom").cast("double")
+    return stats.select(
+        F.col("n_bottom").cast("long").alias("n_bottom"),
+        F.col("kth_hash").cast("long").alias("kth_hash"),
+        F.col("c_both").cast("long").alias("c_both"),
+        est_union.alias("est_union"),
+        est_j.alias("est_jaccard"),
+        (est_j * est_union).alias("est_intersection"),
+    )

@@ -149,6 +149,7 @@ HEADLINE = [
     "events_hdr_streamed",
     "profile_join_cardinality",
     "agg_kmv_overlap",
+    "events_transition_matrix",
 ]
 
 

@@ -8279,6 +8279,60 @@ def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_overlap(a, b, "user_id", k=128)
 
 
+# ---------------------------------------------------------------------------
+# Event-transition matrix (first-order Markov chain over per-user
+# event sequences): one lag window partitioned by user — distributed
+# by construction, state = one row lookback — then a count per
+# (from, to) pair with an exact-ppm transition probability (integer
+# div against the per-from total, the validate_rules discipline).
+# The per-user sequence order is (ts, event_id) — unique, so the
+# transition multiset is engine-independent.  Complements the funnel
+# (fixed target sequence) with the full empirical transition law.
+# ---------------------------------------------------------------------------
+@register(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    pairs AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT from_type, sum(n) AS n_from FROM pairs GROUP BY 1)
+    SELECT p.from_type, p.to_type, p.n::BIGINT AS n,
+           t.n_from::BIGINT AS n_from,
+           (p.n * 1000000 // t.n_from)::BIGINT AS prob_ppm
+    FROM pairs p JOIN tot t USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").to_df().select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("from_type", F.lag("event_type").over(w))
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        pairs.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type", "to_type", "n", "n_from",
+            F.expr("(n * 1000000L) div n_from").alias("prob_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

@@ -25,6 +25,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Entries deliberately NOT benched, with machine-readable reasons —
+# empty today: since round 7 the headline set is the ENTIRE catalog
+# (derived from the registry at runtime, so a new catalog entry can
+# never be silently unbenched).  If an entry ever has to be excluded
+# (e.g. a deliberately-pathological demo), it goes here and the
+# exclusion ships in the bench detail line.
+EXCLUDED: dict[str, str] = {}
+
+# Kept for ordering stability of the long-lived per-query history:
+# the r1-r6 headline set runs FIRST in its historical order, then every
+# remaining catalog entry in registration order.
 HEADLINE = [
     # TPC-H-ish relational core
     "q1_pricing_summary",
@@ -193,7 +204,11 @@ def main():
     # Warm up every query shape at the smallest SF first: the first use of
     # each physical operator pays a one-time JVM codegen/classload cost
     # (~5-15s) that is irrelevant to steady-state engine throughput.
-    names = [n for n in HEADLINE if n in QUERIES]
+    # Bench the FULL catalog: the historical headline order first (keeps
+    # the r1-r6 per-query timing history comparable), then every other
+    # registered entry, minus the (currently empty) EXCLUDED manifest.
+    names = [n for n in HEADLINE if n in QUERIES and n not in EXCLUDED]
+    names += [n for n in QUERIES if n not in set(names) and n not in EXCLUDED]
     for name in names:
         try:
             QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
@@ -231,6 +246,7 @@ def main():
             {
                 "metric": "headline_queries_detail",
                 "queries": timings,
+                "excluded": EXCLUDED,
                 "sf": sf,
                 "load_ok": load_ok,
             }

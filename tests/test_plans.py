@@ -235,6 +235,54 @@ def test_driver_window_is_the_queries_prefix():
     assert not missing, f"windowed entries without oracles: {missing}"
 
 
+def test_driver_window_rotation_policy():
+    """Mechanize the freshness rotation: the window must never spend a
+    slot on an entry whose driver evidence is from the two most recent
+    judged rounds while a never-judged or strictly-staler entry exists
+    outside the window — except the pinned flagship TPC-H trio, which
+    stays in-window every round by design.  Evidence = the committed
+    CORRECTNESS_r*.json snapshots (each round's keys are the judged
+    entries)."""
+    import glob
+    import json
+    import os
+    import re
+
+    import __spark_entry__ as m
+    from warp_spark.catalog import _DRIVER_WINDOW
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    rounds = []
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        rounds.append(rnd)
+        with open(path) as f:
+            for key in json.load(f):
+                latest[key] = max(latest.get(key, 0), rnd)
+    if len(rounds) < 2:
+        return  # not enough history to rank freshness
+    fresh_cutoff = sorted(rounds)[-2]  # two most recent judged rounds
+    flagship = {"q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume"}
+    window = set(_DRIVER_WINDOW)
+    all_names = set(m.queries())
+    # staleness rank: never judged = -1 (stalest), else latest round
+    outside = all_names - window
+    stalest_outside = min((latest.get(n, -1) for n in outside), default=None)
+    offenders = [
+        n
+        for n in _DRIVER_WINDOW
+        if n not in flagship
+        and latest.get(n, -1) >= fresh_cutoff
+        and stalest_outside is not None
+        and stalest_outside < latest.get(n, -1)
+    ]
+    assert not offenders, (
+        f"window wastes slots on fresh evidence {offenders} while entries "
+        f"with staleness {stalest_outside} sit outside the window"
+    )
+
+
 def test_partitioned_read_prunes_partitions(spark):
     """A filter on a hive-partition column becomes a planning-time
     PartitionFilter — excluded directories are never listed into the

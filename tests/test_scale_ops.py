@@ -1182,9 +1182,18 @@ def test_ivfpq_topk_recall_and_probe_honesty(spark):
     ex = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(q, emb, k=5).collect()}
     got = ivfpq_topk(q, emb, k=5, n_centroids=16, nprobe=4, rerank=50).collect()
     rr = {(r["query_id"], r["neighbor_id"]) for r in got}
-    # recall is bounded above by IVF's candidate recall (nprobe lists)
-    # and below by the entry's floor
+    # recall is bounded above by IVF's candidate recall (nprobe lists);
+    # at the narrow nprobe=4 probe it still clears the old lenient floor
     assert len(rr & ex) / len(ex) >= 0.3
+    # the catalog's documented operating point (r7 sweep: 0.86/0.88/0.92
+    # at sf0.001/0.01/0.1) clears the 0.8 floor the entry now asserts
+    op = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            q, emb, k=5, n_centroids=16, nprobe=12, rerank=100
+        ).collect()
+    }
+    assert len(op & ex) / len(ex) >= 0.8
     assert all(1 <= r["rank"] <= 5 for r in got)
     assert all(r["query_id"] != r["neighbor_id"] for r in got)
     # index honesty: every returned neighbor really lives in one of its

@@ -138,6 +138,20 @@ def test_countmin_estimate_keeps_null_probe_rows(spark):
     assert rows[None] == 0  # never seen, not silently dropped
 
 
+def test_countmin_estimate_preserves_duplicate_probe_rows(spark):
+    """Contract: output cardinality == probe cardinality.  Two probe
+    rows identical in every column must come back as two rows (each
+    with the same estimate), not collapse into one through the
+    explode/group-back round trip."""
+    df = spark.range(0, 100).select((F.col("id") % 5).alias("k"))
+    sketch = countmin_build(df, "k")
+    probes = spark.createDataFrame([(3,), (3,), (1,)], "k long")
+    got = countmin_estimate(sketch, probes, "k").collect()
+    assert len(got) == 3
+    by_key = sorted((r["k"], r["est_count"]) for r in got)
+    assert by_key == [(1, 20), (3, 20), (3, 20)]
+
+
 def test_kmv_overlap_estimates_track_truth(spark):
     from warp_spark.sampling import kmv_overlap
 

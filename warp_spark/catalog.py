@@ -7431,17 +7431,21 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF-PQ ANN (similarity.py::ivfpq_topk): the Faiss-IndexIVFPQ
 # composition — coarse inverted-file pruning to nprobe/n_centroids of
 # the corpus, PQ ADC scoring over 16 B/vector codes inside the probed
-# lists only, exact re-rank of the shortlist.  ~64× fewer scanned
-# bytes than raw brute force at these defaults before any raw vector
-# is touched.  Self-validating recall floor vs the oracle-checked
-# exact baseline, like the other approximate-index entries; the floor
-# sits below IVF's candidate-recall ceiling (nprobe-bounded), which
-# PQ scoring inside the lists cannot exceed.
+# lists only, exact re-rank of the shortlist.  Operating point chosen
+# by the r7 nprobe×rerank recall sweep (deterministic training, so
+# recall is exact): the synthetic embeddings are nearly unclustered,
+# so IVF candidate recall tracks the probed-corpus fraction —
+# nprobe=4/16 lands 0.56-0.62, nprobe=12/16 + rerank=100 lands
+# 0.86/0.88/0.92 at sf0.001/0.01/0.1.  That point keeps the PQ byte
+# win (codes are still 16 B/vector inside probed lists, ~16× fewer
+# scanned bytes than raw, on top of the 25 % list prune) while
+# clearing a 0.8 floor with margin at every SF; on REAL clustered
+# embeddings the same recall arrives at far smaller nprobe.
 @register(
     "ann_topk_ivfpq",
     """
     SELECT CAST(10 AS BIGINT) AS n_queries,
-           CAST(0.3 AS DOUBLE) AS recall_floor,
+           CAST(0.8 AS DOUBLE) AS recall_floor,
            true               AS recall_ge_floor
     """,
 )
@@ -7451,9 +7455,9 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").to_df()
     q = emb.filter(F.col("vec_id") < 10)
     return _ann_recall_check(
-        ivfpq_topk(q, emb, k=5, n_centroids=16, nprobe=4, rerank=50),
+        ivfpq_topk(q, emb, k=5, n_centroids=16, nprobe=12, rerank=100),
         brute_force_topk(q, emb, k=5),
-        floor=0.3,
+        floor=0.8,
     )
 
 
@@ -8347,86 +8351,94 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # the window is rotated every round and the rotation is documented here
 # and in PARITY.md.
 #
-# Round-6 window: every catalog entry is already driver-judged green
-# (r5 closed the loop at 160/160), so FRESHNESS is now the rotation
-# criterion — each round re-anchors the entries whose latest driver
-# evidence is oldest, keeping the rolling invariant "no entry's latest
-# evidence older than ~3 rounds" reachable.  This window is the 30
-# entries last judged in r02 (relational basics, formula language,
-# text/dedup/ANN baselines, the hourly/daily event rollups — including
-# events_daily_from_hourly, whose DATE output column re-proves the
-# date-vs-midnight-timestamp equivalence the local gate now normalizes
-# per declared type), the flagship TPC-H trio kept in-window every
-# round, and the first 17 of the r03-vintage entries (sampling,
-# transpose, dedup clusters/simhash, LSH/IVF ANN, multimodal stubs,
-# sliding rollup, list/json/binary function suites, salted/two-phase
-# aggregation, range/interval joins) — the remaining 20 r03-vintage
-# entries rotate in r7, together with the eight NEW round-6 entries
-# (text_pii_redact, ann_topk_ivfpq, embedding_decontaminate,
-# fuzzy_link_names, dedup_duplicate_spans, training_shuffle_shards,
-# dedup_span_masking, training_shuffle_global — all tri-SF green
-# locally).  All displaced entries
-# were hash-verified by
-# the driver in a prior round and remain covered by the tri-SF strict
+# Round-7 window: FRESHNESS is the rotation criterion — each round
+# re-anchors the entries whose latest driver evidence is oldest.  After
+# r6 the freshness histogram was r6:50 / r5:47 / r4:43 / r3:20 /
+# never-judged:21 (the 21 operators added in round 6 — the sketch /
+# graph / sampling / span-dedup tier — were judge-gate verified but
+# never driver-judged).  This window therefore takes:
+#   * all 21 never-judged r6 additions (rank_running_distinct,
+#     events_countmin_streamed, text_pii_redact, ann_topk_ivfpq,
+#     embedding_decontaminate, fuzzy_link_names, dedup_duplicate_spans,
+#     training_shuffle_shards, dedup_span_masking,
+#     training_shuffle_global, agg_countmin_freq, agg_hll_distinct,
+#     agg_hdr_quantiles, sample_weighted, graph_pagerank,
+#     graph_triangle_counts, sample_weighted_stratified,
+#     events_hdr_streamed, profile_join_cardinality, agg_kmv_overlap,
+#     events_transition_matrix),
+#   * all 20 r03-vintage entries (the stalest judged cohort: TPC-H
+#     q4/q7/q8/q9/q13-q19, streaming anomaly/sessionize/rollup
+#     replays, decontaminate_ngram, mixture_rebalance, pack_sequences,
+#     topk_per_group),
+#   * the flagship TPC-H trio kept in-window every round, and
+#   * 6 r04-vintage keepers spanning diverse code paths (approx
+#     sketches, quantized ANN, BPE training, retention windows,
+#     mutable-warehouse DML, the window-function suite).
+# After r7 judges this window, no entry's latest driver evidence is
+# older than r04.  All displaced entries were hash-verified by the
+# driver in a prior round and remain covered by the tri-SF strict
 # local gate (tools/check_correctness.py, driver-faithful pandas fetch
 # + per-type DATE collapse) and pytest; the prefix invariant itself is
-# pinned by tests/test_plans.py::test_driver_window_is_the_queries_prefix.
+# pinned by tests/test_plans.py::test_driver_window_is_the_queries_prefix
+# and the rotation policy (never re-window fresh evidence while staler
+# candidates exist) by tests/test_plans.py::test_driver_window_rotation_policy.
 # ===========================================================================
 
 _DRIVER_WINDOW = [
-    # --- stalest evidence: last driver-judged r02 (30) ---
-    "filter_calculate",
-    "select_distinct",
-    "unique_expression",
-    "sort_offset_limit",
-    "join_left_aggregate",
-    "join_theta",
-    "union_by_name",
-    "rank_running_total",
-    "q10_returned_items",
-    "flatten_melt",
-    "explode_split_rows",
-    "explode_split_columns",
-    "dummies_onehot",
-    "search_contains",
-    "filter_set_in",
-    "agg_pack_statuses",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint_tokens",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "embedding_near_pairs",
-    "ann_topk_bruteforce",
-    "formula_nl_calculate",
-    "formula_calculate",
-    "formula_filter",
-    "sequencer_enumerate",
-    "events_hourly_rollup",
-    "events_daily_from_hourly",
-    "chain_order_buckets",
+    # --- never driver-judged: the 21 round-6 additions ---
+    "rank_running_distinct",
+    "events_countmin_streamed",
+    "text_pii_redact",
+    "ann_topk_ivfpq",
+    "embedding_decontaminate",
+    "fuzzy_link_names",
+    "dedup_duplicate_spans",
+    "training_shuffle_shards",
+    "dedup_span_masking",
+    "training_shuffle_global",
+    "agg_countmin_freq",
+    "agg_hll_distinct",
+    "agg_hdr_quantiles",
+    "sample_weighted",
+    "graph_pagerank",
+    "graph_triangle_counts",
+    "sample_weighted_stratified",
+    "events_hdr_streamed",
+    "profile_join_cardinality",
+    "agg_kmv_overlap",
+    "events_transition_matrix",
+    # --- stalest judged evidence: last driver-judged r03 (20) ---
+    "decontaminate_ngram",
+    "events_anomaly_zscore",
+    "events_anomaly_zscore_streamed",
+    "events_hourly_rollup_streamed",
+    "events_running_totals_stateful",
+    "events_sessionize_streamed",
+    "mixture_rebalance",
+    "pack_sequences",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity",
+    "q18_large_volume",
+    "q19_disjunctive_revenue",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_pseudo_profit",
+    "topk_per_group",
     # --- flagship TPC-H, kept every round ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    # --- r03-vintage rotation, first 17 (rest rotate in r7) ---
-    "random_sample",
-    "transpose_region",
-    "dedup_clusters",
-    "dedup_simhash",
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "events_sliding_rollup",
-    "functions_lists",
-    "functions_binary",
-    "functions_json",
-    "agg_minimum_count",
-    "join_salted_aggregate",
-    "agg_two_phase",
-    "range_join_error_views",
-    "interval_join_error_bursts",
+    # --- r04-vintage keepers (next-stalest cohort, diverse paths) ---
+    "agg_approx_sketch",
+    "ann_topk_quantized",
+    "bpe_train_merges",
+    "events_user_retention",
+    "mutable_dml_roundtrip",
+    "window_functions_suite",
 ]
 
 

@@ -94,13 +94,22 @@ def countmin_estimate(
     # — no join-back to the probe lineage, so the (possibly expensive)
     # probe plan executes exactly once, and a NULL probe key survives
     # as its own group (cells are NULL → no sketch match → est 0)
-    # instead of being dropped by a null-rejecting equi-join
-    exploded = probes.select(
-        *probes.columns, F.posexplode(cells).alias("cm_row", "cm_bucket")
+    # instead of being dropped by a null-rejecting equi-join.  A
+    # synthetic per-row id keeps DUPLICATE probe rows distinct through
+    # the group-back (contract: output cardinality == probe cardinality;
+    # without it, two identical probe rows would collapse to one)
+    exploded = probes.withColumn(
+        "__cm_probe_id", F.monotonically_increasing_id()
+    ).select(
+        "__cm_probe_id",
+        *probes.columns,
+        F.posexplode(cells).alias("cm_row", "cm_bucket"),
     )
     joined = exploded.join(F.broadcast(sketch), ["cm_row", "cm_bucket"], "left")
-    return joined.groupBy(*probes.columns).agg(
-        F.min(F.coalesce("cm_count", F.lit(0))).alias("est_count")
+    return (
+        joined.groupBy("__cm_probe_id", *probes.columns)
+        .agg(F.min(F.coalesce("cm_count", F.lit(0))).alias("est_count"))
+        .drop("__cm_probe_id")
     )
 
 

@@ -216,13 +216,16 @@ def main():
             ).save()
         except Exception:
             pass
-    # best-of-3, ROUND-ROBIN: the box shows bursty hypervisor steal time
+    # best-of-2, ROUND-ROBIN: the box shows bursty hypervisor steal time
     # (multi-second stalls invisible to guest load). Consecutive repeats
     # of one query can all land inside a burst; interleaving rounds
     # decorrelates bursts from queries, so the per-query min reflects
-    # true engine time.
+    # true engine time.  (Was best-of-3 through r6 at 115 queries; the
+    # full-catalog set holds total timed executions at the same level —
+    # 2×184 ≈ 3×115 — so the wall budget the driver's capture window
+    # has always tolerated is unchanged.)
     timings = {name: None for name in names}
-    for _ in range(3):
+    for _ in range(2):
         for name in names:
             t0 = time.time()
             df = QUERIES[name](spark, sf_dir)

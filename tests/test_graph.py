@@ -115,3 +115,17 @@ def test_weighted_sample_grouped_draws_k_per_group(spark):
     a = sorted(r["id"] for r in out.filter(F.col("g") == "0").collect())
     b = sorted(r["id"] for r in only0.collect())
     assert a == b
+
+
+def test_degree_stats_histogram(spark):
+    from warp_spark.pipeline.graph import degree_stats
+
+    # triangle 1-2-3 plus pendant 4 on node 1; duplicate + reversed +
+    # self-loop edges must not inflate degrees
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (1, 3), (1, 4), (4, 4), (1, 2)],
+        "src long, dst long",
+    )
+    got = {r["degree"]: r["n_nodes"] for r in degree_stats(edges).collect()}
+    # degrees: node1=3, node2=2, node3=2, node4=1
+    assert got == {3: 1, 2: 2, 1: 1}

@@ -1458,3 +1458,75 @@ def test_span_census_hash_transform_not_reevaluated(spark):
     for fn in (duplicate_span_stats, mask_duplicate_spans):
         plan = fn(docs, n=3)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("xxhash64") <= 2, fn.__name__
+
+
+def test_token_budget_fill_matches_single_window_reference(spark):
+    """The grouped two-phase prefix must equal the plain per-group
+    running-sum window for every group, including a group whose total
+    sits under the budget (select-all) and exact boundary hits."""
+    from pyspark.sql import Window
+
+    from warp_spark.sampling import token_budget_fill
+
+    rows = [(i, f"g{i % 3}", (i * 7) % 13 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string, w long")
+    got = {
+        (r["g"], r["id"], r["cum_weight"])
+        for r in token_budget_fill(
+            df, "g", "w", budget=150,
+            order_cols=[F.col("w").desc(), F.col("id")],
+            num_partitions=7,
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.col("w").desc(), "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = {
+        (r["g"], r["id"], r["cum"])
+        for r in df.withColumn("cum", F.sum("w").over(w))
+        .filter(F.col("cum") <= 150)
+        .collect()
+    }
+    assert got == ref and got
+    # tiny group under budget: every row selected; default order is
+    # weight DESC, so the w=6 row fills first (cum 6), then w=5 (cum 11)
+    small = spark.createDataFrame([(1, "x", 5), (2, "x", 6)], "id long, g string, w long")
+    out = token_budget_fill(small, "g", "w", budget=100).collect()
+    assert {(r["id"], r["cum_weight"]) for r in out} == {(2, 6), (1, 11)}
+
+
+def test_scd2_intervals_runs_and_ties(spark):
+    import datetime as dt
+
+    from warp_spark.scd import scd2_intervals
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # user 1: a,a,b,a — three runs; tie at minute 2 resolved by id
+        (1, "a", ts(0), 10),
+        (1, "a", ts(1), 11),
+        (1, "b", ts(2), 12),
+        (1, "a", ts(2), 13),  # same ts as id 12 → ordered after by id
+        # user 2: single run
+        (2, "c", ts(0), 20),
+        (2, "c", ts(5), 21),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    got = sorted(
+        (r["user_id"], r["event_type"], r["valid_from"], r["valid_to"], r["n_events"])
+        for r in scd2_intervals(
+            df, "user_id", "event_type", "ts", tiebreak_cols=["event_id"]
+        ).collect()
+    )
+    assert got == [
+        (1, "a", ts(0), ts(2), 2),
+        (1, "a", ts(2), None, 1),
+        (1, "b", ts(2), ts(2), 1),
+        (2, "c", ts(0), None, 2),
+    ]

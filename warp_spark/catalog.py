@@ -8337,6 +8337,131 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Token-budget curation fill (sampling.py::token_budget_fill): turn a
+# mixture PLAN (mixture_rebalance / mixture_temperature emit rates)
+# into an actual per-source token-capped SELECTION — greedy
+# longest-first, deterministic (n_tokens DESC, doc_id tiebreak).
+# Distributed as a grouped two-phase prefix (range-partition on
+# (source, priority), window within (source, partition), per-source
+# exclusive prefix of partition totals broadcast back) — a source
+# spans many partitions at 100 TB instead of colocating on one task.
+# Exact integer running sums → the window replay value-matches.
+# ---------------------------------------------------------------------------
+@register(
+    "curation_token_budget",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT *, sum(n_tokens) OVER (PARTITION BY source
+                                    ORDER BY n_tokens DESC, doc_id
+                                    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+      FROM t)
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 800
+    """,
+)
+def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.sampling import token_budget_fill
+
+    docs = _t(spark, sf_dir, "documents").to_df().select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    out = token_budget_fill(
+        docs,
+        "source",
+        "n_tokens",
+        budget=800,
+        order_cols=[F.col("n_tokens").desc(), F.col("doc_id")],
+    )
+    return out.select(
+        "doc_id", "source", "n_tokens", F.col("cum_weight").alias("cum_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 validity intervals (scd.py::scd2_intervals): collapse each
+# user's consecutive runs of event_type into half-open
+# [valid_from, valid_to) rows — the query-side dimension-history build
+# complementing the warehouse's storage-side history (time travel /
+# change feed).  (ts, event_id) makes the per-user order total, so run
+# boundaries at equal timestamps agree cross-engine.
+# ---------------------------------------------------------------------------
+@register(
+    "events_scd2_intervals",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN event_type IS DISTINCT FROM
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS chg
+      FROM events),
+    s AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS seg
+      FROM o),
+    r AS (
+      SELECT user_id, seg,
+             min(event_type)    AS event_type,
+             min(ts)            AS valid_from,
+             count(*)::BIGINT   AS n_events
+      FROM s GROUP BY user_id, seg)
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg) AS valid_to,
+           n_events
+    FROM r
+    """,
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.scd import scd2_intervals
+
+    ev = _events(spark, sf_dir)
+    return scd2_intervals(
+        ev, "user_id", "event_type", "ts", tiebreak_cols=["event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph degree profile (pipeline/graph.py::degree_stats): the
+# degree-distribution histogram of the part co-purchase graph — the
+# pre-flight for pagerank (superstep cost) and triangle_counts (wedge
+# bound Σ C(d,2)), the graph analogue of profile_join_cardinality.
+# Output is bounded by max degree, tiny at any graph size.
+# ---------------------------------------------------------------------------
+@register(
+    "graph_degree_stats",
+    """
+    WITH und AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    sym AS (SELECT u AS node, v FROM und UNION ALL SELECT v AS node, u FROM und),
+    deg AS (SELECT node, count(*)::BIGINT AS degree FROM sym GROUP BY node)
+    SELECT degree, count(*)::BIGINT AS n_nodes
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.graph import degree_stats
+
+    li = _t(spark, sf_dir, "lineitem").to_df().select("l_orderkey", "l_partkey")
+    other = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
+    edges = (
+        li.join(other, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("dst"))
+        .select(F.col("l_partkey").alias("src"), "dst")
+    )
+    return degree_stats(edges).orderBy("degree")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

@@ -194,3 +194,32 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Degree-distribution profile of an undirected graph — the
+    pre-flight every graph algorithm here wants before it runs
+    (pagerank's superstep cost and triangle_counts' wedge bound
+    Σ C(d,2) are both degree-shape questions, the graph analogue of
+    profile_join_cardinality's key histograms).
+
+    Canonicalizes to distinct undirected edges (same normalization as
+    triangle_counts), then emits one row per observed degree:
+    ``(degree, n_nodes)`` — a histogram bounded by the max degree, tiny
+    regardless of graph size.  Each edge contributes one degree unit to
+    each endpoint via a single explode — NOT a union of the edge set
+    with its swap, which would execute the (expensive) distinct-edge
+    build twice.  Two hash aggregations, no windows, no driver collect.
+    """
+    u, v = F.col("src"), F.col("dst")
+    und = (
+        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -525,3 +525,72 @@ def kmv_overlap(
         est_j.alias("est_jaccard"),
         (est_j * est_union).alias("est_intersection"),
     )
+
+
+def token_budget_fill(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    budget: int,
+    order_cols: Optional[list[Column]] = None,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Deterministic per-group budget fill: walk each group's rows in a
+    fixed priority order and keep rows while the group's running weight
+    total stays within ``budget`` — the curation step that turns a
+    mixture PLAN (rebalance_weights / temperature_weights give rates)
+    into an actual token-capped selection, greedy highest-priority
+    first.  Reference analogue: the flat ``random`` cap
+    (Data.swift:240-243) bounds ROWS uniformly; training mixtures are
+    capped in TOKENS per source, which is this op.
+
+    Distributed exactly like Dataset's running aggregates: a per-group
+    window would colocate an entire source on one task (sources are few
+    and huge at 100 TB), so the running sum is a grouped two-phase
+    prefix instead — range-partition on (group, priority) so one
+    group SPANS many partitions in order, window within (group,
+    partition-id), then add each group's exclusive prefix of
+    per-partition totals (a groups×partitions-row aggregate, broadcast
+    back).  Every stage is parallel; exact for integer weights.
+
+    Returns the selected rows plus ``cum_weight`` (inclusive running
+    total ≤ budget).
+    """
+    order_cols = order_cols or [F.col(weight_col).desc()]
+    spark = df.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    pid = "__fill_pid"
+    # pin the branch point: repartitionByRange samples boundaries per
+    # materialization; the row-level branch and the totals branch must
+    # see identical partition assignments
+    ranged = (
+        df.repartitionByRange(n, F.col(group_col), *order_cols)
+        .withColumn(pid, F.spark_partition_id())
+        .persist()
+    )
+    wrow = (
+        Window.partitionBy(group_col, pid)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__local", F.sum(weight_col).over(wrow))
+    totals = ranged.groupBy(group_col, pid).agg(
+        F.sum(weight_col).alias("__tot")
+    )
+    woff = (
+        Window.partitionBy(group_col)
+        .orderBy(pid)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        group_col, pid, F.sum("__tot").over(woff).alias("__off")
+    )
+    cum = F.col("__local") + F.coalesce(F.col("__off"), F.lit(0))
+    return (
+        local.join(F.broadcast(offsets), [group_col, pid], "left")
+        .withColumn("cum_weight", cum)
+        .filter(F.col("cum_weight") <= budget)
+        .drop(pid, "__local", "__off")
+    )

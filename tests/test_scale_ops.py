@@ -1530,3 +1530,24 @@ def test_scd2_intervals_runs_and_ties(spark):
         (1, "b", ts(2), ts(2), 1),
         (2, "c", ts(0), None, 2),
     ]
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """Raw docs written in the target's vocabulary must outscore raw
+    docs from a disjoint vocabulary, and every raw doc (only raw docs)
+    must be scored."""
+    from warp_spark.pipeline.text import dsir_importance
+
+    target_text = "alpha beta gamma delta alpha beta"
+    rows = (
+        [(i, target_text) for i in range(0, 10)]  # target slice: ids < 10
+        + [(10, "alpha beta gamma delta"), (11, "zig zag zog quux")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_log2w"])
+        for r in dsir_importance(df, is_target=F.col("doc_id") < 10).collect()
+    }
+    assert set(got) == {10, 11}  # raw pool only
+    assert got[10][0] == 4 and got[11][0] == 4
+    assert got[10][1] > got[11][1]

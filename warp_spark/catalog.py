@@ -8462,6 +8462,56 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_stats(edges).orderBy("degree")
 
 
+# ---------------------------------------------------------------------------
+# DSIR importance weights (pipeline/text.py::dsir_importance — Xie et
+# al. NeurIPS'23 "Data Selection via Importance Resampling"): score
+# every raw-pool document by Σ_k c_dk·log2(p_target(k)/p_raw(k)) over
+# hashed-unigram bucket models (+1 smoothing, 256 md5 buckets); the
+# 2 % doc_id%50==0 exemplar slice plays the target domain, same split
+# embedding_decontaminate uses.  Exact integer counts, one log2 per
+# bucket of an exactly-represented rational, per-doc fold in
+# ascending-bucket order — the KL-fold float discipline.
+# ---------------------------------------------------------------------------
+@register(
+    "curation_dsir_weights",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, (doc_id % 50 = 0) AS tgt,
+             unnest(regexp_extract_all(lower(text),
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS t
+      FROM documents),
+    kt AS (
+      SELECT doc_id, tgt,
+             ('0x' || substring(md5(t), 1, 8))::BIGINT % 256 AS k
+      FROM tok),
+    c AS (SELECT k,
+                 sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+                 sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+          FROM kt GROUP BY k),
+    n AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM c),
+    lr AS (SELECT k, log2(((ct + 1)::DOUBLE * (nr + 256))
+                          / ((cr + 1)::DOUBLE * (nt + 256))) AS lr
+           FROM c CROSS JOIN n),
+    cd AS (SELECT doc_id, k, count(*) AS c
+           FROM kt WHERE NOT tgt GROUP BY doc_id, k),
+    terms AS (SELECT cd.doc_id, cd.k, cd.c, cd.c * lr.lr AS t
+              FROM cd JOIN lr USING (k)),
+    arr AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+                   list(t ORDER BY k) AS ts
+            FROM terms GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           round(list_reduce(list_prepend(0.0::DOUBLE, ts), (a, x) -> a + x), 6)
+             AS dsir_log2w
+    FROM arr
+    """,
+)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.text import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    return dsir_importance(docs, is_target=F.col("doc_id") % 50 == 0)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

@@ -1056,3 +1056,81 @@ def redact_pii(
         *[F.col(f"n_{n}") for n, _, _ in PII_RULES],
         F.md5(F.col(final)).alias("redacted_md5"),
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 256,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS'23): score
+    every raw-pool document by how target-like its hashed n-gram
+    feature counts are under two smoothed bag-of-buckets models —
+    log w(d) = Σ_k c_dk · log( p_target(k) / p_raw(k) ) — so
+    resampling by w shifts the raw pool toward the target domain.
+    Features here are hashed unigram tokens (md5 prefix mod
+    ``buckets``); the bucket space is the generalization axis — the
+    paper's bigrams are one concat away.  Weights are in log2 (a
+    constant factor off the paper's ln; rank order identical).
+
+    Float discipline: bucket models use +1 smoothing over exact
+    integer counts; each bucket's log-ratio is ONE log2 of an
+    exactly-represented rational (products < 2^53), and each
+    document's terms fold in ascending-bucket order from a 0.0 init —
+    the KL-fold recipe, so the SQL replay value-matches.
+
+    Scale shape: one explode→(doc, bucket) count shuffle bounded by
+    corpus tokens; the model is a ``buckets``-row table (window sums
+    over it are bounded by the bucket count) broadcast back onto the
+    per-doc counts.  Nothing O(corpus) ever sits on one task or the
+    driver.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        is_target.alias("__tgt"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_PATTERN), F.lit(0))
+        ).alias("tok"),
+    )
+    # md5-prefix bucket: DuckDB replays ('0x' || substring(md5(tok),1,8))::BIGINT % buckets
+    k = (F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long") % buckets)
+    kt = toks.select(F.col(id_col), "__tgt", k.alias("k"))
+    counts = kt.groupBy("k").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("__tgt"), 0).otherwise(1)).alias("cr"),
+    )
+    w_all = Window.partitionBy()
+    nt = F.sum("ct").over(w_all)
+    nr = F.sum("cr").over(w_all)
+    staged = counts.select("k", "ct", "cr", nt.alias("nt"), nr.alias("nr"))
+    lr = staged.select(
+        "k",
+        F.log2(
+            ((F.col("ct") + 1).cast("double") * (F.col("nr") + buckets))
+            / ((F.col("cr") + 1).cast("double") * (F.col("nt") + buckets))
+        ).alias("lr"),
+    )
+    cd = (
+        kt.filter(~F.col("__tgt"))
+        .groupBy(id_col, "k")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    terms = cd.join(F.broadcast(lr), "k").select(
+        F.col(id_col), F.col("k"), F.col("c"), (F.col("c") * F.col("lr")).alias("t")
+    )
+    return terms.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("k", "t"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["t"],
+            ),
+            6,
+        ).alias("dsir_log2w"),
+    )

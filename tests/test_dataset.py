@@ -435,3 +435,37 @@ def test_rank_count_distinct_partitioned_window(spark):
     ).to_df()
     got = {r["i"]: r["cd"] for r in out.collect()}
     assert got == {0: 1, 1: 1, 2: 2, 3: 1, 4: 1, 5: 1}
+
+
+def test_aggregate_splits_distinct_from_buffered_reducers(spark):
+    """countDistinct + a buffer-state reducer (median/pack/approxMedian)
+    must not share one hash aggregate: Spark's distinct rewrite keys the
+    first partial aggregation by (groups, distinct-value), building one
+    collection/sketch buffer PER DISTINCT VALUE (measured 26 s vs sub-
+    second split at sf0.1).  Pin that the split engages (a Join appears)
+    and — on a NULL-group input — that values match the reducers run
+    separately."""
+    from warp_spark.aggregators import Aggregator
+    from warp_spark.dataset import Dataset
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 2, 30.0),
+         (None, 5, 40.0), (None, 6, 50.0)],
+        "g string, k long, v double",
+    )
+    out = Dataset(df).aggregate(
+        {"g": F.col("g")},
+        {
+            "cd": Aggregator(F.col("k"), "countDistinct"),
+            "med": Aggregator(F.col("v"), "median"),
+            "pk": Aggregator(F.col("k"), "pack"),
+        },
+    ).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan  # the split engaged
+    got = {r["g"]: (r["cd"], r["med"], r["pk"]) for r in out.collect()}
+    assert got == {
+        "a": (2, 20.0, "1,2,2"),
+        None: (2, 45.0, "5,6"),  # NULL group survives the null-safe join
+    }
+    assert list(out.columns) == ["g", "cd", "med", "pk"]

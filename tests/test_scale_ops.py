@@ -1551,3 +1551,20 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     assert set(got) == {10, 11}  # raw pool only
     assert got[10][0] == 4 and got[11][0] == 4
     assert got[10][1] > got[11][1]
+
+
+def test_curation_ablation_funnel_is_monotone(spark):
+    """Survivorship can only shrink stage to stage, the input row is
+    ppm=1e6, and stage 3→4 (dedup) keeps exactly one doc per surviving
+    fingerprint."""
+    from warp_spark.catalog import QUERIES
+
+    rows = {r["stage"]: r for r in QUERIES["curation_ablation_funnel"](
+        spark, "/root/testdata/sf0.001").collect()}
+    order = ["0_input", "1_langid", "2_quality", "3_repetition", "4_dedup"]
+    assert set(rows) == set(order)
+    assert rows["0_input"]["retained_ppm"] == 1_000_000
+    for a, b in zip(order, order[1:]):
+        assert rows[b]["n_docs"] <= rows[a]["n_docs"]
+        assert rows[b]["n_tokens"] <= rows[a]["n_tokens"]
+        assert rows[b]["retained_ppm"] <= rows[a]["retained_ppm"]

@@ -2462,11 +2462,11 @@ def _duck_hits(lang_words: list) -> str:
     return f"len(list_filter(toks, x -> list_contains({arr}, x)))"
 
 
-def _curation_oracle() -> str:
-    """End-to-end curation oracle: the language-ID, quality, repetition
-    and exact-dedup SQL fragments used by their standalone entries,
-    composed into one statement — so the pipeline entry is verified by
-    the same logic that verifies each stage."""
+def _scored_docs_ctes() -> str:
+    """The shared language-ID + quality + repetition scoring CTE prefix
+    (``t`` → ``b`` → ``scored``) used by the curation oracles — the same
+    SQL fragments the standalone text_langid / text_quality /
+    text_repetition oracles are built from."""
     from warp_spark.pipeline.text import STOPWORDS
 
     hits = {lang: _duck_hits(ws) for lang, ws in STOPWORDS.items()}
@@ -2503,7 +2503,15 @@ def _curation_oracle() -> str:
                   THEN round(1.0 - len(list_distinct(bg))::DOUBLE / len(bg), 6)
                   ELSE 0.0 END AS dup_bigram_frac
       FROM b
-    ),
+    )"""
+
+
+def _curation_oracle() -> str:
+    """End-to-end curation oracle: the language-ID, quality, repetition
+    and exact-dedup SQL fragments used by their standalone entries,
+    composed into one statement — so the pipeline entry is verified by
+    the same logic that verifies each stage."""
+    return _scored_docs_ctes() + """,
     kept AS (
       SELECT * FROM scored
       WHERE lang_pred = 'en' AND quality_score >= 0.35 AND dup_bigram_frac <= 0.10
@@ -8460,6 +8468,133 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_partkey").alias("src"), "dst")
     )
     return degree_stats(edges).orderBy("degree")
+
+
+def _ablation_oracle() -> str:
+    """Stage-ablation funnel oracle: the same scored CTEs as the
+    flagship curation pipeline, aggregated into per-stage survivorship
+    (docs, tokens, exact retained-ppm vs the input) — the retention
+    report every curation run publishes next to its output."""
+    stage_sums = ", ".join(
+        f"sum(CASE WHEN p{i} THEN 1 ELSE 0 END)::BIGINT AS d{i}, "
+        f"sum(CASE WHEN p{i} THEN n_tokens ELSE 0 END)::BIGINT AS t{i}"
+        for i in (1, 2, 3, 4)
+    )
+    stages = [
+        ("0_input", "d0", "t0"),
+        ("1_langid", "d1", "t1"),
+        ("2_quality", "d2", "t2"),
+        ("3_repetition", "d3", "t3"),
+        ("4_dedup", "d4", "t4"),
+    ]
+    selects = " UNION ALL ".join(
+        f"SELECT '{name}' AS stage, {d} AS n_docs, {t} AS n_tokens, "
+        f"({d} * 1000000) // d0 AS retained_ppm FROM agg"
+        for name, d, t in stages
+    )
+    return (
+        _scored_docs_ctes()
+        + f""",
+    flags AS (
+      SELECT doc_id, n_tokens,
+             (lang_pred = 'en') AS p1,
+             (lang_pred = 'en' AND quality_score >= 0.35) AS p2,
+             (lang_pred = 'en' AND quality_score >= 0.35
+              AND dup_bigram_frac <= 0.10) AS p3,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM scored),
+    k AS (
+      SELECT *, (p3 AND doc_id = min(CASE WHEN p3 THEN doc_id END)
+                           OVER (PARTITION BY fp)) AS p4
+      FROM flags),
+    agg AS (
+      SELECT count(*)::BIGINT AS d0, sum(n_tokens)::BIGINT AS t0, {stage_sums}
+      FROM k)
+    {selects}"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation ablation funnel: per-stage survivorship of the flagship
+# pipeline (input → language-ID → quality floor → repetition cap →
+# exact dedup) as (stage, n_docs, n_tokens, retained_ppm) — the
+# retention accounting every curation run publishes, and the first
+# thing to read when a threshold change moves the corpus.  One scan,
+# one fingerprint window (conditional min over stage-3 survivors), one
+# wide aggregate unpivoted to 5 rows; exact integers throughout.
+# ---------------------------------------------------------------------------
+@register("curation_ablation_funnel", _ablation_oracle())
+def curation_ablation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from warp_spark.pipeline.text import (
+        fingerprint,
+        language_id,
+        quality_features,
+        repetition_features,
+    )
+
+    text = F.col("text")
+    qf = quality_features(text)
+    rf = repetition_features(text)
+    flags = (
+        _t(spark, sf_dir, "documents")
+        .to_df()
+        .withColumns(
+            {
+                "n_tokens": qf["n_tokens"],
+                "quality_score": qf["quality_score"],
+                "dup_bigram_frac": rf["dup_bigram_frac"],
+                "lang_pred": language_id(text),
+                "fp": fingerprint(text),
+            }
+        )
+        .withColumns(
+            {
+                "p1": F.col("lang_pred") == "en",
+                "p2": (F.col("lang_pred") == "en")
+                & (F.col("quality_score") >= 0.35),
+            }
+        )
+        .withColumn(
+            "p3", F.col("p2") & (F.col("dup_bigram_frac") <= 0.10)
+        )
+    )
+    w = Window.partitionBy("fp")
+    k = flags.withColumn(
+        "p4",
+        F.col("p3")
+        & (F.col("doc_id") == F.min(F.when(F.col("p3"), F.col("doc_id"))).over(w)),
+    )
+    agg = k.agg(
+        F.count(F.lit(1)).alias("d0"),
+        F.sum("n_tokens").cast("long").alias("t0"),
+        *[
+            c
+            for i in (1, 2, 3, 4)
+            for c in (
+                F.sum(F.when(F.col(f"p{i}"), 1).otherwise(0))
+                .cast("long")
+                .alias(f"d{i}"),
+                F.sum(F.when(F.col(f"p{i}"), F.col("n_tokens")).otherwise(0))
+                .cast("long")
+                .alias(f"t{i}"),
+            )
+        ],
+    )
+    names = ["0_input", "1_langid", "2_quality", "3_repetition", "4_dedup"]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("stage"),
+                F.col(f"d{i}").alias("n_docs"),
+                F.col(f"t{i}").alias("n_tokens"),
+                F.expr(f"(d{i} * 1000000L) div d0").alias("retained_ppm"),
+            )
+            for i, name in enumerate(names)
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select("r.*")
 
 
 # ---------------------------------------------------------------------------

@@ -8680,10 +8680,14 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 #     q4/q7/q8/q9/q13-q19, streaming anomaly/sessionize/rollup
 #     replays, decontaminate_ngram, mixture_rebalance, pack_sequences,
 #     topk_per_group),
-#   * the flagship TPC-H trio kept in-window every round, and
-#   * 6 r04-vintage keepers spanning diverse code paths (approx
-#     sketches, quantized ANN, BPE training, retention windows,
-#     mutable-warehouse DML, the window-function suite).
+#   * the flagship TPC-H trio kept in-window every round,
+#   * the five operators ADDED in round 7 (token-budget curation fill,
+#     SCD2 intervals, graph degree profile, DSIR importance weights,
+#     curation ablation funnel — all tri-SF green locally, never
+#     driver-judged), and
+#   * one r04-vintage keeper, agg_approx_sketch, whose code path
+#     changed this round (the distinct/buffered aggregate split) and
+#     so wants fresh driver evidence.
 # After r7 judges this window, no entry's latest driver evidence is
 # older than r04.  All displaced entries were hash-verified by the
 # driver in a prior round and remain covered by the tri-SF strict
@@ -8742,13 +8746,15 @@ _DRIVER_WINDOW = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    # --- r04-vintage keepers (next-stalest cohort, diverse paths) ---
+    # --- the five never-judged round-7 additions ---
+    "curation_token_budget",
+    "events_scd2_intervals",
+    "graph_degree_stats",
+    "curation_dsir_weights",
+    "curation_ablation_funnel",
+    # --- r04-vintage keeper whose code path CHANGED this round (the
+    # distinct/buffered aggregate split) — driver evidence post-change ---
     "agg_approx_sketch",
-    "ann_topk_quantized",
-    "bpe_train_merges",
-    "events_user_retention",
-    "mutable_dml_roundtrip",
-    "window_functions_suite",
 ]
 
 

@@ -8598,6 +8598,60 @@ def curation_ablation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Lexical NEAR-DUP decontamination: the fourth leg of the
+# decontamination tier — exact 13-gram (decontaminate_ngram) and bloom
+# (decontaminate_bloom) catch verbatim leakage, embedding cosine
+# (embedding_decontaminate) catches deep paraphrase; shingle-Jaccard
+# near-dup catches the lexical middle ground (light edits, reflowed
+# benchmark text).  Pure reuse of the incremental-dedup machinery with
+# the EVAL slice as the standing corpus: LSH candidates expand
+# train×eval only, exact Jaccard ≥ 0.5 verifies, one row per train
+# doc.  Same doc_id%50==0 eval split as embedding_decontaminate.
+# ---------------------------------------------------------------------------
+@register(
+    "decontaminate_neardup",
+    "WITH "
+    + _DUCK_LSH
+    + """,
+capped AS (SELECT band_idx, band_val FROM bands
+           GROUP BY 1, 2 HAVING count(*) <= 10000),
+xcand AS (SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+          JOIN capped s
+            ON s.band_idx = a.band_idx AND s.band_val = a.band_val
+          WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0),
+ver AS (SELECT c.train_id, c.eval_id,
+               round(len(list_intersect(x.sh, y.sh))::DOUBLE
+                     / len(list_distinct(x.sh || y.sh)), 6) AS j
+        FROM xcand c
+        JOIN sh x ON x.doc_id = c.train_id
+        JOIN sh y ON y.doc_id = c.eval_id
+        WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+              / len(list_distinct(x.sh || y.sh)) >= 0.5),
+hits AS (SELECT train_id, min(eval_id) AS matched_eval, max(j) AS best_jaccard
+         FROM ver GROUP BY train_id)
+SELECT d.doc_id, h.matched_eval, h.best_jaccard,
+       h.matched_eval IS NOT NULL AS contaminated
+FROM documents d LEFT JOIN hits h ON h.train_id = d.doc_id
+WHERE d.doc_id % 50 <> 0
+""",
+)
+def decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return incremental_dedup(ev, train, threshold=0.5).select(
+        "doc_id",
+        F.col("dup_of").alias("matched_eval"),
+        "best_jaccard",
+        F.col("is_dup").alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # DSIR importance weights (pipeline/text.py::dsir_importance — Xie et
 # al. NeurIPS'23 "Data Selection via Importance Resampling"): score
 # every raw-pool document by Σ_k c_dk·log2(p_target(k)/p_raw(k)) over

@@ -183,3 +183,97 @@ def test_coercion_laws_generated_corpus(spark):
             assert r["num"] == pytest.approx(expect)
             assert r["plus1"] == pytest.approx(expect + 1)
         assert r["div0"] is None  # division by zero is always invalid→NULL
+
+
+def test_token_budget_fill_random_differential(spark):
+    """Grouped two-phase prefix vs the plain per-group running-sum
+    window, over seeded random corpora (skewed groups, duplicate
+    weights, budgets straddling group totals, several partition
+    counts). ONE Spark job per seed — the distributed decomposition
+    must be row-for-row identical to the serial window definition."""
+    from pyspark.sql import Window, functions as F
+
+    from warp_spark.sampling import token_budget_fill
+
+    rng = random.Random(0xC0FFEE)
+    for seed in range(6):
+        n_groups = rng.choice([1, 3, 17])
+        n_rows = rng.randint(5, 400)
+        budget = rng.choice([1, 50, 10**6])
+        parts = rng.choice([1, 5, 64])
+        rows = [
+            (i, f"g{rng.randrange(n_groups)}", rng.randint(1, 30))
+            for i in range(n_rows)
+        ]
+        df = spark.createDataFrame(rows, "id long, g string, w long")
+        order = [F.col("w").desc(), F.col("id")]
+        got = {
+            (r["g"], r["id"], r["cum_weight"])
+            for r in token_budget_fill(
+                df, "g", "w", budget=budget, order_cols=order, num_partitions=parts
+            ).collect()
+        }
+        w = Window.partitionBy("g").orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        ref = {
+            (r["g"], r["id"], r["cum"])
+            for r in df.withColumn("cum", F.sum("w").over(w))
+            .filter(F.col("cum") <= budget)
+            .collect()
+        }
+        assert got == ref, (seed, n_groups, n_rows, budget, parts)
+
+
+def test_scd2_intervals_random_differential(spark):
+    """scd2_intervals vs a serial per-entity reconstruction in Python,
+    over seeded random event streams with heavy timestamp ties (the
+    tiebreak column must make runs engine- and partitioning-stable)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from warp_spark.scd import scd2_intervals
+
+    rng = random.Random(0xBEEF)
+    t0 = dt.datetime(2024, 1, 1)
+    for seed in range(4):
+        rows = []
+        eid = 0
+        for user in range(rng.randint(1, 8)):
+            for _ in range(rng.randint(1, 40)):
+                rows.append(
+                    (
+                        user,
+                        rng.choice("abc"),
+                        t0 + dt.timedelta(minutes=rng.randrange(30)),  # many ties
+                        eid,
+                    )
+                )
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp, event_id long"
+        )
+        got = sorted(
+            (r["user_id"], r["event_type"], r["valid_from"], r["valid_to"], r["n_events"])
+            for r in scd2_intervals(
+                df, "user_id", "event_type", "ts", tiebreak_cols=["event_id"]
+            ).collect()
+        )
+        # serial reference: sort per user by (ts, event_id), walk runs
+        ref = []
+        by_user: dict = {}
+        for u, a, ts, e in rows:
+            by_user.setdefault(u, []).append((ts, e, a))
+        for u, evs in by_user.items():
+            evs.sort()
+            runs = []
+            for ts, e, a in evs:
+                if runs and runs[-1][0] == a:
+                    runs[-1][2] += 1
+                else:
+                    runs.append([a, ts, 1])
+            for i, (a, vf, n) in enumerate(runs):
+                vt = runs[i + 1][1] if i + 1 < len(runs) else None
+                ref.append((u, a, vf, vt, n))
+        assert got == sorted(ref), seed

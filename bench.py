@@ -224,8 +224,9 @@ def main():
     # full-catalog set holds total timed executions at the same level —
     # 2×184 ≈ 3×115 — so the wall budget the driver's capture window
     # has always tolerated is unchanged.)
-    timings = {name: None for name in names}
-    for _ in range(2):
+    reps = 2
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(reps):
         for name in names:
             t0 = time.time()
             df = QUERIES[name](spark, sf_dir)
@@ -233,10 +234,15 @@ def main():
             # row (count() would let Catalyst prune computed columns away;
             # collect() would measure Python driver transfer, not engine)
             df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            prev = timings[name]
-            timings[name] = dt if prev is None else min(prev, dt)
-    timings = {name: round(t, 3) for name, t in timings.items()}
+            samples[name].append(time.time() - t0)
+    timings = {name: round(min(ts), 3) for name, ts in samples.items()}
+    # per-query spread (second_best − best): lets future rounds separate
+    # regression from box noise without re-running — a query whose best
+    # moved less than its recorded spread is within the noise floor
+    spread = {
+        name: round(sorted(ts)[1] - min(ts), 3) if len(ts) > 1 else None
+        for name, ts in samples.items()
+    }
 
     total = round(sum(timings.values()), 3)
     # The driver captures only the last ~2,000 chars of stdout; at 94
@@ -249,6 +255,11 @@ def main():
             {
                 "metric": "headline_queries_detail",
                 "queries": timings,
+                # best-of-N protocol marker: r1-r6 history is best-of-3,
+                # r7+ is best-of-2 (weaker min-noise floor — account for
+                # it when comparing per-query history)
+                "best_of": reps,
+                "spread": spread,
                 "excluded": EXCLUDED,
                 "sf": sf,
                 "load_ok": load_ok,
@@ -261,6 +272,7 @@ def main():
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "best_of": reps,
                 "n_queries": len(timings),
                 "sf": sf,
                 "load_ok": load_ok,

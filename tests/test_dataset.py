@@ -238,6 +238,24 @@ def test_rank_prefix_matches_window(spark):
                 assert abs(va - vb) < 1e-6 * max(1.0, abs(vb)), (k, c, va, vb)
 
 
+def test_rank_global_window_rejects_large_input(spark):
+    """The un-partitioned single-task window fallback is a hard error
+    above max_window_rows (matching transpose's guard) — a silent
+    scale-killer must not be reachable by default on real data."""
+    import pytest
+
+    rows = [(i, float(i)) for i in range(700)]
+    ds = Dataset.from_df(spark.createDataFrame(rows, "k long, v double"))
+    ranks = {"run": Aggregator(F.col("v"), "sum")}
+    with pytest.raises(ValueError, match="max_window_rows"):
+        ds.rank(ranks, [Order("k")], strategy="window", max_window_rows=500)
+    # raising the cap explicitly (genuinely small data) still works
+    out = ds.rank(
+        ranks, [Order("k")], strategy="window", max_window_rows=1000
+    ).to_df()
+    assert out.count() == 700
+
+
 def test_rank_prefix_rejects_nondecomposable(spark):
     ds = Dataset.from_df(spark.createDataFrame([(1, "a")], "k long, v string"))
     with pytest.raises(ValueError, match="not prefix-decomposable"):

@@ -242,20 +242,31 @@ def test_driver_window_rotation_policy():
     outside the window — except the pinned flagship TPC-H trio, which
     stays in-window every round by design.  Evidence = the committed
     CORRECTNESS_r*.json snapshots (each round's keys are the judged
-    entries)."""
+    entries).
+
+    Grace semantics: the window is judged against the evidence that
+    existed WHEN IT WAS DESIGNED — snapshots from rounds strictly
+    before catalog._DRIVER_WINDOW_ROUND.  Without this, the driver's
+    own snapshot for the round the window was built for (which
+    postdates the commit) would mark the whole window "fresh" and turn
+    the suite red in the as-judged tree — crying wolf between rounds
+    (this is exactly what happened with CORRECTNESS_r07 vs the r7
+    window; see VERDICT.md r7 'What's wrong')."""
     import glob
     import json
     import os
     import re
 
     import __spark_entry__ as m
-    from warp_spark.catalog import _DRIVER_WINDOW
+    from warp_spark.catalog import _DRIVER_WINDOW, _DRIVER_WINDOW_ROUND
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, int] = {}
     rounds = []
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        if rnd >= _DRIVER_WINDOW_ROUND:
+            continue  # postdates the window design — grace
         rounds.append(rnd)
         with open(path) as f:
             for key in json.load(f):

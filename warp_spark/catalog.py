@@ -8715,100 +8715,91 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # the window is rotated every round and the rotation is documented here
 # and in PARITY.md.
 #
-# Round-7 window: FRESHNESS is the rotation criterion — each round
-# re-anchors the entries whose latest driver evidence is oldest.  After
-# r6 the freshness histogram was r6:50 / r5:47 / r4:43 / r3:20 /
-# never-judged:21 (the 21 operators added in round 6 — the sketch /
-# graph / sampling / span-dedup tier — were judge-gate verified but
-# never driver-judged).  This window therefore takes:
-#   * all 21 never-judged r6 additions (rank_running_distinct,
-#     events_countmin_streamed, text_pii_redact, ann_topk_ivfpq,
-#     embedding_decontaminate, fuzzy_link_names, dedup_duplicate_spans,
-#     training_shuffle_shards, dedup_span_masking,
-#     training_shuffle_global, agg_countmin_freq, agg_hll_distinct,
-#     agg_hdr_quantiles, sample_weighted, graph_pagerank,
-#     graph_triangle_counts, sample_weighted_stratified,
-#     events_hdr_streamed, profile_join_cardinality, agg_kmv_overlap,
-#     events_transition_matrix),
-#   * all 20 r03-vintage entries (the stalest judged cohort: TPC-H
-#     q4/q7/q8/q9/q13-q19, streaming anomaly/sessionize/rollup
-#     replays, decontaminate_ngram, mixture_rebalance, pack_sequences,
-#     topk_per_group),
+# Round-8 window: FRESHNESS again.  After r7 the histogram is
+# r7:50 / r6:47 / r5:47 / r4:42 / never-judged:1 — the single
+# never-judged entry is decontaminate_neardup (added at r7 close,
+# judge-gate green 15/15 but no driver evidence) and the stalest
+# judged cohort is the 42 r04-vintage entries, several of which
+# predate the r7 aggregate-split and the r5/r6 CollapseProject
+# disciplines.  This window therefore takes:
+#   * decontaminate_neardup (the one never-judged entry),
+#   * all 42 r04-vintage entries,
 #   * the flagship TPC-H trio kept in-window every round,
-#   * the five operators ADDED in round 7 (token-budget curation fill,
-#     SCD2 intervals, graph degree profile, DSIR importance weights,
-#     curation ablation funnel — all tri-SF green locally, never
-#     driver-judged), and
-#   * one r04-vintage keeper, agg_approx_sketch, whose code path
-#     changed this round (the distinct/buffered aggregate split) and
-#     so wants fresh driver evidence.
-# After r7 judges this window, no entry's latest driver evidence is
-# older than r04.  All displaced entries were hash-verified by the
-# driver in a prior round and remain covered by the tri-SF strict
-# local gate (tools/check_correctness.py, driver-faithful pandas fetch
-# + per-type DATE collapse) and pytest; the prefix invariant itself is
-# pinned by tests/test_plans.py::test_driver_window_is_the_queries_prefix
-# and the rotation policy (never re-window fresh evidence while staler
-# candidates exist) by tests/test_plans.py::test_driver_window_rotation_policy.
+#   * four r05-vintage entries chosen because they exercise the
+#     Dataset.aggregate code path most broadly — it CHANGED in r7
+#     (distinct/buffered auto-split, dataset.py:178-226) and only
+#     agg_approx_sketch was re-judged post-change: aggregate_reducers
+#     (all 17 reducers in one groupBy), agg_mode_mad,
+#     agg_skew_kurtosis, agg_kmv_distinct.
+# The window was built against evidence through CORRECTNESS_r07
+# (_DRIVER_WINDOW_ROUND below); the rotation-policy test evaluates it
+# against snapshots from rounds < _DRIVER_WINDOW_ROUND only, so the
+# driver's own r8 snapshot (which postdates this commit) cannot make
+# the suite red between rounds.
 # ===========================================================================
 
+# The driver round this window was BUILT FOR: freshness policy is
+# evaluated against CORRECTNESS_r*.json snapshots from rounds strictly
+# before this one (the evidence that existed when the window was
+# designed).
+_DRIVER_WINDOW_ROUND = 8
+
 _DRIVER_WINDOW = [
-    # --- never driver-judged: the 21 round-6 additions ---
-    "rank_running_distinct",
-    "events_countmin_streamed",
-    "text_pii_redact",
-    "ann_topk_ivfpq",
-    "embedding_decontaminate",
-    "fuzzy_link_names",
-    "dedup_duplicate_spans",
-    "training_shuffle_shards",
-    "dedup_span_masking",
-    "training_shuffle_global",
-    "agg_countmin_freq",
-    "agg_hll_distinct",
-    "agg_hdr_quantiles",
-    "sample_weighted",
-    "graph_pagerank",
-    "graph_triangle_counts",
-    "sample_weighted_stratified",
-    "events_hdr_streamed",
-    "profile_join_cardinality",
-    "agg_kmv_overlap",
-    "events_transition_matrix",
-    # --- stalest judged evidence: last driver-judged r03 (20) ---
-    "decontaminate_ngram",
-    "events_anomaly_zscore",
-    "events_anomaly_zscore_streamed",
-    "events_hourly_rollup_streamed",
-    "events_running_totals_stateful",
-    "events_sessionize_streamed",
-    "mixture_rebalance",
-    "pack_sequences",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity",
-    "q18_large_volume",
-    "q19_disjunctive_revenue",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_pseudo_profit",
-    "topk_per_group",
+    # --- the one never-driver-judged entry (added at r7 close) ---
+    "decontaminate_neardup",
+    # --- stalest judged evidence: all 42 r04-vintage entries ---
+    "stratified_sample",
+    "text_repetition",
+    "text_tfidf_topterms",
+    "decontaminate_bloom",
+    "source_roundtrip_formats",
+    "bpe_train_merges",
+    "pipeline_curation_summary",
+    "dedup_clusters_star",
+    "winnow_overlap",
+    "embedding_semantic_dedup",
+    "ann_topk_pq",
+    "ann_topk_quantized",
+    "events_funnel",
+    "events_user_retention",
+    "events_gapfill_hourly",
+    "q22_idle_customers",
+    "q11_important_parts",
+    "q20_promotable_suppliers",
+    "q21_waiting_suppliers",
+    "dedup_incremental",
+    "events_stream_stream_join",
+    "chunk_documents_rag",
+    "split_assign",
+    "events_heavy_hitters_streamed",
+    "corr_matrix",
+    "embedding_kmeans",
+    "events_ewma",
+    "dedup_containment",
+    "quality_robust_stats",
+    "zorder_index",
+    "profile_orders",
+    "quality_percentile_cut",
+    "rollup_revenue",
+    "window_functions_suite",
+    "set_operations",
+    "percentiles_exact",
+    "semi_anti_join",
+    "text_lm_score",
+    "infer_formula_roundtrip",
+    "mutable_dml_roundtrip",
+    "multimodal_png_real",
+    "multimodal_wav_real",
     # --- flagship TPC-H, kept every round ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    # --- the five never-judged round-7 additions ---
-    "curation_token_budget",
-    "events_scd2_intervals",
-    "graph_degree_stats",
-    "curation_dsir_weights",
-    "curation_ablation_funnel",
-    # --- r04-vintage keeper whose code path CHANGED this round (the
-    # distinct/buffered aggregate split) — driver evidence post-change ---
-    "agg_approx_sketch",
+    # --- r05-vintage entries on the aggregate code path that CHANGED
+    # in r7 (distinct/buffered auto-split) — broadest re-judgment ---
+    "aggregate_reducers",
+    "agg_mode_mad",
+    "agg_skew_kurtosis",
+    "agg_kmv_distinct",
 ]
 
 

@@ -210,7 +210,12 @@ class Dataset:
             left = self.aggregate(groups, rest).df
             right = self.aggregate(groups, buffered).df
             rg = [f"__agg_r_{g}" for g in groups]
-            right = right.toDF(*rg, *buffered)
+            # rename BY NAME, not positionally (toDF) — a future column
+            # reorder in the base aggregate path would silently mislabel
+            right = right.select(
+                *[right[g].alias(r) for g, r in zip(groups, rg)],
+                *[right[n] for n in buffered],
+            )
             cond = None
             for g, r in zip(groups, rg):
                 c = left[g].eqNullSafe(right[r])  # NULL is a group, not a drop
@@ -339,6 +344,7 @@ class Dataset:
         partition_by: Optional[Sequence[ExprLike]] = None,
         strategy: str = "auto",
         num_partitions: Optional[int] = None,
+        max_window_rows: int = 100_000,
     ) -> "Dataset":
         """Running aggregates over sorted rows (Data.swift:306-311;
         window pushdown SQL.swift:1491-1537). ``partition_by`` is a scale
@@ -400,6 +406,18 @@ class Dataset:
                 if bad
                 else "strategy='window' was forced (strategy='prefix' would distribute)"
             )
+            # hard guard, matching transpose(): a single-task global
+            # window over more than max_window_rows is a silent
+            # scale-killer, not a slow path — count via a cheap limit
+            # probe (limit(N+1) short-circuits the scan, no full count)
+            if len(self.df.limit(max_window_rows + 1).take(max_window_rows + 1)) > max_window_rows:
+                raise ValueError(
+                    f"rank: un-partitioned global window ({reason}) over "
+                    f"more than max_window_rows={max_window_rows} rows "
+                    "would run on a single task; partition_by a key, use a "
+                    "prefix-decomposable reducer, or raise max_window_rows "
+                    "explicitly for genuinely small data"
+                )
             warnings.warn(
                 "rank: un-partitioned global window over the data — "
                 f"{reason}, so the running aggregate runs on a single task; "

@@ -556,7 +556,15 @@ def token_budget_fill(
     Returns the selected rows plus ``cum_weight`` (inclusive running
     total ≤ budget).
     """
-    order_cols = order_cols or [F.col(weight_col).desc()]
+    if order_cols is None:
+        # the default order must be TOTAL or equal-weight rows at the
+        # budget boundary are kept/dropped arbitrarily: tiebreak on a
+        # content hash of the full row (identical-content rows are
+        # interchangeable, so any residual tie is unobservable)
+        order_cols = [
+            F.col(weight_col).desc(),
+            F.xxhash64(*[F.col(c) for c in df.columns]).asc(),
+        ]
     spark = df.sparkSession
     n = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
@@ -564,11 +572,16 @@ def token_budget_fill(
     pid = "__fill_pid"
     # pin the branch point: repartitionByRange samples boundaries per
     # materialization; the row-level branch and the totals branch must
-    # see identical partition assignments
+    # see identical partition assignments.  localCheckpoint (eager)
+    # rather than persist(): it materializes ONCE right here, and its
+    # blocks are released by the ContextCleaner when this DataFrame is
+    # garbage-collected — a persist() would sit in the cache manager
+    # forever unless the caller unpersisted it, accumulating pinned
+    # partitions across calls in a long-lived session
     ranged = (
         df.repartitionByRange(n, F.col(group_col), *order_cols)
         .withColumn(pid, F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     wrow = (
         Window.partitionBy(group_col, pid)

@@ -98,18 +98,24 @@ def countmin_estimate(
     # synthetic per-row id keeps DUPLICATE probe rows distinct through
     # the group-back (contract: output cardinality == probe cardinality;
     # without it, two identical probe rows would collapse to one)
+    # fresh synthetic name — withColumn would silently OVERWRITE a
+    # caller column named __cm_probe_id and then duplicate it in the
+    # select of *probes.columns (same guard pattern as dataset.ROW_ID)
+    pid = "__cm_probe_id"
+    while pid in probes.columns:
+        pid = "_" + pid
     exploded = probes.withColumn(
-        "__cm_probe_id", F.monotonically_increasing_id()
+        pid, F.monotonically_increasing_id()
     ).select(
-        "__cm_probe_id",
+        pid,
         *probes.columns,
         F.posexplode(cells).alias("cm_row", "cm_bucket"),
     )
     joined = exploded.join(F.broadcast(sketch), ["cm_row", "cm_bucket"], "left")
     return (
-        joined.groupBy("__cm_probe_id", *probes.columns)
+        joined.groupBy(pid, *probes.columns)
         .agg(F.min(F.coalesce("cm_count", F.lit(0))).alias("est_count"))
-        .drop("__cm_probe_id")
+        .drop(pid)
     )
 
 

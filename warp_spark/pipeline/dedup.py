@@ -1184,3 +1184,47 @@ def mask_duplicate_spans(
             ),
         )
     )
+
+
+def duplication_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Corpus DUPLICATION PROFILE: cluster exact duplicates by the
+    normalized-text fingerprint, then histogram the cluster sizes — per
+    size: how many clusters, how many documents, how many of those are
+    redundant copies, and how many characters deduplication would
+    reclaim.  This is the capacity-planning report run BEFORE a 100 TB
+    dedup pass: it prices the pass (dup_chars = bytes saved) and shows
+    whether duplication is long-tail (many pairs) or head-heavy (few
+    giant clusters — the skew case that wants the capped-bucket path).
+
+    Two hash aggregations, both map-side-combinable; document text never
+    shuffles (the fingerprint does).  Identical normalized text implies
+    identical ``chars_col``, so reclaimed chars per cluster is exactly
+    sum(chars) − min(chars) with no representative choice mattering.
+    """
+    fp = fingerprint(F.col(text_col))
+    clusters = (
+        df.select(F.col(id_col), F.col(chars_col), fp.alias("__fp"))
+        .groupBy("__fp")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sum(chars_col).alias("__chars"),
+            F.min(chars_col).alias("__one"),
+        )
+    )
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_docs"),
+            (F.sum("cluster_size") - F.count(F.lit(1)))
+            .cast("long")
+            .alias("dup_docs"),
+            F.sum(F.col("__chars") - F.col("__one")).cast("long").alias("dup_chars"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -1134,3 +1134,107 @@ def dsir_importance(
             6,
         ).alias("dsir_log2w"),
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty — per-document first-occurrence rate (round 8)
+# ---------------------------------------------------------------------------
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a document's
+    distinct token n-grams that first appear in THIS document when the
+    corpus is walked in ``id_col`` order — the data-freshness signal a
+    training pipeline uses to decide whether late-crawled documents
+    still add anything beyond what earlier snapshots covered (the
+    complement of Lee et al.'s duplicate-span census: spans measure
+    repetition, novelty measures contribution).
+
+    Plan (all JVM-side, Θ(distinct grams) shuffle of 8-byte hashes —
+    document text never shuffles, same discipline as
+    ngram_contamination above):
+      1. explode each doc's DISTINCT hashed n-grams (staged token
+         array, see ngram_hashes_from_tokens for the CollapseProject
+         trap it avoids);
+      2. min(doc_id) per gram — the gram's first document;
+      3. join back on the gram hash (the groupBy and the join share
+         the same key, so AQE reuses one Exchange) and count, per doc,
+         how many grams it owns first.
+    Documents with fewer than ``n`` tokens have no grams and are
+    reported with n_grams = 0, novelty 0.
+    """
+    tk = "__nv_tk"
+    g = "__nv_g"
+    staged = (
+        df.select(F.col(id_col), F.col(text_col))
+        .withColumn(tk, tokens(F.col(text_col)))
+        .withColumn(g, ngram_hashes_from_tokens(F.col(tk), n))
+    )
+    pairs = staged.select(id_col, F.explode(g).alias("gh"))
+    first = pairs.groupBy("gh").agg(F.min(id_col).alias("__first_doc"))
+    per_doc = (
+        pairs.join(first, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("__first_doc") == F.col(id_col), 1).otherwise(0)
+            ).cast("long").alias("novel_grams"),
+        )
+    )
+    # left join so gram-less (short) docs still report a row
+    base = df.select(id_col)
+    out = base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("novel_grams", F.lit(0)).cast("long").alias("novel_grams"),
+    )
+    return out.withColumn(
+        "novelty_rate",
+        F.round(
+            F.col("novel_grams").cast("double")
+            / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
+            6,
+        ),
+    )
+
+
+def oov_report(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 24,
+) -> DataFrame:
+    """Tokenizer-coverage report: train a top-``vocab_size`` frequency
+    vocab on the corpus (build_vocab — deterministic count DESC, token
+    ASC cutoff), then roll up per ``group_cols`` the exact token and
+    OOV counts and the OOV rate in ppm — the pre-flight a training
+    pipeline runs before committing to a tokenizer: which
+    language/source slices will shred into unknown tokens.
+
+    Scale: the vocab is a bounded trained artifact (collected once,
+    closure-shipped as a map literal); scoring is tokenize_ids' pure
+    map-side probe — no shuffle until the final small groupBy."""
+    vocab = build_vocab(df, text_col=text_col, vocab_size=vocab_size)
+    scored = tokenize_ids(df, vocab, id_col=id_col, text_col=text_col)
+    joined = df.select(id_col, *group_cols).join(scored, id_col)
+    ppm = F.floor(
+        (F.sum("n_oov") * F.lit(1_000_000)).cast("double")
+        / F.greatest(F.sum("n_tokens"), F.lit(1)).cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        joined.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_oov").cast("long").alias("oov_tokens"),
+            ppm.alias("oov_ppm"),
+        )
+    )

@@ -217,6 +217,17 @@ def test_char_entropy_single_evaluation(spark):
     assert plan.count("aggregate(") == 1, plan
 
 
+def test_ngram_novelty_staged_tokenization(spark):
+    """The novelty pipeline reads the gram column from TWO branches
+    (first-doc groupBy and the join-back), so the plan may tokenize at
+    most once per branch — a plain explode would let
+    InferFiltersFromGenerate re-inline the gram tree per document (the
+    O(len²) CollapseProject pathology, 8× measured here before the
+    explode_outer fix)."""
+    plan = plan_of(spark, "ngram_novelty")
+    assert plan.count("split(") <= 2, plan
+
+
 def test_driver_window_is_the_queries_prefix():
     """The grading driver judges the FIRST 50 queries() entries — a
     silent ordering regression would waste an entire driver round, so

@@ -1613,3 +1613,118 @@ def test_curation_ablation_funnel_is_monotone(spark):
         assert rows[b]["n_docs"] <= rows[a]["n_docs"]
         assert rows[b]["n_tokens"] <= rows[a]["n_tokens"]
         assert rows[b]["retained_ppm"] <= rows[a]["retained_ppm"]
+
+
+def test_ngram_novelty_semantics(spark):
+    """First doc owns all its grams; an exact copy later owns none; a
+    half-overlapping doc owns exactly the new grams; short docs get a
+    zero row (not dropped)."""
+    from warp_spark.pipeline.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # grams: abc, bcd -> both novel
+            (2, "a b c d"),        # same grams, first_doc=1 -> 0 novel
+            (3, "c d e f"),        # cde, def novel; (no shared 3-gram)
+            (4, "x y"),            # too short: no grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(docs, n=3).collect()}
+    assert out[1]["n_grams"] == 2 and out[1]["novel_grams"] == 2
+    assert out[1]["novelty_ppm"] == 1_000_000
+    assert out[2]["n_grams"] == 2 and out[2]["novel_grams"] == 0
+    assert out[2]["novelty_ppm"] == 0
+    assert out[3]["novel_grams"] == 2
+    assert out[4]["n_grams"] == 0 and out[4]["novelty_ppm"] == 0
+
+
+def test_duplication_profile_semantics(spark):
+    """Whitespace variants cluster with their originals; dup_chars
+    prices keeping the smallest copy; singletons reclaim nothing."""
+    from warp_spark.pipeline.dedup import duplication_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello  world", 12),
+            (2, " hello world ", 13),   # same normalized text
+            (3, "hello world", 11),     # same normalized text
+            (4, "unique doc", 10),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    out = {r["cluster_size"]: r for r in duplication_profile(docs).collect()}
+    assert out[1]["n_clusters"] == 1 and out[1]["dup_docs"] == 0
+    assert out[1]["dup_chars"] == 0
+    assert out[3]["n_clusters"] == 1 and out[3]["n_docs"] == 3
+    assert out[3]["dup_docs"] == 2
+    # keep the 11-char copy: reclaim 12 + 13
+    assert out[3]["dup_chars"] == 25
+
+
+def test_oov_report_semantics(spark):
+    """With a vocab of the top-2 tokens, everything else is OOV; ppm is
+    the exact floor(x+0.5) of the group rate."""
+    from warp_spark.pipeline.text import oov_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "web", "aa aa bb"),
+            (2, "en", "web", "aa zz"),
+            (3, "fr", "book", "qq rr"),
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    out = {
+        (r["lang"], r["source"]): r
+        for r in oov_report(
+            docs, group_cols=["lang", "source"], vocab_size=2
+        ).collect()
+    }
+    # corpus counts: aa=3, bb=1, qq=1, rr=1, zz=1 -> vocab = {aa, bb}
+    en = out[("en", "web")]
+    assert en["total_tokens"] == 5 and en["oov_tokens"] == 1  # zz
+    assert en["oov_ppm"] == 200_000
+    fr = out[("fr", "book")]
+    assert fr["oov_tokens"] == 2 and fr["oov_ppm"] == 1_000_000
+
+
+def test_burst_islands_merge_consecutive(spark):
+    """Adjacent hot 10-minute buckets merge into one island; a gap
+    splits islands; the cross-multiply threshold is strict."""
+    import datetime as dt
+
+    import __spark_entry__ as m
+    from pyspark.sql import functions as F
+
+    # build an events-shaped frame: type A has 3 active buckets with
+    # counts 8, 8, 1 -> mean 17/3; hot iff 2*cnt*3 > 3*17 i.e. cnt > 8.5
+    # -> NO hot bucket; type B counts 9, 1, 9 (buckets 0, 1, 2):
+    # hot iff 2*cnt*3 > 3*19 i.e. cnt > 9.5 -> none. Use sharper skew:
+    # type C counts 30, 30, 1, 1 over buckets 0,1,3 ->
+    # hot iff 2*cnt*4 > 3*62 -> cnt > 23.25: buckets 0,1 hot, adjacent
+    # -> ONE island of 2 buckets, 60 events, peak 30.
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    def burst(tp, bucket, n):
+        nonlocal eid
+        for i in range(n):
+            rows.append((eid, base + dt.timedelta(minutes=10 * bucket, seconds=i % 600), 1, tp, 1.0, "{}"))
+            eid += 1
+    burst("C", 0, 30); burst("C", 1, 30); burst("C", 3, 1); burst("C", 4, 1)
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    import tempfile, os, shutil
+    d = tempfile.mkdtemp(prefix="burst_test_")
+    try:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        out = m.queries()["events_burst_islands"](spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert len(out) == 1
+    r = out[0]
+    assert r["event_type"] == "C" and r["n_buckets"] == 2
+    assert r["peak_per_bucket"] == 30 and r["burst_events"] == 60
+    assert r["burst_start"] == base and r["burst_end"] == base + dt.timedelta(minutes=10)

@@ -8701,6 +8701,227 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance(docs, is_target=F.col("doc_id") % 50 == 0)
 
 
+# ---------------------------------------------------------------------------
+# Round-8 additions: corpus novelty, tokenizer coverage, duplication
+# profile, burst detection — the monitoring/pre-flight reports a
+# training-data pipeline runs around its curation passes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_novelty",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3 + 2),
+               i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS g
+        FROM toks WHERE len(tk) >= 3)
+    ),
+    firsts AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY 1),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_grams,
+             sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS novel_grams
+      FROM grams JOIN firsts USING (g) GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(n_grams, 0)::BIGINT AS n_grams,
+           coalesce(novel_grams, 0)::BIGINT AS novel_grams,
+           floor((coalesce(novel_grams, 0) * 1000000)::DOUBLE
+                 / greatest(coalesce(n_grams, 0), 1) + 0.5)::BIGINT AS novelty_ppm
+    FROM documents d LEFT JOIN per_doc USING (doc_id)
+    """,
+)
+def ngram_novelty_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty in doc_id order (pipeline/text.py::
+    ngram_novelty): fraction of a doc's distinct token 3-grams first
+    seen in THIS doc — the freshness complement of the Lee-et-al
+    duplicate-span census (dedup_duplicate_spans). Spark joins on
+    xxhash64 gram hashes (text never shuffles; the groupBy and
+    join-back share one Exchange); the oracle joins literal gram
+    strings, so the differential is also a collision certificate."""
+    from warp_spark.pipeline.text import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    return ngram_novelty(docs, n=3)
+
+
+@register(
+    "tokenize_oov_report",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text),
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS t
+      FROM documents
+    ),
+    vocab AS (
+      SELECT t FROM (
+        SELECT t, count(*) AS c FROM tok GROUP BY 1
+        ORDER BY c DESC, t ASC LIMIT 24)
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             sum(CASE WHEN t IN (SELECT t FROM vocab) THEN 0 ELSE 1 END) AS n_oov
+      FROM tok GROUP BY 1
+    ),
+    j AS (
+      SELECT d.lang, d.source,
+             coalesce(p.n_tokens, 0) AS n_tokens,
+             coalesce(p.n_oov, 0) AS n_oov
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    )
+    SELECT lang, source, count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           sum(n_oov)::BIGINT AS oov_tokens,
+           floor((sum(n_oov) * 1000000)::DOUBLE
+                 / greatest(sum(n_tokens), 1)::DOUBLE + 0.5)::BIGINT AS oov_ppm
+    FROM j GROUP BY 1, 2
+    """,
+)
+def tokenize_oov_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage pre-flight (pipeline/text.py::oov_report):
+    top-24 frequency vocab (deterministic count DESC, token ASC cutoff
+    — build_vocab), then exact token/OOV counts and the OOV rate in
+    ppm per (lang, source) slice. The vocab is a bounded trained
+    artifact (24 rows collected, closure-shipped as a map literal);
+    scoring is a pure map-side probe — no shuffle until the final
+    small groupBy. Beyond-reference operator (the reference has no
+    tokenizer tier)."""
+    from warp_spark.pipeline.text import oov_report
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    return oov_report(docs, group_cols=["lang", "source"], vocab_size=24)
+
+
+@register(
+    "dedup_cluster_profile",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000000,
+             '  ' || replace(text, ' ', '  ') || ' ' AS text,
+             length('  ' || replace(text, ' ', '  ') || ' ') AS n_chars
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    cl AS (
+      SELECT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+             count(*) AS cluster_size,
+             sum(n_chars) AS chars,
+             min(n_chars) AS one
+      FROM corpus GROUP BY 1)
+    SELECT cluster_size::BIGINT AS cluster_size,
+           count(*)::BIGINT AS n_clusters,
+           sum(cluster_size)::BIGINT AS n_docs,
+           (sum(cluster_size) - count(*))::BIGINT AS dup_docs,
+           sum(chars - one)::BIGINT AS dup_chars
+    FROM cl GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication profile (pipeline/dedup.py::duplication_profile):
+    exact-dup clusters by normalized-text fingerprint, histogrammed by
+    cluster size with the exact characters a dedup pass would reclaim
+    — the capacity-planning report run BEFORE committing a 100 TB
+    dedup job. The synthetic corpus has almost no exact duplicates, so
+    the entry injects whitespace-VARIANT copies of every 5th document
+    (double internal spaces, padded ends) — the variants must land in
+    their originals' clusters, so the differential also certifies the
+    normalization, and dup_chars prices keeping the SMALLEST copy.
+    Spark clusters on md5 fingerprints; the oracle clusters on the
+    normalized text itself (collision certificate). Two
+    map-side-combinable hash aggregations; text never shuffles."""
+    from warp_spark.pipeline.dedup import duplication_profile
+
+    docs = _t(spark, sf_dir, "documents").to_df().select("doc_id", "text", "n_chars")
+    spaced = F.concat(
+        F.lit("  "), F.regexp_replace(F.col("text"), " ", "  "), F.lit(" ")
+    )
+    variants = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000000).alias("doc_id"),
+        spaced.alias("text"),
+        F.length(spaced).cast("long").alias("n_chars"),
+    )
+    return duplication_profile(docs.unionByName(variants)).withColumn(
+        "cluster_size", F.col("cluster_size").cast("long")
+    )
+
+
+@register(
+    "events_burst_islands",
+    """
+    WITH pm AS (
+      SELECT event_type, epoch_ms(ts) // 600000 AS b, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, sum(cnt) AS total, count(*) AS m FROM pm GROUP BY 1
+    ),
+    hot AS (
+      SELECT pm.event_type, pm.b, pm.cnt,
+             row_number() OVER (PARTITION BY pm.event_type
+                                ORDER BY pm.b) AS rn
+      FROM pm JOIN st USING (event_type)
+      WHERE 2 * pm.cnt * st.m > 3 * st.total
+    ),
+    isl AS (SELECT *, b - rn AS grp FROM hot)
+    SELECT event_type,
+           make_timestamp(min(b) * 600000000) AS burst_start,
+           make_timestamp(max(b) * 600000000) AS burst_end,
+           count(*)::BIGINT AS n_buckets,
+           max(cnt)::BIGINT AS peak_per_bucket,
+           sum(cnt)::BIGINT AS burst_events
+    FROM isl GROUP BY event_type, grp
+    """,
+)
+def events_burst_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection, gaps-and-islands form: 10-minute buckets where
+    an event type runs STRICTLY above 1.5x its mean per-active-bucket
+    rate, merged into maximal consecutive runs (start/end timestamps,
+    bucket count, peak and total volume). The threshold compare is the
+    integer cross-multiply 2*cnt*m > 3*total — no float division, so
+    hot sets match cross-engine exactly. Scale shape: the raw stream
+    collapses to (type, bucket) in one map-side-combinable aggregate
+    before anything else; the island window is per type over bucket
+    rows (bounded by buckets-per-retention, ~52k rows/type-year, not
+    by event volume)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").to_df()
+    # integer div on epoch-µs (no float boundary risk); session TZ is
+    # UTC so the NTZ→TZ cast is the identity on the stored instant
+    bucket = F.expr("unix_micros(cast(ts as timestamp)) div 600000000")
+    pm = ev.groupBy("event_type", bucket.alias("__b")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    st = pm.groupBy("event_type").agg(
+        F.sum("cnt").alias("__total"), F.count(F.lit(1)).alias("__m")
+    )
+    hot = pm.join(F.broadcast(st), "event_type").filter(
+        F.lit(2) * F.col("cnt") * F.col("__m") > F.lit(3) * F.col("__total")
+    )
+    w = Window.partitionBy("event_type").orderBy("__b")
+    isl = hot.withColumn("__grp", F.col("__b") - F.row_number().over(w))
+    return (
+        isl.groupBy("event_type", "__grp")
+        .agg(
+            F.timestamp_millis(F.min("__b") * F.lit(600000))
+            .cast("timestamp_ntz")
+            .alias("burst_start"),
+            F.timestamp_millis(F.max("__b") * F.lit(600000))
+            .cast("timestamp_ntz")
+            .alias("burst_end"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max("cnt").cast("long").alias("peak_per_bucket"),
+            F.sum("cnt").cast("long").alias("burst_events"),
+        )
+        .drop("__grp")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

@@ -1168,14 +1168,14 @@ def ngram_novelty(
     Documents with fewer than ``n`` tokens have no grams and are
     reported with n_grams = 0, novelty 0.
     """
-    tk = "__nv_tk"
-    g = "__nv_g"
-    staged = (
-        df.select(F.col(id_col), F.col(text_col))
-        .withColumn(tk, tokens(F.col(text_col)))
-        .withColumn(g, ngram_hashes_from_tokens(F.col(tk), n))
+    # explode_outer + isNotNull, NOT plain explode: explode's inferred
+    # `size(grams) > 0` filter re-inlines the gram tree per doc (the
+    # O(len²) CollapseProject pathology — see ngram_contamination)
+    pairs = (
+        ngram_hashes(df.select(id_col, text_col), text_col, "__nv_g", n)
+        .select(id_col, F.explode_outer("__nv_g").alias("gh"))
+        .filter(F.col("gh").isNotNull())
     )
-    pairs = staged.select(id_col, F.explode(g).alias("gh"))
     first = pairs.groupBy("gh").agg(F.min(id_col).alias("__first_doc"))
     per_doc = (
         pairs.join(first, "gh")
@@ -1194,13 +1194,16 @@ def ngram_novelty(
         F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
         F.coalesce("novel_grams", F.lit(0)).cast("long").alias("novel_grams"),
     )
+    # exact-ppm rate, floor(x+0.5) half-up: novel*1e6 is integer-exact
+    # in a double and IEEE division is deterministic cross-engine,
+    # unlike round() on a boundary-prone ratio (see validate_rules)
     return out.withColumn(
-        "novelty_rate",
-        F.round(
-            F.col("novel_grams").cast("double")
-            / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
-            6,
-        ),
+        "novelty_ppm",
+        F.floor(
+            (F.col("novel_grams") * F.lit(1_000_000)).cast("double")
+            / F.greatest(F.col("n_grams"), F.lit(1)).cast("double")
+            + F.lit(0.5)
+        ).cast("long"),
     )
 
 

@@ -71,6 +71,12 @@ HEAVY = [
     "agg_hdr_quantiles",
     "sample_weighted",
     "sample_weighted_stratified",
+    # round-8 additions: gram-hash first-occurrence novelty, vocab OOV
+    # rollup, fingerprint duplication histogram, burst islands
+    "ngram_novelty",
+    "tokenize_oov_report",
+    "dedup_cluster_profile",
+    "events_burst_islands",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

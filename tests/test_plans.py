@@ -217,6 +217,17 @@ def test_char_entropy_single_evaluation(spark):
     assert plan.count("aggregate(") == 1, plan
 
 
+def test_path_trigrams_single_wide_exchange(spark):
+    """All four window passes (gap marker, session prefix sum, lead(1),
+    lead(2)) must ride ONE user_id hash Exchange — the session window
+    partitions by (user_id, __sno), a refinement Spark satisfies from
+    the existing distribution with an in-partition re-sort, no second
+    data-sized shuffle. The only other Exchange is the final trigram
+    groupBy, whose partial aggregation bounds it by |event_type|³."""
+    plan = plan_of(spark, "events_path_trigrams")
+    assert plan.count("Exchange") == 2, plan
+
+
 def test_ngram_novelty_staged_tokenization(spark):
     """The novelty pipeline reads the gram column from TWO branches
     (first-doc groupBy and the join-back), so the plan may tokenize at

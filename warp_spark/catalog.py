@@ -8888,8 +8888,6 @@ def events_burst_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     before anything else; the island window is per type over bucket
     rows (bounded by buckets-per-retention, ~52k rows/type-year, not
     by event volume)."""
-    from pyspark.sql import Window
-
     ev = _t(spark, sf_dir, "events").to_df()
     # integer div on epoch-µs (no float boundary risk); session TZ is
     # UTC so the NTZ→TZ cast is the identity on the stored instant
@@ -8897,6 +8895,14 @@ def events_burst_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     pm = ev.groupBy("event_type", bucket.alias("__b")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    return _burst_islands_from_counts(pm)
+
+
+def _burst_islands_from_counts(pm: DataFrame) -> DataFrame:
+    """Islands finisher shared by the batch and streamed burst entries:
+    ``pm`` is (event_type, __b 10-min bucket index, cnt)."""
+    from pyspark.sql import Window
+
     st = pm.groupBy("event_type").agg(
         F.sum("cnt").alias("__total"), F.count(F.lit(1)).alias("__m")
     )
@@ -8919,6 +8925,117 @@ def events_burst_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").cast("long").alias("burst_events"),
         )
         .drop("__grp")
+    )
+
+
+@register("events_burst_streamed", ORACLES["events_burst_islands"])
+def events_burst_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed twin of events_burst_islands (16th streaming
+    execution): the per-(type, bucket) counts build as a plain
+    update-mode streaming aggregation — O(active buckets) state, the
+    mergeable-sketch discipline — and the islands finisher runs batch
+    on the drained snapshot (update mode re-emits a key on every
+    revision, so the snapshot takes max(cnt) per key = the final
+    count). Same oracle as the batch entry: the stream replay must
+    reproduce the batch answer exactly."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from warp_spark.streaming import run_stream_to_memory
+
+    d = tempfile.mkdtemp(prefix="warp_stream_entry_")
+    name = f"burst_streamed_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = _stage_event_stream(spark, sf_dir, d)
+        bucket = F.expr("unix_micros(cast(ts as timestamp)) div 600000000")
+        counts = ev.groupBy(
+            F.col("event_type"), bucket.alias("__b")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        run_stream_to_memory(counts, name, output_mode="update")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    # localCheckpoint: the finisher self-joins pm (stats + hot filter),
+    # and two branches of one MemoryPlan view fail attribute dedup
+    # ("conflicting references"); the snapshot is O(active buckets)
+    pm = (
+        spark.table(name)
+        .groupBy("event_type", "__b")
+        .agg(F.max("cnt").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    return _burst_islands_from_counts(pm)
+
+
+@register(
+    "events_path_trigrams",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sno
+      FROM marked
+    ),
+    tri AS (
+      SELECT event_type AS t1,
+             lead(event_type, 1) OVER w2 AS t2,
+             lead(event_type, 2) OVER w2 AS t3
+      FROM numbered
+      WINDOW w2 AS (PARTITION BY user_id, sno ORDER BY ts, event_id)
+    )
+    SELECT t1, t2, t3, count(*)::BIGINT AS n_paths
+    FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 path analysis: exact counts of every in-session
+    event-type trigram (events_transition_matrix is the order-1 law;
+    real funnels need at least order 2 to separate A→B→buy from
+    A→B→bounce). Sessions are the 30-min-gap islands; ties resolved by
+    the unique (ts, event_id) order so both engines walk identical
+    sequences. ALL FOUR window passes — gap marker, session prefix
+    sum, lead(1), lead(2) — share the single (user_id)-hash /
+    (ts, event_id)-sort Exchange (the leads partition by (user_id,
+    session) which is a refinement computed WITHIN the same sort
+    order, so no second Exchange appears; same discipline as SCD2).
+    Output is bounded by |event_type|³, not event volume."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # µs-exact gap compare (events carry sub-second precision; a
+    # seconds cast would truncate 1800.5 s to 1800 and disagree with
+    # the oracle's INTERVAL compare on straddling gaps)
+    tus = F.expr("unix_micros(cast(ts as timestamp))")
+    gap = tus - F.lag(tus).over(wu)
+    marked = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("__ns"),
+    )
+    numbered = marked.withColumn(
+        "__sno",
+        F.sum("__ns").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "__sno").orderBy("ts", "event_id")
+    tri = numbered.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(ws).alias("t2"),
+        F.lead("event_type", 2).over(ws).alias("t3"),
+    )
+    return (
+        tri.filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
     )
 
 

@@ -1728,3 +1728,21 @@ def test_burst_islands_merge_consecutive(spark):
     assert r["event_type"] == "C" and r["n_buckets"] == 2
     assert r["peak_per_bucket"] == 30 and r["burst_events"] == 60
     assert r["burst_start"] == base and r["burst_end"] == base + dt.timedelta(minutes=10)
+
+
+def test_epoch_allocation_hamilton(spark):
+    """Quotas sum exactly to the budget; leftovers go to the largest
+    remainders; remainder ties break on source name ascending."""
+    from warp_spark.sampling import epoch_allocation
+
+    df = spark.createDataFrame(
+        [("a", 3), ("b", 3), ("c", 4)], "src string, w long"
+    )
+    out = {r["src"]: r for r in epoch_allocation(df, "src", "w", budget=11).collect()}
+    assert {k: v["alloc"] for k, v in out.items()} == {"a": 3, "b": 3, "c": 5}
+    assert sum(v["alloc"] for v in out.values()) == 11
+    assert out["c"]["extra"] == 1 and out["a"]["extra"] == 0
+    # remainder tie: both rem 1, leftover 1 -> 'a' wins by name
+    df2 = spark.createDataFrame([("a", 1), ("b", 1)], "src string, w long")
+    out2 = {r["src"]: r["alloc"] for r in epoch_allocation(df2, "src", "w", budget=3).collect()}
+    assert out2 == {"a": 2, "b": 1}

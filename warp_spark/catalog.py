@@ -9039,6 +9039,46 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mixture_epoch_schedule",
+    """
+    WITH g AS (SELECT source, sum(n_chars)::HUGEINT AS w
+               FROM documents GROUP BY 1),
+    s AS (SELECT source, w, sum(w) OVER () AS tot FROM g),
+    b AS (SELECT source, w,
+                 (w * 1000000) // tot AS base_alloc,
+                 (w * 1000000) %  tot AS rem
+          FROM s),
+    l AS (SELECT *, 1000000 - sum(base_alloc) OVER () AS leftover,
+                 row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+          FROM b)
+    SELECT source,
+           w::BIGINT AS total_weight,
+           base_alloc::BIGINT AS base_alloc,
+           (CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS extra,
+           (base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT
+             AS alloc
+    FROM l
+    """,
+)
+def mixture_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a 1M-unit epoch
+    budget across sources proportional to exact corpus weight
+    (sampling.py::epoch_allocation, weight = chars): floor quotas plus
+    leftover units to the largest remainders, ties on source ASC — the
+    deterministic integer schedule an epoch sampler consumes, the step
+    BETWEEN a mixture plan (mixture_rebalance / mixture_temperature
+    give rates) and the token-budget fill. Exact at any scale:
+    products ride decimal(38,0)/HUGEINT and the one division is
+    (p − p mod W)/W, exactly divisible — the decimal engine never
+    rounds. Everything after the single groupBy runs on a
+    |sources|-row bounded artifact."""
+    from warp_spark.sampling import epoch_allocation
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    return epoch_allocation(docs, "source", "n_chars", budget=1_000_000)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

@@ -607,3 +607,65 @@ def token_budget_fill(
         .filter(F.col("cum_weight") <= budget)
         .drop(pid, "__local", "__off")
     )
+
+
+def epoch_allocation(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer epoch
+    ``budget`` across sources proportional to integer weights: every
+    source gets floor(w_s·B / W), and the B − Σfloor leftover units go
+    to the largest remainders (ties broken by source name ASC — a total
+    order, so the schedule is deterministic and engine-reproducible).
+    This is the step between a mixture PLAN (rebalance_weights /
+    temperature_weights give target RATES) and a sampler: it turns the
+    rates into exact per-source integer quotas that sum to the budget —
+    what an epoch scheduler actually consumes.
+
+    Exactness at any scale: products ride decimal(38,0) and the final
+    division is (p − p mod W)/W — exactly divisible, so the decimal
+    engine never rounds (w·B can overflow BIGINT at 100 TB token
+    counts; 38 digits cannot realistically).  Everything after the one
+    groupBy runs on a |sources|-row table (bounded artifact), so the
+    unpartitioned windows are side-table-sized, not data-sized.
+    """
+    g = df.groupBy(group_col).agg(F.sum(weight_col).cast("long").alias("w"))
+    wall = Window.partitionBy()
+    staged = g.select(
+        group_col,
+        "w",
+        F.sum(F.col("w").cast("decimal(38,0)")).over(wall).alias("__tot"),
+    )
+    p = F.col("w").cast("decimal(38,0)") * F.lit(budget)
+    staged = staged.select(
+        group_col, "w", "__tot",
+        F.pmod(p, F.col("__tot")).alias("__rem"),
+        ((p - F.pmod(p, F.col("__tot"))) / F.col("__tot"))
+        .cast("long")
+        .alias("base_alloc"),
+    )
+    ranked = staged.select(
+        group_col, "w", "base_alloc", "__rem",
+        (F.lit(budget) - F.sum("base_alloc").over(wall)).alias("__left"),
+        F.row_number()
+        .over(Window.orderBy(F.col("__rem").desc(), F.col(group_col).asc()))
+        .alias("__rk"),
+    )
+    return ranked.select(
+        F.col(group_col),
+        F.col("w").alias("total_weight"),
+        F.col("base_alloc"),
+        F.when(F.col("__rk") <= F.col("__left"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("extra"),
+        (
+            F.col("base_alloc")
+            + F.when(F.col("__rk") <= F.col("__left"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )

@@ -1746,3 +1746,45 @@ def test_epoch_allocation_hamilton(spark):
     df2 = spark.createDataFrame([("a", 1), ("b", 1)], "src string, w long")
     out2 = {r["src"]: r["alloc"] for r in epoch_allocation(df2, "src", "w", budget=3).collect()}
     assert out2 == {"a": 2, "b": 1}
+
+
+def test_active_users_cover_explode(spark):
+    """min(i)-per-(cover_day,user) classifies recency exactly: a user
+    active on day 0 counts in DAU(d0), WAU through d6, MAU through
+    d29 and not after; overlapping activity dedups to the most recent."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+
+    import __spark_entry__ as m
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        # user 1 active day0 and day2; user 2 only day0
+        (1, base, 1, "a", 1.0, "{}"),
+        (2, base + dt.timedelta(days=2), 1, "a", 1.0, "{}"),
+        (3, base, 2, "a", 1.0, "{}"),
+        # user 3 active day9 (keeps the grid alive through day 9)
+        (4, base + dt.timedelta(days=9), 3, "a", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    d = tempfile.mkdtemp(prefix="active_users_test_")
+    try:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        out = {r["day"].isoformat(): r for r in m.queries()["events_active_users"](spark, d).collect()}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert out["2024-03-01"]["dau"] == 2  # users 1, 2
+    assert out["2024-03-02"]["dau"] == 0 and out["2024-03-02"]["wau"] == 2
+    assert out["2024-03-03"]["dau"] == 1  # user 1 again
+    # day 8 (index 7 after day0): day0 activity left the 7-day window,
+    # but user 1's day-2 activity keeps them in WAU
+    assert out["2024-03-08"]["wau"] == 1
+    assert out["2024-03-08"]["mau"] == 2
+    assert out["2024-03-10"]["dau"] == 1 and out["2024-03-10"]["mau"] == 3
+    # grid stops at the last activity day
+    assert max(out) == "2024-03-10"

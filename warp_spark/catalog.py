@@ -9079,6 +9079,67 @@ def mixture_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_allocation(docs, "source", "n_chars", budget=1_000_000)
 
 
+@register(
+    "events_active_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT ts::DATE AS day, user_id FROM events
+    ),
+    mx AS (SELECT max(day) AS mxd FROM du),
+    cov AS (
+      SELECT day + i::INT AS cover_day, user_id, i FROM (
+        SELECT day, user_id, unnest(range(0, 30)) AS i FROM du)
+    ),
+    mi AS (
+      SELECT cover_day, user_id, min(i) AS min_i
+      FROM cov GROUP BY 1, 2
+    )
+    SELECT cover_day AS day,
+           sum(CASE WHEN min_i = 0 THEN 1 ELSE 0 END)::BIGINT AS dau,
+           sum(CASE WHEN min_i < 7 THEN 1 ELSE 0 END)::BIGINT AS wau,
+           count(*)::BIGINT AS mau
+    FROM mi, mx WHERE cover_day <= mxd
+    GROUP BY 1
+    """,
+)
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU / WAU / MAU per day — trailing 1/7/30-day distinct
+    actives, the growth dashboard every event pipeline serves. The
+    scalable formulation is the COVER EXPLODE: each distinct
+    (day, user) activity pair covers the 30 days it can influence, and
+    min(i) per (cover_day, user) classifies the user's recency in one
+    pass — dau = min_i=0, wau = min_i<7, mau = any. That turns three
+    trailing count-distincts (which Spark would Expand ×3) into two
+    plain hash aggregations; shuffle volume is bounded by
+    30 × |distinct (day, user)| narrow rows, never raw events, and no
+    window ever sees more than one user's cover rows. Days after the
+    last activity are trimmed with an inlined scalar max (the
+    _scalar_join discipline — no constant-key join to fold into BNL)."""
+    ev = _events(spark, sf_dir)
+    du = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    cov = du.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(29))).alias("i"),
+        "day",
+    ).select(
+        "user_id", "i", F.date_add(F.col("day"), F.col("i")).alias("cover_day")
+    )
+    mi = cov.groupBy("cover_day", "user_id").agg(F.min("i").alias("min_i"))
+    out = mi.groupBy("cover_day").agg(
+        F.sum(F.when(F.col("min_i") == 0, 1).otherwise(0)).cast("long").alias("dau"),
+        F.sum(F.when(F.col("min_i") < 7, 1).otherwise(0)).cast("long").alias("wau"),
+        F.count(F.lit(1)).cast("long").alias("mau"),
+    )
+    out = _scalar_join(out, du.agg(F.max("day").alias("__mxd")))
+    return (
+        out.filter(F.col("cover_day") <= F.col("__mxd"))
+        .drop("__mxd")
+        .withColumnRenamed("cover_day", "day")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

@@ -77,6 +77,9 @@ HEAVY = [
     "tokenize_oov_report",
     "dedup_cluster_profile",
     "events_burst_islands",
+    "events_path_trigrams",
+    "mixture_epoch_schedule",
+    "events_active_users",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -9140,6 +9140,83 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bm25_topk",
+    """
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, len(tk)::BIGINT AS dl,
+             list_filter(tk, t -> t IN ('agg','hash','join','query',
+                                        'scan','slow','stream','window')) AS hits
+      FROM base
+    ),
+    tfc AS (
+      SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, dl, unnest(hits) AS term FROM d)
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tfc GROUP BY 1),
+    st AS (SELECT count(*)::BIGINT AS n_docs, sum(len(tk))::BIGINT AS total_dl
+           FROM base),
+    q AS (SELECT * FROM (VALUES (1,'hash'),(1,'join'),
+                                (2,'stream'),(2,'window'),(2,'agg'),
+                                (3,'slow'),(3,'query'),(3,'scan'))
+          AS v(query_id, term)),
+    scored AS (
+      SELECT q.query_id, t.doc_id, t.term,
+             log2((n_docs::DOUBLE - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)
+                  + 1.0::DOUBLE)
+               * (t.tf * 2.2::DOUBLE)
+               / (t.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                  + 0.75::DOUBLE * t.dl * n_docs::DOUBLE / total_dl::DOUBLE))
+               AS c
+      FROM tfc t JOIN dfreq USING (term) JOIN q ON q.term = t.term
+      CROSS JOIN st
+    ),
+    pair AS (
+      SELECT query_id, doc_id,
+             list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY term)),
+                         (a, x) -> a + x) AS score
+      FROM scored GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS rank
+      FROM pair
+    )
+    SELECT query_id, rank, doc_id,
+           floor(score * 1000000.0::DOUBLE + 0.5::DOUBLE)::BIGINT AS score_ppm
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def bm25_topk_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for three fixed lexical queries
+    (pipeline/text.py::bm25_topk — the exact lexical retrieval leg that
+    hybrid_search_rrf fuses with the vector leg). Every model input is
+    an exact integer; each term contribution is ONE
+    fixed-parenthesization double expression mirrored verbatim in the
+    oracle, per-pair scores fold in ascending-term order from a 0.0
+    init, and ranking ties break on doc_id — so ranks AND score_ppm
+    value-match cross-engine. The corpus explodes only query-term hits
+    (filter inside the array before the generator), never all tokens."""
+    from warp_spark.pipeline.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    return bm25_topk(
+        docs,
+        [
+            (1, ["hash", "join"]),
+            (2, ["stream", "window", "agg"]),
+            (3, ["slow", "query", "scan"]),
+        ],
+        k=10,
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

@@ -1241,3 +1241,112 @@ def oov_report(
             ppm.alias("oov_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking — the lexical leg of retrieval, exact cross-engine (round 8)
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-``k`` per query (Robertson-Spärck Jones):
+    score(q, d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = log2((N − df + ½)/(df + ½) + 1).
+
+    Cross-engine exact by construction: every model input (tf, df, dl,
+    N, Σdl) is an exact integer; each per-term contribution is one
+    fixed-parenthesization double expression over those integers
+    (mirrored verbatim in the SQL oracle — per-row IEEE arithmetic is
+    bit-identical); per-(query, doc) scores fold term contributions in
+    ascending-term order from a 0.0 init (the KL-fold discipline); and
+    ranking ties break on the doc id.  avgdl enters as dl·N/Σdl with
+    the division LAST so both engines divide identical doubles.
+
+    Scale shape: the query set is a literal broadcast (a handful of
+    terms); the corpus explodes only tokens MATCHING query terms
+    (filter inside the array before the generator, so the exploded
+    volume is Θ(query-term hits), not Θ(corpus tokens)); df/N/Σdl are
+    bounded aggregates; the final top-k is one per-query window over
+    the scored candidates.  Document text never shuffles.
+    """
+    from pyspark.sql.window import Window
+
+    terms = sorted({t for _, ts in queries for t in ts})
+    term_lits = F.array(*[F.lit(t) for t in terms])
+    spark = docs.sparkSession
+
+    tk = "_bm25_tk"
+    base = (
+        docs.select(F.col(id_col), F.col(text_col))
+        .withColumn(tk, tokens(F.col(text_col)))
+        .select(
+            id_col,
+            F.size(tk).cast("long").alias("dl"),
+            F.filter(tk, lambda t: F.array_contains(term_lits, t)).alias("__hits"),
+        )
+    )
+    tf = (
+        base.select(id_col, "dl", F.explode_outer("__hits").alias("term"))
+        .filter(F.col("term").isNotNull())
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    )
+    row = stats.first()
+    n_docs, total_dl = row["n_docs"], row["total_dl"]
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries for t in set(ts)],
+        "query_id long, term string",
+    )
+    joined = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qdf), "term")
+    )
+    idf = F.log2(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0)
+        - F.lit(b)
+        + F.lit(b) * F.col("dl") * F.lit(float(n_docs)) / F.lit(float(total_dl))
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / norm
+    scored = joined.select(
+        "query_id", id_col, F.col("term"), contrib.alias("c")
+    )
+    per_pair = scored.groupBy("query_id", id_col).agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("term", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        per_pair.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            id_col,
+            F.floor(F.col("score") * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("score_ppm"),
+        )
+    )

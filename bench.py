@@ -250,22 +250,38 @@ def main():
     # why BENCH_r04.json came back ``parsed: null``).  Print the
     # detailed map FIRST (for humans / logs), then a compact final line
     # that stays well under the capture window at any query count.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_detail",
-                "queries": timings,
-                # best-of-N protocol marker: r1-r6 history is best-of-3,
-                # r7+ is best-of-2 (weaker min-noise floor — account for
-                # it when comparing per-query history)
-                "best_of": reps,
-                "spread": spread,
-                "excluded": EXCLUDED,
-                "sf": sf,
-                "load_ok": load_ok,
-            }
-        )
-    )
+    detail = {
+        "metric": "headline_queries_detail",
+        "queries": timings,
+        # best-of-N protocol marker: r1-r6 history is best-of-3,
+        # r7+ is best-of-2 (weaker min-noise floor — account for
+        # it when comparing per-query history)
+        "best_of": reps,
+        "spread": spread,
+        "excluded": EXCLUDED,
+        "sf": sf,
+        "load_ok": load_ok,
+    }
+    print(json.dumps(detail))
+    # Persist the FULL detail map to a committed artifact so
+    # round-over-round per-query comparison never depends on the
+    # driver's bounded tail capture (VERDICT r8 item 5).  Round number
+    # = latest judged round + 1 (the driver benches round N while
+    # CORRECTNESS_r{N-1} is the newest snapshot on disk).
+    try:
+        import glob
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"_r(\d+)\.json$", p))
+        ]
+        rnd = (max(rounds) + 1) if rounds else 0
+        with open(os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json"), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # a read-only checkout must not fail the bench itself
     print(
         json.dumps(
             {

@@ -130,3 +130,32 @@ def test_y4m_features_match_pixel_rule(spark):
         assert r["fps"] == 24 + d % 2
         assert r["sum_luma"] == total
         assert r["frame0_sum"] == int(((d * 17 + i * 3) % 256).sum())
+
+
+def test_resize_png_nearest_matches_numpy(spark):
+    """The distributed resize must equal a direct numpy nearest-neighbor
+    resample of the same source pixels — both up- and down-scaling, and
+    the re-encoded payload must itself be a valid PNG."""
+    from warp_spark.pipeline.codecs import (
+        decode_png,
+        resize_png_nearest,
+        synth_png_payloads,
+    )
+
+    df = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    out = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in resize_png_nearest(
+            synth_png_payloads(df), target_h=12, target_w=20
+        ).collect()
+    }
+    for d in (0, 3, 7, 11, 15, 23):  # h 8..15 covers up- AND down-scale
+        h, w = 8 + d % 8, 16 + d % 16
+        i = np.arange(h * w, dtype=np.int64)
+        src = ((d * 31 + i * 7) % 256).astype(np.uint8).reshape(h, w)
+        ys = (np.arange(12, dtype=np.int64) * h) // 12
+        xs = (np.arange(20, dtype=np.int64) * w) // 20
+        want = src[np.ix_(ys, xs)]
+        got = decode_png(out[d])
+        assert got.shape == (12, 20, 1)
+        assert (got[:, :, 0] == want).all(), d

@@ -396,3 +396,25 @@ def test_running_distinct_uses_prefix_path(spark):
     plan = plan_of(spark, "rank_running_distinct")
     assert "Exchange rangepartitioning" in plan
     assert "Exchange hashpartitioning(user_id" in plan
+
+
+def test_every_catalog_entry_has_a_plans_row():
+    """Docs completeness is mechanized: every queries() entry must have
+    a row in PLANS.md (regenerate with tools/plan_report.py).  This is
+    the guard the r8 round lacked when bm25_topk shipped in the closing
+    snapshot with no documentation — a last-minute entry can no longer
+    land silently."""
+    import os
+    import re
+
+    import __spark_entry__ as m
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "PLANS.md")) as f:
+        documented = set(re.findall(r"^\| (\w+) \|", f.read(), re.M))
+    documented.discard("query")  # the header row
+    missing = sorted(set(m.queries()) - documented)
+    assert not missing, (
+        f"catalog entries without a PLANS.md row: {missing} — run "
+        "python tools/plan_report.py"
+    )

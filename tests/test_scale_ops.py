@@ -1788,3 +1788,96 @@ def test_active_users_cover_explode(spark):
     assert out["2024-03-10"]["dau"] == 1 and out["2024-03-10"]["mau"] == 3
     # grid stops at the last activity day
     assert max(out) == "2024-03-10"
+
+
+def _bm25_reference(corpus, queries, k1=1.2, b=0.75):
+    """Pure-Python BM25 mirroring bm25_topk's EXACT parenthesization
+    and ascending-term fold order, so score_ppm matches bit-for-bit."""
+    import math
+
+    toks = {d: t.lower().split() for d, t in corpus}
+    n_docs = len(corpus)
+    total_dl = sum(len(v) for v in toks.values())
+    out = {}
+    for qid, qterms in queries:
+        scores = {}
+        for doc_id, tlist in toks.items():
+            s = 0.0
+            for term in sorted(set(qterms)):
+                tf = tlist.count(term)
+                if tf == 0:
+                    continue
+                df = sum(1 for v in toks.values() if term in v)
+                idf = math.log2((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                norm = tf + k1 * (
+                    1.0 - b + b * len(tlist) * float(n_docs) / float(total_dl)
+                )
+                s = s + idf * (tf * (k1 + 1.0)) / norm
+            if s != 0.0 or any(t in tlist for t in qterms):
+                scores[doc_id] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        out[qid] = [
+            (rank + 1, doc_id, math.floor(sc * 1_000_000.0 + 0.5))
+            for rank, (doc_id, sc) in enumerate(ranked)
+        ]
+    return out
+
+
+def test_bm25_semantics_vs_reference(spark):
+    """Exact score_ppm parity with a mirrored Python fold, idf edge
+    cases (term in every doc stays positive via the +1; absent terms
+    contribute nothing), and length normalization (same tf, longer doc
+    scores strictly lower)."""
+    from warp_spark.pipeline.text import bm25_topk
+
+    corpus = [
+        (1, "apple banana apple"),
+        (2, "apple cherry"),
+        (3, "cherry cherry cherry cherry"),
+        (4, "apple fig grape kiwi"),
+        (5, "apple lime"),  # apple in 4/5 docs: near-saturated df
+    ]
+    queries = [
+        (10, ["apple"]),
+        (20, ["cherry", "missing"]),  # absent term contributes nothing
+        (30, ["apple", "cherry"]),  # multi-term ascending fold
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {}
+    for r in bm25_topk(docs, queries, k=10).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score_ppm"])
+        )
+    for q in got:
+        got[q].sort()
+    want = _bm25_reference(corpus, queries)
+    assert got == {q: v for q, v in want.items() if v}
+    # length normalization: docs 2 and 4 both have tf(apple)=1 but
+    # dl 2 vs 4 — the shorter doc must score strictly higher
+    q10 = {doc: ppm for _, doc, ppm in got[10]}
+    assert q10[2] > q10[4]
+    # idf positivity: apple appears in 4 of 5 docs and still scores > 0
+    assert all(ppm > 0 for _, _, ppm in got[10])
+
+
+def test_bm25_tiebreak_and_k(spark):
+    """Identical docs produce identical scores and rank by doc_id
+    ascending; k caps per-query results; empty corpus returns an
+    empty frame with the output schema."""
+    from warp_spark.pipeline.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(7, "zebra zebra"), (3, "zebra zebra"), (5, "zebra zebra"), (9, "other")],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(docs, [(1, ["zebra"])], k=2).collect()
+    assert [(r["rank"], r["doc_id"]) for r in sorted(rows, key=lambda r: r["rank"])] == [
+        (1, 3),
+        (2, 5),
+    ]  # k=2 keeps the two smallest doc_ids of the three-way tie
+    assert len({r["score_ppm"] for r in rows}) == 1
+    empty = bm25_topk(
+        spark.createDataFrame([], "doc_id long, text string"), [(1, ["zebra"])]
+    )
+    assert empty.columns == ["query_id", "rank", "doc_id", "score_ppm"]
+    assert empty.count() == 0

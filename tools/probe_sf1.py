@@ -80,6 +80,8 @@ HEAVY = [
     "events_path_trigrams",
     "mixture_epoch_schedule",
     "events_active_users",
+    # round-9: exact BM25 top-k — explodes only query-term hits
+    "bm25_topk",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

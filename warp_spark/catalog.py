@@ -7342,6 +7342,61 @@ def multimodal_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_decode_features(synth_wav_payloads(docs))
 
 
+# ---------------------------------------------------------------------------
+# REAL image resize (pipeline/codecs.py::resize_png_nearest): the
+# resize leg of the multimodal tier — decode → nearest-neighbor
+# resample to a fixed 12×20 grid → re-encode PNG → decode again for
+# features, all Arrow-batched. Source grids are (8+id%8)×(16+id%16),
+# so the corpus exercises BOTH directions per axis (h 8-11 upscales,
+# 12-15 downscales; w 16-19 upscales, 20-31 downscales). The floor
+# index map (y·H)//12, (x·W)//20 is exact integer arithmetic, so the
+# oracle replays pixel-rule ∘ index-map and a value match proves
+# decode → resample → encode → decode end-to-end byte fidelity.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_image_resize",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             16 + doc_id % 16 AS w,
+             8 + doc_id % 8   AS h
+      FROM documents),
+    ix AS (
+      SELECT doc_id, w, h, unnest(range(0, 240)) AS i
+      FROM g),
+    m AS (
+      SELECT doc_id,
+             (((i // 20) * h) // 12) * w + ((i % 20) * w) // 20 AS j
+      FROM ix),
+    s AS (
+      SELECT doc_id, sum((doc_id * 31 + j * 7) % 256) AS sum_pixels
+      FROM m GROUP BY doc_id)
+    SELECT g.doc_id,
+           CAST(20 AS BIGINT) AS width,
+           CAST(12 AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(240 AS BIGINT) AS n_pixels,
+           s.sum_pixels::BIGINT AS sum_pixels,
+           (g.doc_id * 31) % 256 AS px_first,
+           (g.doc_id * 31
+            + ((((11 * g.h) // 12) * g.w + (19 * g.w) // 20) * 7)) % 256
+             AS px_last
+    FROM g JOIN s USING (doc_id)
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.codecs import (
+        png_decode_features,
+        resize_png_nearest,
+        synth_png_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    return png_decode_features(
+        resize_png_nearest(synth_png_payloads(docs), target_h=12, target_w=20)
+    )
+
+
 # PII redaction (pipeline/text.py::redact_pii): the scrub pass every
 # training-data pipeline runs first.  The synthetic corpus contains no
 # PII, so the entry INJECTS it deterministically from doc_id (the same
@@ -9231,26 +9286,27 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # the window is rotated every round and the rotation is documented here
 # and in PARITY.md.
 #
-# Round-8 window: FRESHNESS again.  After r7 the histogram is
-# r7:50 / r6:47 / r5:47 / r4:42 / never-judged:1 — the single
-# never-judged entry is decontaminate_neardup (added at r7 close,
-# judge-gate green 15/15 but no driver evidence) and the stalest
-# judged cohort is the 42 r04-vintage entries, several of which
-# predate the r7 aggregate-split and the r5/r6 CollapseProject
-# disciplines.  This window therefore takes:
-#   * decontaminate_neardup (the one never-judged entry),
-#   * all 42 r04-vintage entries,
+# Round-9 window: FRESHNESS rotation per the r8 verdict.  Post-r8 the
+# histogram is r8:50 / r7:47 / r6:47 / r5:43 / never-judged:9 — the
+# nine never-judged entries are the r8 additions (judge-gate green 9/9
+# but no driver evidence) and the stalest judged cohort is the 43
+# r05-vintage entries.  This window therefore takes:
+#   * all 9 never-driver-judged r8 additions (ngram_novelty,
+#     tokenize_oov_report, dedup_cluster_profile, events_burst_islands,
+#     events_burst_streamed, events_path_trigrams,
+#     mixture_epoch_schedule, events_active_users, bm25_topk),
 #   * the flagship TPC-H trio kept in-window every round,
-#   * four r05-vintage entries chosen because they exercise the
-#     Dataset.aggregate code path most broadly — it CHANGED in r7
-#     (distinct/buffered auto-split, dataset.py:178-226) and only
-#     agg_approx_sketch was re-judged post-change: aggregate_reducers
-#     (all 17 reducers in one groupBy), agg_mode_mad,
-#     agg_skew_kurtosis, agg_kmv_distinct.
-# The window was built against evidence through CORRECTNESS_r07
+#   * 38 of the 43 r05-vintage entries.  The five left for the r10
+#     queue (pivot_linestatus, coercion_semantics, functions_math,
+#     functions_string, functions_datetime) are the pure
+#     function-registry / literal-table entries whose code paths have
+#     not changed since they were judged — the other 38 cover the
+#     mutable warehouse, streaming, ANN, dedup and TPC-H paths where
+#     drift risk actually lives.
+# The window was built against evidence through CORRECTNESS_r08
 # (_DRIVER_WINDOW_ROUND below); the rotation-policy test evaluates it
 # against snapshots from rounds < _DRIVER_WINDOW_ROUND only, so the
-# driver's own r8 snapshot (which postdates this commit) cannot make
+# driver's own r9 snapshot (which postdates this commit) cannot make
 # the suite red between rounds.
 # ===========================================================================
 
@@ -9258,64 +9314,62 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # evaluated against CORRECTNESS_r*.json snapshots from rounds strictly
 # before this one (the evidence that existed when the window was
 # designed).
-_DRIVER_WINDOW_ROUND = 8
+_DRIVER_WINDOW_ROUND = 9
 
 _DRIVER_WINDOW = [
-    # --- the one never-driver-judged entry (added at r7 close) ---
-    "decontaminate_neardup",
-    # --- stalest judged evidence: all 42 r04-vintage entries ---
-    "stratified_sample",
-    "text_repetition",
-    "text_tfidf_topterms",
-    "decontaminate_bloom",
-    "source_roundtrip_formats",
-    "bpe_train_merges",
-    "pipeline_curation_summary",
-    "dedup_clusters_star",
-    "winnow_overlap",
-    "embedding_semantic_dedup",
-    "ann_topk_pq",
-    "ann_topk_quantized",
-    "events_funnel",
-    "events_user_retention",
-    "events_gapfill_hourly",
-    "q22_idle_customers",
-    "q11_important_parts",
-    "q20_promotable_suppliers",
-    "q21_waiting_suppliers",
-    "dedup_incremental",
-    "events_stream_stream_join",
-    "chunk_documents_rag",
-    "split_assign",
-    "events_heavy_hitters_streamed",
-    "corr_matrix",
-    "embedding_kmeans",
-    "events_ewma",
-    "dedup_containment",
-    "quality_robust_stats",
-    "zorder_index",
-    "profile_orders",
-    "quality_percentile_cut",
-    "rollup_revenue",
-    "window_functions_suite",
-    "set_operations",
-    "percentiles_exact",
-    "semi_anti_join",
-    "text_lm_score",
-    "infer_formula_roundtrip",
-    "mutable_dml_roundtrip",
-    "multimodal_png_real",
-    "multimodal_wav_real",
+    # --- the nine never-driver-judged r8 additions ---
+    "ngram_novelty",
+    "tokenize_oov_report",
+    "dedup_cluster_profile",
+    "events_burst_islands",
+    "events_burst_streamed",
+    "events_path_trigrams",
+    "mixture_epoch_schedule",
+    "events_active_users",
+    "bm25_topk",
     # --- flagship TPC-H, kept every round ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    # --- r05-vintage entries on the aggregate code path that CHANGED
-    # in r7 (distinct/buffered auto-split) — broadest re-judgment ---
-    "aggregate_reducers",
-    "agg_mode_mad",
-    "agg_skew_kurtosis",
-    "agg_kmv_distinct",
+    # --- stalest judged evidence: 38 of the 43 r05-vintage entries ---
+    "ann_topk_filtered",
+    "asof_purchase_click",
+    "asof_tolerance_stale",
+    "bpe_apply_tokenize",
+    "bucketed_join_revenue",
+    "cube_revenue",
+    "dedup_keep_best",
+    "dedup_lsh_recall",
+    "dedup_minhash_lsh",
+    "dedup_prefix_filter_exact",
+    "events_kmv_hourly",
+    "events_kmv_streamed",
+    "events_late_data_rollup",
+    "events_moving_avg_range",
+    "events_sessionize",
+    "events_sessionize_dynamic",
+    "events_stream_static_enrich",
+    "events_streaming_dedup",
+    "grouping_sets_margins",
+    "hybrid_search_rrf",
+    "join_full_outer",
+    "langid_confusion",
+    "mixture_drift_kl",
+    "mixture_temperature",
+    "multimodal_y4m_real",
+    "mutable_cdc_merge",
+    "mutable_change_feed",
+    "mutable_schema_evolution",
+    "mutable_streaming_merge",
+    "mutable_time_travel",
+    "partitioned_write_prune",
+    "q12_priority_by_delay",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "sample_bottomk",
+    "text_char_entropy",
+    "tokenize_vocab_ids",
+    "validate_rules",
 ]
 
 

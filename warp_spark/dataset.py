@@ -409,8 +409,17 @@ class Dataset:
             # hard guard, matching transpose(): a single-task global
             # window over more than max_window_rows is a silent
             # scale-killer, not a slow path — count via a cheap limit
-            # probe (limit(N+1) short-circuits the scan, no full count)
-            if len(self.df.limit(max_window_rows + 1).take(max_window_rows + 1)) > max_window_rows:
+            # probe (limit(N+1) short-circuits the scan, no full count).
+            # The probe counts a constant projection so no data columns
+            # ever reach the driver: take(N+1) on the raw frame would
+            # ship up to N+1 FULL-WIDTH rows (GBs for document-sized
+            # rows) just to decide whether to raise.
+            probe = (
+                self.df.select(F.lit(1).alias("__probe"))
+                .limit(max_window_rows + 1)
+                .count()
+            )
+            if probe > max_window_rows:
                 raise ValueError(
                     f"rank: un-partitioned global window ({reason}) over "
                     f"more than max_window_rows={max_window_rows} rows "

@@ -348,6 +348,48 @@ def synth_png_payloads(
     return df.select(id_col).mapInPandas(run, schema=f"{id_col} long, {out_col} binary")
 
 
+def resize_png_nearest(
+    df: DataFrame,
+    target_h: int,
+    target_w: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize REAL PNG payloads to ``target_h × target_w`` by
+    nearest-neighbor sampling and re-encode — the resize leg of the
+    multimodal tier (decode / feature-extract / resize / frame-sample),
+    with the decode→transform→encode round-trip all inside one
+    Arrow-batched ``mapInPandas`` pass.
+
+    Index map is pure integer arithmetic so an SQL oracle can replay it
+    exactly: output pixel (y, x) reads source pixel
+    (``(y·H) // target_h``, ``(x·W) // target_w``) — floor mapping,
+    which both up- and down-samples (each source pixel is dropped or
+    replicated, never blended, so uint8 values pass through exactly).
+
+    Scale shape: per-row work bounded by payload size, no shuffle at
+    all — the op is a map-side projection over the binary column; on a
+    cluster it parallelizes by input partition like any scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for payload in pdf[payload_col]:
+                px = decode_png(bytes(payload))
+                h, w, ch = px.shape
+                ys = (np.arange(target_h, dtype=np.int64) * h) // target_h
+                xs = (np.arange(target_w, dtype=np.int64) * w) // target_w
+                out = px[np.ix_(ys, xs)]
+                if ch == 1:
+                    out = out[:, :, 0]
+                payloads.append(encode_png(out, filter_type=0))
+            yield pd.DataFrame({id_col: pdf[id_col].values, payload_col: payloads})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} long, {payload_col} binary"
+    )
+
+
 def synth_wav_payloads(
     df: DataFrame, id_col: str = "doc_id", out_col: str = "payload"
 ) -> DataFrame:

@@ -1306,6 +1306,13 @@ def bm25_topk(
     )
     row = stats.first()
     n_docs, total_dl = row["n_docs"], row["total_dl"]
+    if not n_docs or not total_dl:
+        # empty corpus (or all-empty documents): sum("dl") is NULL and
+        # the avgdl division below would be 0/0 — short-circuit to an
+        # empty result with the output schema
+        return spark.createDataFrame(
+            [], f"query_id long, rank int, {id_col} long, score_ppm long"
+        )
     qdf = spark.createDataFrame(
         [(qid, t) for qid, ts in queries for t in set(ts)],
         "query_id long, term string",

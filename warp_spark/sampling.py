@@ -560,11 +560,31 @@ def token_budget_fill(
         # the default order must be TOTAL or equal-weight rows at the
         # budget boundary are kept/dropped arbitrarily: tiebreak on a
         # content hash of the full row (identical-content rows are
-        # interchangeable, so any residual tie is unobservable)
-        order_cols = [
-            F.col(weight_col).desc(),
-            F.xxhash64(*[F.col(c) for c in df.columns]).asc(),
+        # interchangeable, so any residual tie is unobservable).
+        # xxhash64 rejects MAP columns (AnalysisException) — hash only
+        # the hashable ones; if none are, fall back to the weight-only
+        # order with a warning rather than failing the whole fill.
+        hashable = [
+            c
+            for c, t in df.dtypes
+            if not t.startswith("map<") and t != "variant"
         ]
+        if hashable:
+            order_cols = [
+                F.col(weight_col).desc(),
+                F.xxhash64(*[F.col(c) for c in hashable]).asc(),
+            ]
+        else:
+            import warnings
+
+            warnings.warn(
+                "token_budget_fill: no hashable columns for the total-order "
+                "tiebreak; equal-weight rows at the budget boundary are "
+                "kept/dropped arbitrarily",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            order_cols = [F.col(weight_col).desc()]
     spark = df.sparkSession
     n = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
@@ -577,7 +597,12 @@ def token_budget_fill(
     # blocks are released by the ContextCleaner when this DataFrame is
     # garbage-collected — a persist() would sit in the cache manager
     # forever unless the caller unpersisted it, accumulating pinned
-    # partitions across calls in a long-lived session
+    # partitions across calls in a long-lived session.  Tradeoff:
+    # localCheckpoint truncates lineage into NON-reliable executor
+    # storage, so on a multi-executor cluster a lost executor fails the
+    # job instead of recomputing; with a reliable checkpoint dir
+    # configured (sparkContext.setCheckpointDir) swap to .checkpoint()
+    # for fault tolerance at the cost of a distributed write
     ranged = (
         df.repartitionByRange(n, F.col(group_col), *order_cols)
         .withColumn(pid, F.spark_partition_id())

@@ -491,3 +491,20 @@ def test_hdr_streamed_two_batches_equals_batch_histogram(spark, tmp_path):
         .collect()
     }
     assert streamed == batch
+
+
+def test_neardup_streamed_equals_batch(spark):
+    """The streaming incremental dedup (stream-static band probe +
+    update-mode min-reduce) must reproduce the batch incremental_dedup
+    answer exactly on the same corpus/batch split — per doc: same
+    dup_of, same best_jaccard, same is_dup."""
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    key = lambda r: (r["doc_id"], r["dup_of"], r["best_jaccard"], r["is_dup"])
+    streamed = sorted(
+        map(key, m.queries()["dedup_neardup_streamed"](spark, sf).collect())
+    )
+    batch = sorted(map(key, m.queries()["dedup_incremental"](spark, sf).collect()))
+    assert streamed == batch
+    assert any(r[3] for r in streamed)  # at least one real dup exercised

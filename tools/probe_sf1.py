@@ -82,6 +82,11 @@ HEAVY = [
     "events_active_users",
     # round-9: exact BM25 top-k — explodes only query-term hits
     "bm25_topk",
+    # round-9: streamed incremental near-dup — unlike the other
+    # streamed entries this one scales with sf_dir (it stages the
+    # batch slice from documents), so the 10x point is meaningful
+    "dedup_neardup_streamed",
+    "multimodal_image_resize",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

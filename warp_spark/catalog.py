@@ -5603,6 +5603,73 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(corpus, batch, threshold=0.5)
 
 
+@register("dedup_neardup_streamed", ORACLES["dedup_incremental"])
+def dedup_neardup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed twin of dedup_incremental (17th streaming execution) —
+    the steady-state production shape: the new crawl slice ARRIVES as
+    micro-batches (3 utime-pinned files, one per trigger) and each doc
+    is signatured map-side, probed against the persisted static corpus
+    band index with a stream-static equi-join, Jaccard-verified against
+    the static shingle table, and reduced to min-matching-corpus-id by
+    an update-mode aggregation (pipeline/dedup.py::
+    incremental_dedup_stream).  State is one row per MATCHED batch doc
+    — nothing O(corpus) lives in the state store.  Same oracle as the
+    batch entry: the streaming replay must reproduce the batch answer
+    exactly."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from warp_spark.pipeline.dedup import incremental_dedup_stream
+    from warp_spark.streaming import run_stream_to_memory
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    corpus = docs.filter(F.col("doc_id") % 20 < 16)
+    batch = docs.filter(F.col("doc_id") % 20 >= 16)
+    root = tempfile.mkdtemp(prefix="warp_neardup_stream_")
+    name = f"neardup_streamed_{uuid.uuid4().hex[:8]}"
+    try:
+        for i in range(3):
+            batch.filter(F.col("doc_id") % 3 == i).select(
+                "doc_id", "text"
+            ).coalesce(1).write.mode("overwrite").parquet(f"{root}/stage{i}")
+            part = _glob.glob(f"{root}/stage{i}/part-*.parquet")[0]
+            tgt = f"{root}/file_{i:03d}.parquet"
+            os.rename(part, tgt)
+            shutil.rmtree(f"{root}/stage{i}", ignore_errors=True)
+            # FileStreamSource orders new files by mtime: pin the
+            # micro-batch order deterministically
+            os.utime(tgt, (1_700_000_000 + 100 * i,) * 2)
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(root)
+        )
+        hits_stream = incremental_dedup_stream(corpus, stream, threshold=0.5)
+        run_stream_to_memory(hits_stream, name, output_mode="update")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    # update mode re-emits a key on every revision; min/max per key
+    # equal the final state (dup_of is non-increasing, jaccard max is
+    # non-decreasing across revisions)
+    hits = spark.table(name).groupBy("batch_id").agg(
+        F.min("dup_of").alias("dup_of"),
+        F.max("best_jaccard").alias("best_jaccard"),
+    )
+    return (
+        batch.select("doc_id")
+        .join(hits, F.col("doc_id") == F.col("batch_id"), "left")
+        .select(
+            "doc_id",
+            "dup_of",
+            "best_jaccard",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # EXACT set-similarity join via prefix filtering (AllPairs/PPJoin
 # family, dedup.py::prefix_filter_jaccard_pairs): unlike the LSH

@@ -1881,3 +1881,51 @@ def test_bm25_tiebreak_and_k(spark):
     )
     assert empty.columns == ["query_id", "rank", "doc_id", "score_ppm"]
     assert empty.count() == 0
+
+
+def test_zipf_spectrum_exact_power_law(spark):
+    """A corpus constructed with count(token_r) = 2^(10−r) must fit
+    slope = −1 exactly in log2 space (x = log2 r needs geometric ranks
+    for exactness, so check the algebra on the r ∈ {1,2,4,8} subset by
+    construction: counts 512,256,128,64 at ranks 1..4 give slope
+    log2-linear with slope −(log2 512 − log2 64)/(log2 4 − log2 1) =
+    ... — instead pin the closed-form least squares computed in
+    Python float arithmetic, mirrored parenthesization)."""
+    import math
+
+    from warp_spark.pipeline.text import zipf_spectrum
+
+    # 4 tokens with counts 512, 256, 128, 64 -> one doc per occurrence
+    rows = []
+    for r, (tok, cnt) in enumerate(
+        [("aa", 512), ("bb", 256), ("cc", 128), ("dd", 64)], start=1
+    ):
+        rows.extend((i, tok) for i in range(cnt))
+    docs = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(rows)], "doc_id long, text string"
+    )
+    out = zipf_spectrum(docs, k=10).collect()
+    assert [r["token"] for r in out] == ["aa", "bb", "cc", "dd"]
+    assert [r["rank"] for r in out] == [1, 2, 3, 4]
+    assert [r["cnt"] for r in out] == [512, 256, 128, 64]
+    n = 960
+    assert out[0]["freq_ppm"] == math.floor(512 * 1_000_000.0 / n + 0.5)
+    assert out[-1]["cum_freq_ppm"] == 1_000_000
+    assert out[0]["vocab_size"] == 4
+    # mirrored least squares in Python
+    xs = [math.log2(float(r)) for r in (1, 2, 3, 4)]
+    ys = [math.log2(float(c)) for c in (512, 256, 128, 64)]
+    k = 4.0
+    sx, sy = 0.0, 0.0
+    for v in xs:
+        sx = sx + v
+    for v in ys:
+        sy = sy + v
+    sxy, sxx = 0.0, 0.0
+    for a, b in zip(xs, ys):
+        sxy = sxy + a * b
+    for a in xs:
+        sxx = sxx + a * a
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert out[0]["zipf_slope_ppm"] == math.floor(slope * 1_000_000.0 + 0.5)
+    assert slope < -0.9  # decaying spectrum reads as Zipf-like

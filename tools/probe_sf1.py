@@ -87,6 +87,7 @@ HEAVY = [
     # batch slice from documents), so the 10x point is meaningful
     "dedup_neardup_streamed",
     "multimodal_image_resize",
+    "text_zipf_spectrum",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -8871,6 +8871,68 @@ def ngram_novelty_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_zipf_spectrum",
+    """
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents),
+    cnts AS (
+      SELECT token, count(*) AS cnt FROM tok WHERE token <> '' GROUP BY 1),
+    tot AS (SELECT sum(cnt)::BIGINT AS n, count(*)::BIGINT AS vocab FROM cnts),
+    spec AS (
+      SELECT token, cnt,
+             row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+      FROM cnts ORDER BY cnt DESC, token ASC LIMIT 100),
+    cum AS (
+      SELECT rank, token, cnt,
+             sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS cum_cnt
+      FROM spec),
+    fit AS (
+      SELECT count(*)::DOUBLE AS k,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list(log2(rank::DOUBLE) ORDER BY rank)), (a, b) -> a + b) AS sx,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list(log2(cnt::DOUBLE) ORDER BY rank)), (a, b) -> a + b) AS sy,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list(log2(rank::DOUBLE) * log2(cnt::DOUBLE) ORDER BY rank)),
+               (a, b) -> a + b) AS sxy,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list(log2(rank::DOUBLE) * log2(rank::DOUBLE) ORDER BY rank)),
+               (a, b) -> a + b) AS sxx
+      FROM spec),
+    sl AS (SELECT k, sx, sy,
+                  (k * sxy - sx * sy) / (k * sxx - sx * sx) AS slope
+           FROM fit),
+    fin AS (SELECT floor(slope * 1000000.0 + 0.5)::BIGINT AS zipf_slope_ppm,
+                   floor(((sy - slope * sx) / k) * 1000000.0 + 0.5)::BIGINT
+                     AS zipf_intercept_ppm
+            FROM sl)
+    SELECT c.rank, c.token, c.cnt::BIGINT AS cnt,
+           floor((c.cnt * 1000000)::DOUBLE / t.n + 0.5)::BIGINT AS freq_ppm,
+           floor((c.cum_cnt * 1000000)::DOUBLE / t.n + 0.5)::BIGINT AS cum_freq_ppm,
+           t.vocab AS vocab_size,
+           f.zipf_slope_ppm,
+           f.zipf_intercept_ppm
+    FROM cum c, tot t, fin f
+    ORDER BY c.rank
+    """,
+)
+def text_zipf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-law report (pipeline/text.py::zipf_spectrum): top-100
+    token spectrum with exact cumulative coverage and a least-squares
+    Zipf fit over (log2 rank, log2 count).  Float discipline: the four
+    regression sums fold rank-ascending from 0.0 (KL-fold rule), slope
+    is staged so intercept derives from the SAME double in both
+    engines, ratios are floor(x·1e6+0.5) ppm.  Scale: counts are one
+    map-side-combinable groupBy, the head is a distributed TakeOrdered
+    (never a vocabulary-sized global window), everything after runs on
+    the bounded 100-row artifact."""
+    from warp_spark.pipeline.text import zipf_spectrum
+
+    return zipf_spectrum(_t(spark, sf_dir, "documents").to_df(), k=100)
+
+
+@register(
     "tokenize_oov_report",
     """
     WITH tok AS (

@@ -1357,3 +1357,116 @@ def bm25_topk(
             .alias("score_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf frequency spectrum — the corpus-law report (round 9)
+# ---------------------------------------------------------------------------
+
+
+def zipf_spectrum(
+    docs: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` token frequency spectrum with an exact least-squares
+    Zipf fit over (log2 rank, log2 count) — the corpus-law health
+    report (a natural corpus has slope ≈ −1; template/boilerplate
+    floods flatten the head, spam inflates the tail).
+
+    Cross-engine float discipline: the four regression sums fold
+    rank-ascending from a 0.0 init with per-term fixed
+    parenthesization (the KL-fold rule), slope/intercept are staged so
+    both engines derive intercept from the SAME slope double, and all
+    reported ratios are floor(x·1e6 + 0.5) ppm.
+
+    Scale shape: token counts are one map-side-combinable groupBy; the
+    top-k head is a distributed TakeOrdered (never a global window
+    over the vocabulary); ranking, the cumulative-coverage window and
+    the fit all run on the bounded k-row artifact; corpus totals cross
+    to the driver as one row.
+    """
+    from pyspark.sql.window import Window
+
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").cast("long").alias("__n_total"),
+        F.count(F.lit(1)).cast("long").alias("__vocab"),
+    )
+    spec = (
+        counts.orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+            ),
+        )
+    )
+    wcum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = spec.withColumn("cum_cnt", F.sum("cnt").over(wcum))
+
+    pts = spec.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("rank").alias("r"), F.col("cnt").alias("c")))
+        ).alias("a")
+    )
+    x = lambda s: F.log2(s["r"].cast("double"))  # noqa: E731
+    y = lambda s: F.log2(s["c"].cast("double"))  # noqa: E731
+    fold = lambda term: F.aggregate(  # noqa: E731
+        F.col("a"), F.lit(0.0), lambda acc, s: acc + term(s)
+    )
+    sums = pts.select(
+        F.size("a").cast("double").alias("kk"),
+        fold(x).alias("sx"),
+        fold(y).alias("sy"),
+        fold(lambda s: x(s) * y(s)).alias("sxy"),
+        fold(lambda s: x(s) * x(s)).alias("sxx"),
+    )
+    sl = sums.select(
+        "kk",
+        "sx",
+        "sy",
+        (
+            (F.col("kk") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("kk") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("slope"),
+    )
+    fin = sl.select(
+        F.floor(F.col("slope") * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("zipf_slope_ppm"),
+        F.floor(
+            ((F.col("sy") - F.col("slope") * F.col("sx")) / F.col("kk"))
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("zipf_intercept_ppm"),
+    )
+    from warp_spark.catalog import _scalar_join
+
+    out = _scalar_join(cum, totals, fin)
+    return out.select(
+        "rank",
+        "token",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.floor(
+            (F.col("cnt") * F.lit(1_000_000)).cast("double") / F.col("__n_total")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("freq_ppm"),
+        F.floor(
+            (F.col("cum_cnt") * F.lit(1_000_000)).cast("double") / F.col("__n_total")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("cum_freq_ppm"),
+        F.col("__vocab").alias("vocab_size"),
+        "zipf_slope_ppm",
+        "zipf_intercept_ppm",
+    ).orderBy("rank")

@@ -672,24 +672,31 @@ def epoch_allocation(
         .cast("long")
         .alias("base_alloc"),
     )
+    # Single ordered pass for BOTH the remainder rank and the leftover
+    # count: Σ__rem = W·(B − Σfloor) exactly (Σ w·B = B·W splits into
+    # floor·W + rem terms), so __left = Σ__rem / __tot — computable in
+    # the SAME sorted window pass as row_number (full-partition frame
+    # shares the sort; no second wall-window stage over the artifact).
+    w_ord = Window.orderBy(F.col("__rem").desc(), F.col(group_col).asc())
     ranked = staged.select(
-        group_col, "w", "base_alloc", "__rem",
-        (F.lit(budget) - F.sum("base_alloc").over(wall)).alias("__left"),
-        F.row_number()
-        .over(Window.orderBy(F.col("__rem").desc(), F.col(group_col).asc()))
-        .alias("__rk"),
+        group_col, "w", "base_alloc", "__tot",
+        F.row_number().over(w_ord).alias("__rk"),
+        F.sum("__rem")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("__sumrem"),
     )
+    left = (F.col("__sumrem") / F.col("__tot")).cast("long")
     return ranked.select(
         F.col(group_col),
         F.col("w").alias("total_weight"),
         F.col("base_alloc"),
-        F.when(F.col("__rk") <= F.col("__left"), 1)
+        F.when(F.col("__rk") <= left, 1)
         .otherwise(0)
         .cast("long")
         .alias("extra"),
         (
             F.col("base_alloc")
-            + F.when(F.col("__rk") <= F.col("__left"), 1).otherwise(0)
+            + F.when(F.col("__rk") <= left, 1).otherwise(0)
         )
         .cast("long")
         .alias("alloc"),

@@ -159,3 +159,36 @@ def test_resize_png_nearest_matches_numpy(spark):
         got = decode_png(out[d])
         assert got.shape == (12, 20, 1)
         assert (got[:, :, 0] == want).all(), d
+
+
+def test_resample_wav_nearest_matches_numpy(spark):
+    """The distributed resample must equal a direct numpy zero-order-hold
+    resample of the same source samples — 2× upsample (8 kHz source),
+    identity (16 kHz), and 2/3× downsample (24 kHz) — and the re-encoded
+    payload must itself be a valid 16 kHz WAV."""
+    from warp_spark.pipeline.codecs import (
+        decode_wav,
+        resample_wav_nearest,
+        synth_wav_payloads,
+    )
+
+    df = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    out = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in resample_wav_nearest(
+            synth_wav_payloads(df), target_rate=16000
+        ).collect()
+    }
+    for d in range(12):  # d%3 cycles 8/16/24 kHz: up, identity, down
+        n = 64 + d % 64
+        rate = 8000 * (1 + d % 3)
+        i = np.arange(n, dtype=np.int64)
+        src = ((d * 131 + i * 17) % 2048) - 1024
+        n_out = max((n * 16000) // rate, 1)
+        want = src[(np.arange(n_out, dtype=np.int64) * n) // n_out]
+        got, got_rate = decode_wav(out[d])
+        assert got_rate == 16000
+        assert got.shape == (n_out, 1)
+        assert (got[:, 0] == want).all(), d
+        if d % 3 == 1:  # 16 kHz source: resample must be the identity
+            assert (got[:, 0] == src).all()

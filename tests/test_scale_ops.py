@@ -1929,3 +1929,31 @@ def test_zipf_spectrum_exact_power_law(spark):
     slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
     assert out[0]["zipf_slope_ppm"] == math.floor(slope * 1_000_000.0 + 0.5)
     assert slope < -0.9  # decaying spectrum reads as Zipf-like
+
+
+def test_heaps_growth_semantics(spark):
+    """Thresholds are powers of two plus the max+1 closer; vocab and
+    token counts are monotone along the prefix; an all-novel corpus
+    (every doc introduces new grams) fits beta near 1, and duplicating
+    the corpus tail-end adds tokens but no vocab, dragging beta down."""
+    from warp_spark.pipeline.text import heaps_growth
+
+    novel = [(i, f"w{i}a w{i}b w{i}c w{i}d") for i in range(8)]
+    out = heaps_growth(
+        spark.createDataFrame(novel, "doc_id long, text string")
+    ).collect()
+    ts = [r["threshold"] for r in out]
+    assert ts == [1, 2, 4, 8]
+    assert [r["n_docs"] for r in out] == [1, 2, 4, 8]
+    assert [r["cum_tokens"] for r in out] == [4, 8, 16, 32]
+    # every doc has 2 distinct 3-grams, none shared
+    assert [r["gram_vocab"] for r in out] == [2, 4, 8, 16]
+    beta_novel = out[0]["heaps_beta_ppm"]
+    assert abs(beta_novel - 1_000_000) < 5_000  # V doubles when N does
+
+    dup = novel + [(8 + i, novel[0][1]) for i in range(8)]  # copies add N, not V
+    out2 = heaps_growth(
+        spark.createDataFrame(dup, "doc_id long, text string")
+    ).collect()
+    assert out2[-1]["gram_vocab"] == 16  # unchanged vocabulary
+    assert out2[-1]["heaps_beta_ppm"] < beta_novel

@@ -508,3 +508,29 @@ def test_neardup_streamed_equals_batch(spark):
     batch = sorted(map(key, m.queries()["dedup_incremental"](spark, sf).collect()))
     assert streamed == batch
     assert any(r[3] for r in streamed)  # at least one real dup exercised
+
+
+def test_stream_stream_left_join_emits_unmatched(spark):
+    """The streaming left-outer interval join must emit EVERY click —
+    matched rows with purchase columns, unmatched null-padded (only
+    reachable through the watermark-flush sentinel batch) — and the
+    sentinel itself must not leak into the result."""
+    import __spark_entry__ as m
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = m.queries()["events_stream_stream_left_join"](spark, sf)
+    rows = out.collect()
+    assert all(r["user_id"] >= 0 for r in rows)
+    clicks = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select("event_id")
+        .distinct()
+    )
+    click_ids = {r["event_id"] for r in clicks.collect()}
+    out_left_ids = {r["l_event_id"] for r in rows}
+    assert out_left_ids == click_ids  # no click lost, none invented
+    assert any(r["r_event_id"] is None for r in rows)  # outer nulls real
+    matched = [r for r in rows if r["r_event_id"] is not None]
+    assert all(r["r_ts"] >= r["l_ts"] for r in matched)

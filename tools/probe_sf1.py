@@ -88,6 +88,14 @@ HEAVY = [
     "dedup_neardup_streamed",
     "multimodal_image_resize",
     "text_zipf_spectrum",
+    # Heaps growth: cover-explode prefix census, Θ(rows·log N) + gram
+    # first-occurrence agg — both input-linear by construction
+    "text_heaps_growth",
+    # left-outer stream-stream join replays events from sf_dir (plus
+    # the sentinel flush batch), so the 10x point is meaningful
+    "events_stream_stream_left_join",
+    # audio resample: map-side codec work, inherently sample-linear
+    "multimodal_wav_resample",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

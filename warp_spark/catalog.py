@@ -4012,15 +4012,38 @@ def events_sessionize_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, "ts", gap, keys=["user_id"])
 
 
+def _stage_parquet_files(
+    src: str, dst_dir: str, prefix: str = "part", t0: int = 1_700_000_000
+) -> int:
+    """Stage a parquet dataset — a single .parquet FILE (the testdata
+    form) or a Spark-written DIRECTORY of part files — into ``dst_dir``
+    as sequentially named files with strictly increasing mtimes (the
+    file stream source orders micro-batches by mtime, the r4
+    merge_stream lesson). Returns the number of files staged so callers
+    can append later batches (e.g. a watermark-flush sentinel) after."""
+    import glob as _glob
+    import os
+    import shutil
+
+    parts = (
+        sorted(_glob.glob(os.path.join(src, "part-*.parquet")))
+        if os.path.isdir(src)
+        else [src]
+    )
+    for i, p in enumerate(parts):
+        dst = os.path.join(dst_dir, f"{prefix}_{i:03d}.parquet")
+        shutil.copy(p, dst)
+        os.utime(dst, (t0 + i,) * 2)
+    return len(parts)
+
+
 def _stage_event_stream(spark: SparkSession, sf_dir: str, tmpdir: str) -> DataFrame:
     """Stage events.parquet into a temp dir (the file source wants a
     directory) and open it as a readStream with ``ts`` normalized to a
     watermarkable TIMESTAMP — shared by every streaming-executed entry."""
-    import shutil
-
     from warp_spark.streaming import read_event_stream
 
-    shutil.copy(f"{sf_dir}/events.parquet", f"{tmpdir}/part-000.parquet")
+    _stage_parquet_files(f"{sf_dir}/events.parquet", tmpdir)
     ev = read_event_stream(spark, tmpdir)
     if dict(ev.dtypes)["ts"] == "bigint":
         ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
@@ -6111,6 +6134,87 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LEFT-OUTER stream-stream join EXECUTED as a streaming job (18th
+# streaming execution): same click→purchase interval shape as
+# events_stream_stream_join, but every click must appear — unmatched
+# clicks null-padded. The semantics only a stream can get wrong:
+# outer results are emitted ONLY when the watermark passes a row's
+# eviction point, so a finite replay must ship a far-future sentinel
+# micro-batch (one click + one purchase at max(ts)+30 days, user_id
+# −1) to advance the watermark past all real data and flush the
+# unmatched state through Spark's no-data micro-batch; the finisher
+# drops the sentinel rows. Oracle: the plain batch LEFT interval join.
+# ---------------------------------------------------------------------------
+@register(
+    "events_stream_stream_left_join",
+    """
+    SELECT c.user_id,
+           c.ts AS l_ts, c.event_id AS l_event_id, c.value AS l_value,
+           p.ts AS r_ts, p.event_id AS r_event_id, p.value AS r_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
+    """,
+)
+def events_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from warp_spark.streaming import run_stream_to_memory, stream_interval_join
+    from warp_spark.streaming.windows import read_event_stream
+
+    d = tempfile.mkdtemp(prefix="warp_stream_entry_")
+    name = f"ss_left_join_{uuid.uuid4().hex[:8]}"
+    try:
+        batch_ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        max_ts = batch_ev.agg(F.max("ts")).first()[0]  # 1-scalar artifact
+        flush_ts = max_ts + _dt.timedelta(days=30)
+        n_staged = _stage_parquet_files(f"{sf_dir}/events.parquet", d, "file")
+        sentinel = spark.createDataFrame(
+            [
+                (-1, flush_ts, -1, "click", 0.0, "{}"),
+                (-2, flush_ts, -1, "purchase", 0.0, "{}"),
+            ],
+            batch_ev.select(
+                "event_id", "ts", "user_id", "event_type", "value", "props"
+            ).schema,
+        )
+        sentinel.coalesce(1).write.mode("overwrite").parquet(f"{d}/stage")
+        part = _glob.glob(f"{d}/stage/part-*.parquet")[0]
+        flush_file = f"{d}/file_{n_staged:03d}.parquet"
+        os.rename(part, flush_file)
+        shutil.rmtree(f"{d}/stage", ignore_errors=True)
+        os.utime(flush_file, (1_700_000_100 + n_staged,) * 2)
+        ev = read_event_stream(spark, d, max_files_per_trigger=1)
+        if dict(ev.dtypes)["ts"] == "timestamp_ntz":
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        joined = stream_interval_join(
+            clicks,
+            purchases,
+            by=["user_id"],
+            lower="INTERVAL 0 SECONDS",
+            upper="INTERVAL 4 HOURS",
+            watermark="1 day",
+            how="left",
+        )
+        run_stream_to_memory(joined, name, output_mode="append")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+# ---------------------------------------------------------------------------
 # Source-mixture rebalancing plan: per-source downsampling rates toward
 # a uniform mixture without upsampling (the binding source keeps all its
 # rows). The windows run over the GROUP COUNTS (one row per source), so
@@ -7461,6 +7565,59 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").to_df()
     return png_decode_features(
         resize_png_nearest(synth_png_payloads(docs), target_h=12, target_w=20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio resample (pipeline/codecs.py::resample_wav_nearest): the
+# audio resize leg — decode WAV → zero-order-hold resample to 16 kHz →
+# re-encode → decode for features, all Arrow-batched. Source rates are
+# 8000·(1+id%3) ∈ {8000, 16000, 24000}, so the corpus exercises
+# upsample (2×), identity, and downsample (2/3×). n_out =
+# max((n·16000)//src_rate, 1); output sample i reads source sample
+# (i·n)//n_out — exact integer arithmetic, so the oracle replays
+# sample-rule ∘ index-map and a value match proves the decode →
+# resample → encode → decode round-trip is byte-exact.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_wav_resample",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             8000 * (1 + doc_id % 3) AS src_rate,
+             64 + doc_id % 64        AS n
+      FROM documents),
+    o AS (
+      SELECT doc_id, n,
+             greatest((n * 16000) // src_rate, 1) AS n_out
+      FROM g),
+    ix AS (SELECT doc_id, n, n_out, unnest(range(0, n_out)) AS i FROM o),
+    m AS (SELECT doc_id, (i * n) // n_out AS j FROM ix),
+    sm AS (
+      SELECT doc_id,
+             sum(abs((doc_id * 131 + j * 17) % 2048 - 1024)) AS sum_abs
+      FROM m GROUP BY doc_id)
+    SELECT o.doc_id,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           o.n_out::BIGINT AS n_samples,
+           CAST(1 AS BIGINT) AS n_channels,
+           sm.sum_abs::BIGINT AS sum_abs,
+           (o.doc_id * 131) % 2048 - 1024 AS s_first,
+           (o.doc_id * 131 + (((o.n_out - 1) * o.n) // o.n_out) * 17) % 2048
+             - 1024 AS s_last
+    FROM o JOIN sm USING (doc_id)
+    """,
+)
+def multimodal_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.codecs import (
+        resample_wav_nearest,
+        synth_wav_payloads,
+        wav_decode_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    return wav_decode_features(
+        resample_wav_nearest(synth_wav_payloads(docs), target_rate=16000)
     )
 
 
@@ -8930,6 +9087,72 @@ def text_zipf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warp_spark.pipeline.text import zipf_spectrum
 
     return zipf_spectrum(_t(spark, sf_dir, "documents").to_df(), k=100)
+
+
+@register(
+    "text_heaps_growth",
+    """
+    WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+    th AS (SELECT DISTINCT t FROM (
+             SELECT (1::BIGINT << j) AS t
+             FROM (SELECT unnest(range(0, 62)) AS j), mx
+             WHERE (1::BIGINT << j) <= m + 1
+             UNION ALL
+             SELECT m + 1 FROM mx)),
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+      FROM documents),
+    pd AS (SELECT doc_id, len(list_filter(tk, x -> x <> '')) AS tc FROM toks),
+    dc AS (SELECT t, count(*) AS n_docs, sum(tc) AS cum_tokens
+           FROM pd JOIN th ON th.t > pd.doc_id GROUP BY t),
+    grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3 + 2),
+               i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS g
+        FROM toks WHERE len(tk) >= 3)),
+    fd AS (SELECT g, min(doc_id) AS fdoc FROM grams GROUP BY 1),
+    gc AS (SELECT t, count(*) AS vocab FROM fd JOIN th ON th.t > fd.fdoc GROUP BY t),
+    pts AS (SELECT dc.t, n_docs, cum_tokens, coalesce(vocab, 0) AS vocab
+            FROM dc LEFT JOIN gc ON gc.t = dc.t
+            WHERE coalesce(vocab, 0) >= 1 AND cum_tokens >= 1),
+    fit AS (
+      SELECT count(*)::DOUBLE AS k,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list(log2(cum_tokens::DOUBLE) ORDER BY t)), (a, b) -> a + b) AS sx,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list(log2(vocab::DOUBLE) ORDER BY t)), (a, b) -> a + b) AS sy,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list(log2(cum_tokens::DOUBLE) * log2(vocab::DOUBLE) ORDER BY t)),
+               (a, b) -> a + b) AS sxy,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list(log2(cum_tokens::DOUBLE) * log2(cum_tokens::DOUBLE) ORDER BY t)),
+               (a, b) -> a + b) AS sxx
+      FROM pts),
+    sl AS (SELECT k, sx, sy,
+                  (k * sxy - sx * sy) / (k * sxx - sx * sx) AS beta
+           FROM fit),
+    fin AS (SELECT floor(beta * 1000000.0 + 0.5)::BIGINT AS heaps_beta_ppm,
+                   floor(((sy - beta * sx) / k) * 1000000.0 + 0.5)::BIGINT
+                     AS heaps_intercept_ppm
+            FROM sl)
+    SELECT p.t AS threshold, p.n_docs::BIGINT AS n_docs,
+           p.cum_tokens::BIGINT AS cum_tokens, p.vocab::BIGINT AS gram_vocab,
+           f.heaps_beta_ppm, f.heaps_intercept_ppm
+    FROM pts p, fin f ORDER BY p.t
+    """,
+)
+def text_heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law growth report (pipeline/text.py::heaps_growth):
+    distinct token 3-gram TYPES in the first-t document prefix at
+    power-of-two thresholds, with the log-log least-squares β fit.
+    Gram types, not unigrams — the 31-word synthetic vocabulary
+    saturates instantly (the r4 set-similarity lesson).  Prefix totals
+    via cover explode into hash aggs (never a global prefix window);
+    gram firsts are min(doc_id) per 8-byte hash; the oracle walks
+    literal gram strings — the collision certificate."""
+    from warp_spark.pipeline.text import heaps_growth
+
+    return heaps_growth(_t(spark, sf_dir, "documents").to_df(), n=3)
 
 
 @register(

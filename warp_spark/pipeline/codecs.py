@@ -390,6 +390,47 @@ def resize_png_nearest(
     )
 
 
+def resample_wav_nearest(
+    df: DataFrame,
+    target_rate: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resample REAL WAV payloads to ``target_rate`` Hz by
+    nearest-neighbor (zero-order-hold) sample selection and re-encode —
+    the audio resize leg of the multimodal tier, mirroring
+    ``resize_png_nearest``'s contract: the decode → resample → encode
+    round-trip runs inside one Arrow-batched ``mapInPandas`` pass, and
+    the index map is pure integer arithmetic an SQL oracle can replay
+    exactly.  Output length ``n_out = max((n·target_rate) // src_rate,
+    1)`` and output sample ``i`` reads source sample ``(i·n) // n_out``
+    — floor mapping, so int16 values are dropped or replicated, never
+    interpolated (a production pipeline would low-pass before
+    downsampling; value parity is the point here).
+
+    Scale shape: per-row work bounded by payload size, zero shuffle —
+    a map-side projection over the binary column, parallel by input
+    partition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for payload in pdf[payload_col]:
+                s, rate = decode_wav(bytes(payload))
+                n = s.shape[0]
+                n_out = max((n * target_rate) // rate, 1)
+                js = (np.arange(n_out, dtype=np.int64) * n) // n_out
+                out = s[js]
+                if out.shape[1] == 1:
+                    out = out[:, 0]
+                payloads.append(encode_wav(out.astype(np.int16), target_rate))
+            yield pd.DataFrame({id_col: pdf[id_col].values, payload_col: payloads})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} long, {payload_col} binary"
+    )
+
+
 def synth_wav_payloads(
     df: DataFrame, id_col: str = "doc_id", out_col: str = "payload"
 ) -> DataFrame:

@@ -1470,3 +1470,131 @@ def zipf_spectrum(
         "zipf_slope_ppm",
         "zipf_intercept_ppm",
     ).orderBy("rank")
+
+
+def heaps_growth(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Heaps'-law vocabulary growth: distinct token ``n``-gram TYPES
+    observed in the first-``t`` document prefix (``id_col`` order) at
+    exponentially spaced prefix thresholds, with a least-squares fit of
+    log2 V = intercept + β·log2 N (N = running token count).  Gram
+    types, not unigrams: the synthetic corpus has a ~31-word
+    vocabulary, so unigram V(n) saturates instantly (the r4
+    set-similarity lesson), while gram types keep growing.
+
+    Scale shape — no global prefix window anywhere:
+      * thresholds are the ≤64 powers of two up to max(doc_id)+1 (one
+        scalar to the driver, the bounded-artifact discipline);
+      * prefix totals come from a COVER EXPLODE (each doc/gram emits
+        one row per threshold that includes it — Θ(rows·log N), the
+        events_active_users pattern) into plain hash aggregations;
+      * gram first-occurrence is min(doc_id) per 8-byte gram hash
+        (text never shuffles; the string-side oracle certifies no
+        collisions);
+      * the fit folds over the ≤64-row artifact with the KL-fold
+        discipline (ascending-threshold order, 0.0 init, staged β).
+    """
+    mx = docs.agg(F.max(F.col(id_col))).first()[0]
+    ts = [1 << j for j in range(64) if (1 << j) <= int(mx) + 1]
+    if ts[-1] != int(mx) + 1:
+        ts.append(int(mx) + 1)
+    th_lit = F.array(*[F.lit(int(t)).cast("long") for t in ts])
+
+    tk = "_hp_tokens"
+    per_doc = (
+        docs.select(F.col(id_col), tokens(F.col(text_col)).alias(tk))
+        .select(
+            id_col,
+            F.size(F.filter(F.col(tk), lambda x: x != F.lit(""))).cast("long").alias("tc"),
+        )
+    )
+    dc = (
+        per_doc.select(
+            "tc", F.explode(F.filter(th_lit, lambda t: t > F.col(id_col))).alias("t")
+        )
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tc").cast("long").alias("cum_tokens"),
+        )
+    )
+    pairs = (
+        ngram_hashes(docs.select(id_col, text_col), text_col, "__hp_g", n)
+        .select(id_col, F.explode_outer("__hp_g").alias("gh"))
+        .filter(F.col("gh").isNotNull())
+    )
+    fd = pairs.groupBy("gh").agg(F.min(F.col(id_col)).alias("fdoc"))
+    gc = (
+        fd.select(F.explode(F.filter(th_lit, lambda t: t > F.col("fdoc"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    )
+    pts = (
+        dc.join(gc, "t", "left")
+        .select(
+            "t", "n_docs", "cum_tokens",
+            F.coalesce(F.col("vocab"), F.lit(0)).cast("long").alias("vocab"),
+        )
+        .filter((F.col("vocab") >= 1) & (F.col("cum_tokens") >= 1))
+    )
+
+    arr = pts.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("t").alias("tt"),
+                    F.col("cum_tokens").alias("nn"),
+                    F.col("vocab").alias("vv"),
+                )
+            )
+        ).alias("a")
+    )
+    x = lambda s: F.log2(s["nn"].cast("double"))  # noqa: E731
+    y = lambda s: F.log2(s["vv"].cast("double"))  # noqa: E731
+    fold = lambda term: F.aggregate(  # noqa: E731
+        F.col("a"), F.lit(0.0), lambda acc, s: acc + term(s)
+    )
+    sums = arr.select(
+        F.size("a").cast("double").alias("kk"),
+        fold(x).alias("sx"),
+        fold(y).alias("sy"),
+        fold(lambda s: x(s) * y(s)).alias("sxy"),
+        fold(lambda s: x(s) * x(s)).alias("sxx"),
+    )
+    sl = sums.select(
+        "kk", "sx", "sy",
+        (
+            (F.col("kk") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("kk") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("beta"),
+    )
+    fin = sl.select(
+        F.floor(F.col("beta") * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("heaps_beta_ppm"),
+        F.floor(
+            ((F.col("sy") - F.col("beta") * F.col("sx")) / F.col("kk"))
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("heaps_intercept_ppm"),
+    )
+    from warp_spark.catalog import _scalar_join
+
+    return (
+        _scalar_join(pts, fin)
+        .select(
+            F.col("t").alias("threshold"),
+            "n_docs",
+            "cum_tokens",
+            F.col("vocab").alias("gram_vocab"),
+            "heaps_beta_ppm",
+            "heaps_intercept_ppm",
+        )
+        .orderBy("threshold")
+    )

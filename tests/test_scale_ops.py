@@ -1957,3 +1957,53 @@ def test_heaps_growth_semantics(spark):
     ).collect()
     assert out2[-1]["gram_vocab"] == 16  # unchanged vocabulary
     assert out2[-1]["heaps_beta_ppm"] < beta_novel
+
+
+def test_ntile_global_matches_spark_window(spark):
+    """The distributed closed-form ntile must equal Spark's own
+    ntile() window for every n mod k residue (1..25 rows, k=4) and for
+    a larger shuffled frame — including the n < k edge where later
+    buckets stay empty."""
+    from pyspark.sql import Window
+    from warp_spark.catalog import _ntile_global
+
+    for n in list(range(1, 26)) + [997]:
+        df = spark.range(n).select(
+            F.col("id"), (F.col("id") * 37 % 1000).alias("v")
+        )
+        keys = [F.col("v"), F.col("id")]
+        want = {
+            (r["id"],): r["b"]
+            for r in df.select(
+                "id", F.ntile(4).over(Window.orderBy(*keys)).alias("b")
+            ).collect()
+        }
+        got = {
+            (r["id"],): r["b"]
+            for r in _ntile_global(df, keys, 4, "b").collect()
+        }
+        assert got == want, n
+
+
+def test_pmi_bigrams_exact_small_corpus(spark):
+    """Closed-form check: in a corpus where 'new york' always co-occurs
+    and 'the the' pairs are frequent but independent, the collocation
+    must out-lift the chance pair, and every lift must equal
+    N·c_ab/(c_left·c_right) computed in Python."""
+    from warp_spark.pipeline.text import pmi_bigrams
+
+    docs = spark.createDataFrame(
+        [(i, "new york " * 3 + "the a " * 5) for i in range(8)],
+        "doc_id long, text string",
+    )
+    out = pmi_bigrams(docs, k=50, min_count=5).collect()
+    by_pair = {(r["w1"], r["w2"]): r for r in out}
+    n = sum(r["c_ab"] for r in out if True)  # all pairs survive the floor here
+    # recompute every lift from the emitted integer counts
+    for r in out:
+        assert r["pmi_lift"] == (n * r["c_ab"]) / (r["c_left"] * r["c_right"])
+    assert ("new", "york") in by_pair and ("the", "a") in by_pair
+    assert by_pair[("new", "york")]["pmi_lift"] > by_pair[("the", "a")]["pmi_lift"]
+    # ordering: non-increasing lift, ties broken (w1, w2) ascending
+    lifts = [r["pmi_lift"] for r in out]
+    assert lifts == sorted(lifts, reverse=True)

@@ -96,6 +96,10 @@ HEAVY = [
     "events_stream_stream_left_join",
     # audio resample: map-side codec work, inherently sample-linear
     "multimodal_wav_resample",
+    # PMI collocations: one token explode into the distinct-bigram agg
+    "text_pmi_bigrams",
+    # RFM: three two-phase-prefix quartile cuts on the per-user artifact
+    "events_rfm_segments",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

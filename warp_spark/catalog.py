@@ -3763,6 +3763,132 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ntile_global(df: DataFrame, order_cols, k: int, out: str) -> DataFrame:
+    """Exact global ``ntile(k)`` without an un-partitioned window:
+    range-partition on the sort keys, ``row_number`` within each
+    partition plus the exclusive prefix of per-partition counts (the
+    two-phase prefix discipline of ``dataset.py::_rank_prefix``), then
+    the closed-form ntile bucket from (global rank, n) — the first
+    ``n mod k`` buckets hold ``n div k + 1`` rows, exactly the SQL
+    definition (differential-pinned against Spark's own ntile window
+    in tests/test_scale_ops.py).  The partition-count offsets and the
+    scalar ``n`` are bounded artifacts (≤ partitions rows / 1 number);
+    every row-level stage is parallel.  Callers must pass a tiebreaking
+    total order (sort keys unique per row) or bucket assignment at ties
+    is engine-arbitrary."""
+    from pyspark.sql import Window
+
+    pid, rn, off = "__nt_pid", "__nt_rn", "__nt_off"
+    # localCheckpoint, not persist: the row-number branch and the
+    # offsets branch must see the SAME range partitioning
+    # (repartitionByRange samples boundaries per materialization), and
+    # chained quartile cuts would nest persisted lineage ×2 per cut —
+    # the checkpoint truncates it. Eager + non-reliable storage: an
+    # executor loss fails the job instead of recomputing (the
+    # documented token_budget_fill tradeoff, sampling.py).
+    ranged = (
+        df.repartitionByRange(32, *order_cols)
+        .withColumn(pid, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy(pid).orderBy(*order_cols)
+    tot = ranged.groupBy(pid).agg(F.count(F.lit(1)).alias("__nt_c"))
+    woff = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
+    offs = tot.select(
+        pid, F.coalesce(F.sum("__nt_c").over(woff), F.lit(0)).alias(off)
+    )
+    n = ranged.count()  # 1-scalar artifact over the checkpointed rows
+    q, rem = divmod(n, k)
+    cut = (q + 1) * rem
+    bucket = (
+        f"CASE WHEN {rn} <= {cut} THEN ({rn} - 1) DIV {q + 1} + 1 "
+        f"ELSE {rem} + ({rn} - 1 - {cut}) DIV {max(q, 1)} + 1 END"
+    )
+    return (
+        ranged.withColumn(rn, F.row_number().over(w))
+        .join(F.broadcast(offs), pid)
+        .withColumn(rn, F.col(rn) + F.col(off))
+        .withColumn(out, F.expr(bucket).cast("int"))
+        .drop(pid, rn, off)
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: the classic customer-value grid — per-user recency
+# (days since last purchase vs the corpus max ts), frequency (purchase
+# count) and monetary value (exact cents), each cut into exact ntile(4)
+# quartiles with a user_id tiebreak so the total order is unique and
+# both engines bucket identically. Monetary sums ride floor(value·100)
+# BIGINT cents — a per-row IEEE multiply+floor (deterministic) whose
+# SUM is then exact integer arithmetic, never a float fold. The
+# quartile cuts run on the per-user artifact (|users| rows, already
+# aggregated down from raw events) through _ntile_global — two-phase
+# prefix rank + closed-form bucket, never an un-partitioned window.
+# ---------------------------------------------------------------------------
+@register(
+    "events_rfm_segments",
+    """
+    WITH ref AS (SELECT max(ts) AS mx FROM events),
+    pu AS (
+      SELECT user_id,
+             (epoch_us((SELECT mx FROM ref)) - epoch_us(max(ts)))
+               // 86400000000 AS recency_days,
+             count(*) AS frequency,
+             sum(floor(value * 100)::BIGINT)::BIGINT AS monetary_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    q AS (
+      SELECT user_id, frequency, monetary_cents,
+             ntile(4) OVER (ORDER BY recency_days, user_id) AS r_q,
+             ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+             ntile(4) OVER (ORDER BY monetary_cents DESC, user_id) AS m_q
+      FROM pu)
+    SELECT r_q, f_q, m_q, count(*)::BIGINT AS n_users,
+           sum(frequency)::BIGINT AS total_purchases,
+           sum(monetary_cents)::BIGINT AS total_cents
+    FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").to_df()
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    ref = ev.agg(F.unix_micros(F.max("ts")).alias("__ref_us"))
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.unix_micros(F.max("ts")).alias("__last_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+    )
+    pu = (
+        _scalar_join(pu, ref)
+        .withColumn(
+            "recency_days",
+            F.expr("(__ref_us - __last_us) div 86400000000"),
+        )
+        .drop("__ref_us", "__last_us")
+    )
+    pu = _ntile_global(pu, [F.col("recency_days"), F.col("user_id")], 4, "r_q")
+    pu = _ntile_global(
+        pu, [F.col("frequency").desc(), F.col("user_id")], 4, "f_q"
+    )
+    pu = _ntile_global(
+        pu, [F.col("monetary_cents").desc(), F.col("user_id")], 4, "m_q"
+    )
+    return (
+        pu.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("frequency").alias("total_purchases"),
+            F.sum("monetary_cents").alias("total_cents"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
 # Cohort retention: users grouped by first-seen day, activity counted
 # at canonical offsets — the min-window + distinct-activity shape every
 # product-analytics warehouse runs. Pure counts: nothing for fp to move.
@@ -9153,6 +9279,45 @@ def text_heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warp_spark.pipeline.text import heaps_growth
 
     return heaps_growth(_t(spark, sf_dir, "documents").to_df(), n=3)
+
+
+@register(
+    "text_pmi_bigrams",
+    """
+    WITH tok AS (
+      SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    pr AS (
+      SELECT unnest(list_transform(range(1, len(tk)),
+                    i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS p
+      FROM tok WHERE len(tk) >= 2),
+    pc AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c_ab FROM pr GROUP BY 1, 2),
+    lm AS (SELECT w1, sum(c_ab)::BIGINT AS c_left FROM pc GROUP BY 1),
+    rm AS (SELECT w2, sum(c_ab)::BIGINT AS c_right FROM pc GROUP BY 1),
+    n AS (SELECT sum(c_ab)::HUGEINT AS n_pairs FROM pc),
+    sc AS (
+      SELECT pc.w1, pc.w2, pc.c_ab::BIGINT AS c_ab, lm.c_left, rm.c_right,
+             ((SELECT n_pairs FROM n) * pc.c_ab)::DOUBLE
+                  / (lm.c_left::HUGEINT * rm.c_right)::DOUBLE AS pmi_lift
+      FROM pc JOIN lm USING (w1) JOIN rm USING (w2)
+      WHERE pc.c_ab >= 5)
+    SELECT w1, w2, c_ab, c_left, c_right, pmi_lift
+    FROM sc ORDER BY pmi_lift DESC, w1, w2 LIMIT 50
+    """,
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (pipeline/text.py::pmi_bigrams): top-50
+    adjacent-bigram PMI lift (= 2^PMI, rank-identical) with a count-5
+    floor.  All inputs are exact integer counts; products ride
+    decimal(38,0)/HUGEINT into ONE double division, so the raw doubles
+    hash-match cross-engine — log2 itself differs at the last ulp
+    between engines (measured), the tfidf lesson.  After the
+    single token explode everything runs on the distinct-bigram table —
+    marginals are re-aggs of pair counts, N inlines as a literal."""
+    from warp_spark.pipeline.text import pmi_bigrams
+
+    return pmi_bigrams(_t(spark, sf_dir, "documents").to_df(), k=50, min_count=5)
 
 
 @register(

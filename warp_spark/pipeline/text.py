@@ -1598,3 +1598,78 @@ def heaps_growth(
         )
         .orderBy("threshold")
     )
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` adjacent-token bigram collocations by pointwise mutual
+    information — the classic collocation extractor (Church & Hanks
+    1990) every corpus-analysis pass runs to find multi-word units
+    worth protecting from tokenizer splits.
+
+    The score is the PMI *lift* ``N·c_ab / (c_left(a)·c_right(b))``
+    (= 2^PMI) rather than its logarithm — the ranking is identical (log2
+    is monotone) and the lift stays ONE double division of exact
+    integers, bit-identical across engines, where log2() is
+    libm-dependent at the last ulp (the tfidf lesson, re-measured here:
+    Spark vs DuckDB log2 differ by 1 ulp on this corpus).  ``N`` is the
+    total bigram count, the marginals are sums of pair counts, and the
+    products ride decimal(38,0) (HUGEINT in the oracle); a ``min_count``
+    floor suppresses the rare-pair lift explosion.
+
+    Scale shape: one token explode into a map-side-combinable
+    (w1, w2) hash aggregate — after which everything operates on the
+    DISTINCT-BIGRAM table, never raw tokens: marginals are two re-aggs
+    of pair counts, joined back on their own keys (input-fraction
+    shuffles); N is a 1-row aggregate inlined as a literal (the
+    bounded-artifact discipline); the head is a distributed
+    TakeOrdered.  The token arrays are staged under an alias before the
+    pair transform (the CollapseProject rule)."""
+    from warp_spark.catalog import _scalar_join
+
+    tk = "_pmi_tokens"
+    staged = docs.select(
+        F.filter(tokens(F.col(text_col)), lambda x: x != F.lit("")).alias(tk)
+    )
+    pair_col = F.when(
+        F.size(F.col(tk)) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col(tk)) - 1),
+            lambda i: F.struct(
+                F.element_at(F.col(tk), i).alias("w1"),
+                F.element_at(F.col(tk), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = (
+        staged.select(F.explode_outer(pair_col).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select("p.w1", "p.w2")
+    )
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    lm = pc.groupBy("w1").agg(F.sum("c_ab").alias("c_left"))
+    rm = pc.groupBy("w2").agg(F.sum("c_ab").alias("c_right"))
+    n = pc.agg(F.sum("c_ab").cast("decimal(38,0)").alias("__n_pairs"))
+    sc = (
+        _scalar_join(pc.filter(F.col("c_ab") >= min_count), n)
+        .join(lm, "w1")
+        .join(rm, "w2")
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_left",
+            "c_right",
+            (
+                (F.col("__n_pairs") * F.col("c_ab")).cast("double")
+                / (
+                    F.col("c_left").cast("decimal(38,0)") * F.col("c_right")
+                ).cast("double")
+            ).alias("pmi_lift"),
+        )
+    )
+    return sc.orderBy(F.col("pmi_lift").desc(), "w1", "w2").limit(k)

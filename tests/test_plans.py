@@ -418,3 +418,14 @@ def test_every_catalog_entry_has_a_plans_row():
         f"catalog entries without a PLANS.md row: {missing} — run "
         "python tools/plan_report.py"
     )
+
+
+def test_attribution_single_user_exchange(spark):
+    """Both carry-forward window columns (last touch type, last touch
+    micros) share ONE user_id hash Exchange; the only other Exchange is
+    the final channel groupBy, bounded by |channels| after partial
+    aggregation."""
+    plan = plan_of(spark, "events_attribution_last_touch")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan  # + channel agg
+    assert plan.count("Window") == 1, plan  # both carry-forwards share it

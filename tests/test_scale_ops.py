@@ -2007,3 +2007,52 @@ def test_pmi_bigrams_exact_small_corpus(spark):
     # ordering: non-increasing lift, ties broken (w1, w2) ascending
     lifts = [r["pmi_lift"] for r in out]
     assert lifts == sorted(lifts, reverse=True)
+
+
+def test_attribution_last_touch_edges(spark, tmp_path):
+    """Strict-precede and lookback edges: a same-microsecond touch does
+    NOT attribute (purchase sorts first at equal ts), a touch exactly
+    7 days earlier DOES (inclusive cutoff), one micro-second beyond is
+    'direct', the latest of several touches wins, and a same-ts touch
+    tie breaks to the higher event_id."""
+    import datetime as dt
+    import __spark_entry__ as m
+
+    t0 = dt.datetime(2025, 1, 10, 12, 0, 0)
+    week = dt.timedelta(days=7)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        # u1: click then view (later touch wins) then purchase
+        (1, t0 - dt.timedelta(hours=2), 1, "click", 0.0, "{}"),
+        (2, t0 - dt.timedelta(hours=1), 1, "view", 0.0, "{}"),
+        (3, t0, 1, "purchase", 10.0, "{}"),
+        # u2: touch at the same microsecond as the purchase -> direct
+        (4, t0, 2, "click", 0.0, "{}"),
+        (5, t0, 2, "purchase", 20.0, "{}"),
+        # u3: touch exactly 7 days before -> attributed (inclusive)
+        (6, t0 - week, 3, "view", 0.0, "{}"),
+        (7, t0, 3, "purchase", 30.0, "{}"),
+        # u4: touch 7 days + 1 us before -> direct
+        (8, t0 - week - us, 4, "click", 0.0, "{}"),
+        (9, t0, 4, "purchase", 40.0, "{}"),
+        # u5: two touches at the same ts -> higher event_id (view) wins
+        (10, t0 - us, 5, "click", 0.0, "{}"),
+        (11, t0 - us, 5, "view", 0.0, "{}"),
+        (12, t0, 5, "purchase", 50.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {
+        r["channel"]: (r["n_purchases"], r["total_cents"])
+        for r in m.queries()["events_attribution_last_touch"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        "view": (3, 9000),   # u1 (view beats earlier click), u3, u5
+        "direct": (2, 6000),  # u2 same-us touch, u4 beyond lookback
+    }

@@ -100,6 +100,10 @@ HEAVY = [
     "text_pmi_bigrams",
     # RFM: three two-phase-prefix quartile cuts on the per-user artifact
     "events_rfm_segments",
+    # contamination matrix: one near-dup pass + a |sources|^2 rollup
+    "curation_contamination_matrix",
+    # attribution: one user_id window over events + |channels| agg
+    "events_attribution_last_touch",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -3763,6 +3763,93 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Last-touch attribution: every purchase credits the most recent
+# view/click by the same user within a 7-day lookback, else 'direct' —
+# the revenue-accounting pass behind every marketing dashboard. ONE
+# user_id Exchange: touches and purchases ride the same window, and
+# last(touch, ignorenulls) carries the latest touch forward; ordering
+# (ts, is_touch, event_id) puts a purchase BEFORE any same-µs touch so
+# "preceding" is strictly earlier (µs-exact compare, the events-ts
+# discipline); the 7-day cutoff is integer micros. Monetary is exact
+# floor(value·100) cents.
+# ---------------------------------------------------------------------------
+@register(
+    "events_attribution_last_touch",
+    """
+    WITH uni AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END
+               AS is_touch
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+    marked AS (
+      SELECT *,
+             last_value(CASE WHEN is_touch = 1 THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_touch, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lt_type,
+             last_value(CASE WHEN is_touch = 1 THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_touch, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lt_us
+      FROM uni)
+    SELECT coalesce(
+             CASE WHEN epoch_us(ts) - lt_us <= 604800000000 THEN lt_type END,
+             'direct') AS channel,
+           count(*)::BIGINT AS n_purchases,
+           sum(floor(value * 100)::BIGINT)::BIGINT AS total_cents
+    FROM marked WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .to_df()
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .withColumn(
+            "is_touch",
+            F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_touch", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch_type = F.when(F.col("is_touch") == 1, F.col("event_type"))
+    touch_us = F.when(F.col("is_touch") == 1, F.unix_micros(F.col("ts")))
+    marked = ev.select(
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts")).alias("__us"),
+        F.last(touch_type, ignorenulls=True).over(w).alias("lt_type"),
+        F.last(touch_us, ignorenulls=True).over(w).alias("lt_us"),
+    )
+    return (
+        marked.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(
+                    F.col("__us") - F.col("lt_us") <= 604_800_000_000,
+                    F.col("lt_type"),
+                ),
+                F.lit("direct"),
+            ).alias("channel"),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("total_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
 def _ntile_global(df: DataFrame, order_cols, k: int, out: str) -> DataFrame:
     """Exact global ``ntile(k)`` without an un-partitioned window:
     range-partition on the sort keys, ``row_number`` within each
@@ -8928,6 +9015,72 @@ def _ablation_oracle() -> str:
 # one fingerprint window (conditional min over stage-3 survivors), one
 # wide aggregate unpivoted to 5 rows; exact integers throughout.
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# Cross-source contamination matrix: which sources share near-dup
+# content with which — the provenance audit a mixture designer runs
+# before trusting per-source weights (a source that mirrors another
+# contributes no new information at its nominal size). Pure reuse of
+# the judged LSH candidate + exact-Jaccard verify pipeline; the matrix
+# is an unordered (source, source) rollup, output bounded by
+# |sources|² (≤210 rows at 20 sources). max_jaccard is safe to
+# aggregate: each jaccard is one integer division (bit-identical
+# cross-engine) and max commutes with the monotone round.
+# ---------------------------------------------------------------------------
+@register(
+    "curation_contamination_matrix",
+    "WITH "
+    + _DUCK_LSH
+    + """,
+    pairs AS (
+      SELECT c.id_a, c.id_b,
+             round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(a.sh || b.sh)) >= 0.5),
+    lab AS (
+      SELECT least(da.source, db.source) AS src_lo,
+             greatest(da.source, db.source) AS src_hi,
+             jaccard
+      FROM pairs
+      JOIN documents da ON da.doc_id = pairs.id_a
+      JOIN documents db ON db.doc_id = pairs.id_b)
+    SELECT src_lo, src_hi, count(*)::BIGINT AS n_pairs,
+           max(jaccard) AS max_jaccard,
+           src_lo <> src_hi AS cross_source
+    FROM lab GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def curation_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    pairs = ngram_jaccard_pairs(docs, minhash_lsh_candidates(docs), threshold=0.5)
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.withColumnsRenamed({"doc_id": "id_a", "source": "src_a"}), "id_a"
+        )
+        .join(src.withColumnsRenamed({"doc_id": "id_b", "source": "src_b"}), "id_b")
+        .select(
+            F.least("src_a", "src_b").alias("src_lo"),
+            F.greatest("src_a", "src_b").alias("src_hi"),
+            "jaccard",
+        )
+    )
+    return (
+        lab.groupBy("src_lo", "src_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .withColumn("cross_source", F.col("src_lo") != F.col("src_hi"))
+        .orderBy("src_lo", "src_hi")
+    )
+
+
 @register("curation_ablation_funnel", _ablation_oracle())
 def curation_ablation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

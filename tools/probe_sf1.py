@@ -104,6 +104,8 @@ HEAVY = [
     "curation_contamination_matrix",
     # attribution: one user_id window over events + |channels| agg
     "events_attribution_last_touch",
+    # streamed attribution: stages time-thirds of events from sf_dir
+    "events_attribution_streamed",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -3850,6 +3850,98 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# ---------------------------------------------------------------------------
+# Streaming twin of events_attribution_last_touch (19th streaming
+# execution): the carry-forward window becomes O(1)-per-user state —
+# one (touch type, touch µs) pair — and each purchase is attributed at
+# arrival and emitted exactly once. The replay stages TIME-ORDERED
+# thirds (ntile over the same (ts, is_touch, event_id) strict-precede
+# total order the batch window sorts by), so cross-batch state carry
+# must reproduce the batch answer: a purchase in batch 2 whose only
+# touch arrived in batch 1 exercises the carried state, not in-batch
+# luck. Oracle: identical to the batch entry.
+# ---------------------------------------------------------------------------
+@register(
+    "events_attribution_streamed",
+    """
+    WITH uni AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END
+               AS is_touch
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+    marked AS (
+      SELECT *,
+             last_value(CASE WHEN is_touch = 1 THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_touch, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lt_type,
+             last_value(CASE WHEN is_touch = 1 THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_touch, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lt_us
+      FROM uni)
+    SELECT coalesce(
+             CASE WHEN epoch_us(ts) - lt_us <= 604800000000 THEN lt_type END,
+             'direct') AS channel,
+           count(*)::BIGINT AS n_purchases,
+           sum(floor(value * 100)::BIGINT)::BIGINT AS total_cents
+    FROM marked WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_attribution_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from warp_spark.streaming import read_event_stream, run_stream_to_memory
+    from warp_spark.streaming.windows import last_touch_attribution_stateful
+
+    d = tempfile.mkdtemp(prefix="warp_stream_entry_")
+    name = f"attribution_streamed_{uuid.uuid4().hex[:8]}"
+    try:
+        batch = (
+            _events(spark, sf_dir)
+            .filter(F.col("event_type").isin("view", "click", "purchase"))
+            .withColumn(
+                "__is_touch",
+                F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0),
+            )
+            .withColumn(
+                "__third",
+                F.ntile(3).over(Window.orderBy("ts", "__is_touch", "event_id")),
+            )
+        )
+        for i in (1, 2, 3):
+            batch.filter(F.col("__third") == i).drop(
+                "__third", "__is_touch"
+            ).coalesce(1).write.mode("overwrite").parquet(f"{d}/chunk{i}")
+            part = glob.glob(f"{d}/chunk{i}/part-*.parquet")[0]
+            os.rename(part, f"{d}/file_{i:03d}.parquet")
+            shutil.rmtree(f"{d}/chunk{i}", ignore_errors=True)
+            os.utime(f"{d}/file_{i:03d}.parquet", (1_700_000_000 + i,) * 2)
+        ev = read_event_stream(spark, d, max_files_per_trigger=1)
+        if dict(ev.dtypes)["ts"] == "timestamp_ntz":
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        out = last_touch_attribution_stateful(ev)
+        run_stream_to_memory(out, name, output_mode="update")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
 def _ntile_global(df: DataFrame, order_cols, k: int, out: str) -> DataFrame:
     """Exact global ``ntile(k)`` without an un-partitioned window:
     range-partition on the sort keys, ``row_number`` within each

@@ -137,6 +137,73 @@ def running_totals_stateful(
     )
 
 
+def last_touch_attribution_stateful(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    touch_types: tuple = ("view", "click"),
+    purchase_type: str = "purchase",
+    lookback_us: int = 604_800_000_000,
+) -> DataFrame:
+    """Streaming last-touch attribution — the batch entry's carry-forward
+    window re-expressed as per-key state: the state is ONE (touch type,
+    touch micros) pair per user, each purchase is attributed against it
+    at arrival and emitted exactly once.  Rows within a micro-batch
+    group are walked in (ts, is_touch, id) order with purchases BEFORE
+    same-µs touches — the identical strict-precede total order as the
+    batch window, so a time-ordered file replay reproduces the batch
+    answer exactly.  State is O(1) per user regardless of event volume —
+    the shape that matters on an unbounded stream (the batch window
+    would need the full per-user history).  Cents use the same
+    floor(value·100) rule as the batch entry (Python floats ARE IEEE
+    doubles)."""
+    import math
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} long, {id_col} long, channel string, cents long"
+    state_schema = "lt_type string, lt_us long"
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        lt_type, lt_us = state.get if state.exists else (None, None)
+        rows = []
+        for pdf in pdfs:
+            us = pdf[ts_col].astype("int64") // 1000
+            for ts_us, eid, etype, val in sorted(
+                zip(
+                    (int(x) for x in us),
+                    (int(x) for x in pdf[id_col]),
+                    pdf[type_col],
+                    pdf[value_col],
+                ),
+                key=lambda r: (r[0], r[2] in touch_types, r[1]),
+            ):
+                if etype == purchase_type:
+                    if lt_us is not None and ts_us - lt_us <= lookback_us:
+                        channel = lt_type
+                    else:
+                        channel = "direct"
+                    cents = math.floor(float(val) * 100.0)
+                    rows.append((key[0], eid, channel, cents))
+                elif etype in touch_types:
+                    lt_type, lt_us = etype, ts_us
+        if lt_us is not None:
+            state.update((lt_type, lt_us))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[key_col, id_col, "channel", "cents"]
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     name: str,

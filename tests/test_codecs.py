@@ -192,3 +192,40 @@ def test_resample_wav_nearest_matches_numpy(spark):
         assert (got[:, 0] == want).all(), d
         if d % 3 == 1:  # 16 kHz source: resample must be the identity
             assert (got[:, 0] == src).all()
+
+
+def test_resample_y4m_fps_matches_numpy(spark):
+    """The distributed temporal resample must equal a direct numpy
+    nearest-frame selection — downsample (24/25 -> 12 fps drops frames)
+    AND upsample (24 -> 60 fps replicates frames) — and the re-encoded
+    payload must itself be a valid Y4M at the target rate."""
+    from warp_spark.pipeline.codecs import (
+        decode_y4m,
+        resample_y4m_fps,
+        synth_y4m_payloads,
+    )
+
+    df = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    for target in (12, 60):
+        out = {
+            r["doc_id"]: bytes(r["payload"])
+            for r in resample_y4m_fps(
+                synth_y4m_payloads(df), target_fps=target
+            ).collect()
+        }
+        for d in range(8):
+            n, h, w = 2 + d % 4, 8 + 2 * (d % 4), 16 + 2 * (d % 8)
+            fps = 24 + d % 2
+            i = np.arange(h * w, dtype=np.int64)
+            src = np.stack(
+                [((d * 17 + f * 29 + i * 3) % 256).astype(np.uint8).reshape(h, w)
+                 for f in range(n)]
+            )
+            n_out = max((n * target) // fps, 1)
+            want = src[(np.arange(n_out, dtype=np.int64) * n) // n_out]
+            got, gw, gh, gfps = decode_y4m(out[d])
+            assert (gw, gh, gfps) == (w, h, target)
+            assert got.shape == (n_out, h, w)
+            assert (got == want).all(), (d, target)
+            if target == 60 and fps == 24:
+                assert n_out == (5 * n) // 2  # genuine frame replication

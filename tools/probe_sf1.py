@@ -106,6 +106,8 @@ HEAVY = [
     "events_attribution_last_touch",
     # streamed attribution: stages time-thirds of events from sf_dir
     "events_attribution_streamed",
+    # video temporal resample: map-side codec work, frame-linear
+    "multimodal_y4m_resample",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

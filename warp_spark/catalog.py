@@ -2327,6 +2327,62 @@ def multimodal_y4m_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL video temporal resample (pipeline/codecs.py::resample_y4m_fps):
+# completes the per-modality resize triple — image spatial (PNG grid),
+# audio rate (WAV Hz), video temporal (Y4M fps) — with the same
+# exact-integer index-map contract. Source clips run 24/25 fps with
+# 2-5 frames; resampling to 12 fps drops frames via n_out =
+# max((n·12)//fps, 1), frame j ← source (j·n)//n_out; the oracle
+# replays pixel-rule ∘ frame-map, so a value match proves the decode →
+# select → encode → decode round-trip is byte-exact.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_y4m_resample",
+    """
+    WITH g AS (SELECT doc_id,
+                      2 + doc_id % 4        AS n,
+                      8 + 2 * (doc_id % 4)  AS height,
+                      16 + 2 * (doc_id % 8) AS width,
+                      24 + doc_id % 2       AS fps
+               FROM documents),
+    o AS (SELECT doc_id, n, height, width,
+                 greatest((n * 12) // fps, 1) AS n_out
+          FROM g),
+    fx AS (SELECT doc_id, n, height, width, n_out, unnest(range(0, n_out)) AS j
+           FROM o),
+    mp AS (SELECT doc_id, height, width, n_out, j, (j * n) // n_out AS f
+           FROM fx),
+    px AS (SELECT doc_id, f, j, unnest(range(0, height * width)) AS i
+           FROM mp),
+    pf AS (SELECT doc_id, j, f,
+                  sum((doc_id * 17 + f * 29 + i * 3) % 256)::BIGINT AS fsum
+           FROM px GROUP BY 1, 2, 3),
+    agg AS (SELECT pf.doc_id,
+                   sum(fsum)::BIGINT AS sum_luma,
+                   max(CASE WHEN pf.j = 0 THEN fsum END) AS frame0_sum,
+                   max(CASE WHEN pf.j = o.n_out - 1 THEN fsum END)
+                     AS last_frame_sum
+            FROM pf JOIN o USING (doc_id) GROUP BY pf.doc_id)
+    SELECT o.doc_id, o.width, o.height, o.n_out AS n_frames,
+           CAST(12 AS BIGINT) AS fps,
+           a.sum_luma, a.frame0_sum, a.last_frame_sum
+    FROM o JOIN agg a USING (doc_id)
+    """,
+)
+def multimodal_y4m_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.codecs import (
+        resample_y4m_fps,
+        synth_y4m_payloads,
+        y4m_decode_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    return y4m_decode_features(
+        resample_y4m_fps(synth_y4m_payloads(docs), target_fps=12)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Real BPE merge training (Sennrich et al., ACL'16; pipeline/text.py::
 # bpe_train): n iterations of [weighted adjacent-pair count over the
 # word histogram → deterministic argmax (count DESC, pair ASC) → apply

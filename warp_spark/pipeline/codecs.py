@@ -557,6 +557,39 @@ def y4m_decode_features(
     return df.select(id_col, payload_col).mapInPandas(run, schema=Y4M_FEATURE_SCHEMA)
 
 
+def resample_y4m_fps(
+    df: DataFrame,
+    target_fps: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Temporal resample of REAL Y4M payloads to ``target_fps`` by
+    nearest-frame selection — the video resize leg, completing the
+    per-modality triple (image spatial / audio rate / video temporal)
+    with the SAME exact-integer index-map contract: output length
+    ``n_out = max((n·target_fps) // src_fps, 1)`` and output frame ``j``
+    reads source frame ``(j·n) // n_out`` — frames are dropped or
+    replicated, never blended, so luma bytes pass through exactly and
+    an SQL oracle replays pixel-rule ∘ frame-map.  Decode → select →
+    re-encode runs in one Arrow-batched ``mapInPandas`` pass; zero
+    shuffle, parallel by input partition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for payload in pdf[payload_col]:
+                frames, w, h, fps = decode_y4m(bytes(payload))
+                n = frames.shape[0]
+                n_out = max((n * target_fps) // fps, 1)
+                js = (np.arange(n_out, dtype=np.int64) * n) // n_out
+                payloads.append(encode_y4m(frames[js], fps=target_fps))
+            yield pd.DataFrame({id_col: pdf[id_col].values, payload_col: payloads})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} long, {payload_col} binary"
+    )
+
+
 def synth_y4m_payloads(
     df: DataFrame, id_col: str = "doc_id", out_col: str = "payload"
 ) -> DataFrame:

@@ -108,6 +108,8 @@ HEAVY = [
     "events_attribution_streamed",
     # video temporal resample: map-side codec work, frame-linear
     "multimodal_y4m_resample",
+    # cohort LTV: one broadcast join + one distinct-agg over purchases
+    "events_cohort_ltv",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -4162,6 +4162,62 @@ def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Buyer-cohort LTV triangle: the revenue companion to retention — per
+# FIRST-PURCHASE-day cohort × day offset, distinct buyers + purchases +
+# exact cents. Cohorts key on the first PURCHASE, not first activity,
+# and at day granularity: every user is active from day 1 at every SF,
+# so activity-based or week/month cohorts collapse to one cell (the
+# burst-islands granularity lesson — probe the dimension before
+# shipping the bucket size). Day offsets are exact integer datediffs
+# of day-truncated stamps; the buyers-sized cohort table broadcasts
+# into the purchase join; output bounded by days², not events.
+@register(
+    "events_cohort_ltv",
+    """
+    WITH f AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS cohort
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    p AS (
+      SELECT user_id, date_trunc('day', ts) AS d,
+             floor(value * 100)::BIGINT AS cents
+      FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT f.cohort,
+             datediff('day', f.cohort, p.d) AS day_offset,
+             p.user_id, p.cents
+      FROM p JOIN f USING (user_id))
+    SELECT cohort, day_offset,
+           count(DISTINCT user_id)::BIGINT AS n_buyers,
+           count(*)::BIGINT AS n_purchases,
+           sum(cents)::BIGINT AS revenue_cents
+    FROM j GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts"))
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        day.alias("d"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    first = purch.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    return (
+        purch.join(F.broadcast(first), "user_id")
+        .withColumn(
+            "day_offset",
+            F.datediff(F.col("d"), F.col("cohort")).cast("long"),
+        )
+        .groupBy(F.to_date("cohort").alias("cohort"), "day_offset")
+        .agg(
+            F.countDistinct("user_id").alias("n_buyers"),
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("cohort", "day_offset")
+    )
+
+
 # Gap-fill / resample: materialize the full hourly grid per key and
 # forward-fill the value metric across empty hours — the time-series
 # densification every downstream ML feature join assumes. The grid

@@ -2056,3 +2056,35 @@ def test_attribution_last_touch_edges(spark, tmp_path):
         "view": (3, 9000),   # u1 (view beats earlier click), u3, u5
         "direct": (2, 6000),  # u2 same-us touch, u4 beyond lookback
     }
+
+
+def test_mmr_diversify_prefers_diversity(spark):
+    """On a corpus where the two most relevant candidates are
+    near-duplicates of each other, plain top-k returns both but MMR's
+    step 2 must skip the duplicate for a less relevant, more novel
+    vector; step 1 is always the relevance argmax; ranks are 1..k and
+    mmr_score = 0.5*rel - 0.5*max_sim exactly."""
+    from warp_spark.pipeline.similarity import mmr_diversify
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),       # query
+        (1, [0.99, 0.14, 0.0, 0.0]),     # near-dup of 2, slightly less rel
+        (2, [0.992, 0.126, 0.0, 0.0]),   # most relevant
+        (3, [0.7, 0.0, 0.71, 0.0]),      # less relevant, orthogonal-ish
+        (4, [0.7, 0.0, 0.0, 0.71]),      # ditto, other axis
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = mmr_diversify(
+        df.filter("vec_id = 0"), df.filter("vec_id != 0"), k=3, n_candidates=4
+    ).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["vec_id"] == 2          # relevance argmax first
+    assert out[1]["vec_id"] in (3, 4)     # near-dup 1 skipped at step 2
+    ids = [r["vec_id"] for r in out]
+    assert 1 not in ids[:2]
+    for r in out:
+        assert r["mmr_score"] == 0.5 * r["rel"] - 0.5 * r["max_sim"]
+    assert out[0]["max_sim"] == 0.0

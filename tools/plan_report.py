@@ -91,6 +91,9 @@ def main():
         "ann_topk_ivfpq",
         # embeds the exact-kNN vector leg (brute_force_topk crossJoin)
         "hybrid_search_rrf",
+        # embeds brute_force_topk PLUS the bounded candidate x candidate
+        # similarity matrix (N=100 re-rank set) — both documented legs
+        "embedding_mmr_diversify",
     }
     bnl_offenders = [
         n for n, a in rows if a.get("bnl", 0) > 0 and n not in expected_bnl

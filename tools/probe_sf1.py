@@ -110,6 +110,8 @@ HEAVY = [
     "multimodal_y4m_resample",
     # cohort LTV: one broadcast join + one distinct-agg over purchases
     "events_cohort_ltv",
+    # MMR: distributed top-N + N^2 sims, greedy on the bounded artifact
+    "embedding_mmr_diversify",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -3026,6 +3026,76 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
+def _mmr_oracle(k: int = 10, n_candidates: int = 100) -> str:
+    """Chained-CTE DuckDB replay of similarity.py::mmr_diversify — one
+    MATERIALIZED CTE per greedy step (the pagerank/BPE oracle pattern;
+    without MATERIALIZED DuckDB re-inlines each step into the next).
+    rel/sim are the same 6dp-rounded cosines the judged ANN oracles
+    use; λ = 1/2 keeps both products exact halvings so mmr_score
+    doubles hash-match the Python greedy bit-for-bit."""
+    parts = [
+        "q AS MATERIALIZED (SELECT embedding::DOUBLE[] AS qe"
+        " FROM embeddings WHERE vec_id = 0)",
+        f"""cand AS MATERIALIZED (
+      SELECT e.vec_id,
+             e.embedding::DOUBLE[] AS ve,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS rel
+      FROM embeddings e, q WHERE e.vec_id <> 0
+      ORDER BY rel DESC, e.vec_id LIMIT {n_candidates})""",
+        """ps AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.ve, b.ve), 6) AS sim
+      FROM cand a, cand b WHERE a.vec_id <> b.vec_id)""",
+        """s1 AS MATERIALIZED (
+      SELECT vec_id, rel, 0.0::DOUBLE AS max_sim,
+             0.5 * rel - 0.5 * 0.0::DOUBLE AS mmr_score,
+             1::BIGINT AS rank
+      FROM cand ORDER BY rel DESC, vec_id LIMIT 1)""",
+        "a1 AS MATERIALIZED (SELECT * FROM s1)",
+    ]
+    for t in range(2, k + 1):
+        parts.append(
+            f"""s{t} AS MATERIALIZED (
+      SELECT c.vec_id, c.rel, m.mx AS max_sim,
+             0.5 * c.rel - 0.5 * m.mx AS mmr_score, {t}::BIGINT AS rank
+      FROM cand c
+      JOIN (SELECT id_a, max(sim) AS mx FROM ps
+            WHERE id_b IN (SELECT vec_id FROM a{t - 1}) GROUP BY 1) m
+        ON m.id_a = c.vec_id
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM a{t - 1})
+      ORDER BY mmr_score DESC, c.vec_id LIMIT 1)""",
+        )
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT * FROM a{t - 1} UNION ALL SELECT * FROM s{t})"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT rank, vec_id, rel, max_sim, mmr_score FROM a{k} ORDER BY rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval (similarity.py::mmr_diversify): the
+# diversity re-rank between ANN and the consumer — greedy k-of-N
+# maximizing 0.5·rel − 0.5·max-sim-to-selected. Relevance scoring,
+# the top-N cut, and the N×N candidate similarity matrix run
+# DISTRIBUTED (staged brute-force kernel, corpus never shuffles); the
+# greedy runs on the collected bounded artifact (N rels + N·(N−1)
+# sims), inherently sequential in k — the production rerank-on-one-
+# node shape. Oracle: chained MATERIALIZED CTEs, one per greedy step.
+# ---------------------------------------------------------------------------
+@register("embedding_mmr_diversify", _mmr_oracle(k=10, n_candidates=100))
+def embedding_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.similarity import mmr_diversify
+
+    emb = _t(spark, sf_dir, "embeddings").to_df()
+    return mmr_diversify(
+        emb.filter(F.col("vec_id") == 0), emb.filter(F.col("vec_id") != 0),
+        k=10, n_candidates=100,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Filtered vector search (similarity.py::filtered_topk): neighbors must
 # share the query's label — the metadata predicate turns the

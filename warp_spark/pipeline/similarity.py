@@ -1274,3 +1274,71 @@ def semantic_contamination(
             )
 
     return train.select(id_col, vec_col).mapInPandas(score, schema)
+
+
+def mmr_diversify(
+    query: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_candidates: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98, λ = 1/2): greedily pick ``k`` results from the
+    ``n_candidates`` most relevant, each step maximizing
+    ``0.5·rel(c) − 0.5·max_{s∈selected} sim(c, s)`` — the diversity
+    re-rank every retrieval stack runs between ANN and the consumer.
+
+    Distribution of work follows the production shape: relevance
+    scoring + top-N candidate cut and the candidate×candidate
+    similarity matrix are DISTRIBUTED (the corpus never shuffles —
+    both reuse the staged brute-force kernel and its documented
+    bounded crossJoin legs); the greedy itself runs on the collected
+    (N rels, N·(N−1) sims) bounded artifact — it is inherently
+    sequential in k and tiny, the same re-rank-on-one-node shape as a
+    production server.
+
+    Exactness: rel and sim are the 6dp-rounded staged cosines every
+    judged ANN entry hash-matches; λ = 1/2 makes both products exact
+    halvings, and the single subtraction is correctly rounded — so the
+    driver-side Python greedy (floats ARE IEEE doubles) is
+    bit-identical to the chained-CTE SQL replay. Ties break ascending
+    ``vec_id``; an empty selected set contributes max_sim = 0.0."""
+    rel = brute_force_topk(query, corpus, k=n_candidates, id_col=id_col, vec_col=vec_col)
+    cand = corpus.join(
+        rel.select(F.col("neighbor_id").alias(id_col), F.col("sim").alias("rel")),
+        id_col,
+    )
+    a = cand.select(
+        F.col(id_col).alias("query_id"), _dcast(F.col(vec_col)).alias("query_vec")
+    ).withColumn("q_norm", _norm(F.col("query_vec")))
+    b = cand.select(
+        F.col(id_col).alias("neighbor_id"),
+        _dcast(F.col(vec_col)).alias("neighbor_vec"),
+    ).withColumn("c_norm", _norm(F.col("neighbor_vec")))
+    ps = (
+        b.crossJoin(F.broadcast(a))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", _staged_sim())
+    )
+    rels = {r[0]: r[1] for r in cand.select(id_col, "rel").collect()}
+    sims = {(r[0], r[1]): r[2] for r in ps.select("neighbor_id", "query_id", "sim").collect()}
+    selected: list = []
+    rows = []
+    for step in range(1, min(k, len(rels)) + 1):
+        best = None
+        for c in rels:
+            if c in [s for s, *_ in selected]:
+                continue
+            mx = max((sims[(c, s)] for s, *_ in selected), default=0.0)
+            score = 0.5 * rels[c] - 0.5 * mx
+            key = (-score, c)
+            if best is None or key < best[0]:
+                best = (key, c, mx, score)
+        _, c, mx, score = best
+        selected.append((c,))
+        rows.append((step, c, rels[c], mx, score))
+    return query.sparkSession.createDataFrame(
+        rows, "rank long, vec_id long, rel double, max_sim double, mmr_score double"
+    )

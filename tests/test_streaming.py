@@ -594,3 +594,31 @@ def test_attribution_streamed_equals_batch(spark):
         & (F.col("lt_third") < F.col("third"))
     ).count()
     assert crossed >= 1
+
+
+def test_sample_streamed_equals_batch_bottomk(spark):
+    """The 3-trigger stateful reservoir must equal the batch bottom-64
+    by md5 order exactly, and the sample must span all three staged
+    thirds (event_id % 3) — the winning rows arrive in different
+    micro-batches, so per-bucket state provably merges across triggers
+    rather than winning within one batch."""
+    import __spark_entry__ as m
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = m.queries()["events_sample_streamed"](spark, sf).collect()
+    assert len(got) == 64
+    hv = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    want = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("event_id", "user_id", "event_type", hv.alias("hv"))
+        .orderBy("hv", "event_id")
+        .limit(64)
+        .select("event_id", "user_id", "event_type")
+        .collect()
+    )
+    key = lambda r: (r["event_id"], r["user_id"], r["event_type"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert {r["event_id"] % 3 for r in got} == {0, 1, 2}  # all triggers hit

@@ -112,6 +112,8 @@ HEAVY = [
     "events_cohort_ltv",
     # MMR: distributed top-N + N^2 sims, greedy on the bounded artifact
     "embedding_mmr_diversify",
+    # streamed reservoir: stages thirds of events from sf_dir
+    "events_sample_streamed",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

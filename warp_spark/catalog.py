@@ -3977,6 +3977,69 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Exact streaming uniform sample (20th streaming execution): bottom-64
+# of events by md5(event_id) order — the RNG-free reservoir an
+# unbounded ingest keeps. Per hash-bucket state holds its current
+# bottom-64; eviction only ever happens to a SMALLER hash, so the
+# global bottom-64 over every emitted row equals the true batch
+# bottom-64 (stale emissions sort after the cut — harmless extras).
+# Replay is 3 unordered thirds: bottom-k is arrival-order-insensitive,
+# which is exactly what makes it the streaming-safe sampler. Oracle:
+# the batch ORDER BY hash LIMIT 64 (the sample_bottomk discipline).
+# ---------------------------------------------------------------------------
+@register(
+    "events_sample_streamed",
+    """
+    WITH h AS (
+      SELECT event_id, user_id, event_type,
+             ('0x' || substring(md5(event_id::VARCHAR), 1, 8))::BIGINT AS hv
+      FROM events)
+    SELECT event_id, user_id, event_type
+    FROM h ORDER BY hv, event_id LIMIT 64
+    """,
+)
+def events_sample_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from warp_spark.streaming import read_event_stream, run_stream_to_memory
+    from warp_spark.streaming.windows import bottomk_sample_stateful
+
+    d = tempfile.mkdtemp(prefix="warp_stream_entry_")
+    name = f"sample_streamed_{uuid.uuid4().hex[:8]}"
+    try:
+        batch = _events(spark, sf_dir)
+        for i in (0, 1, 2):  # unordered thirds — the op is order-free
+            batch.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/chunk{i}")
+            part = glob.glob(f"{d}/chunk{i}/part-*.parquet")[0]
+            os.rename(part, f"{d}/file_{i:03d}.parquet")
+            shutil.rmtree(f"{d}/chunk{i}", ignore_errors=True)
+            os.utime(f"{d}/file_{i:03d}.parquet", (1_700_000_000 + i,) * 2)
+        ev = read_event_stream(spark, d, max_files_per_trigger=1)
+        hv = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10).cast("long")
+        keyed = ev.select(
+            "event_id", "user_id", "event_type", hv.alias("hv")
+        ).withColumn("bucket", F.pmod(F.col("hv"), F.lit(16)))
+        out = bottomk_sample_stateful(keyed, k=64)
+        run_stream_to_memory(out, name, output_mode="update")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return (
+        spark.table(name)
+        .select("hv", "event_id", "user_id", "event_type")
+        .distinct()
+        .orderBy("hv", "event_id")
+        .limit(64)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming twin of events_attribution_last_touch (19th streaming
 # execution): the carry-forward window becomes O(1)-per-user state —
 # one (touch type, touch µs) pair — and each purchase is attributed at

@@ -204,6 +204,73 @@ def last_touch_attribution_stateful(
     )
 
 
+def bottomk_sample_stateful(
+    df: DataFrame,
+    k: int,
+    bucket_col: str = "bucket",
+    hv_col: str = "hv",
+    id_col: str = "event_id",
+    payload_cols: tuple = ("user_id", "event_type"),
+) -> DataFrame:
+    """Exact streaming bottom-k reservoir: per hash-bucket state holds
+    the current bottom-``k`` rows by (hash, id); each batch merges
+    arrivals, truncates, and emits the bucket's current bottom-k.  The
+    global bottom-k over every emitted row equals the true batch
+    bottom-k: an element is only ever evicted by a SMALLER hash, so
+    anything missing from the final union sorts after the k-th element
+    — stale emissions are harmless extras, no per-batch snapshot
+    bookkeeping needed.  State is O(k) per bucket regardless of stream
+    length — the uniform-sample shape an unbounded pipeline keeps
+    (md5 order is RNG-free, so stream == batch exactly)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    pay = list(payload_cols)
+    out_schema = (
+        f"{bucket_col} long, {hv_col} long, {id_col} long, "
+        "user_id long, event_type string"
+    )
+    state_schema = (
+        "hvs array<bigint>, ids array<bigint>, "
+        "uids array<bigint>, types array<string>"
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        rows = (
+            [
+                (int(h), int(i), int(u), str(t))
+                for h, i, u, t in zip(*state.get)
+            ]
+            if state.exists
+            else []
+        )
+        for pdf in pdfs:
+            rows.extend(
+                (int(h), int(i), int(u), str(t))
+                for h, i, u, t in zip(
+                    pdf[hv_col], pdf[id_col], pdf[pay[0]], pdf[pay[1]]
+                )
+            )
+        rows = sorted(set(rows))[:k]
+        state.update(
+            (
+                [r[0] for r in rows],
+                [r[1] for r in rows],
+                [r[2] for r in rows],
+                [r[3] for r in rows],
+            )
+        )
+        yield pd.DataFrame(
+            [(key[0], *r) for r in rows],
+            columns=[bucket_col, hv_col, id_col, pay[0], pay[1]],
+        )
+
+    return df.groupBy(bucket_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     name: str,

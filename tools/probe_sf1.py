@@ -114,6 +114,8 @@ HEAVY = [
     "embedding_mmr_diversify",
     # streamed reservoir: stages thirds of events from sf_dir
     "events_sample_streamed",
+    # k-anonymity: two hash aggs, rows -> classes -> 4 buckets
+    "privacy_k_anonymity",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -4139,7 +4139,10 @@ def _ntile_global(df: DataFrame, order_cols, k: int, out: str) -> DataFrame:
     the closed-form ntile bucket from (global rank, n) — the first
     ``n mod k`` buckets hold ``n div k + 1`` rows, exactly the SQL
     definition (differential-pinned against Spark's own ntile window
-    in tests/test_scale_ops.py).  The partition-count offsets and the
+    in tests/test_scale_ops.py).  Partition count follows
+    ``spark.sql.shuffle.partitions`` (the _rank_prefix convention), so
+    per-partition windows stay memory-sized at cluster scale.  The
+    partition-count offsets and the
     scalar ``n`` are bounded artifacts (≤ partitions rows / 1 number);
     every row-level stage is parallel.  Callers must pass a tiebreaking
     total order (sort keys unique per row) or bucket assignment at ties
@@ -4154,8 +4157,11 @@ def _ntile_global(df: DataFrame, order_cols, k: int, out: str) -> DataFrame:
     # the checkpoint truncates it. Eager + non-reliable storage: an
     # executor loss fails the job instead of recomputing (the
     # documented token_budget_fill tradeoff, sampling.py).
+    n_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     ranged = (
-        df.repartitionByRange(32, *order_cols)
+        df.repartitionByRange(n_parts, *order_cols)
         .withColumn(pid, F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -8168,6 +8174,64 @@ def multimodal_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").to_df()
     return wav_decode_features(
         resample_wav_nearest(synth_wav_payloads(docs), target_rate=16000)
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit: equivalence-class size profile over the
+# quasi-identifier tuple (source, lang, n_chars÷256) — the governance
+# pre-flight before releasing a training corpus: rows in singleton or
+# tiny QI classes are re-identifiable joins waiting to happen (Sweeney
+# 2002). Two map-side-combinable hash aggregates (rows → classes →
+# size buckets) + the 1-row total inlined as a literal; ppm shares are
+# exact integer division, nothing for fp to move. Output bounded by
+# the 4 fixed size buckets.
+# ---------------------------------------------------------------------------
+@register(
+    "privacy_k_anonymity",
+    """
+    WITH cls AS (
+      SELECT source, lang, n_chars // 256 AS size_bin, count(*) AS c
+      FROM documents GROUP BY 1, 2, 3),
+    b AS (
+      SELECT CASE WHEN c = 1 THEN '1' WHEN c < 5 THEN '2-4'
+                  WHEN c < 10 THEN '5-9' ELSE '10+' END AS class_size,
+             c
+      FROM cls),
+    t AS (SELECT sum(c)::BIGINT AS total FROM b)
+    SELECT class_size, count(*)::BIGINT AS n_classes, sum(c)::BIGINT AS n_rows,
+           ((sum(c)::BIGINT * 1000000) // (SELECT total FROM t))::BIGINT
+             AS rows_ppm
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").to_df()
+    cls = docs.groupBy(
+        "source", "lang", F.expr("n_chars div 256").alias("size_bin")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    b = cls.select(
+        F.when(F.col("c") == 1, "1")
+        .when(F.col("c") < 5, "2-4")
+        .when(F.col("c") < 10, "5-9")
+        .otherwise("10+")
+        .alias("class_size"),
+        "c",
+    )
+    t = b.agg(F.sum("c").alias("__total"))
+    return (
+        _scalar_join(
+            b.groupBy("class_size").agg(
+                F.count(F.lit(1)).alias("n_classes"),
+                F.sum("c").alias("n_rows"),
+            ),
+            t,
+        )
+        .withColumn(
+            "rows_ppm", F.expr("(n_rows * 1000000) div __total").cast("long")
+        )
+        .drop("__total")
+        .orderBy("class_size")
     )
 
 

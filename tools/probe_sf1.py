@@ -116,6 +116,8 @@ HEAVY = [
     "events_sample_streamed",
     # k-anonymity: two hash aggs, rows -> classes -> 4 buckets
     "privacy_k_anonymity",
+    # session funnel: one user window + (user, session)-keyed stages
+    "events_session_funnel",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

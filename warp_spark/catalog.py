@@ -4263,6 +4263,104 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# SESSION-scoped funnel: view → click-after-view → purchase-after-click
+# within one 30-minute session — the conversion number product teams
+# actually quote (the global funnel credits a purchase days after the
+# view; the session funnel requires one sitting). Sessions are the
+# standard gaps-and-islands assignment (same SQL as events_sessionize);
+# the three stage tables are conditional mins keyed by (user, session),
+# so every shuffle after the session window is on the same composite
+# key. Pure counts + one rounded ratio of exact integers.
+# ---------------------------------------------------------------------------
+@register(
+    "events_session_funnel",
+    """
+    WITH src AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')),
+    marked AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM src
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sno
+      FROM marked
+    ),
+    v AS (SELECT user_id, sno, min(ts) AS tv FROM numbered
+          WHERE event_type = 'view' GROUP BY 1, 2),
+    c AS (SELECT n.user_id, n.sno, min(n.ts) AS tc
+          FROM numbered n JOIN v ON v.user_id = n.user_id AND v.sno = n.sno
+          WHERE n.event_type = 'click' AND n.ts > v.tv GROUP BY 1, 2),
+    p AS (SELECT n.user_id, n.sno, min(n.ts) AS tp
+          FROM numbered n JOIN c ON c.user_id = n.user_id AND c.sno = n.sno
+          WHERE n.event_type = 'purchase' AND n.ts > c.tc GROUP BY 1, 2)
+    SELECT (SELECT count(*) FROM v) AS n_sessions_view,
+           (SELECT count(*) FROM c) AS n_click_after_view,
+           (SELECT count(*) FROM p) AS n_purchase_after_click,
+           round((SELECT count(*) FROM p)::DOUBLE
+                 / (SELECT count(*) FROM v), 6) AS session_conversion
+    """,
+)
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    marked = ev.withColumn(
+        "__new",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1
+        ).otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "sno",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    ).select("user_id", "sno", "ts", "event_type")
+
+    def stage_after(prior: DataFrame, anchor: str, etype: str, out: str) -> DataFrame:
+        return (
+            numbered.filter(F.col("event_type") == etype)
+            .join(prior, ["user_id", "sno"])
+            .filter(F.col("ts") > F.col(anchor))
+            .groupBy("user_id", "sno")
+            .agg(F.min("ts").alias(out))
+        )
+
+    v = (
+        numbered.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "sno")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = stage_after(v, "tv", "click", "tc")
+    p = stage_after(c, "tc", "purchase", "tp")
+    return _scalar_join(
+        v.agg(F.count(F.lit(1)).alias("n_sessions_view")),
+        c.agg(F.count(F.lit(1)).alias("n_click_after_view")),
+        p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")),
+    ).select(
+        "n_sessions_view",
+        "n_click_after_view",
+        "n_purchase_after_click",
+        F.round(
+            F.col("n_purchase_after_click").cast("double")
+            / F.col("n_sessions_view"),
+            6,
+        ).alias("session_conversion"),
+    )
+
+
 # Cohort retention: users grouped by first-seen day, activity counted
 # at canonical offsets — the min-window + distinct-activity shape every
 # product-analytics warehouse runs. Pure counts: nothing for fp to move.

@@ -118,6 +118,10 @@ HEAVY = [
     "privacy_k_anonymity",
     # session funnel: one user window + (user, session)-keyed stages
     "events_session_funnel",
+    # exact hourly percentiles: one hour-partition window
+    "events_hourly_percentiles",
+    # basket lift: per-order self-join bounded by basket size
+    "basket_lift_topk",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -4264,6 +4264,124 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Market-basket lift: top-50 part pairs co-purchased in the same order
+# by lift = N·c_ab/(c_a·c_b) — the association-rule screen behind
+# "customers also bought". The same exact-rational discipline as
+# text_pmi_bigrams (lift = 2^PMI, ONE double division of exact
+# integers on decimal38/HUGEINT products); pair generation is the
+# per-order self-join of DISTINCT (order, part), bounded by
+# Σ C(parts-per-order, 2) — basket size caps the quadratic term, the
+# classic market-basket shape. Support floor 2 (co-purchase pairs are
+# sparse: max support is 3-5 across SFs as the part space scales with
+# orders).
+# ---------------------------------------------------------------------------
+@register(
+    "basket_lift_topk",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    n AS (SELECT count(DISTINCT o)::HUGEINT AS n_orders FROM op),
+    pa AS (SELECT p, count(*) AS c FROM op GROUP BY 1),
+    pr AS (SELECT a.p AS part_a, b.p AS part_b, count(*) AS c_ab
+           FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2),
+    sc AS (SELECT pr.part_a, pr.part_b, pr.c_ab::BIGINT AS c_ab,
+                  x.c::BIGINT AS c_a, y.c::BIGINT AS c_b,
+                  ((SELECT n_orders FROM n) * pr.c_ab)::DOUBLE
+                    / (x.c::HUGEINT * y.c)::DOUBLE AS lift
+           FROM pr JOIN pa x ON x.p = pr.part_a
+                   JOIN pa y ON y.p = pr.part_b
+           WHERE pr.c_ab >= 2)
+    SELECT part_a, part_b, c_ab, c_a, c_b, lift
+    FROM sc ORDER BY lift DESC, part_a, part_b LIMIT 50
+    """,
+)
+def basket_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").to_df()
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = op.agg(F.countDistinct("o").cast("decimal(38,0)").alias("__n_orders"))
+    pa = op.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    pr = (
+        op.alias("a")
+        .join(op.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(
+            F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    sc = (
+        _scalar_join(pr, n)
+        .join(pa.withColumnsRenamed({"p": "part_a", "c": "c_a"}), "part_a")
+        .join(pa.withColumnsRenamed({"p": "part_b", "c": "c_b"}), "part_b")
+        .select(
+            "part_a", "part_b", "c_ab", "c_a", "c_b",
+            (
+                (F.col("__n_orders") * F.col("c_ab")).cast("double")
+                / (
+                    F.col("c_a").cast("decimal(38,0)") * F.col("c_b")
+                ).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return sc.orderBy(F.col("lift").desc(), "part_a", "part_b").limit(50)
+
+
+# ---------------------------------------------------------------------------
+# Exact hourly P50/P95 — the latency-dashboard rollup, kept EXACT
+# (discrete percentile: the smallest value whose cumulative fraction
+# reaches q) instead of percentile_approx: one (hour) window computes
+# rank and count, the picks are integer index selections
+# ceil(q·n) = (q_num·n + q_den − 1) // q_den, and ties in value make
+# the tiebreak irrelevant — the picked VALUE is a multiset property.
+# Everything rides one hour-partition Exchange + one final agg;
+# parallelism is across hours (the median.py grouped discipline) — a
+# single pathologically hot hour would call for the count-by-value
+# two-phase variant instead.
+# ---------------------------------------------------------------------------
+@register(
+    "events_hourly_percentiles",
+    """
+    SELECT date_trunc('hour', ts) AS hour,
+           count(*)::BIGINT AS n_events,
+           quantile_disc(value, 0.5)  AS p50_value,
+           quantile_disc(value, 0.95) AS p95_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_hourly_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "value", "event_id"
+    )
+    w = Window.partitionBy("hour").orderBy("value", "event_id")
+    wp = Window.partitionBy("hour")
+    ranked = ev.select(
+        "hour",
+        "value",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wp).alias("__n"),
+    )
+    pick = lambda num, den: F.max(  # noqa: E731
+        F.when(
+            F.expr(f"__rn = (__n * {num} + {den - 1}) div {den}"),
+            F.col("value"),
+        )
+    )
+    return (
+        ranked.groupBy(F.col("hour").cast("timestamp_ntz").alias("hour"))
+        .agg(
+            F.max("__n").alias("n_events"),
+            pick(1, 2).alias("p50_value"),
+            pick(19, 20).alias("p95_value"),
+        )
+        .orderBy("hour")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SESSION-scoped funnel: view → click-after-view → purchase-after-click
 # within one 30-minute session — the conversion number product teams
 # actually quote (the global funnel credits a purchase days after the

@@ -2088,3 +2088,187 @@ def test_mmr_diversify_prefers_diversity(spark):
     for r in out:
         assert r["mmr_score"] == 0.5 * r["rel"] - 0.5 * r["max_sim"]
     assert out[0]["max_sim"] == 0.0
+
+
+def _write_tbl(spark, tmp_path, name, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/{name}.parquet")
+
+
+def test_contamination_matrix_semantics(spark, tmp_path):
+    """Two sources sharing a near-dup pair must show a cross-source
+    cell; within-source dups show on the diagonal; untouched source
+    pairs are absent (no zero-fill)."""
+    import __spark_entry__ as m
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    rows = [
+        (0, base, "en", "srcA", len(base)),
+        (1, base + "tail", "en", "srcB", len(base) + 4),   # cross A-B dup
+        (2, base + "xyz", "en", "srcA", len(base) + 3),    # within-A dup
+        (3, "totally different words nothing shared here at all " * 6,
+         "en", "srcC", 300),
+    ]
+    _write_tbl(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        (r["src_lo"], r["src_hi"]): r
+        for r in m.queries()["curation_contamination_matrix"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert ("srcA", "srcB") in out and out[("srcA", "srcB")]["cross_source"]
+    assert ("srcA", "srcA") in out and not out[("srcA", "srcA")]["cross_source"]
+    assert not any("srcC" in k for k in out)
+    assert out[("srcA", "srcB")]["max_jaccard"] >= 0.5
+
+
+def test_cohort_ltv_semantics(spark, tmp_path):
+    """Cohorts key on the FIRST PURCHASE day (views don't open a
+    cohort); offsets are day diffs; cents are exact floors."""
+    import datetime as dt
+    import __spark_entry__ as m
+
+    d0 = dt.datetime(2025, 3, 1, 10, 0, 0)
+    day = dt.timedelta(days=1)
+    rows = [
+        (1, d0 - 5 * day, 1, "view", 0.0, "{}"),          # ignored for cohort
+        (2, d0, 1, "purchase", 10.004, "{}"),             # cohort day 0
+        (3, d0 + 2 * day, 1, "purchase", 5.999, "{}"),    # offset 2
+        (4, d0 + day, 2, "purchase", 20.5, "{}"),         # second cohort
+    ]
+    _write_tbl(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        (str(r["cohort"]), r["day_offset"]): (r["n_buyers"], r["revenue_cents"])
+        for r in m.queries()["events_cohort_ltv"](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        ("2025-03-01", 0): (1, 1000),  # floor(10.004*100) = 1000
+        ("2025-03-01", 2): (1, 599),   # floor(5.999*100)  = 599
+        ("2025-03-02", 0): (1, 2050),
+    }
+
+
+def test_k_anonymity_semantics(spark, tmp_path):
+    """Class sizes bucket exactly: a singleton QI class lands in '1',
+    a 3-row class in '2-4'; ppm shares are exact integer division."""
+    import __spark_entry__ as m
+
+    rows = [(i, "t", "en", "srcA", 100) for i in range(3)] + [
+        (9, "t", "fr", "srcB", 999)
+    ]
+    _write_tbl(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        r["class_size"]: (r["n_classes"], r["n_rows"], r["rows_ppm"])
+        for r in m.queries()["privacy_k_anonymity"](spark, str(tmp_path)).collect()
+    }
+    assert out == {"1": (1, 1, 250000), "2-4": (1, 3, 750000)}
+
+
+def test_session_funnel_semantics(spark, tmp_path):
+    """A view->click->purchase chain inside one 30-min session converts;
+    the same chain split across a >30-min gap does not; a click BEFORE
+    the view does not count."""
+    import datetime as dt
+    import __spark_entry__ as m
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    mi = dt.timedelta(minutes=1)
+    rows = [
+        # u1: full chain in-session -> converts
+        (1, t0, 1, "view", 0.0, "{}"),
+        (2, t0 + 2 * mi, 1, "click", 0.0, "{}"),
+        (3, t0 + 5 * mi, 1, "purchase", 1.0, "{}"),
+        # u2: purchase in a LATER session (45-min gap) -> no conversion
+        (4, t0, 2, "view", 0.0, "{}"),
+        (5, t0 + 2 * mi, 2, "click", 0.0, "{}"),
+        (6, t0 + 47 * mi, 2, "purchase", 1.0, "{}"),
+        # u3: click precedes the view -> stage 2 never reached
+        (7, t0, 3, "click", 0.0, "{}"),
+        (8, t0 + 1 * mi, 3, "view", 0.0, "{}"),
+        (9, t0 + 2 * mi, 3, "purchase", 1.0, "{}"),
+    ]
+    _write_tbl(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    r = m.queries()["events_session_funnel"](spark, str(tmp_path)).collect()[0]
+    # sessions with a view: u1, u2 (first session), u3 = 3... u2's second
+    # session has no view, u3's session HAS a view (after the click)
+    assert r["n_sessions_view"] == 3
+    assert r["n_click_after_view"] == 2   # u1 and u2 (u2 converts stage 2
+    # in-session; only its purchase falls into the later session)
+    assert r["n_purchase_after_click"] == 1
+    assert r["session_conversion"] == round(1 / 3, 6)
+
+
+def test_hourly_percentiles_semantics(spark, tmp_path):
+    """Discrete percentiles pick actual values: for 1..20 in one hour,
+    P50 = 10 (ceil(0.5*20)) and P95 = 19 (ceil(0.95*20)); a second hour
+    with 3 values picks its own middle."""
+    import datetime as dt
+    import __spark_entry__ as m
+
+    t0 = dt.datetime(2025, 1, 1, 8, 30, 0)
+    rows = [
+        (i, t0, 1, "view", float(i), "{}") for i in range(1, 21)
+    ] + [
+        (100 + j, t0 + dt.timedelta(hours=1), 1, "view", float(j * 7), "{}")
+        for j in (1, 2, 3)
+    ]
+    _write_tbl(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        str(r["hour"]): (r["n_events"], r["p50_value"], r["p95_value"])
+        for r in m.queries()["events_hourly_percentiles"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out["2025-01-01 08:00:00"] == (20, 10.0, 19.0)
+    assert out["2025-01-01 09:00:00"] == (3, 14.0, 21.0)
+
+
+def test_basket_lift_semantics(spark, tmp_path):
+    """Lift is the exact rational N*c_ab/(c_a*c_b): parts 1,2 always
+    co-occur (lift = N/c since marginals equal c_ab) and out-lift a
+    chance pair; pairs under the support floor are absent."""
+    import __spark_entry__ as m
+
+    rows = []
+    for o in range(1, 5):           # parts 1,2 in all 4 orders
+        rows += [(o, 1, o), (o, 2, o)]
+    rows += [(1, 3, 99), (2, 3, 98)]  # part 3 in orders 1,2
+    rows += [(3, 4, 97)]              # part 4 only once -> floor kills pairs
+    li = [
+        (o, p, 1, ln, 1.0, 10.0, 0.0, 0.0, "N", "O", "1995-01-01")
+        for (o, p, ln) in rows
+    ]
+    _write_tbl(
+        spark, tmp_path, "lineitem", li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate string",
+    )
+    out = {
+        (r["part_a"], r["part_b"]): r
+        for r in m.queries()["basket_lift_topk"](spark, str(tmp_path)).collect()
+    }
+    assert out[(1, 2)]["lift"] == 4 * 4 / (4 * 4)          # = 1.0, c_ab=4
+    assert out[(1, 3)]["lift"] == 4 * 2 / (4 * 2)          # 1.0 too
+    assert out[(1, 2)]["c_ab"] == 4 and out[(1, 3)]["c_ab"] == 2
+    assert not any(4 in k for k in out)                    # floor applied

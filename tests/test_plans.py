@@ -435,12 +435,16 @@ def test_never_judged_entries_are_queued_or_windowed():
     """Rotation bookkeeping is mechanized end-to-end: every catalog
     entry with NO driver evidence in any CORRECTNESS_r*.json must
     either sit in the current driver window (being judged this round)
-    or be listed in PARITY.md's rotation-queue section — so a new
-    entry can neither be forgotten by the next rotation nor silently
-    drop out of the freshness ledger."""
+    or be listed in PARITY.md's rotation-queue SECTION — the text
+    between a ``**rNN rotation queue**`` marker and the next heading —
+    so a new entry can neither be forgotten by the next rotation nor
+    silently drop out of the freshness ledger.  (r9 verdict finding 1:
+    matching a backticked name *anywhere* in PARITY.md let an entry
+    that was documented-but-not-queued slip through.)"""
     import glob
     import json
     import os
+    import re
 
     import __spark_entry__ as m
     from warp_spark.catalog import _DRIVER_WINDOW
@@ -452,11 +456,21 @@ def test_never_judged_entries_are_queued_or_windowed():
         judged.update(d if isinstance(d, dict) else [r["name"] for r in d])
     with open(os.path.join(repo, "PARITY.md")) as f:
         parity = f.read()
+    # Queue membership counts ONLY inside rotation-queue sections:
+    # from each "**rNN rotation queue**" marker to the next markdown
+    # heading (a line starting with '#').
+    queue_text = "".join(
+        mt.group(0)
+        for mt in re.finditer(
+            r"\*\*r\d+ rotation queue\*\*.*?(?=^#|\Z)", parity, re.S | re.M
+        )
+    )
+    assert queue_text, "PARITY.md has no '**rNN rotation queue**' section"
     never = set(m.queries()) - judged
     unaccounted = sorted(
-        n for n in never if n not in _DRIVER_WINDOW and f"`{n}`" not in parity
+        n for n in never if n not in _DRIVER_WINDOW and f"`{n}`" not in queue_text
     )
     assert not unaccounted, (
         f"never-driver-judged entries neither in the window nor in the "
-        f"PARITY.md rotation queue: {unaccounted}"
+        f"PARITY.md rotation-queue section: {unaccounted}"
     )

@@ -1959,6 +1959,22 @@ def test_heaps_growth_semantics(spark):
     assert out2[-1]["heaps_beta_ppm"] < beta_novel
 
 
+def test_heaps_growth_empty_corpus(spark):
+    """Empty documents frame: max(doc_id) is NULL — must short-circuit
+    to a typed empty result, not TypeError on int(None) (r9 advice,
+    mirroring the bm25_topk empty-corpus guard)."""
+    from warp_spark.pipeline.text import heaps_growth
+
+    out = heaps_growth(
+        spark.createDataFrame([], "doc_id long, text string")
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "threshold", "n_docs", "cum_tokens",
+        "gram_vocab", "heaps_beta_ppm", "heaps_intercept_ppm",
+    ]
+
+
 def test_ntile_global_matches_spark_window(spark):
     """The distributed closed-form ntile must equal Spark's own
     ntile() window for every n mod k residue (1..25 rows, k=4) and for

@@ -622,3 +622,47 @@ def test_sample_streamed_equals_batch_bottomk(spark):
     key = lambda r: (r["event_id"], r["user_id"], r["event_type"])  # noqa: E731
     assert sorted(map(key, got)) == sorted(map(key, want))
     assert {r["event_id"] % 3 for r in got} == {0, 1, 2}  # all triggers hit
+
+
+def test_bottomk_payload_cols_derive_schema(spark, events_dir, tmp_path):
+    """bottomk_sample_stateful must derive its output AND state schemas
+    from ``payload_cols`` (r9 advice: they were hard-coded to
+    user_id/event_type, so any other payload mismatched at runtime).
+    Run it with a swapped-order payload including a double column and
+    check the union of emissions contains the true batch bottom-k."""
+    from warp_spark.streaming.windows import bottomk_sample_stateful
+
+    hv = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    prep = lambda df: df.select(  # noqa: E731
+        (F.col("event_id") % 4).alias("bucket"),
+        hv.alias("hv"),
+        "event_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    stream = prep(stream_events(spark, events_dir))
+    out = bottomk_sample_stateful(
+        stream, k=16, payload_cols=("event_type", "value")
+    )
+    assert [f.name for f in out.schema.fields] == [
+        "bucket", "hv", "event_id", "event_type", "value",
+    ]
+    assert dict(out.dtypes)["value"] == "double"
+    run_stream_to_memory(out, "bk_payload_t", output_mode="update")
+    got = spark.sql("SELECT * FROM bk_payload_t").collect()
+    want = (
+        prep(batch_events(spark))
+        .orderBy("hv", "event_id")
+        .limit(16)
+        .collect()
+    )
+    emitted = {(r["hv"], r["event_id"]) for r in got}
+    for r in want:
+        assert (r["hv"], r["event_id"]) in emitted
+    # payload values ride along unchanged
+    by_id = {r["event_id"]: r for r in got}
+    for r in want:
+        assert by_id[r["event_id"]]["event_type"] == r["event_type"]
+        assert by_id[r["event_id"]]["value"] == r["value"]

@@ -10573,27 +10573,28 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # the window is rotated every round and the rotation is documented here
 # and in PARITY.md.
 #
-# Round-9 window: FRESHNESS rotation per the r8 verdict.  Post-r8 the
-# histogram is r8:50 / r7:47 / r6:47 / r5:43 / never-judged:9 — the
-# nine never-judged entries are the r8 additions (judge-gate green 9/9
-# but no driver evidence) and the stalest judged cohort is the 43
-# r05-vintage entries.  This window therefore takes:
-#   * all 9 never-driver-judged r8 additions (ngram_novelty,
-#     tokenize_oov_report, dedup_cluster_profile, events_burst_islands,
-#     events_burst_streamed, events_path_trigrams,
-#     mixture_epoch_schedule, events_active_users, bm25_topk),
+# Round-10 window: FRESHNESS rotation per the r9 verdict.  Post-r9 the
+# histogram is r9:50 / r8:47 / r7:47 / r6:47 / r5:5 / never-judged:19
+# — the 19 never-judged entries are the r9 additions (judge-gate green
+# 19/19 in the r9 verdict but no driver evidence), then the five
+# r05-vintage function-registry entries held back from the r9 window
+# (now the stalest driver evidence in the repo).  This window takes:
+#   * all 19 never-driver-judged r9 additions,
+#   * the five r05-vintage function-registry entries
+#     (pivot_linestatus, coercion_semantics, functions_math,
+#     functions_string, functions_datetime),
 #   * the flagship TPC-H trio kept in-window every round,
-#   * 38 of the 43 r05-vintage entries.  The five left for the r10
-#     queue (pivot_linestatus, coercion_semantics, functions_math,
-#     functions_string, functions_datetime) are the pure
-#     function-registry / literal-table entries whose code paths have
-#     not changed since they were judged — the other 38 cover the
-#     mutable warehouse, streaming, ANN, dedup and TPC-H paths where
-#     drift risk actually lives.
-# The window was built against evidence through CORRECTNESS_r08
+#   * 23 of the 47 r06-vintage entries, picked by drift risk: the ANN
+#     tier, the dedup tier, the join tier (theta/range/interval/salted),
+#     the events rollup tier, the aggregate path, the text-analysis
+#     tier, and multimodal_decode.  The 24 left for the r11 queue are
+#     the registry / single-operator entries (explode/flatten/
+#     transpose/formula/functions_* etc.) whose code paths have not
+#     changed since they were judged.
+# The window was built against evidence through CORRECTNESS_r09
 # (_DRIVER_WINDOW_ROUND below); the rotation-policy test evaluates it
 # against snapshots from rounds < _DRIVER_WINDOW_ROUND only, so the
-# driver's own r9 snapshot (which postdates this commit) cannot make
+# driver's own r10 snapshot (which postdates this commit) cannot make
 # the suite red between rounds.
 # ===========================================================================
 
@@ -10601,62 +10602,65 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # evaluated against CORRECTNESS_r*.json snapshots from rounds strictly
 # before this one (the evidence that existed when the window was
 # designed).
-_DRIVER_WINDOW_ROUND = 9
+_DRIVER_WINDOW_ROUND = 10
 
 _DRIVER_WINDOW = [
-    # --- the nine never-driver-judged r8 additions ---
-    "ngram_novelty",
-    "tokenize_oov_report",
-    "dedup_cluster_profile",
-    "events_burst_islands",
-    "events_burst_streamed",
-    "events_path_trigrams",
-    "mixture_epoch_schedule",
-    "events_active_users",
-    "bm25_topk",
+    # --- the 19 never-driver-judged r9 additions ---
+    "multimodal_image_resize",
+    "dedup_neardup_streamed",
+    "text_zipf_spectrum",
+    "text_heaps_growth",
+    "events_stream_stream_left_join",
+    "multimodal_wav_resample",
+    "multimodal_y4m_resample",
+    "text_pmi_bigrams",
+    "events_rfm_segments",
+    "curation_contamination_matrix",
+    "events_attribution_last_touch",
+    "events_attribution_streamed",
+    "events_cohort_ltv",
+    "embedding_mmr_diversify",
+    "events_sample_streamed",
+    "privacy_k_anonymity",
+    "events_session_funnel",
+    "events_hourly_percentiles",
+    "basket_lift_topk",
+    # --- the five r05-vintage function-registry entries (stalest) ---
+    "pivot_linestatus",
+    "coercion_semantics",
+    "functions_math",
+    "functions_string",
+    "functions_datetime",
     # --- flagship TPC-H, kept every round ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    # --- stalest judged evidence: 38 of the 43 r05-vintage entries ---
-    "ann_topk_filtered",
-    "asof_purchase_click",
-    "asof_tolerance_stale",
-    "bpe_apply_tokenize",
-    "bucketed_join_revenue",
-    "cube_revenue",
-    "dedup_keep_best",
-    "dedup_lsh_recall",
-    "dedup_minhash_lsh",
-    "dedup_prefix_filter_exact",
-    "events_kmv_hourly",
-    "events_kmv_streamed",
-    "events_late_data_rollup",
-    "events_moving_avg_range",
-    "events_sessionize",
-    "events_sessionize_dynamic",
-    "events_stream_static_enrich",
-    "events_streaming_dedup",
-    "grouping_sets_margins",
-    "hybrid_search_rrf",
-    "join_full_outer",
-    "langid_confusion",
-    "mixture_drift_kl",
-    "mixture_temperature",
-    "multimodal_y4m_real",
-    "mutable_cdc_merge",
-    "mutable_change_feed",
-    "mutable_schema_evolution",
-    "mutable_streaming_merge",
-    "mutable_time_travel",
-    "partitioned_write_prune",
-    "q12_priority_by_delay",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "sample_bottomk",
-    "text_char_entropy",
-    "tokenize_vocab_ids",
-    "validate_rules",
+    # --- stalest judged evidence: 23 of the 47 r06-vintage entries,
+    #     covering the drift-risk paths (ANN, dedup, joins, events
+    #     rollups, aggregate, text analysis, multimodal decode) ---
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "ann_topk_lsh",
+    "embedding_near_pairs",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "events_daily_from_hourly",
+    "events_hourly_rollup",
+    "events_sliding_rollup",
+    "interval_join_error_bursts",
+    "join_left_aggregate",
+    "join_salted_aggregate",
+    "join_theta",
+    "range_join_error_views",
+    "agg_minimum_count",
+    "agg_pack_statuses",
+    "agg_two_phase",
+    "text_fingerprint_tokens",
+    "text_langid",
+    "text_quality",
+    "multimodal_decode",
 ]
 
 

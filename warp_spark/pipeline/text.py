@@ -1499,6 +1499,14 @@ def heaps_growth(
         discipline (ascending-threshold order, 0.0 init, staged β).
     """
     mx = docs.agg(F.max(F.col(id_col))).first()[0]
+    if mx is None:
+        # empty corpus: max(doc_id) is NULL — short-circuit to a typed
+        # empty result (mirrors the bm25_topk empty-corpus guard)
+        return docs.sparkSession.createDataFrame(
+            [],
+            "threshold long, n_docs long, cum_tokens long, "
+            "gram_vocab long, heaps_beta_ppm long, heaps_intercept_ppm long",
+        )
     ts = [1 << j for j in range(64) if (1 << j) <= int(mx) + 1]
     if ts[-1] != int(mx) + 1:
         ts.append(int(mx) + 1)

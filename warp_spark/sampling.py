@@ -561,14 +561,22 @@ def token_budget_fill(
         # budget boundary are kept/dropped arbitrarily: tiebreak on a
         # content hash of the full row (identical-content rows are
         # interchangeable, so any residual tie is unobservable).
-        # xxhash64 rejects MAP columns (AnalysisException) — hash only
-        # the hashable ones; if none are, fall back to the weight-only
+        # xxhash64 rejects MAP/VARIANT columns (AnalysisException) —
+        # even NESTED inside an array or struct — hash only the
+        # hashable ones; if none are, fall back to the weight-only
         # order with a warning rather than failing the whole fill.
-        hashable = [
-            c
-            for c, t in df.dtypes
-            if not t.startswith("map<") and t != "variant"
-        ]
+        from pyspark.sql import types as T
+
+        def _hashable(dt) -> bool:
+            if isinstance(dt, T.MapType) or type(dt).__name__ == "VariantType":
+                return False
+            if isinstance(dt, T.ArrayType):
+                return _hashable(dt.elementType)
+            if isinstance(dt, T.StructType):
+                return all(_hashable(f.dataType) for f in dt.fields)
+            return True
+
+        hashable = [f.name for f in df.schema.fields if _hashable(f.dataType)]
         if hashable:
             order_cols = [
                 F.col(weight_col).desc(),

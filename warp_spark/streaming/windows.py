@@ -173,7 +173,11 @@ def last_touch_attribution_stateful(
         lt_type, lt_us = state.get if state.exists else (None, None)
         rows = []
         for pdf in pdfs:
-            us = pdf[ts_col].astype("int64") // 1000
+            # normalize explicitly to ns before the integer view: if a
+            # future Spark/pandas combo delivers datetime64[us], a bare
+            # astype('int64')//1000 would silently yield MILLIseconds
+            # and skew the lookback compare by 1000x
+            us = pdf[ts_col].astype("datetime64[ns]").astype("int64") // 1000
             for ts_us, eid, etype, val in sorted(
                 zip(
                     (int(x) for x in us),
@@ -225,45 +229,49 @@ def bottomk_sample_stateful(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     pay = list(payload_cols)
-    out_schema = (
-        f"{bucket_col} long, {hv_col} long, {id_col} long, "
-        "user_id long, event_type string"
+    # derive BOTH schemas from the input frame so any payload_cols
+    # choice works (r9 advice: the schemas were hard-coded to
+    # user_id/event_type and other callers would mismatch at runtime)
+    dtypes = dict(df.dtypes)
+    missing = [c for c in [hv_col, id_col, *pay] if c not in dtypes]
+    if missing:
+        raise ValueError(f"bottomk_sample_stateful: columns not in df: {missing}")
+    out_schema = ", ".join(
+        [f"{bucket_col} long", f"{hv_col} long", f"{id_col} long"]
+        + [f"{c} {dtypes[c]}" for c in pay]
     )
-    state_schema = (
-        "hvs array<bigint>, ids array<bigint>, "
-        "uids array<bigint>, types array<string>"
+    state_schema = ", ".join(
+        ["hvs array<bigint>", "ids array<bigint>"]
+        + [f"p{j} array<{dtypes[c]}>" for j, c in enumerate(pay)]
     )
+    # native Python coercion per column keeps tuples hashable/sortable
+    # (numpy scalars compare fine but set() dedup wants stable types)
+    coerce = [int, int] + [
+        int if dtypes[c] in ("bigint", "int", "smallint", "tinyint", "long") else str
+        for c in pay
+    ]
 
     def fn(key, pdfs, state: GroupState):
         import pandas as pd
 
         rows = (
             [
-                (int(h), int(i), int(u), str(t))
-                for h, i, u, t in zip(*state.get)
+                tuple(f(v) for f, v in zip(coerce, r))
+                for r in zip(*state.get)
             ]
             if state.exists
             else []
         )
         for pdf in pdfs:
             rows.extend(
-                (int(h), int(i), int(u), str(t))
-                for h, i, u, t in zip(
-                    pdf[hv_col], pdf[id_col], pdf[pay[0]], pdf[pay[1]]
-                )
+                tuple(f(v) for f, v in zip(coerce, r))
+                for r in zip(pdf[hv_col], pdf[id_col], *[pdf[c] for c in pay])
             )
         rows = sorted(set(rows))[:k]
-        state.update(
-            (
-                [r[0] for r in rows],
-                [r[1] for r in rows],
-                [r[2] for r in rows],
-                [r[3] for r in rows],
-            )
-        )
+        state.update(tuple([r[j] for r in rows] for j in range(2 + len(pay))))
         yield pd.DataFrame(
             [(key[0], *r) for r in rows],
-            columns=[bucket_col, hv_col, id_col, pay[0], pay[1]],
+            columns=[bucket_col, hv_col, id_col, *pay],
         )
 
     return df.groupBy(bucket_col).applyInPandasWithState(

@@ -431,6 +431,69 @@ def test_attribution_single_user_exchange(spark):
     assert plan.count("Window") == 1, plan  # both carry-forwards share it
 
 
+def test_ann_index_probe_partition_pruning(spark):
+    """The persisted inverted file must be probed via PARTITION PRUNING:
+    the codes scan's centroid_id IN (...) filter has to land in the
+    scan's PartitionFilters (the layout contract of
+    persist_ivfpq_index — unprobed lists never read), not as a
+    post-scan Filter over all lists."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from warp_spark.catalog import _ensure_ann_index, _t
+    from warp_spark.pipeline.similarity import ivfpq_probe, load_ivfpq_index
+
+    # the catalog entry's final plan inlines the probe aggregate as a
+    # literal (_scalar_join), so pin the probe subtree itself
+    path = _ensure_ann_index(spark, SF)
+    centroids, codebooks, codes, storage = load_ivfpq_index(spark, path)
+    q = _t(spark, SF, "embeddings").to_df().filter(F.col("vec_id") < 10)
+    df = ivfpq_probe(
+        q, codes, centroids, codebooks, k=5, nprobe=12, rerank=100, storage=storage
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        s for s in re.findall(r"FileScan parquet[^\n]*", plan) if "/codes" in s
+    ]
+    assert scans, plan
+    assert all(
+        "PartitionFilters" in s
+        and "centroid_id" in s.split("PartitionFilters", 1)[1].split("]", 1)[0]
+        for s in scans
+    ), scans
+
+
+def test_ann_index_probe_equals_inquery_ivfpq(spark):
+    """Training is deterministic (hash-ordered draws, no RNG), so
+    loading the persisted artifacts and probing must reproduce the
+    in-query ivfpq_topk result EXACTLY — neighbor ids, sims, and ranks.
+    This is the determinism contract that makes persist-vs-probe entry
+    ordering irrelevant."""
+    from pyspark.sql import functions as F
+
+    from warp_spark.catalog import _ensure_ann_index, _t
+    from warp_spark.pipeline.similarity import (
+        ivfpq_probe,
+        ivfpq_topk,
+        load_ivfpq_index,
+    )
+
+    path = _ensure_ann_index(spark, SF, rebuild=True)
+    centroids, codebooks, codes, storage = load_ivfpq_index(spark, path)
+    emb = _t(spark, SF, "embeddings").to_df()
+    q = emb.filter(F.col("vec_id") < 10)
+    got = ivfpq_probe(
+        q, codes, centroids, codebooks, k=5, nprobe=12, rerank=100, storage=storage
+    ).collect()
+    want = ivfpq_topk(q, emb, k=5, n_centroids=16, nprobe=12, rerank=100).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, got), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, want), key=lambda t: (t[0], t[3])
+    )
+    assert len(got) == 50  # 10 queries × k=5
+
+
 def test_never_judged_entries_are_queued_or_windowed():
     """Rotation bookkeeping is mechanized end-to-end: every catalog
     entry with NO driver evidence in any CORRECTNESS_r*.json must

@@ -91,6 +91,9 @@ def main():
         "ann_topk_ivfpq",
         # embeds the exact-kNN vector leg (brute_force_topk crossJoin)
         "hybrid_search_rrf",
+        # recall contract vs the same exact baseline (probe side itself
+        # is pruned-scan + mapInPandas, no BNL)
+        "ann_index_probe",
         # embeds brute_force_topk PLUS the bounded candidate x candidate
         # similarity matrix (N=100 re-rank set) — both documented legs
         "embedding_mmr_diversify",

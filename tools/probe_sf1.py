@@ -122,6 +122,12 @@ HEAVY = [
     "events_hourly_percentiles",
     # basket lift: per-order self-join bounded by basket size
     "basket_lift_topk",
+    # round-10: persisted IVF-PQ index — build (train + 4 artifact
+    # writes, the codes write routed by centroid_id) and probe (pruned
+    # partition read + ADC + bounded rerank; should grow FAR slower
+    # than the build, that asymmetry is the point of persisting)
+    "ann_index_persist",
+    "ann_index_probe",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -8578,6 +8578,144 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_index_path(sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), f"warp_ann_ivfpq_v1_{tag}")
+
+
+def _ensure_ann_index(spark: SparkSession, sf_dir: str, rebuild: bool = False) -> str:
+    """Build-once discipline for the persisted IVF-PQ index: the probe
+    entry loads whatever the marker certifies; persist (or a corpus
+    change, detected via the recorded vector count) rebuilds.  Training
+    is deterministic, so a rebuild yields byte-identical artifacts —
+    entry order between persist and probe cannot change results."""
+    import os
+
+    from warp_spark.pipeline.similarity import persist_ivfpq_index
+
+    path = _ann_index_path(sf_dir)
+    marker = os.path.join(path, "_INDEX_COMPLETE")
+    emb = _t(spark, sf_dir, "embeddings").to_df()
+    n = emb.count()
+    stamp = f"ivfpq n_centroids=16 m=16 n_codes=32 n_vectors={n}"
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            current = f.read().strip()
+    if rebuild or current != stamp:
+        persist_ivfpq_index(emb, path, n_centroids=16, m=16, n_codes=32)
+        with open(marker, "w") as f:
+            f.write(stamp + "\n")
+    return path
+
+
+# Persistable ANN index, build half (similarity.py::persist_ivfpq_index):
+# train the IVF-PQ model once and write it as four parquet artifacts —
+# centroids, codebooks, codes PARTITIONED BY centroid_id (the inverted
+# file as a physical file layout: probing nprobe lists is partition
+# pruning, unprobed lists are never read off disk), and the raw-vector
+# storage tier for exact rerank.  This is how retrieval cost amortizes
+# across queries in a production vector store (Faiss write_index;
+# reference analogue: the cache step materializing upstream state,
+# QBECacheStep.swift:15-140).  The entry rebuilds, READS BACK the
+# artifacts, and emits the index-completeness contract; n_vectors is
+# the genuinely differential column — the readback row count must equal
+# DuckDB's count over the source table, so a dropped partition or a
+# truncated write hash-fails the gate.  codes_complete pins every code
+# row to exactly m=16 codes in [0,32) and one row per corpus vector;
+# storage_complete pins the rerank tier to the same coverage.
+@register(
+    "ann_index_persist",
+    """
+    SELECT count(*)::BIGINT   AS n_vectors,
+           CAST(16 AS BIGINT) AS n_centroids,
+           CAST(16 AS BIGINT) AS n_subspaces,
+           true               AS codes_complete,
+           true               AS storage_complete
+    FROM embeddings
+    """,
+)
+def ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.similarity import load_ivfpq_index
+
+    path = _ensure_ann_index(spark, sf_dir, rebuild=True)
+    centroids, codebooks, codes, storage = load_ivfpq_index(spark, path)
+    stats = codes.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("neighbor_id").alias("n_ids"),
+        F.min(F.size("codes")).alias("sz_min"),
+        F.max(F.size("codes")).alias("sz_max"),
+        F.min(F.array_min("codes")).alias("c_min"),
+        F.max(F.array_max("codes")).alias("c_max"),
+        F.min("centroid_id").alias("ct_min"),
+        F.max("centroid_id").alias("ct_max"),
+    )
+    st = storage.agg(
+        F.count(F.lit(1)).alias("s_rows"),
+        F.countDistinct("vec_id").alias("s_ids"),
+    )
+    return _scalar_join(stats, st).select(
+        F.col("n_rows").cast("long").alias("n_vectors"),
+        F.lit(len(centroids)).cast("long").alias("n_centroids"),
+        F.lit(len(codebooks)).cast("long").alias("n_subspaces"),
+        (
+            (F.col("n_ids") == F.col("n_rows"))
+            & (F.col("sz_min") == 16)
+            & (F.col("sz_max") == 16)
+            & (F.col("c_min") >= 0)
+            & (F.col("c_max") <= 31)
+            & (F.col("ct_min") >= 0)
+            & (F.col("ct_max") <= 15)
+        ).alias("codes_complete"),
+        (
+            (F.col("s_rows") == F.col("n_rows"))
+            & (F.col("s_ids") == F.col("s_rows"))
+        ).alias("storage_complete"),
+    )
+
+
+# Persistable ANN index, query half (similarity.py::ivfpq_probe): load
+# the four artifacts and answer top-k WITHOUT retraining — centroids
+# and codebooks are the only collected pieces (O(model)); the codes
+# scan carries a centroid_id IN (probed lists) filter that Catalyst
+# turns into partition pruning over the persisted layout (plan-pinned
+# in tests/test_plans.py); the storage tier is touched for
+# |shortlist|·|queries| rows in the exact rerank only.  Same operating
+# point and recall contract as the in-query ann_topk_ivfpq — training
+# determinism makes persisted-then-probed results IDENTICAL to
+# trained-in-query results (pytested), so the floor carries over.
+@register(
+    "ann_index_probe",
+    """
+    SELECT CAST(10 AS BIGINT) AS n_queries,
+           CAST(0.8 AS DOUBLE) AS recall_floor,
+           true               AS recall_ge_floor
+    """,
+)
+def ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.similarity import (
+        brute_force_topk,
+        ivfpq_probe,
+        load_ivfpq_index,
+    )
+
+    path = _ensure_ann_index(spark, sf_dir)
+    centroids, codebooks, codes, storage = load_ivfpq_index(spark, path)
+    emb = _t(spark, sf_dir, "embeddings").to_df()
+    q = emb.filter(F.col("vec_id") < 10)
+    return _ann_recall_check(
+        ivfpq_probe(
+            q, codes, centroids, codebooks, k=5, nprobe=12, rerank=100,
+            storage=storage,
+        ),
+        brute_force_topk(q, emb, k=5),
+        floor=0.8,
+    )
+
+
 # Embedding-space decontamination (similarity.py::semantic_contamination):
 # for every training vector the max cosine vs an eval set (vec_id%50==0
 # plays the benchmark here) — the semantic analogue of

@@ -2288,3 +2288,105 @@ def test_basket_lift_semantics(spark, tmp_path):
     assert out[(1, 3)]["lift"] == 4 * 2 / (4 * 2)          # 1.0 too
     assert out[(1, 2)]["c_ab"] == 4 and out[(1, 3)]["c_ab"] == 2
     assert not any(4 in k for k in out)                    # floor applied
+
+
+def test_pareto_frontier_2d_matches_bruteforce(spark):
+    """The monotone 2-D factorization must equal the textbook O(n²)
+    dominance test on a frame with every edge case: ties on one
+    metric, ties on BOTH metrics (mutually non-dominating — all
+    survive), duplicated frontier points, and strictly interior rows."""
+    from warp_spark.stats import pareto_frontier_2d
+
+    rows = [
+        (0, 10, 1), (1, 9, 5), (2, 9, 5),    # tie on both -> both survive
+        (3, 8, 7), (4, 8, 3),                # equal m1, smaller m2 dominated
+        (5, 5, 7),                            # dominated by (3): m1 8>=5, m2 ==7? 7>=7 strict in m1
+        (6, 3, 9), (7, 1, 1),                # (7) interior
+        (8, 10, 1),                           # duplicate of (0)
+    ]
+    df = spark.createDataFrame(rows, "id long, m1 long, m2 long")
+    got = sorted(
+        r["id"] for r in pareto_frontier_2d(df, "m1", "m2").collect()
+    )
+    # brute force: survive iff no other row weakly dominates with a strict edge
+    def dom(a, b):  # a dominates b
+        return a[1] >= b[1] and a[2] >= b[2] and (a[1] > b[1] or a[2] > b[2])
+
+    want = sorted(r[0] for r in rows if not any(dom(o, r) for o in rows if o[0] != r[0]))
+    assert got == want
+    assert 1 in got and 2 in got          # both-metric ties both survive
+    assert 5 not in got and 7 not in got  # interior rows gone
+
+
+def test_changepoint_cusum_finds_injected_shift(spark, tmp_path):
+    """A level shift in the hourly series must put the |CUSUM| peak at
+    the last pre-shift hour, and the scaled statistic must equal
+    n·prefix − i·total recomputed in Python exactly."""
+    import datetime
+
+    import __spark_entry__ as m
+
+    rows = []
+    eid = 0
+    for h in range(12):
+        val = 10.0 if h < 6 else 110.0   # shift after hour 5
+        for j in range(4):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1, h, 5 * j), 1, "view", val, "{}")
+            )
+            eid += 1
+    _write_tbl(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = m.queries()["events_changepoint_cusum"](spark, str(tmp_path)).collect()
+    assert len(out) == 12
+    xs = [r["x_cents"] for r in out]
+    n, total = len(xs), sum(xs)
+    prefix = 0
+    for i, r in enumerate(out, start=1):
+        prefix += xs[i - 1]
+        assert r["cusum_scaled"] == n * prefix - i * total
+    peaks = [i for i, r in enumerate(out) if r["is_peak"]]
+    assert peaks == [5]  # last pre-shift hour (0-indexed)
+
+
+def test_l_diversity_semantics(spark, tmp_path):
+    """Class sizes and l-counts are exact: a class whose members share
+    one sensitive value reports l=1 regardless of k."""
+    import __spark_entry__ as m
+
+    rows = [
+        # class (srcA, en, 0): doc_ids 0,8,16 -> topic 0,0,0 => l=1, c=3
+        (0, "t", "en", "srcA", 10), (8, "t", "en", "srcA", 10),
+        (16, "t", "en", "srcA", 10),
+        # class (srcB, en, 0): doc_ids 1,2 -> topics 1,2 => l=2, c=2
+        (1, "t", "en", "srcB", 20), (2, "t", "en", "srcB", 20),
+    ]
+    _write_tbl(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["l"]: r for r in m.queries()["privacy_l_diversity"](spark, str(tmp_path)).collect()}
+    assert out[1]["n_classes"] == 1 and out[1]["n_rows"] == 3
+    assert out[2]["n_classes"] == 1 and out[2]["n_rows"] == 2
+    assert out[1]["corpus_min_l"] == 1 and out[2]["corpus_min_l"] == 1
+    assert out[1]["rows_ppm"] == 3 * 1_000_000 // 5
+
+
+def test_seasonal_dow_isodow_arithmetic(spark):
+    """((epoch_day + 3) mod 7) + 1 must equal Python's isoweekday for a
+    full spread of dates (engine-neutral dow was the design point)."""
+    import datetime
+
+    days = [datetime.date(2024, 1, 1) + datetime.timedelta(days=i) for i in range(45)]
+    df = spark.createDataFrame([(d,) for d in days], "day date")
+    from pyspark.sql import functions as F
+
+    got = df.select(
+        "day",
+        ((F.datediff("day", F.lit("1970-01-01").cast("date")) + 3) % 7 + 1).alias("dw"),
+    ).collect()
+    for r in got:
+        assert r["dw"] == r["day"].isoweekday(), r

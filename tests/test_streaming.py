@@ -666,3 +666,29 @@ def test_bottomk_payload_cols_derive_schema(spark, events_dir, tmp_path):
     for r in want:
         assert by_id[r["event_id"]]["event_type"] == r["event_type"]
         assert by_id[r["event_id"]]["value"] == r["value"]
+
+
+def test_ewma_streamed_equals_batch_and_carries_state(spark):
+    """The 3-trigger stateful EWMA must be bit-identical to the batch
+    fold over the same purchases, and at least one user's purchase
+    chain must span all three staged thirds — so equality proves the
+    8-byte state genuinely carries the smoothed value across
+    micro-batches rather than restarting per batch."""
+    import __spark_entry__ as m
+    from warp_spark.streaming.windows import ewma
+
+    sf = "/root/testdata/sf0.001"
+    got = m.queries()["events_ewma_streamed"](spark, sf).collect()
+    purchases = batch_events(spark).filter(F.col("event_type") == "purchase")
+    want = ewma(purchases, "ts", "user_id", "value", alpha=0.3).collect()
+    key = lambda r: (r["user_id"], r["event_id"])  # noqa: E731
+    gm = {key(r): r["ewma"] for r in got}
+    wm = {key(r): r["ewma"] for r in want}
+    assert gm == wm  # bit-exact doubles, every event exactly once
+    # cross-batch carry is real: the staging cuts the (ts, event_id)
+    # order into thirds, so a user with >= 3 purchases spread over the
+    # month necessarily straddles a batch boundary
+    from collections import Counter
+
+    per_user = Counter(r["user_id"] for r in got)
+    assert max(per_user.values()) >= 3

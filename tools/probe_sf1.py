@@ -128,6 +128,17 @@ HEAVY = [
     # than the build, that asymmetry is the point of persisting)
     "ann_index_persist",
     "ann_index_probe",
+    # round-10: stateful EWMA (21st stream; stages purchases from
+    # sf_dir so the 10x point is meaningful)
+    "events_ewma_streamed",
+    # round-10: QI-class l-diversity histogram — two hash aggs
+    "privacy_l_diversity",
+    # round-10: scaled-integer CUSUM over the hours-bounded artifact
+    "events_changepoint_cusum",
+    # round-10: 2-D skyline — hash agg + distinct-m1 window + bcast join
+    "curation_pareto_frontier",
+    # round-10: day-of-week profile — rows collapse to days immediately
+    "events_seasonal_dow",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

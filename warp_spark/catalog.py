@@ -4381,6 +4381,95 @@ def events_hourly_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CUSUM changepoint scan over the hourly revenue series (Page 1954,
+# the standard offline form: the cumulative deviation from the global
+# mean peaks at the shift point).  Float-free by SCALING OUT the mean:
+# with prefix_i = Σ_{j≤i} x_j the statistic n·prefix_i − i·total is
+# the CUSUM times n — an exact BIGINT (cents ≤ ~3e10, ×744 hours ≪
+# 2^63), and argmax is invariant under the positive scaling, so no
+# division ever happens and both engines agree bit-for-bit (the
+# PMI/tfidf monotone-transform lesson applied to time series).  Scale:
+# the one row-level pass is the hourly aggregation (map-side
+# combinable); the CUSUM window runs on the hours-bounded artifact
+# (744 rows at every SF — grows with time span, not data volume; the
+# events_hourly_percentiles precedent), and the peak flag inlines the
+# max as a literal via _scalar_join.
+@register(
+    "events_changepoint_cusum",
+    """
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             sum(floor(value * 100)::BIGINT)::BIGINT AS x_cents,
+             count(*)::BIGINT AS n_events
+      FROM events GROUP BY 1),
+    t AS (SELECT count(*)::BIGINT AS n, sum(x_cents)::BIGINT AS total FROM h),
+    o AS (
+      SELECT hour, x_cents, n_events,
+             row_number() OVER (ORDER BY hour) AS i,
+             sum(x_cents) OVER (ORDER BY hour
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)::BIGINT AS prefix
+      FROM h),
+    s AS (
+      SELECT hour, x_cents, n_events,
+             ((SELECT n FROM t) * prefix - i * (SELECT total FROM t))::BIGINT
+               AS cusum_scaled
+      FROM o)
+    SELECT hour, x_cents, n_events, cusum_scaled,
+           abs(cusum_scaled) = (SELECT max(abs(cusum_scaled)) FROM s)
+             AS is_peak
+    FROM s ORDER BY hour
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    h = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("x_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    t = h.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("x_cents").alias("__total")
+    )
+    w = Window.orderBy("hour")
+    o = _scalar_join(
+        h.select(
+            "hour",
+            "x_cents",
+            "n_events",
+            F.row_number().over(w).alias("__i"),
+            F.sum("x_cents")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long")
+            .alias("__prefix"),
+        ),
+        t,
+    ).withColumn(
+        "cusum_scaled",
+        (F.col("__n") * F.col("__prefix") - F.col("__i") * F.col("__total")).cast(
+            "long"
+        ),
+    )
+    mx = o.agg(F.max(F.abs(F.col("cusum_scaled"))).alias("__mx"))
+    return (
+        _scalar_join(o, mx)
+        .select(
+            F.col("hour").cast("timestamp_ntz").alias("hour"),
+            "x_cents",
+            "n_events",
+            "cusum_scaled",
+            (F.abs(F.col("cusum_scaled")) == F.col("__mx")).alias("is_peak"),
+        )
+        .orderBy("hour")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SESSION-scoped funnel: view → click-after-view → purchase-after-click
 # within one 30-minute session — the conversion number product teams
@@ -7554,6 +7643,74 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma(_events(spark, sf_dir), "ts", "user_id", "value", alpha=0.3)
 
 
+# 21st streaming execution (windows.py::ewma_stateful): the EWMA
+# recurrence as per-key O(1) state — the batch fold above carries each
+# key's FULL event list through a groupBy; the stateful form carries 8
+# bytes per user, the only shape an unbounded stream can keep.  Purchases
+# replay as three time-ordered micro-batch files (ntile(3) over the
+# (ts, event_id) fold order, so batch boundaries respect the sort and
+# the pytest certifies cross-batch carry); every event is emitted
+# exactly once with its smoothed value.  The oracle is the identical
+# recursive CTE as events_ewma restricted to purchases: bit-exact raw
+# doubles because the fold order is pinned and β = 1.0 − 0.3 == 0.7
+# exactly in IEEE, so Python, JVM and DuckDB fold the same bits.
+@register(
+    "events_ewma_streamed",
+    """
+    WITH RECURSIVE e AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ),
+    r(user_id, event_id, value, rn, ew) AS (
+      SELECT user_id, event_id, value, rn, value::DOUBLE FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.value, e.rn, 0.3 * e.value + 0.7 * r.ew
+      FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, value, ew AS ewma FROM r
+    """,
+)
+def events_ewma_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from warp_spark.streaming import read_event_stream, run_stream_to_memory
+    from warp_spark.streaming.windows import ewma_stateful
+
+    d = tempfile.mkdtemp(prefix="warp_stream_entry_")
+    name = f"ewma_streamed_{uuid.uuid4().hex[:8]}"
+    try:
+        batch = (
+            _events(spark, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .withColumn(
+                "__third", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+            )
+        )
+        for i in (1, 2, 3):
+            batch.filter(F.col("__third") == i).drop("__third").coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{d}/chunk{i}")
+            part = glob.glob(f"{d}/chunk{i}/part-*.parquet")[0]
+            os.rename(part, f"{d}/file_{i:03d}.parquet")
+            shutil.rmtree(f"{d}/chunk{i}", ignore_errors=True)
+            os.utime(f"{d}/file_{i:03d}.parquet", (1_700_000_000 + i,) * 2)
+        ev = read_event_stream(spark, d, max_files_per_trigger=1)
+        if dict(ev.dtypes)["ts"] == "timestamp_ntz":
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        out = ewma_stateful(ev)
+        run_stream_to_memory(out, name, output_mode="update")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name).select("user_id", "event_id", "value", "ewma")
+
+
 # ---------------------------------------------------------------------------
 # Asymmetric containment dedup: |A∩B|/|A| over the LSH candidates —
 # nested-document detection that symmetric Jaccard dilutes away.
@@ -8448,6 +8605,204 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("__total")
         .orderBy("class_size")
+    )
+
+
+# l-diversity — the k-anonymity companion (Machanavajjhala et al.,
+# ICDE'06): a quasi-identifier class can be large (k-anonymous) yet
+# reveal its sensitive value if every member shares it.  Same QI
+# classes as privacy_k_anonymity (source, lang, 256-char size bin);
+# the corpus carries no sensitive column, so one is synthesized by the
+# replay-the-rule discipline (topic = doc_id % 8, the text_pii_redact
+# pattern) — both engines compute it exactly.  Output: the class-count
+# histogram by l (distinct sensitive values per class) with exact
+# integer-division ppm shares, plus the corpus-wide min l — the number
+# a release policy actually gates on.  Scale: two hash aggregations
+# (rows → classes → l-histogram), map-side combinable, no window, no
+# skew (classes are bounded by |sources|·|langs|·|bins|).
+@register(
+    "privacy_l_diversity",
+    """
+    WITH cls AS (
+      SELECT source, lang, n_chars // 256 AS size_bin,
+             count(*) AS c,
+             count(DISTINCT doc_id % 8)::BIGINT AS l
+      FROM documents GROUP BY 1, 2, 3),
+    t AS (SELECT sum(c)::BIGINT AS total, min(l)::BIGINT AS min_l FROM cls)
+    SELECT l, count(*)::BIGINT AS n_classes, sum(c)::BIGINT AS n_rows,
+           ((sum(c)::BIGINT * 1000000) // (SELECT total FROM t))::BIGINT
+             AS rows_ppm,
+           (SELECT min_l FROM t) AS corpus_min_l
+    FROM cls GROUP BY l ORDER BY l
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").to_df()
+    cls = docs.groupBy(
+        "source", "lang", F.expr("n_chars div 256").alias("size_bin")
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.countDistinct(F.expr("doc_id % 8")).cast("long").alias("l"),
+    )
+    t = cls.agg(
+        F.sum("c").alias("__total"), F.min("l").cast("long").alias("__min_l")
+    )
+    return (
+        _scalar_join(
+            cls.groupBy("l").agg(
+                F.count(F.lit(1)).alias("n_classes"),
+                F.sum("c").alias("n_rows"),
+            ),
+            t,
+        )
+        .select(
+            "l",
+            "n_classes",
+            "n_rows",
+            F.expr("(n_rows * 1000000) div __total").cast("long").alias("rows_ppm"),
+            F.col("__min_l").alias("corpus_min_l"),
+        )
+        .orderBy("l")
+    )
+
+
+# Pareto frontier / skyline (stats.py::pareto_frontier_2d — Börzsönyi
+# et al., "The Skyline Operator", ICDE'01): the documents no other
+# document weakly dominates on (length, vocabulary richness) with a
+# strict improvement somewhere — the multi-objective selection a
+# curation pass runs when no single quality score is trusted.  Exact
+# integer metrics: n_chars and the distinct whitespace-token count
+# (the established tokens() ↔ regexp_split_to_array convention).  The
+# 2-D monotone factorization replaces the quadratic NOT-EXISTS test
+# with one hash agg + a running max over the distinct-m1 artifact
+# (bounded by metric cardinality, not rows) + one broadcast join —
+# the oracle runs the same factorization in SQL, so the differential
+# also certifies the survival rule itself.
+@register(
+    "curation_pareto_frontier",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars AS m1,
+             len(list_distinct(
+               regexp_split_to_array(lower(trim(text)), '\\s+')))::BIGINT AS m2
+      FROM documents),
+    g AS (SELECT m1, max(m2) AS mbest FROM d GROUP BY m1),
+    o AS (SELECT m1, mbest,
+                 max(mbest) OVER (ORDER BY m1 DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS gt_max
+          FROM g)
+    SELECT d.doc_id, d.m1 AS n_chars, d.m2 AS n_distinct_tokens
+    FROM d JOIN o USING (m1)
+    WHERE d.m2 = o.mbest AND (o.gt_max IS NULL OR d.m2 > o.gt_max)
+    ORDER BY d.m1 DESC, d.doc_id
+    """,
+)
+def curation_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.text import tokens
+    from warp_spark.stats import pareto_frontier_2d
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    d = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("m1"),
+        F.size(F.array_distinct(tokens(F.col("text")))).cast("long").alias("m2"),
+    )
+    return (
+        pareto_frontier_2d(d, "m1", "m2", keep_cols=["doc_id", "m1", "m2"])
+        .select(
+            "doc_id",
+            F.col("m1").alias("n_chars"),
+            F.col("m2").alias("n_distinct_tokens"),
+        )
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+    )
+
+
+# Day-of-week seasonal profile of the revenue series — the additive
+# seasonality read every ops dashboard runs.  Engine-neutral weekday:
+# dow functions disagree across engines on origin and numbering
+# (Spark dayofweek is Sunday=1, DuckDB dayofweek is Sunday=0), so the
+# ISO weekday is computed ARITHMETICALLY from epoch days —
+# ((epoch_day + 3) mod 7) + 1, anchored on 1970-01-01 being a Thursday
+# (isodow 4) — identical integers everywhere.  The seasonal index
+# (dow daily mean over corpus daily mean) is one exact integer
+# division with the numerator widened to decimal(38,0)/HUGEINT —
+# cents·days·1e6 clears BIGINT at sf1.  Scale: rows collapse to days
+# in one map-side-combinable agg; everything after runs on ≤7·5-row
+# artifacts.
+@register(
+    "events_seasonal_dow",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             sum(floor(value * 100)::BIGINT)::BIGINT AS d_cents
+      FROM events GROUP BY 1),
+    d AS (
+      SELECT ((day::DATE - DATE '1970-01-01' + 3) % 7) + 1 AS isodow,
+             d_cents
+      FROM daily),
+    t AS (SELECT count(*)::BIGINT AS days_all, sum(d_cents)::BIGINT AS cents_all
+          FROM d)
+    SELECT isodow::BIGINT AS isodow,
+           count(*)::BIGINT AS n_days,
+           sum(d_cents)::BIGINT AS total_cents,
+           (sum(d_cents)::BIGINT // count(*)::BIGINT)::BIGINT AS mean_cents,
+           ((sum(d_cents)::HUGEINT * (SELECT days_all FROM t) * 1000000)
+            // (count(*)::HUGEINT * (SELECT cents_all FROM t)))::BIGINT
+             AS seasonal_idx_ppm
+    FROM d GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("d_cents")
+        )
+    )
+    d = daily.select(
+        (
+            (F.datediff(F.col("day").cast("date"), F.lit("1970-01-01").cast("date")) + 3)
+            % 7
+            + 1
+        )
+        .cast("long")
+        .alias("isodow"),
+        "d_cents",
+    )
+    t = d.agg(
+        F.count(F.lit(1)).alias("__days_all"), F.sum("d_cents").alias("__cents_all")
+    )
+    g = d.groupBy("isodow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("d_cents").cast("long").alias("total_cents"),
+    )
+    return (
+        _scalar_join(g, t)
+        .select(
+            "isodow",
+            "n_days",
+            "total_cents",
+            F.expr("total_cents div n_days").cast("long").alias("mean_cents"),
+            F.floor(
+                (
+                    F.col("total_cents").cast("decimal(38,0)")
+                    * F.col("__days_all")
+                    * F.lit(1000000)
+                )
+                / (
+                    F.col("n_days").cast("decimal(38,0)")
+                    * F.col("__cents_all")
+                )
+            )
+            .cast("long")
+            .alias("seasonal_idx_ppm"),
+        )
+        .orderBy("isodow")
     )
 
 

@@ -231,3 +231,47 @@ def exact_skew_kurtosis(
         F.when(m2 > 0, F.sqrt(nd) * m3 / (m2 * F.sqrt(m2))).alias("skewness"),
         F.when(m2 > 0, nd * m4 / (m2 * m2) - F.lit(3.0)).alias("kurtosis"),
     )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    m1: str,
+    m2: str,
+    keep_cols: list | None = None,
+) -> DataFrame:
+    """Exact 2-D Pareto frontier (skyline, Börzsönyi et al. ICDE'01)
+    maximizing integer metrics ``m1`` and ``m2``: keep every row no
+    other row weakly dominates with at least one strict improvement.
+    Rows tied on BOTH metrics are mutually non-dominating and all
+    survive — the SQL-standard skyline semantics.
+
+    The 2-D case has a monotone structure that kills the naive O(n²)
+    all-pairs test: a row survives iff its m2 (a) equals the max m2
+    within its m1 group and (b) strictly exceeds the max m2 over all
+    strictly-larger m1 groups.  That factors into
+      1. one hash aggregation  m1 → max(m2)   (map-side combinable),
+      2. a running max over the DISTINCT-m1 artifact ordered m1 DESC
+         (bounded by |distinct m1| — metric cardinality, not rows; for
+         length-like metrics a few thousand values at any corpus size),
+      3. one broadcast join of that artifact back to the rows.
+    No row-level window, no self-join, no shuffle beyond the group-by —
+    the shape that survives 100 TB where the textbook NOT EXISTS
+    anti-join is quadratic."""
+    from pyspark.sql import Window
+
+    keep = keep_cols if keep_cols is not None else df.columns
+    g = df.groupBy(F.col(m1).alias("__m1")).agg(F.max(m2).alias("__mbest"))
+    w = (
+        Window.orderBy(F.col("__m1").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # the window runs over the distinct-m1 artifact (bounded by metric
+    # cardinality); rows never enter a global window
+    art = g.select("__m1", "__mbest", F.max("__mbest").over(w).alias("__gtmax"))
+    joined = df.join(
+        F.broadcast(art), df[m1] == art["__m1"], "inner"
+    ).filter(
+        (F.col(m2) == F.col("__mbest"))
+        & (F.col("__gtmax").isNull() | (F.col(m2) > F.col("__gtmax")))
+    )
+    return joined.select(*keep)

@@ -279,6 +279,63 @@ def bottomk_sample_stateful(
     )
 
 
+def ewma_stateful(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Streaming per-key EWMA — the batch ``ewma`` fold re-expressed as
+    O(1) state per key: the state is ONE double (the last smoothed
+    value); each arrival folds y = α·x + (1−α)·y and is emitted exactly
+    once.  Batch parity is bit-exact because the fold is pinned three
+    ways: (1) rows within a micro-batch group walk in the identical
+    (ts, id) order as the batch sort; (2) a time-ordered file replay
+    keeps cross-batch order consistent with that sort; (3) the
+    arithmetic is the same IEEE expression — α·x + β·y with
+    β = 1.0 − α computed in Python exactly as the batch builder's
+    ``F.lit(1.0 - alpha)`` (for α = 0.3, 1.0 − 0.3 == 0.7 exactly, so
+    the DuckDB oracle's 0.7 literal is the same double).  On an
+    unbounded stream this is the shape that matters: the batch fold
+    needs each key's full history, the stateful form needs 8 bytes."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    beta = 1.0 - alpha
+    out_schema = f"{key_col} long, {id_col} long, {value_col} double, ewma double"
+    state_schema = "ew double"
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        ew = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            # normalize to ns before the integer view (datetime64[us]
+            # delivery would silently skew the order key unit)
+            us = pdf[ts_col].astype("datetime64[ns]").astype("int64") // 1000
+            for _, eid, val in sorted(
+                zip(
+                    (int(x) for x in us),
+                    (int(x) for x in pdf[id_col]),
+                    (float(x) for x in pdf[value_col]),
+                )
+            ):
+                ew = val if ew is None else alpha * val + beta * ew
+                rows.append((key[0], eid, val, ew))
+        if ew is not None:
+            state.update((ew,))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[key_col, id_col, value_col, "ewma"]
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     name: str,

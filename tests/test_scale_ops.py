@@ -2390,3 +2390,137 @@ def test_seasonal_dow_isodow_arithmetic(spark):
     ).collect()
     for r in got:
         assert r["dw"] == r["day"].isoweekday(), r
+
+
+def test_anomaly_mad_flags_injected_outlier(spark, tmp_path):
+    """One huge hour must be flagged while leaving the median/MAD of
+    the quiet hours untouched (the robustness a z-score lacks: the
+    outlier would inflate mean and stddev and could mask itself)."""
+    import datetime
+
+    import __spark_entry__ as m
+
+    rows, eid = [], 0
+    for h in range(11):
+        rows.append((eid, datetime.datetime(2024, 1, 1, h), 1, "view", 10.0 + (h % 3), "{}"))
+        eid += 1
+    rows.append((eid, datetime.datetime(2024, 1, 1, 11), 1, "view", 9000.0, "{}"))
+    _write_tbl(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = m.queries()["events_anomaly_mad"](spark, str(tmp_path)).collect()
+    flagged = [r for r in out if r["is_anomaly"]]
+    assert [r["cents"] for r in flagged] == [900000]
+    quiet = [r for r in out if not r["is_anomaly"]]
+    assert all(r["med_cents"] == 1100 for r in out)   # lower median of 10,11,12-ish
+    assert all(r["mad_cents"] == 100 for r in out)
+    assert len(quiet) == 11
+
+
+def test_hhi_monopoly_and_uniform(spark, tmp_path):
+    """A single-supplier nation scores HHI = 10^12 exactly; four equal
+    suppliers score 4·250000² = 2.5·10^11."""
+    import __spark_entry__ as m
+
+    sup = [(1, 0), (2, 1), (3, 1), (4, 1), (5, 1)]  # nation 0: monopoly
+    li = []
+    lk = 0
+    for s in (1,):                      # nation 0, one supplier
+        li.append((lk, 0, s, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", "1995-01-01")); lk += 1
+    for s in (2, 3, 4, 5):              # nation 1, four equal suppliers
+        li.append((lk, 0, s, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", "1995-01-01")); lk += 1
+    _write_tbl(
+        spark, tmp_path, "lineitem",
+        [(r[0], r[2], r[2], r[3], r[4], r[5], r[6], r[7], r[8], r[9], r[10]) for r in li],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string, l_shipdate string",
+    )
+    _write_tbl(spark, tmp_path, "supplier",
+               [(s, n) for s, n in sup], "s_suppkey long, s_nationkey long")
+    _write_tbl(spark, tmp_path, "nation",
+               [(0, "MONO"), (1, "QUAD")], "n_nationkey long, n_name string")
+    out = {r["n_name"]: r for r in
+           m.queries()["market_concentration_hhi"](spark, str(tmp_path)).collect()}
+    assert out["MONO"]["hhi_ppm2"] == 1_000_000 ** 2
+    assert out["MONO"]["top_share_ppm"] == 1_000_000
+    assert out["QUAD"]["hhi_ppm2"] == 4 * 250_000 ** 2
+    assert out["QUAD"]["n_suppliers"] == 4
+
+
+def test_readability_vowel_groups(spark, tmp_path):
+    """Maximal vowel runs count once each; the scaled ratio is the
+    exact integer division."""
+    import __spark_entry__ as m
+
+    rows = [(0, "queue beat rhythm", "en", "s", 17)]
+    # queue: ueue -> 1 run; beat: ea -> 1; rhythm: y -> 1  => 3 runs, 3 words
+    _write_tbl(spark, tmp_path, "documents", rows,
+               "doc_id long, text string, lang string, source string, n_chars long")
+    r = m.queries()["text_readability"](spark, str(tmp_path)).collect()[0]
+    assert r["n_words"] == 3 and r["n_vowel_groups"] == 3
+    assert r["syll_per_100w_milli"] == 3 * 100000 // 3
+    assert r["complexity"] == "simple"
+
+
+def test_holt_linear_recurrence_exact(spark):
+    """The fold must equal the recurrence computed in Python float64
+    step-for-step (alpha=beta=0.5 halvings), and a perfectly linear
+    series must converge toward its slope with forecast_next = l + b."""
+    import datetime
+
+    from warp_spark.streaming.windows import holt_linear
+
+    xs = [10.0, 20.0, 30.0, 40.0, 50.0]
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, 0, i), 7, "purchase", x, "{}")
+        for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = sorted(
+        holt_linear(df, "ts", "user_id", "value").collect(),
+        key=lambda r: r["event_id"],
+    )
+    l, b = xs[0], 0.0
+    want = [(l, b)]
+    for x in xs[1:]:
+        ln = 0.5 * x + 0.5 * (l + b)
+        b = 0.5 * (ln - l) + 0.5 * b
+        l = ln
+        want.append((l, b))
+    for r, (wl, wb) in zip(got, want):
+        assert r["level"] == wl and r["trend"] == wb      # bit-exact
+        assert r["forecast_next"] == wl + wb
+    assert abs(got[-1]["trend"] - 10.0) < 3.0             # approaching slope
+
+
+def test_png_histogram_matches_decode(spark, tmp_path):
+    """Per-(doc, bin) counts must equal numpy's bincount of the decoded
+    pixels; empty bins are absent; counts sum to the pixel count."""
+    import numpy as np
+
+    import __spark_entry__ as m
+    from warp_spark.pipeline.codecs import decode_png, synth_png_payloads
+
+    rows = [(i, "t", "en", "s", 10) for i in range(5)]
+    _write_tbl(spark, tmp_path, "documents", rows,
+               "doc_id long, text string, lang string, source string, n_chars long")
+    out = m.queries()["multimodal_image_histogram"](spark, str(tmp_path)).collect()
+    docs = spark.read.parquet(f"{tmp_path}/documents.parquet")
+    payloads = {r["doc_id"]: bytes(r["payload"])
+                for r in synth_png_payloads(docs).collect()}
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], {})[r["bin"]] = r["n_px"]
+    for did, payload in payloads.items():
+        flat = decode_png(payload).reshape(-1).astype(np.int64)
+        counts = np.bincount(flat // 16, minlength=16)
+        want = {b: int(c) for b, c in enumerate(counts) if c}
+        assert got[did] == want
+        assert sum(got[did].values()) == flat.size

@@ -139,6 +139,12 @@ HEAVY = [
     "curation_pareto_frontier",
     # round-10: day-of-week profile — rows collapse to days immediately
     "events_seasonal_dow",
+    # round-10 second batch
+    "events_anomaly_mad",          # rollup + two bounded median passes
+    "market_concentration_hhi",    # lineitem -> (nation, supplier) cents
+    "text_readability",            # two regexp_counts per row, no shuffle
+    "events_holt_linear",          # one groupBy(user) JVM fold
+    "multimodal_image_histogram",  # decode + bincount, map-side only
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

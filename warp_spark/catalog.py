@@ -4470,6 +4470,162 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Robust anomaly detection: median/MAD outlier flags on the per-type
+# hourly revenue series — the estimator that survives the exact
+# contamination a z-score is blinded by (one huge hour inflates the
+# mean AND the stddev; the median and MAD ignore it, Hampel's rule).
+# Division-free and float-free: the series is integer cents, both
+# medians are exact lower-median order statistics (medianLow ↔ DuckDB
+# quantile_disc(0.5), both pick element ceil(n/2)), and the flag
+# compares dev > 3·MAD in integers — no ratio is ever materialized, so
+# no rounding boundary exists (the CUSUM/PMI discipline).  Scale: one
+# map-side-combinable rollup to (type, hour); both median passes run
+# per event_type over the hours-bounded artifact (744 rows/type at any
+# SF — time span, not volume); medians broadcast back.
+@register(
+    "events_anomaly_mad",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type, quantile_disc(cents, 0.5)::BIGINT AS med
+          FROM h GROUP BY 1),
+    d AS (SELECT h.event_type, h.hour, h.cents, m.med,
+                 abs(h.cents - m.med)::BIGINT AS dev
+          FROM h JOIN m USING (event_type)),
+    md AS (SELECT event_type, quantile_disc(dev, 0.5)::BIGINT AS mad
+           FROM d GROUP BY 1)
+    SELECT d.event_type, d.hour, d.cents, d.med AS med_cents,
+           d.dev AS abs_dev, md.mad AS mad_cents,
+           d.dev > 3 * md.mad AS is_anomaly
+    FROM d JOIN md USING (event_type)
+    ORDER BY 1, 2
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.median import grouped_median
+
+    h = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    med = grouped_median(
+        h, ["event_type"], "cents", variant="medianLow", out_col="__med"
+    )
+    d = h.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "hour",
+        "cents",
+        F.col("__med").cast("long").alias("med"),
+        F.abs(F.col("cents") - F.col("__med").cast("long")).alias("dev"),
+    )
+    mad = grouped_median(
+        d, ["event_type"], "dev", variant="medianLow", out_col="__mad"
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            F.col("hour").cast("timestamp_ntz").alias("hour"),
+            "cents",
+            F.col("med").alias("med_cents"),
+            F.col("dev").alias("abs_dev"),
+            F.col("__mad").cast("long").alias("mad_cents"),
+            (F.col("dev") > 3 * F.col("__mad").cast("long")).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+# Market concentration per nation: the Herfindahl–Hirschman index over
+# supplier revenue shares — the antitrust/marketplace-health statistic
+# (HHI = Σ share², here in exact ppm² so no float ever forms).  The
+# cents rule floors each line's revenue once (the IEEE product
+# price·(1−discount)·100 is bit-identical per row across engines);
+# shares are ONE exact integer division each (cents·10⁶ // total,
+# widened to decimal(38,0)/HUGEINT for headroom), and HHI sums their
+# squares as plain BIGINTs — max 10¹² per nation.  Scale: the only
+# row-level work is lineitem → (nation, supplier) cents, one shuffle
+# with map-side combine after a broadcast dim join; everything after
+# runs on |suppliers| and |nations| artifacts.
+@register(
+    "market_concentration_hhi",
+    """
+    WITH r AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             sum(floor(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT)::BIGINT
+               AS cents
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2),
+    t AS (SELECT s_nationkey, sum(cents)::BIGINT AS total,
+                 count(*)::BIGINT AS n_sup
+          FROM r GROUP BY 1),
+    sh AS (SELECT r.s_nationkey,
+                  ((r.cents::HUGEINT * 1000000) // t.total)::BIGINT AS ppm
+           FROM r JOIN t USING (s_nationkey))
+    SELECT n.n_name, t.n_sup AS n_suppliers, t.total AS total_cents,
+           sum(sh.ppm * sh.ppm)::BIGINT AS hhi_ppm2,
+           max(sh.ppm)::BIGINT AS top_share_ppm
+    FROM sh JOIN t USING (s_nationkey)
+    JOIN nation n ON n.n_nationkey = sh.s_nationkey
+    GROUP BY 1, 2, 3 ORDER BY 1
+    """,
+)
+def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").to_df().select(
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("__c"),
+    )
+    sup = _t(spark, sf_dir, "supplier").to_df().select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").to_df().select("n_nationkey", "n_name")
+    r = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum("__c").cast("long").alias("cents"))
+    )
+    t = r.groupBy("s_nationkey").agg(
+        F.sum("cents").cast("long").alias("total"),
+        F.count(F.lit(1)).alias("n_sup"),
+    )
+    sh = r.join(F.broadcast(t), "s_nationkey").select(
+        "s_nationkey",
+        "total",
+        "n_sup",
+        F.floor(
+            (F.col("cents").cast("decimal(38,0)") * F.lit(1000000))
+            / F.col("total").cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("ppm"),
+    )
+    return (
+        sh.groupBy("s_nationkey", "n_sup", "total")
+        .agg(
+            F.sum(F.col("ppm") * F.col("ppm")).cast("long").alias("hhi_ppm2"),
+            F.max("ppm").cast("long").alias("top_share_ppm"),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.col("n_sup").alias("n_suppliers"),
+            F.col("total").alias("total_cents"),
+            "hhi_ppm2",
+            "top_share_ppm",
+        )
+        .orderBy("n_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SESSION-scoped funnel: view → click-after-view → purchase-after-click
 # within one 30-minute session — the conversion number product teams
@@ -7643,6 +7799,46 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma(_events(spark, sf_dir), "ts", "user_id", "value", alpha=0.3)
 
 
+# Holt double exponential smoothing (windows.py::holt_linear): level +
+# trend per user over purchase values — the forecast-ready sibling of
+# events_ewma (forecast_next = level + trend is the one-step-ahead
+# prediction).  α = β = 0.5: every fold step is an exact halving, so
+# beyond the pinned fold order there is NO last-ulp exposure anywhere
+# (the embedding_mmr_diversify λ=1/2 lesson).  The recurrence is the
+# same one-shuffle JVM fold as ewma; the oracle recursive CTE recomputes
+# l_new inline in the trend step — both engines evaluate the identical
+# expression tree.
+@register(
+    "events_holt_linear",
+    """
+    WITH RECURSIVE e AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ),
+    r(user_id, event_id, value, rn, l, b) AS (
+      SELECT user_id, event_id, value, rn, value::DOUBLE, 0.0::DOUBLE
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.value, e.rn,
+             0.5 * e.value + 0.5 * (r.l + r.b),
+             0.5 * ((0.5 * e.value + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+      FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, value, l AS level, b AS trend,
+           l + b AS forecast_next
+    FROM r
+    """,
+)
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.streaming.windows import holt_linear
+
+    purchases = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    return holt_linear(
+        purchases, "ts", "user_id", "value", alpha=0.5, beta=0.5
+    )
+
+
 # 21st streaming execution (windows.py::ewma_stateful): the EWMA
 # recurrence as per-key O(1) state — the batch fold above carries each
 # key's FULL event list through a groupBy; the stateful form carries 8
@@ -8405,6 +8601,38 @@ def multimodal_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_decode_features(synth_png_payloads(docs))
 
 
+# Luminance histogram over REAL decoded PNGs (codecs.py::png_histogram)
+# — the image-side quality signal (all-dark / blown-out / low-contrast
+# buckets).  Same codec path as multimodal_png_real but a genuinely
+# different output contract: per-(doc, bin) exact counts, ≤16 rows per
+# image regardless of resolution — the pixels never leave the Arrow
+# kernel, only the bounded histogram does.  The oracle replays the
+# pixel rule ((doc_id·31 + i·7) mod 256) and buckets by integer
+# division; empty bins are absent on BOTH sides (kernel skips zero
+# counts, SQL GROUP BY never sees them).
+@register(
+    "multimodal_image_histogram",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             (16 + doc_id % 16) * (8 + doc_id % 8) AS n
+      FROM documents),
+    px AS (
+      SELECT doc_id, unnest(range(0, n)) AS i
+      FROM g)
+    SELECT doc_id,
+           (((doc_id * 31 + i * 7) % 256) // 16)::BIGINT AS bin,
+           count(*)::BIGINT AS n_px
+    FROM px GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.codecs import png_histogram, synth_png_payloads
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    return png_histogram(synth_png_payloads(docs)).orderBy("doc_id", "bin")
+
+
 # ---------------------------------------------------------------------------
 # REAL WAV codec round-trip: per document a deterministic int16 PCM
 # signal — sample(i) = ((doc_id·131 + i·17) mod 2048) − 1024 over
@@ -8804,6 +9032,59 @@ def events_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("isodow")
     )
+
+
+# Readability profile — the Flesch-style signal a curation pass uses
+# to bucket prose complexity.  The synthetic corpus has no sentence
+# punctuation (probed: zero [.!?] corpus-wide), so the sentence term is
+# degenerate by construction and the entry emits the non-degenerate
+# core: words, maximal-vowel-group count (the standard regex syllable
+# proxy — [aeiouy]+ counts non-overlapping runs identically in Java
+# regex and RE2/DuckDB), and syllables-per-100-words as ONE exact
+# integer division scaled ×1000 (no float ratio ever forms), plus the
+# integer-threshold complexity bucket.  Scale: embarrassingly parallel
+# single scan, two regexp_counts per row, no shuffle before the final
+# sort.
+@register(
+    "text_readability",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(lower(trim(text)), '\\s+'))::BIGINT
+               AS n_words,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+               AS n_vowel_groups
+      FROM documents)
+    SELECT doc_id, n_words, n_vowel_groups,
+           ((n_vowel_groups * 100000) // n_words)::BIGINT AS syll_per_100w_milli,
+           CASE WHEN (n_vowel_groups * 100000) // n_words < 130000 THEN 'simple'
+                WHEN (n_vowel_groups * 100000) // n_words < 160000 THEN 'standard'
+                ELSE 'complex' END AS complexity
+    FROM t ORDER BY doc_id
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    t = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_words"),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+        .cast("long")
+        .alias("n_vowel_groups"),
+    )
+    milli = F.expr("(n_vowel_groups * 100000) div n_words").cast("long")
+    return t.select(
+        "doc_id",
+        "n_words",
+        "n_vowel_groups",
+        milli.alias("syll_per_100w_milli"),
+        F.when(milli < 130000, "simple")
+        .when(milli < 160000, "standard")
+        .otherwise("complex")
+        .alias("complexity"),
+    ).orderBy("doc_id")
 
 
 # PII redaction (pipeline/text.py::redact_pii): the scrub pass every

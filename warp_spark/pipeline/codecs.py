@@ -278,6 +278,46 @@ def png_decode_features(
     return df.select(id_col, payload_col).mapInPandas(run, schema=PNG_FEATURE_SCHEMA)
 
 
+PNG_HIST_SCHEMA = "doc_id long, bin long, n_px long"
+
+
+def png_histogram(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_bins: int = 16,
+) -> DataFrame:
+    """Luminance histogram of REAL decoded PNGs — the feature an image
+    quality filter buckets on (all-dark / blown-out / low-contrast
+    detection).  One Arrow-batched pass: decode, ``np.bincount`` the
+    pixels into ``n_bins`` equal-width bins, emit one row per NONEMPTY
+    (doc, bin) — integer counts only, so the SQL oracle that replays
+    the pixel-generation rule value-matches exactly (empty bins are
+    absent on both sides because the oracle's GROUP BY never sees
+    them).  Scale shape: map-side only, output ≤ n_bins rows per image
+    regardless of resolution — the histogram is the bounded artifact,
+    the pixels never leave the kernel."""
+    if 256 % n_bins:
+        raise ValueError(f"n_bins must divide 256, got {n_bins}")
+    width = 256 // n_bins
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_png(bytes(payload))
+                flat = px.reshape(-1).astype(np.int64)
+                counts = np.bincount(flat // width, minlength=n_bins)
+                rows.extend(
+                    (int(doc_id), int(b), int(c))
+                    for b, c in enumerate(counts)
+                    if c
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "bin", "n_px"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=PNG_HIST_SCHEMA)
+
+
 WAV_FEATURE_SCHEMA = (
     "doc_id long, sample_rate long, n_samples long, n_channels long, "
     "sum_abs long, s_first long, s_last long"

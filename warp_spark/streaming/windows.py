@@ -279,6 +279,73 @@ def bottomk_sample_stateful(
     )
 
 
+def holt_linear(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    id_col: str = "event_id",
+    alpha: float = 0.5,
+    beta: float = 0.5,
+) -> DataFrame:
+    """Per-key Holt double exponential smoothing (level + trend) over
+    event time: l_1 = x_1, b_1 = 0; then
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    in (ts, id) order — the forecast-ready sibling of ``ewma`` (trend
+    makes the one-step-ahead prediction l + b meaningful).  Same
+    execution shape as ewma: one groupBy(key) shuffle, the sequential
+    recurrence as a JVM codegen fold over the sorted per-key list (no
+    Python), raw doubles out (pinned fold order → bit-identical
+    cross-engine; the default α = β = 0.5 makes every step an exact
+    halving, so there is no last-ulp exposure at all).  For unbounded
+    keys the stateful streaming form carries (l, b) — 16 bytes — per
+    key; this batch form matches the reference's running-aggregation
+    semantics (QBERankStep.swift:107-122) with a two-register
+    reducer."""
+    lst = F.sort_array(
+        F.collect_list(F.struct(F.col(ts_col), F.col(id_col), F.col(value_col)))
+    )
+    a, oa = F.lit(alpha), F.lit(1.0 - alpha)
+    b, ob = F.lit(beta), F.lit(1.0 - beta)
+    id_type = df.schema[id_col].dataType.simpleString()
+    acc0 = F.array().cast(
+        f"array<struct<{id_col}:{id_type},v:double,level:double,trend:double>>"
+    )
+
+    def _step(acc, x):
+        last = F.element_at(acc, -1)
+        first = F.size(acc) == 0
+        l_new = F.when(first, x[value_col]).otherwise(
+            a * x[value_col] + oa * (last["level"] + last["trend"])
+        )
+        b_new = F.when(first, F.lit(0.0)).otherwise(
+            b * (l_new - last["level"]) + ob * last["trend"]
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x[id_col].alias(id_col),
+                    x[value_col].alias("v"),
+                    l_new.alias("level"),
+                    b_new.alias("trend"),
+                )
+            ),
+        )
+
+    folded = df.groupBy(key_col).agg(F.aggregate(lst, acc0, _step).alias("__h"))
+    return folded.select(key_col, F.explode("__h").alias("r")).select(
+        key_col,
+        F.col(f"r.{id_col}").alias(id_col),
+        F.col("r.v").alias(value_col),
+        # raw doubles, no round (the ewma convention)
+        F.col("r.level").alias("level"),
+        F.col("r.trend").alias("trend"),
+        (F.col("r.level") + F.col("r.trend")).alias("forecast_next"),
+    )
+
+
 def ewma_stateful(
     df: DataFrame,
     ts_col: str = "ts",

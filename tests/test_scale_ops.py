@@ -2524,3 +2524,107 @@ def test_png_histogram_matches_decode(spark, tmp_path):
         want = {b: int(c) for b, c in enumerate(counts) if c}
         assert got[did] == want
         assert sum(got[did].values()) == flat.size
+
+
+def test_time_to_conversion_semantics(spark, tmp_path):
+    """Converting users report exact µs lag from first exposure to
+    first purchase; never-converting users are absent; a purchase as
+    the very first event reports lag 0."""
+    import datetime
+
+    import __spark_entry__ as m
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (0, t0, 1, "view", 1.0, "{}"),
+        (1, t0 + datetime.timedelta(microseconds=1500), 1, "purchase", 5.0, "{}"),
+        (2, t0, 2, "view", 1.0, "{}"),                      # never converts
+        (3, t0, 3, "purchase", 2.0, "{}"),                  # instant convert
+    ]
+    _write_tbl(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r["user_id"]: r for r in
+           m.queries()["events_time_to_conversion"](spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["latency_us"] == 1500
+    assert out[3]["latency_us"] == 0
+
+
+def test_fulfillment_latency_histogram_picks(spark, tmp_path):
+    """The bounded-histogram percentile pick must implement
+    quantile_disc exactly: smallest value whose cumulative count
+    reaches ceil(q·n) — checked on an even-n group where lower/upper
+    middle differ."""
+    import datetime
+
+    import __spark_entry__ as m
+
+    od = datetime.datetime(1995, 1, 1)
+    lats = [1, 2, 3, 10]  # n=4: p50 -> ceil(2)=2nd smallest = 2; p95 -> ceil(3.8)=4th = 10
+    orders = [(k, od, "1-URGENT") for k in range(4)]
+    li = [(k, od + datetime.timedelta(days=lats[k])) for k in range(4)]
+    _write_tbl(spark, tmp_path, "orders", orders,
+               "o_orderkey long, o_orderdate timestamp_ntz, o_orderpriority string")
+    _write_tbl(spark, tmp_path, "lineitem", li,
+               "l_orderkey long, l_shipdate timestamp_ntz")
+    r = m.queries()["orders_fulfillment_latency"](spark, str(tmp_path)).collect()[0]
+    assert (r["n_lines"], r["min_days"], r["p50_days"], r["p95_days"], r["max_days"]) == (
+        4, 1, 2, 10, 10
+    )
+
+
+def test_vocab_coverage_semantics(spark, tmp_path):
+    """Thresholds are powers of two plus the vocab closer; cum at a
+    threshold is the sum of the k largest gram counts regardless of
+    tiebreak; the last row covers everything (ppm = 1e6)."""
+    import __spark_entry__ as m
+
+    rows = [
+        (0, "a b c a b c a b c", "en", "s", 17),   # grams: abc x3? (3-gram windows)
+        (1, "a b c d e", "en", "s", 9),
+        (2, "x y z", "en", "s", 5),
+    ]
+    _write_tbl(spark, tmp_path, "documents", rows,
+               "doc_id long, text string, lang string, source string, n_chars long")
+    out = m.queries()["text_vocab_coverage"](spark, str(tmp_path)).collect()
+    ks = [r["k_top_grams"] for r in out]
+    # vocab: doc0 windows: abc,bca,cab,abc,bca,cab,abc -> types abc,bca,cab
+    # doc1: abc,bcd,cde ; doc2: xyz  => types {abc,bca,cab,bcd,cde,xyz} = 6
+    assert ks == [1, 2, 4, 6]
+    total = out[0]["total_instances"]
+    assert total == 7 + 3 + 1  # instances: doc0 7 windows, doc1 3, doc2 1
+    # top-1 gram is abc with 4 instances (3 from doc0 + 1 from doc1)
+    assert out[0]["covered_instances"] == 4
+    assert out[-1]["covered_instances"] == total
+    assert out[-1]["coverage_ppm"] == 1_000_000
+    # monotone non-decreasing coverage
+    cums = [r["covered_instances"] for r in out]
+    assert cums == sorted(cums)
+
+
+def test_inactivity_churn_threshold(spark, tmp_path):
+    """Idle gap is exact µs against the corpus max; the 12 h threshold
+    splits users strictly-greater-than."""
+    import datetime
+
+    import __spark_entry__ as m
+
+    t0 = datetime.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        (0, t0, 1, "view", 1.0, "{}"),                                  # frontier user
+        (1, t0 - datetime.timedelta(hours=12), 2, "view", 1.0, "{}"),   # exactly 12h: NOT churned
+        (2, t0 - datetime.timedelta(hours=12, microseconds=1), 3, "view", 1.0, "{}"),
+    ]
+    _write_tbl(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r["user_id"]: r for r in
+           m.queries()["events_inactivity_churn"](spark, str(tmp_path)).collect()}
+    assert not out[1]["churned"] and out[1]["idle_us"] == 0
+    assert not out[2]["churned"] and out[2]["idle_us"] == 12 * 3600 * 1_000_000
+    assert out[3]["churned"] and out[3]["idle_us"] == 12 * 3600 * 1_000_000 + 1

@@ -692,3 +692,20 @@ def test_ewma_streamed_equals_batch_and_carries_state(spark):
 
     per_user = Counter(r["user_id"] for r in got)
     assert max(per_user.values()) >= 3
+
+
+def test_holt_streamed_equals_batch(spark):
+    """The 3-trigger stateful Holt fold must be bit-identical to the
+    batch level/trend fold over the same purchases — 16 bytes of state
+    carrying (l, b) across micro-batch boundaries."""
+    import __spark_entry__ as m
+    from warp_spark.streaming.windows import holt_linear
+
+    sf = "/root/testdata/sf0.001"
+    got = m.queries()["events_holt_streamed"](spark, sf).collect()
+    purchases = batch_events(spark).filter(F.col("event_type") == "purchase")
+    want = holt_linear(purchases, "ts", "user_id", "value").collect()
+    key = lambda r: (r["user_id"], r["event_id"])  # noqa: E731
+    gm = {key(r): (r["level"], r["trend"], r["forecast_next"]) for r in got}
+    wm = {key(r): (r["level"], r["trend"], r["forecast_next"]) for r in want}
+    assert gm == wm

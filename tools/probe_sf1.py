@@ -145,6 +145,12 @@ HEAVY = [
     "text_readability",            # two regexp_counts per row, no shuffle
     "events_holt_linear",          # one groupBy(user) JVM fold
     "multimodal_image_histogram",  # decode + bincount, map-side only
+    # round-10 third batch
+    "events_holt_streamed",        # 22nd stream: (l,b) state, stages from sf_dir
+    "events_time_to_conversion",   # one conditional-min groupBy
+    "orders_fulfillment_latency",  # bounded-histogram percentiles
+    "events_inactivity_churn",     # one groupBy + scalar frontier
+    "text_vocab_coverage",         # gram census + two-phase prefix rank
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

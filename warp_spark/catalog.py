@@ -7839,6 +7839,339 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 22nd streaming execution (windows.py::holt_stateful): the Holt
+# level+trend recurrence as 16 bytes of state per user — the two-register
+# generalization of events_ewma_streamed, emitted exactly once per
+# purchase across three time-ordered replay batches.  α = β = 0.5 means
+# every fold step is an exact halving, so the Python stateful fold, the
+# batch JVM fold and the DuckDB recursive CTE agree bit-for-bit with no
+# last-ulp exposure anywhere.
+@register(
+    "events_holt_streamed",
+    """
+    WITH RECURSIVE e AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ),
+    r(user_id, event_id, value, rn, l, b) AS (
+      SELECT user_id, event_id, value, rn, value::DOUBLE, 0.0::DOUBLE
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.value, e.rn,
+             0.5 * e.value + 0.5 * (r.l + r.b),
+             0.5 * ((0.5 * e.value + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+      FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, value, l AS level, b AS trend,
+           l + b AS forecast_next
+    FROM r
+    """,
+)
+def events_holt_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from warp_spark.streaming import read_event_stream, run_stream_to_memory
+    from warp_spark.streaming.windows import holt_stateful
+
+    d = tempfile.mkdtemp(prefix="warp_stream_entry_")
+    name = f"holt_streamed_{uuid.uuid4().hex[:8]}"
+    try:
+        batch = (
+            _events(spark, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .withColumn(
+                "__third", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+            )
+        )
+        for i in (1, 2, 3):
+            batch.filter(F.col("__third") == i).drop("__third").coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{d}/chunk{i}")
+            part = glob.glob(f"{d}/chunk{i}/part-*.parquet")[0]
+            os.rename(part, f"{d}/file_{i:03d}.parquet")
+            shutil.rmtree(f"{d}/chunk{i}", ignore_errors=True)
+            os.utime(f"{d}/file_{i:03d}.parquet", (1_700_000_000 + i,) * 2)
+        ev = read_event_stream(spark, d, max_files_per_trigger=1)
+        if dict(ev.dtypes)["ts"] == "timestamp_ntz":
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        out = holt_stateful(ev)
+        run_stream_to_memory(out, name, output_mode="update")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name).select(
+        "user_id", "event_id", "value", "level", "trend", "forecast_next"
+    )
+
+
+# Time-to-conversion: per converting user the lag between first
+# exposure (any event) and first purchase — the activation metric
+# growth teams track.  ONE shuffle: both firsts are conditional mins in
+# a single groupBy (no self-join of events to events); the lag is exact
+# integer microseconds (unix_micros ↔ epoch_us, the UTC-identity cast
+# convention for TIMESTAMP_NTZ).  Non-converting users drop via the
+# NULL conditional min.
+@register(
+    "events_time_to_conversion",
+    """
+    SELECT user_id,
+           min(ts) AS first_seen,
+           min(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase,
+           (epoch_us(min(ts) FILTER (WHERE event_type = 'purchase'))
+            - epoch_us(min(ts)))::BIGINT AS latency_us
+    FROM events
+    GROUP BY user_id
+    HAVING min(ts) FILTER (WHERE event_type = 'purchase') IS NOT NULL
+    ORDER BY user_id
+    """,
+)
+def events_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    first_p = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    )
+    g = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__fs"), first_p.alias("__fp")
+    ).filter(F.col("__fp").isNotNull())
+    return g.select(
+        "user_id",
+        F.col("__fs").cast("timestamp_ntz").alias("first_seen"),
+        F.col("__fp").cast("timestamp_ntz").alias("first_purchase"),
+        (
+            F.unix_micros(F.col("__fp").cast("timestamp"))
+            - F.unix_micros(F.col("__fs").cast("timestamp"))
+        )
+        .cast("long")
+        .alias("latency_us"),
+    ).orderBy("user_id")
+
+
+# Inactivity churn flags: per user the idle gap between their last
+# event and the corpus frontier (max ts), with a 12-hour churn
+# threshold — PROBED first (the events_cohort_ltv dimension lesson):
+# every user stays day-active at all SFs (max idle 1-2 days), so a
+# days-scale threshold would be degenerate; at 12 h the split is real
+# at every SF (5/15, 40/150, 489/1500).  Exact integer microseconds;
+# the corpus max inlines as a literal via _scalar_join; one
+# map-side-combinable groupBy is the only row-level pass.
+@register(
+    "events_inactivity_churn",
+    """
+    WITH u AS (
+      SELECT user_id, max(ts) AS last_seen, count(*)::BIGINT AS n_events
+      FROM events GROUP BY 1),
+    m AS (SELECT max(ts) AS mx FROM events)
+    SELECT user_id, last_seen, n_events,
+           (epoch_us(mx) - epoch_us(last_seen))::BIGINT AS idle_us,
+           (epoch_us(mx) - epoch_us(last_seen)) > 43200000000::BIGINT
+             AS churned
+    FROM u, m ORDER BY user_id
+    """,
+)
+def events_inactivity_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.max("ts").alias("__ls"), F.count(F.lit(1)).alias("n_events")
+    )
+    m = ev.agg(
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("__mx")
+    )
+    idle = F.col("__mx") - F.unix_micros(F.col("__ls").cast("timestamp"))
+    return (
+        _scalar_join(u, m)
+        .select(
+            "user_id",
+            F.col("__ls").cast("timestamp_ntz").alias("last_seen"),
+            "n_events",
+            idle.cast("long").alias("idle_us"),
+            (idle > F.lit(43_200_000_000)).alias("churned"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# Vocabulary coverage curve: the share of all 3-gram INSTANCES covered
+# by the top-k gram types at power-of-two k — the statistic a tokenizer
+# vocabulary size is chosen from (complements text_zipf_spectrum's
+# frequency decay and text_heaps_growth's type growth).  Tie-safe by
+# construction: cum at rank k sums the k largest counts, and boundary
+# ties share the same count, so the value is IDENTICAL under any
+# tiebreak — Spark ranks hashed grams, the oracle ranks gram strings,
+# and the emitted (k, cum) pairs still match exactly.  Scale: gram
+# instances collapse to the distinct-gram count table in one hash agg
+# (text never shuffles — 8-byte hashes do); the global rank + running
+# sum ride Dataset.rank's two-phase range-partitioned prefix path (no
+# single-task window); thresholds and totals are scalar artifacts.
+@register(
+    "text_vocab_coverage",
+    """
+    WITH toks AS (
+      SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+      FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(range(1, len(tk) - 3 + 2),
+             i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS g
+      FROM toks WHERE len(tk) >= 3),
+    gc AS (SELECT g, count(*)::BIGINT AS c FROM grams GROUP BY 1),
+    v AS (SELECT count(*)::BIGINT AS vocab, sum(c)::BIGINT AS total FROM gc),
+    th AS (SELECT DISTINCT t FROM (
+             SELECT (1::BIGINT << j) AS t
+             FROM (SELECT unnest(range(0, 62)) AS j), v
+             WHERE (1::BIGINT << j) <= vocab
+             UNION ALL
+             SELECT vocab FROM v)),
+    r AS (SELECT row_number() OVER (ORDER BY c DESC, g) AS rk,
+                 sum(c) OVER (ORDER BY c DESC, g
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+          FROM gc)
+    SELECT r.rk AS k_top_grams,
+           r.cum::BIGINT AS covered_instances,
+           (SELECT total FROM v) AS total_instances,
+           ((r.cum::BIGINT * 1000000) // (SELECT total FROM v))::BIGINT
+             AS coverage_ppm
+    FROM r JOIN th ON th.t = r.rk
+    ORDER BY 1
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.dataset import Dataset, Order
+    from warp_spark.pipeline.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    tk = "_vc_tokens"
+    # two projections: tokens staged under an alias so the tokenizer
+    # runs once per doc, not once per gram (the ngram_hashes discipline)
+    gh = (
+        docs.select(tokens(F.col("text")).alias(tk))
+        .select(
+            F.explode(
+                F.when(
+                    F.size(F.col(tk)) >= 3,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(F.col(tk)) - F.lit(2)),
+                        lambda i: F.xxhash64(
+                            F.concat_ws(" ", F.slice(F.col(tk), i, 3))
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<bigint>"))
+            ).alias("gh")
+        )
+    )
+    gc = gh.groupBy("gh").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    v = gc.agg(
+        F.count(F.lit(1)).alias("__vocab"), F.sum("c").alias("__total")
+    ).first()
+    vocab, total = int(v["__vocab"]), int(v["__total"])
+    ts = [1 << j for j in range(62) if (1 << j) <= vocab]
+    if not ts or ts[-1] != vocab:
+        ts.append(vocab)
+    ranked = (
+        Dataset(gc)
+        .rank(
+            {
+                "rk": Aggregator(F.col("gh"), "countAll"),
+                "cum": Aggregator(F.col("c"), "sum"),
+            },
+            by=[Order(F.col("c"), ascending=False), Order(F.col("gh"))],
+        )
+        .to_df()
+    )
+    return (
+        ranked.filter(F.col("rk").isin([int(t) for t in ts]))
+        .select(
+            F.col("rk").cast("long").alias("k_top_grams"),
+            F.col("cum").cast("long").alias("covered_instances"),
+            F.lit(total).cast("long").alias("total_instances"),
+            F.expr(f"(cast(cum as bigint) * 1000000) div {total}")
+            .cast("long")
+            .alias("coverage_ppm"),
+        )
+        .orderBy("k_top_grams")
+    )
+
+
+# Order-fulfillment latency percentiles per order priority — exact
+# order statistics WITHOUT a per-priority row window: latencies are
+# bounded small integers (ship − order in days, 1..121 in TPC-H), so
+# the entry aggregates (priority, latency_days) counts first — the
+# 100 TB design: the only row-level pass is one map-side-combinable
+# groupBy; the percentile pick then runs on the ≤|priorities|·121-row
+# artifact via cumulative counts (smallest latency whose running count
+# reaches ceil(q·n) — exactly DuckDB's quantile_disc).  Compare
+# events_hourly_percentiles, which windows rows per hour: here the
+# value domain is bounded instead, so the histogram form wins at any
+# scale.
+@register(
+    "orders_fulfillment_latency",
+    """
+    WITH j AS (
+      SELECT o.o_orderpriority,
+             (l.l_shipdate::DATE - o.o_orderdate::DATE)::BIGINT AS lat_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n_lines,
+           min(lat_days)::BIGINT AS min_days,
+           quantile_disc(lat_days, 0.5)::BIGINT AS p50_days,
+           quantile_disc(lat_days, 0.95)::BIGINT AS p95_days,
+           max(lat_days)::BIGINT AS max_days
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").to_df().select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").to_df().select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("lat_days"),
+    )
+    # histogram form: rows collapse to (priority, lat_days) immediately
+    h = j.groupBy("o_orderpriority", "lat_days").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("lat_days")
+    wp = Window.partitionBy("o_orderpriority")
+    cum = h.select(
+        "o_orderpriority",
+        "lat_days",
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("__cum"),
+        F.sum("c").over(wp).alias("__n"),
+        F.min("lat_days").over(wp).alias("min_days"),
+        F.max("lat_days").over(wp).alias("max_days"),
+    )
+    pick = lambda num, den: F.min(  # noqa: E731
+        F.when(
+            F.col("__cum") >= F.expr(f"(__n * {num} + {den - 1}) div {den}"),
+            F.col("lat_days"),
+        )
+    )
+    return (
+        cum.groupBy("o_orderpriority")
+        .agg(
+            F.max("__n").cast("long").alias("n_lines"),
+            F.min("min_days").cast("long").alias("min_days"),
+            pick(1, 2).cast("long").alias("p50_days"),
+            pick(19, 20).cast("long").alias("p95_days"),
+            F.max("max_days").cast("long").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # 21st streaming execution (windows.py::ewma_stateful): the EWMA
 # recurrence as per-key O(1) state — the batch fold above carries each
 # key's FULL event list through a groupBy; the stateful form carries 8

@@ -403,6 +403,68 @@ def ewma_stateful(
     )
 
 
+def holt_stateful(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.5,
+    beta: float = 0.5,
+) -> DataFrame:
+    """Streaming Holt level+trend smoothing — the ``holt_linear`` batch
+    fold as 16 bytes of state per key (the last level and trend); each
+    arrival folds the two-register recurrence and is emitted exactly
+    once.  Same bit-exactness pinning as ewma_stateful: identical
+    (ts, id) walk order, identical IEEE expression tree (and with the
+    α = β = 0.5 defaults every step is an exact halving, so there is no
+    last-ulp exposure at all).  The batch form carries each key's full
+    history through a groupBy; this form is the unbounded-stream
+    shape."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    oa, ob = 1.0 - alpha, 1.0 - beta
+    out_schema = (
+        f"{key_col} long, {id_col} long, {value_col} double, "
+        "level double, trend double, forecast_next double"
+    )
+    state_schema = "l double, b double"
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        l, b = state.get if state.exists else (None, None)
+        rows = []
+        for pdf in pdfs:
+            us = pdf[ts_col].astype("datetime64[ns]").astype("int64") // 1000
+            for _, eid, val in sorted(
+                zip(
+                    (int(x) for x in us),
+                    (int(x) for x in pdf[id_col]),
+                    (float(x) for x in pdf[value_col]),
+                )
+            ):
+                if l is None:
+                    l, b = val, 0.0
+                else:
+                    ln = alpha * val + oa * (l + b)
+                    b = beta * (ln - l) + ob * b
+                    l = ln
+                rows.append((key[0], eid, val, l, b, l + b))
+        if l is not None:
+            state.update((l, b))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[key_col, id_col, value_col, "level", "trend",
+                         "forecast_next"],
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     name: str,

@@ -2628,3 +2628,113 @@ def test_inactivity_churn_threshold(spark, tmp_path):
     assert not out[1]["churned"] and out[1]["idle_us"] == 0
     assert not out[2]["churned"] and out[2]["idle_us"] == 12 * 3600 * 1_000_000
     assert out[3]["churned"] and out[3]["idle_us"] == 12 * 3600 * 1_000_000 + 1
+
+
+def test_engagement_gini_extremes(spark, tmp_path):
+    """Uniform counts score exactly 0; heavy concentration approaches 1
+    — both verified against the closed rank form by hand."""
+    import datetime
+
+    import __spark_entry__ as m
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def run(counts):
+        rows, eid = [], 0
+        for uid, c in enumerate(counts):
+            for _ in range(c):
+                rows.append((eid, t0, uid, "view", 1.0, "{}"))
+                eid += 1
+        _write_tbl(
+            spark, tmp_path, "events", rows,
+            "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+            " value double, props string",
+        )
+        return m.queries()["events_engagement_gini"](spark, str(tmp_path)).collect()[0]
+
+    r = run([5, 5, 5, 5])
+    assert r["gini_ppm"] == 0
+    r = run([1, 1, 1, 97])
+    # s = 1+2+3+4*97 = 394; (2*394 - 5*100)*1e6 // (4*100) = 288e6 // 400
+    assert r["gini_ppm"] == (2 * 394 - 5 * 100) * 1_000_000 // (4 * 100)
+    assert r["rank_weighted_sum"] == 394
+
+
+def test_audio_energy_matches_decode(spark, tmp_path):
+    """Energy/peak/loud-count must equal numpy over the decoded
+    samples — the kernel is audited against the real codec, the oracle
+    against the generation rule."""
+    import numpy as np
+
+    import __spark_entry__ as m
+    from warp_spark.pipeline.codecs import decode_wav, synth_wav_payloads
+
+    rows = [(i, "t", "en", "s", 10) for i in range(7)]
+    _write_tbl(spark, tmp_path, "documents", rows,
+               "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r["doc_id"]: r for r in
+           m.queries()["multimodal_audio_energy"](spark, str(tmp_path)).collect()}
+    docs = spark.read.parquet(f"{tmp_path}/documents.parquet")
+    for r in synth_wav_payloads(docs).collect():
+        s, _ = decode_wav(bytes(r["payload"]))
+        flat = s.reshape(-1).astype(np.int64)
+        got = out[r["doc_id"]]
+        assert got["energy"] == int((flat * flat).sum())
+        assert got["peak"] == int(np.abs(flat).max())
+        assert got["n_loud"] == int((np.abs(flat) >= 1000).sum())
+        assert got["n_samples"] == flat.size
+
+
+def test_jaccard_links_semantics(spark):
+    """A path x–a–y predicts (x, y) with cn=1, union=1 (ppm 10^6);
+    adjacent pairs are excluded; a square predicts both diagonals."""
+    from warp_spark.pipeline.graph import jaccard_links
+
+    # square 1-2-3-4-1: diagonals (1,3) and (2,4) share 2 neighbors
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    out = {(r["x"], r["y"]): r for r in jaccard_links(edges, k=10).collect()}
+    assert set(out) == {(1, 3), (2, 4)}
+    for r in out.values():
+        assert r["cn"] == 2 and r["un"] == 2 and r["jacc_ppm"] == 1_000_000
+
+    # path x(10)-a(11)-y(12): predict (10, 12) only
+    edges = spark.createDataFrame([(10, 11), (11, 12)], "src long, dst long")
+    out = jaccard_links(edges, k=10).collect()
+    assert [(r["x"], r["y"], r["cn"], r["un"], r["jacc_ppm"]) for r in out] == [
+        (10, 12, 1, 1, 1_000_000)
+    ]
+
+
+def test_pq_reconstruction_matches_numpy(spark):
+    """The audit kernel's cosine must equal a driver-side numpy
+    reconstruction for every vector, and corrupting a code must lower
+    that vector's cosine."""
+    import numpy as np
+
+    from warp_spark.catalog import _ensure_ann_index, _t
+    from warp_spark.pipeline.similarity import (
+        load_ivfpq_index,
+        pq_reconstruction,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    path = _ensure_ann_index(spark, sf)
+    _c, codebooks, codes, storage = load_ivfpq_index(spark, path)
+    got = {r["vec_id"]: r["recon_cos"]
+           for r in pq_reconstruction(codes, storage, codebooks).collect()}
+    books = np.stack([np.array(b, dtype=np.float64) for b in codebooks])
+    rows = codes.join(
+        storage, codes["neighbor_id"] == storage["vec_id"]
+    ).select("vec_id", "codes", "embedding").limit(25).collect()
+    for r in rows:
+        x = np.array(r["embedding"], dtype=np.float64)
+        x = x / np.linalg.norm(x)
+        rec = np.concatenate([books[j][c] for j, c in enumerate(r["codes"])])
+        want = round(float(x @ rec / np.linalg.norm(rec)), 6)
+        assert got[r["vec_id"]] == want
+        bad = list(r["codes"])
+        bad[0] = (bad[0] + 16) % 32
+        rec_bad = np.concatenate([books[j][c] for j, c in enumerate(bad)])
+        assert float(x @ rec_bad / np.linalg.norm(rec_bad)) < want

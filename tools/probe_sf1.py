@@ -151,6 +151,11 @@ HEAVY = [
     "orders_fulfillment_latency",  # bounded-histogram percentiles
     "events_inactivity_churn",     # one groupBy + scalar frontier
     "text_vocab_coverage",         # gram census + two-phase prefix rank
+    # round-10 fourth batch
+    "events_engagement_gini",      # two-phase rank + one scalar agg
+    "multimodal_audio_energy",     # decode + sum-of-squares, map-side
+    "graph_jaccard_links",         # wedge census + degree joins
+    "ann_index_recon_audit",       # codes-storage join + Arrow recon
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -7996,6 +7996,71 @@ def events_inactivity_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Engagement inequality: the Gini coefficient of per-user event counts
+# — the concentration statistic behind "how skewed is our traffic"
+# (and the skew-planning input for partition sizing).  Exact and
+# division-minimal via the rank form G = (2·Σ i·xᵢ − (n+1)·T)/(n·T)
+# over ascending-sorted x: every accumulator is an exact integer
+# (rank-weighted sum Σ i·xᵢ widened to decimal(38,0)/HUGEINT), and the
+# coefficient materializes as ONE floor division to ppm.  Tie-safe:
+# (x, user_id) is a unique total order, and Σ i·x over a tie block is
+# order-invariant anyway.  Scale: the global ranks ride Dataset.rank's
+# two-phase range-partitioned prefix (no single-task window); the rest
+# is one scalar aggregate.
+@register(
+    "events_engagement_gini",
+    """
+    WITH u AS (SELECT user_id, count(*)::BIGINT AS x FROM events GROUP BY 1),
+    r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM u),
+    t AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS tot,
+                 sum(i::HUGEINT * x)::HUGEINT AS s
+          FROM r)
+    SELECT n AS n_users, tot AS total_events, s::BIGINT AS rank_weighted_sum,
+           (((2::HUGEINT * s - (n + 1)::HUGEINT * tot) * 1000000)
+            // (n::HUGEINT * tot))::BIGINT AS gini_ppm
+    FROM t
+    """,
+)
+def events_engagement_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.dataset import Dataset, Order
+
+    u = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    ranked = (
+        Dataset(u)
+        .rank(
+            {"i": Aggregator(F.col("user_id"), "countAll")},
+            by=[Order(F.col("x")), Order(F.col("user_id"))],
+        )
+        .to_df()
+    )
+    t = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("tot"),
+        F.sum(
+            F.col("i").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)")
+        ).alias("s"),
+    )
+    return t.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("tot").cast("long").alias("total_events"),
+        F.col("s").cast("long").alias("rank_weighted_sum"),
+        F.floor(
+            (
+                (F.lit(2).cast("decimal(38,0)") * F.col("s")
+                 - (F.col("n") + F.lit(1)) * F.col("tot"))
+                * F.lit(1000000)
+            )
+            / (F.col("n") * F.col("tot"))
+        )
+        .cast("long")
+        .alias("gini_ppm"),
+    )
+
+
 # Vocabulary coverage curve: the share of all 3-gram INSTANCES covered
 # by the top-k gram types at power-of-two k — the statistic a tokenizer
 # vocabulary size is chosen from (complements text_zipf_spectrum's
@@ -8934,6 +8999,41 @@ def multimodal_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_decode_features(synth_png_payloads(docs))
 
 
+# Audio loudness profile over REAL decoded WAV clips
+# (codecs.py::wav_energy_features): energy = Σ v² of the int16 samples
+# (exact int64), peak amplitude, and the loud-sample count at |v| ≥
+# 1000 — the silence/clipping signal an audio curation pass buckets
+# on.  The oracle replays the generation rule
+# ((doc_id·131 + i·17) mod 2048) − 1024 over 64 + id%64 samples —
+# integers end to end.  Map-side only; one row per clip regardless of
+# length.
+@register(
+    "multimodal_audio_energy",
+    """
+    WITH g AS (
+      SELECT doc_id, 64 + doc_id % 64 AS n
+      FROM documents),
+    px AS (
+      SELECT doc_id, unnest(range(0, n)) AS i
+      FROM g),
+    s AS (
+      SELECT doc_id, ((doc_id * 131 + i * 17) % 2048) - 1024 AS v
+      FROM px)
+    SELECT doc_id,
+           count(*)::BIGINT AS n_samples,
+           sum(v * v)::BIGINT AS energy,
+           max(abs(v))::BIGINT AS peak,
+           sum(CASE WHEN abs(v) >= 1000 THEN 1 ELSE 0 END)::BIGINT AS n_loud
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.codecs import synth_wav_payloads, wav_energy_features
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    return wav_energy_features(synth_wav_payloads(docs)).orderBy("doc_id")
+
+
 # Luminance histogram over REAL decoded PNGs (codecs.py::png_histogram)
 # — the image-side quality signal (all-dark / blown-out / low-contrast
 # buckets).  Same codec path as multimodal_png_real but a genuinely
@@ -9646,6 +9746,43 @@ def ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PQ reconstruction audit of the persisted index
+# (similarity.py::pq_reconstruction): decode every vector's codes back
+# through the codebooks and check cosine(original, reconstruction)
+# against a floor — the quantization-error diagnostic a vector store
+# runs after (re)training, and the third leg of the persisted-index
+# tier (persist → audit → probe).  Measured recon distribution on
+# these embeddings: min 0.755-0.79, mean 0.875 — the 0.70 floor has
+# margin at every SF while still failing on any codebook/codes
+# mismatch (a single wrong code row drops its cosine toward 0).
+# n_vectors is the differential column; coverage_complete pins one
+# audited row per corpus vector.
+@register(
+    "ann_index_recon_audit",
+    """
+    SELECT count(*)::BIGINT   AS n_vectors,
+           CAST(0.7 AS DOUBLE) AS recon_floor,
+           true               AS min_ge_floor,
+           true               AS coverage_complete
+    FROM embeddings
+    """,
+)
+def ann_index_recon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.similarity import load_ivfpq_index, pq_reconstruction
+
+    path = _ensure_ann_index(spark, sf_dir)
+    _centroids, codebooks, codes, storage = load_ivfpq_index(spark, path)
+    audited = pq_reconstruction(codes, storage, codebooks)
+    return audited.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.lit(0.7).alias("recon_floor"),
+        (F.min("recon_cos") >= 0.7).alias("min_ge_floor"),
+        (F.countDistinct("vec_id") == F.count(F.lit(1))).alias(
+            "coverage_complete"
+        ),
+    )
+
+
 # Persistable ANN index, query half (similarity.py::ivfpq_probe): load
 # the four artifacts and answer top-k WITHOUT retraining — centroids
 # and codebooks are the only collected pieces (O(model)); the codes
@@ -10276,6 +10413,59 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("triangles").desc(), "l_partkey")
         .limit(20)
     )
+
+
+# Link prediction over the part co-purchase graph
+# (pipeline/graph.py::jaccard_links, Liben-Nowell & Kleinberg CIKM'03):
+# the top-20 non-adjacent part pairs by neighborhood Jaccard — "these
+# two parts are bought with the same things but never together", the
+# recommender candidate generator.  Intersection = wedge census,
+# union by inclusion–exclusion, score as ONE exact ppm floor division
+# — rank order is engine-identical because every compared value is an
+# integer.  The oracle replays the identical census in SQL.
+@register(
+    "graph_jaccard_links",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                      greatest(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey),
+    sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    deg AS (SELECT u AS node, count(*)::BIGINT AS deg FROM sym GROUP BY 1),
+    cn AS (
+      SELECT w1.v AS x, w2.v AS y, count(*)::BIGINT AS cn
+      FROM sym w1 JOIN sym w2 ON w1.u = w2.u
+      WHERE w1.v < w2.v
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT cn.* FROM cn
+      LEFT JOIN e0 ON e0.u = cn.x AND e0.v = cn.y
+      WHERE e0.u IS NULL),
+    scored AS (
+      SELECT c.x, c.y, c.cn,
+             (dx.deg + dy.deg - c.cn)::BIGINT AS un,
+             ((c.cn * 1000000) // (dx.deg + dy.deg - c.cn))::BIGINT AS jacc_ppm
+      FROM cand c
+      JOIN deg dx ON dx.node = c.x
+      JOIN deg dy ON dy.node = c.y)
+    SELECT x, y, cn, un, jacc_ppm
+    FROM scored
+    ORDER BY jacc_ppm DESC, x, y
+    LIMIT 20
+    """,
+)
+def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.graph import jaccard_links
+
+    li = _t(spark, sf_dir, "lineitem").to_df().select("l_orderkey", "l_partkey")
+    other = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
+    edges = (
+        li.join(other, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("dst"))
+        .select(F.col("l_partkey").alias("src"), "dst")
+    )
+    return jaccard_links(edges, k=20)
 
 
 # ---------------------------------------------------------------------------

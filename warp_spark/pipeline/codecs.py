@@ -324,6 +324,47 @@ WAV_FEATURE_SCHEMA = (
 )
 
 
+WAV_ENERGY_SCHEMA = (
+    "doc_id long, n_samples long, energy long, peak long, n_loud long"
+)
+
+
+def wav_energy_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    loud_threshold: int = 1000,
+) -> DataFrame:
+    """Loudness profile of REAL decoded WAV clips — the audio quality
+    signal a curation pass buckets on (silence / clipping detection).
+    All-integer outputs: energy = Σ v² (int16 samples, exact in
+    int64), peak = max |v|, n_loud = count of samples at or above the
+    threshold — so the SQL oracle that replays the sample-generation
+    rule value-matches with no float discipline.  Map-side only, one
+    row out per clip regardless of length."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                s, _rate = decode_wav(bytes(payload))
+                flat = s.reshape(-1).astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(flat.size),
+                        int((flat * flat).sum()),
+                        int(np.abs(flat).max()),
+                        int((np.abs(flat) >= loud_threshold).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "energy", "peak", "n_loud"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=WAV_ENERGY_SCHEMA)
+
+
 def wav_decode_features(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:

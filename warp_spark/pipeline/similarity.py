@@ -1025,6 +1025,62 @@ def persist_ivfpq_index(
     return {"n_centroids": n_centroids, "m": m, "n_codes": n_codes}
 
 
+def pq_reconstruction(
+    codes: DataFrame,
+    storage: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector PQ reconstruction quality of a persisted index:
+    decode each vector's codes back through the codebooks and emit
+    cosine(original, reconstruction) rounded to 6 places (the ANN-tier
+    float convention).  The quantization-error audit a production
+    vector store runs after (re)training — a codebook drifted from the
+    corpus shows up here before recall drops.  One hash join (codes ↔
+    storage on the id) + one Arrow kernel; output is one row per
+    vector, no raw vectors leave the executor."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    books = np.stack([np.array(b, dtype=np.float64) for b in codebooks])
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("recon_cos", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.array(v, dtype=np.float64) for v in pdf["__vec"]]
+            )
+            x = x / np.linalg.norm(x, axis=1, keepdims=True)
+            c = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            rec = np.concatenate(
+                [books[j][c[:, j]] for j in range(len(books))], axis=1
+            )
+            cos = (x * rec).sum(axis=1) / np.linalg.norm(rec, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["__id"].to_numpy(),
+                    "recon_cos": cos.round(6),
+                }
+            )
+
+    joined = codes.join(
+        storage.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+        ),
+        codes["neighbor_id"] == F.col("__id"),
+    ).select("__id", "__vec", "codes")
+    return joined.mapInPandas(run, schema)
+
+
 def load_ivfpq_index(spark: SparkSession, path: str):
     """Load a persist_ivfpq_index layout.  Returns (centroids,
     codebooks, codes_df, storage_df) in exactly the shapes ivfpq_probe

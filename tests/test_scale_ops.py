@@ -2738,3 +2738,52 @@ def test_pq_reconstruction_matches_numpy(spark):
         bad[0] = (bad[0] + 16) % 32
         rec_bad = np.concatenate([books[j][c] for j, c in enumerate(bad)])
         assert float(x @ rec_bad / np.linalg.norm(rec_bad)) < want
+
+
+def test_open_backlog_event_diff(spark, tmp_path):
+    """+1/−1 census: overlapping orders stack, the day after the last
+    close returns to zero, and an order open-and-closed the same day
+    contributes +1 that day and −1 the next."""
+    import datetime
+
+    import __spark_entry__ as m
+
+    d = lambda s: datetime.datetime(2024, 1, s)  # noqa: E731
+    orders = [(1, d(1)), (2, d(2)), (3, d(2))]
+    li = [(1, d(3)), (2, d(2)), (3, d(5))]  # order1 open 1-3, order2 2-2, order3 2-5
+    _write_tbl(spark, tmp_path, "orders", orders,
+               "o_orderkey long, o_orderdate timestamp_ntz")
+    _write_tbl(spark, tmp_path, "lineitem", li,
+               "l_orderkey long, l_shipdate timestamp_ntz")
+    out = {str(r["day"]): r for r in
+           m.queries()["orders_open_backlog"](spark, str(tmp_path)).collect()}
+    assert out["2024-01-01"]["backlog"] == 1
+    assert out["2024-01-02"]["backlog"] == 3      # all three open
+    assert out["2024-01-03"]["backlog"] == 2      # order2 closed (1st..2nd)
+    assert out["2024-01-04"]["backlog"] == 1      # order1 closed after 3rd
+    assert out["2024-01-06"]["backlog"] == 0      # order3 closed after 5th
+    assert out["2024-01-02"]["n_opened"] == 2
+
+
+def test_dau_wau_cover_explode(spark, tmp_path):
+    """WAU at day d counts users active in [d-6, d]; stickiness is the
+    exact ppm ratio; a user active once stays in WAU for 7 days."""
+    import datetime
+
+    import __spark_entry__ as m
+
+    t = lambda s, u: (s * 100 + u, datetime.datetime(2024, 1, s), u, "view", 1.0, "{}")  # noqa: E731
+    rows = [t(1, 1), t(1, 2), t(8, 1)]  # u2 active only day 1; u1 days 1 and 8
+    _write_tbl(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {str(r["day"]): r for r in
+           m.queries()["events_dau_wau_stickiness"](spark, str(tmp_path)).collect()}
+    # only days with DAU>0 emit (inner join): Jan 1 and Jan 8
+    assert set(out) == {"2024-01-01", "2024-01-08"}
+    assert out["2024-01-01"]["dau"] == 2 and out["2024-01-01"]["wau"] == 2
+    # on Jan 8, day-1 actives have aged out of the trailing window (1+6=7 < 8)
+    assert out["2024-01-08"]["dau"] == 1 and out["2024-01-08"]["wau"] == 1
+    assert out["2024-01-01"]["stickiness_ppm"] == 1_000_000

@@ -156,6 +156,9 @@ HEAVY = [
     "multimodal_audio_energy",     # decode + sum-of-squares, map-side
     "graph_jaccard_links",         # wedge census + degree joins
     "ann_index_recon_audit",       # codes-storage join + Arrow recon
+    # round-10 fifth batch
+    "orders_open_backlog",         # +1/-1 census, days-bounded window
+    "events_dau_wau_stickiness",   # cover-explode trailing distinct
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

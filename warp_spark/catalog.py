@@ -8162,6 +8162,127 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Open-order backlog over time — the classic concurrent-intervals
+# census via the +1/−1 event-diff trick: an order is open from its
+# orderdate through its last shipment day (max l_shipdate), so emit +1
+# at open and −1 the day after close and running-sum the deltas.  No
+# interval join, no per-day explode of the orders table: the only
+# row-level work is one groupBy(orderkey) for close dates and one
+# groupBy(day) for deltas; the running sum runs on the days-bounded
+# artifact (≤ ~2500 distinct days at any SF — time span, not volume;
+# the CUSUM precedent).  Sparse output: one row per day whose delta is
+# nonzero — the backlog is constant in between.
+@register(
+    "orders_open_backlog",
+    """
+    WITH close AS (
+      SELECT l_orderkey, max(l_shipdate)::DATE AS close_day
+      FROM lineitem GROUP BY 1),
+    iv AS (
+      SELECT o.o_orderdate::DATE AS open_day, c.close_day
+      FROM orders o JOIN close c ON o.o_orderkey = c.l_orderkey),
+    deltas AS (
+      SELECT open_day AS day, 1 AS d FROM iv
+      UNION ALL
+      SELECT close_day + 1, -1 FROM iv),
+    byday AS (
+      SELECT day, sum(d)::BIGINT AS delta,
+             sum(CASE WHEN d = 1 THEN 1 ELSE 0 END)::BIGINT AS n_opened,
+             sum(CASE WHEN d = -1 THEN 1 ELSE 0 END)::BIGINT AS n_closed
+      FROM deltas GROUP BY 1)
+    SELECT day, n_opened, n_closed,
+           sum(delta) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)::BIGINT AS backlog
+    FROM byday ORDER BY day
+    """,
+)
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").to_df()
+    orders = _t(spark, sf_dir, "orders").to_df()
+    close = li.groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("close_day")
+    )
+    iv = orders.join(close, orders["o_orderkey"] == close["l_orderkey"]).select(
+        F.col("o_orderdate").cast("date").alias("open_day"), "close_day"
+    )
+    deltas = iv.select(F.col("open_day").alias("day"), F.lit(1).alias("d")).union(
+        iv.select(F.date_add("close_day", 1).alias("day"), F.lit(-1).alias("d"))
+    )
+    byday = deltas.groupBy("day").agg(
+        F.sum("d").cast("long").alias("delta"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("long").alias("n_opened"),
+        F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).cast("long").alias("n_closed"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return byday.select(
+        "day",
+        "n_opened",
+        "n_closed",
+        F.sum("delta").over(w).cast("long").alias("backlog"),
+    ).orderBy("day")
+
+
+# DAU/WAU stickiness — the engagement-frequency ratio every growth
+# dashboard tracks (WAU = trailing-7-day actives).  The trailing
+# distinct count never runs a sliding distinct window: each (user, day)
+# pair COVER-EXPLODES to the ≤7 future days it keeps the user active
+# for (the events_active_users pattern), then one hash aggregation
+# counts distinct users per target day — Θ(user-days·7) work,
+# map-side-parallel, no per-day re-scan.  Stickiness ships as the
+# exact ppm integer division.
+@register(
+    "events_dau_wau_stickiness",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day
+      FROM events),
+    span AS (SELECT max(day) AS mx FROM ud),
+    dau AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY 1),
+    cover AS (
+      SELECT user_id, day + j::INTEGER AS tday
+      FROM ud, (SELECT unnest(range(0, 7)) AS j)),
+    wau AS (
+      SELECT tday AS day, count(DISTINCT user_id)::BIGINT AS wau
+      FROM cover, span WHERE tday <= mx GROUP BY 1)
+    SELECT d.day, d.dau, w.wau,
+           ((d.dau * 1000000) // w.wau)::BIGINT AS stickiness_ppm
+    FROM dau d JOIN wau w USING (day)
+    ORDER BY d.day
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    mx = ud.agg(F.max("day").alias("__mx"))
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    cover = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("j"),
+        "day",
+    ).select("user_id", F.expr("date_add(day, j)").alias("day"))
+    wau = (
+        _scalar_join(cover, mx)
+        .filter(F.col("day") <= F.col("__mx"))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("(dau * 1000000) div wau").cast("long").alias("stickiness_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
 # Order-fulfillment latency percentiles per order priority — exact
 # order statistics WITHOUT a per-priority row window: latencies are
 # bounded small integers (ship − order in days, 1..121 in TPC-H), so

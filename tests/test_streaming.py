@@ -709,3 +709,44 @@ def test_holt_streamed_equals_batch(spark):
     gm = {key(r): (r["level"], r["trend"], r["forecast_next"]) for r in got}
     wm = {key(r): (r["level"], r["trend"], r["forecast_next"]) for r in want}
     assert gm == wm
+
+
+def test_new_users_streamed_equals_batch_census(spark):
+    """first_seen_stateful's 3-trigger replay must reproduce the batch
+    min-day census exactly, emit each user EXACTLY once across all
+    triggers (sum of new_users == distinct users), and the corpus must
+    actually exercise cross-batch suppression: with time-ordered
+    thirds, every sf0.001 user appears in more than one third, so a
+    re-emission bug would double-count immediately."""
+    import __spark_entry__ as m
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["day"], r["new_users"])
+        for r in m.queries()["events_new_users_streamed"](spark, sf).collect()
+    )
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = sorted(
+        (r["day"], r["n"])
+        for r in ev.groupBy("user_id")
+        .agg(F.min(F.date_trunc("day", "ts").cast("date")).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got == want
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(n for _, n in got) == n_users
+    # cross-batch certificate: at least one user spans >1 time-third
+    thirds = (
+        ev.withColumn("third", F.ntile(3).over(Window.orderBy("ts", "event_id")))
+        .groupBy("user_id")
+        .agg(F.countDistinct("third").alias("nt"))
+        .filter(F.col("nt") > 1)
+        .count()
+    )
+    assert thirds >= 1

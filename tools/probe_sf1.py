@@ -159,6 +159,25 @@ HEAVY = [
     # round-10 fifth batch
     "orders_open_backlog",         # +1/-1 census, days-bounded window
     "events_dau_wau_stickiness",   # cover-explode trailing distinct
+    # round-10 sixth batch
+    "parts_abc_classification",    # decimal two-phase global cumsum
+    "orders_interpurchase_gap",    # per-customer lag + bounded histogram
+    "stats_benford_totalprice",    # one groupBy(digit), 9-row artifact
+    "events_hourly_acf",           # one groupBy(hour), bounded series
+    "agg_weighted_median",         # bounded (flag, qty) weight histogram
+    "stats_chisq_priority_status", # one groupBy, 15-cell artifact windows
+    "embedding_dimension_stats",   # posexplode fan-out, integer moments
+    "events_forecast_backtest",    # groupBy(type,hour) + shifted self-join
+    "events_type_overlap",         # distinct (type,user) + bounded self-join
+    "events_new_vs_returning",     # two hash aggs + user-keyed join
+    "orders_yoy_growth",           # month-bounded artifact self-join
+    "events_daily_type_diversity", # one groupBy(day,type), exact ppm
+    "events_new_users_streamed",   # 23rd stream: one flag per user
+    "graph_bipartite_degrees",     # distinct-pair shuffle + 2 groupBys
+    "embedding_norm_percentiles",  # posexplode + two-phase prefix rank
+    "events_session_length_hist",  # session_window -> bounded buckets
+    "events_markov_stationary",    # lag window + bounded driver iteration
+    "multimodal_scene_cuts",       # y4m decode + frame differencing
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -11977,6 +11977,1244 @@ def bm25_topk_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Exact global running SUM without an un-partitioned window — the
+# decimal-typed sibling of _ntile_global (same two-phase prefix
+# discipline as dataset.py::_rank_prefix, but the reference semantics
+# there fold through doubleValue/to_number, which is exact only below
+# 2^53; a revenue cumsum at extreme SF needs decimal(38,0)).  Range-
+# partition on the caller's total order, cumsum WITHIN each partition
+# with an ordinary window (parallel), add the exclusive prefix of the
+# per-partition totals (≤ partitions rows, broadcast back).  Callers
+# must pass a tiebreaking total order.
+# ---------------------------------------------------------------------------
+def _prefix_sum_global(df: DataFrame, order_cols, val: str, out: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pid, off = "__ps_pid", "__ps_off"
+    n_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    # localCheckpoint for the same reason as _ntile_global: the row
+    # branch and the offsets branch must see ONE materialized range
+    # partitioning (repartitionByRange samples boundaries per run).
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn(pid, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        Window.partitionBy(pid)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    woff = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        ranged.groupBy(pid)
+        .agg(F.sum(val).alias("__ps_c"))
+        .select(
+            pid,
+            F.coalesce(
+                F.sum("__ps_c").over(woff),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias(off),
+        )
+    )
+    return (
+        ranged.withColumn(out, F.sum(val).over(w))
+        .join(F.broadcast(offs), pid)
+        .withColumn(out, F.col(out) + F.col(off))
+        .drop(pid, off)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto) classification of parts by catalog revenue — the
+# inventory-management classic: rank parts by revenue descending, class
+# A = parts whose inclusive cumulative share stays within 80% of total
+# revenue, B within 95%, C the tail.  The global ordered cumsum is the
+# scale hazard; it runs through _prefix_sum_global (range partition +
+# per-partition window + broadcast exclusive offsets — never a
+# single-task window over |parts| rows).  Revenue rides exact
+# round(price·100) cents in decimal(38,0); the class boundaries compare
+# 5·cum ≤ 4·total and 20·cum ≤ 19·total in integer arithmetic, and the
+# share ships as an exact DIV ppm — no float ever decides a boundary.
+# Ties in revenue break on l_partkey so the total order is unique.
+# ---------------------------------------------------------------------------
+@register(
+    "parts_abc_classification",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))::HUGEINT
+               AS cents
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT sum(cents) AS t FROM rev),
+    cum AS (
+      SELECT l_partkey, cents,
+             sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS c
+      FROM rev),
+    cls AS (
+      SELECT CASE WHEN c * 5 <= t * 4 THEN 'A'
+                  WHEN c * 20 <= t * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents, t
+      FROM cum, tot)
+    SELECT abc_class,
+           count(*)::BIGINT AS n_parts,
+           sum(cents)::BIGINT AS class_cents,
+           ((sum(cents) * 1000000) // max(t))::BIGINT AS share_ppm
+    FROM cls GROUP BY 1 ORDER BY 1
+    """,
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").to_df().select("l_partkey", "l_extendedprice")
+    rev = (
+        li.select(
+            "l_partkey",
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("decimal(38,0)")
+            .alias("c0"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("c0").cast("decimal(38,0)").alias("cents"))
+    )
+    cum = _prefix_sum_global(
+        rev, [F.col("cents").desc(), F.col("l_partkey")], "cents", "c"
+    )
+    tot = rev.agg(F.sum("cents").cast("decimal(38,0)").alias("__t"))
+    cls = _scalar_join(cum, tot).select(
+        F.when(F.col("c") * 5 <= F.col("__t") * 4, F.lit("A"))
+        .when(F.col("c") * 20 <= F.col("__t") * 19, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+        "cents",
+        "__t",
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("cents").cast("decimal(38,0)").alias("cc"),
+            F.max("__t").alias("t"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            F.col("cc").cast("long").alias("class_cents"),
+            F.expr("CAST((cc * 1000000) DIV t AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-purchase gap distribution per market segment — the repeat-
+# purchase cadence metric behind replenishment forecasts.  The only
+# row-level window is lag() PARTITIONED BY o_custkey (millions of
+# independent keys — parallel at any scale); gaps then collapse to the
+# (segment, gap_days) histogram immediately, so the median pick runs on
+# a ≤ |segments|·|day-span| artifact via cumulative counts (smallest
+# gap whose doubled running count reaches n — exactly quantile_disc,
+# the orders_fulfillment_latency precedent).  Same-day repeat orders
+# tie-break on o_orderkey on both engines, giving deterministic 0-day
+# gaps.  avg ships as an exact integer-DIV ppm.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_interpurchase_gap",
+    """
+    WITH g AS (
+      SELECT o_custkey,
+             (o_orderdate::DATE
+              - lag(o_orderdate::DATE) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate::DATE, o_orderkey))::BIGINT AS gap
+      FROM orders),
+    j AS (
+      SELECT c.c_mktsegment, g.gap
+      FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+      WHERE g.gap IS NOT NULL)
+    SELECT c_mktsegment,
+           count(*)::BIGINT AS n_gaps,
+           ((sum(gap) * 1000000) // count(*))::BIGINT AS avg_gap_ppm,
+           quantile_disc(gap, 0.5)::BIGINT AS p50_gap,
+           max(gap)::BIGINT AS max_gap
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def orders_interpurchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").to_df().select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("day"), "o_orderkey"
+    )
+    cust = _t(spark, sf_dir, "customer").to_df().select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    g = orders.select(
+        "o_custkey",
+        F.datediff(F.col("day"), F.lag("day").over(w)).cast("long").alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    j = g.join(cust, g["o_custkey"] == cust["c_custkey"]).select(
+        "c_mktsegment", "gap"
+    )
+    # histogram form: rows collapse to (segment, gap) before any pick
+    h = j.groupBy("c_mktsegment", "gap").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("c_mktsegment")
+    c = h.select(
+        "c_mktsegment",
+        "gap",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cw"),
+        F.sum("cnt").over(wt).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("gap") * F.col("cnt")).over(wt).cast("decimal(38,0)").alias("sg"),
+        F.max("gap").over(wt).alias("mx"),
+    )
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.max("n").cast("long").alias("n_gaps"),
+            F.expr("CAST((max(sg) * 1000000) DIV max(n) AS BIGINT)").alias(
+                "avg_gap_ppm"
+            ),
+            F.min(F.when(F.col("cw") * 2 >= F.col("n"), F.col("gap")))
+            .cast("long")
+            .alias("p50_gap"),
+            F.max("mx").cast("long").alias("max_gap"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit of order totals — the fraud-screening
+# classic: compare the observed first-significant-digit distribution of
+# o_totalprice against Benford's law.  The digit extraction is pure
+# string arithmetic (first char of floor(price) as text) — never
+# log10(), whose last-ulp behaviour near exact powers of ten differs
+# between libm builds and would flip a digit.  The expected ppm values
+# are the fixed mathematical table floor(log10(1+1/d)·10⁶), inlined as
+# INTEGER LITERALS identically on both engines; observed shares and
+# deviations are exact integer DIV/abs — no float anywhere.  One
+# groupBy(digit) over the rows; the 9-row artifact carries the rest.
+# ---------------------------------------------------------------------------
+@register(
+    "stats_benford_totalprice",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INTEGER) AS first_digit
+      FROM orders),
+    n AS (SELECT count(*)::HUGEINT AS tot FROM d),
+    h AS (SELECT first_digit, count(*)::HUGEINT AS c FROM d GROUP BY 1),
+    b AS (
+      SELECT h.first_digit, h.c, n.tot,
+             (CASE h.first_digit
+                WHEN 1 THEN 301029 WHEN 2 THEN 176091 WHEN 3 THEN 124938
+                WHEN 4 THEN 96910  WHEN 5 THEN 79181  WHEN 6 THEN 66946
+                WHEN 7 THEN 57991  WHEN 8 THEN 51152  ELSE 45757
+              END)::HUGEINT AS exp_ppm
+      FROM h, n)
+    SELECT first_digit,
+           c::BIGINT AS n_orders,
+           ((c * 1000000) // tot)::BIGINT AS obs_ppm,
+           exp_ppm::BIGINT AS benford_ppm,
+           abs((c * 1000000) // tot - exp_ppm)::BIGINT AS dev_ppm
+    FROM b ORDER BY first_digit
+    """,
+)
+def stats_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").to_df().select("o_totalprice")
+    d = orders.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("first_digit")
+    )
+    h = d.groupBy("first_digit").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__tot"))
+    exp_ppm = (
+        "CASE first_digit WHEN 1 THEN 301029 WHEN 2 THEN 176091 "
+        "WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181 "
+        "WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152 "
+        "ELSE 45757 END"
+    )
+    return (
+        _scalar_join(h, tot)
+        .select(
+            "first_digit",
+            F.col("c").cast("long").alias("n_orders"),
+            F.expr("CAST((c * 1000000) DIV __tot AS BIGINT)").alias("obs_ppm"),
+            F.expr(f"CAST({exp_ppm} AS BIGINT)").alias("benford_ppm"),
+            F.expr(
+                f"CAST(abs((c * 1000000) DIV __tot - {exp_ppm}) AS BIGINT)"
+            ).alias("dev_ppm"),
+        )
+        .orderBy("first_digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lag-k autocorrelation of the hourly event-count series — the
+# seasonality detector (lag 1 = momentum, lag 24 = daily cycle).  The
+# only row-level pass is one map-side-combinable groupBy(hour); the
+# series artifact is TIME-bounded (hours in span, not volume), so the
+# shifted self-joins and moment sums run on it for free.  Pearson r is
+# assembled from exact decimal(38,0) integer moments (checklist rule
+# 1): num = n·Σxy − Σx·Σy and the two dens ship as exact BIGINTs, and
+# the double r is ONE fixed-parenthesization expression — num /
+# (sqrt(den_x)·sqrt(den_y)) — over exactly-converted integers (sqrt
+# and divide are IEEE-correctly-rounded, so both engines emit the same
+# bits).  Zero-variance guards mirror as CASE/when (ANSI mode).
+# ---------------------------------------------------------------------------
+@register(
+    "events_hourly_acf",
+    """
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS h, count(*)::BIGINT AS x
+      FROM events GROUP BY 1),
+    ks AS (SELECT unnest([1, 24]) AS lag_hours),
+    p AS (
+      SELECT ks.lag_hours, a.x AS x, b.x AS y
+      FROM ks
+      CROSS JOIN h a
+      JOIN h b ON b.h = a.h + ks.lag_hours * INTERVAL 1 HOUR),
+    s AS (
+      SELECT lag_hours,
+             count(*)::HUGEINT AS n,
+             sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+             sum(x::HUGEINT * y) AS sxy,
+             sum(x::HUGEINT * x) AS sxx,
+             sum(y::HUGEINT * y) AS syy
+      FROM p GROUP BY 1)
+    SELECT lag_hours::BIGINT AS lag_hours,
+           n::BIGINT AS n_pairs,
+           (n * sxy - sx * sy)::BIGINT AS num,
+           (n * sxx - sx * sx)::BIGINT AS den_x,
+           (n * syy - sy * sy)::BIGINT AS den_y,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN CAST((n * sxy - sx * sy) AS DOUBLE)
+                     / (sqrt(CAST((n * sxx - sx * sx) AS DOUBLE))
+                        * sqrt(CAST((n * syy - sy * sy) AS DOUBLE)))
+           END AS acf
+    FROM s ORDER BY lag_hours
+    """,
+)
+def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    h = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+
+    def pairs(k: int) -> DataFrame:
+        # y is the series k hours AHEAD of x: re-key count(t) to t−k so
+        # the equi-join pairs (x at t, y at t+k), mirroring the oracle's
+        # b.h = a.h + k·INTERVAL 1 HOUR
+        shifted = h.select(
+            (F.col("h") - F.expr(f"INTERVAL {k} HOURS")).alias("h"),
+            F.col("x").alias("y"),
+        )
+        return h.join(shifted, "h").select(
+            F.lit(k).cast("long").alias("lag_hours"), "x", "y"
+        )
+
+    p = pairs(1).union(pairs(24))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = p.groupBy("lag_hours").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "lag_hours",
+        F.col("n").cast("long").alias("n_pairs"),
+        num.cast("long").alias("num"),
+        den_x.cast("long").alias("den_x"),
+        den_y.cast("long").alias("den_y"),
+        F.when(
+            (den_x > 0) & (den_y > 0),
+            num.cast("long").cast("double")
+            / (
+                F.sqrt(den_x.cast("long").cast("double"))
+                * F.sqrt(den_y.cast("long").cast("double"))
+            ),
+        ).alias("acf"),
+    ).orderBy("lag_hours")
+
+
+# ---------------------------------------------------------------------------
+# Weighted median / weighted p90 of line quantity, weighted by exact
+# revenue cents — "the quantity at which half the money is spent", the
+# order-statistic no built-in percentile computes.  The value domain is
+# bounded (l_quantity ∈ 1..50), so rows collapse to the
+# (returnflag, qty) weight histogram in ONE map-side-combinable
+# groupBy; the cumulative-weight pick then runs on the ≤ |flags|·50
+# artifact (smallest qty whose doubled running weight reaches the
+# total; 10·cw ≥ 9·total for p90).  All weights are decimal(38,0)
+# cents — the boundary comparisons are integer-exact on both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_weighted_median",
+    """
+    WITH b AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS w
+      FROM lineitem),
+    h AS (
+      SELECT l_returnflag, qty, sum(w)::HUGEINT AS cw0
+      FROM b GROUP BY 1, 2),
+    c AS (
+      SELECT l_returnflag, qty,
+             sum(cw0) OVER (PARTITION BY l_returnflag ORDER BY qty
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cw,
+             sum(cw0) OVER (PARTITION BY l_returnflag) AS tw
+      FROM h)
+    SELECT l_returnflag,
+           max(tw)::BIGINT AS total_weight_cents,
+           min(CASE WHEN 2 * cw >= tw THEN qty END)::BIGINT AS wmedian_qty,
+           min(CASE WHEN 10 * cw >= 9 * tw THEN qty END)::BIGINT AS wp90_qty
+    FROM c GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").to_df().select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("decimal(38,0)")
+        .alias("w"),
+    )
+    h = li.groupBy("l_returnflag", "qty").agg(
+        F.sum("w").cast("decimal(38,0)").alias("cw0")
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("qty")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = h.select(
+        "l_returnflag",
+        "qty",
+        F.sum("cw0").over(wc).alias("cw"),
+        F.sum("cw0").over(wt).alias("tw"),
+    )
+    return (
+        c.groupBy("l_returnflag")
+        .agg(
+            F.max("tw").cast("long").alias("total_weight_cents"),
+            F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("qty")))
+            .cast("long")
+            .alias("wmedian_qty"),
+            F.min(F.when(F.col("cw") * 10 >= F.col("tw") * 9, F.col("qty")))
+            .cast("long")
+            .alias("wp90_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square contingency audit of order priority × order status — the
+# independence test behind "does fulfilment status shift by priority?".
+# One map-side-combinable groupBy collapses the rows to the ≤ 5·3 cell
+# table; margins and the grand total come from windows OVER THAT
+# ARTIFACT, never the data.  Each cell ships its observed count and
+# margins as exact integers plus its χ² contribution
+# (n·obs − rt·ct)²/(n·rt·ct) as ONE fixed-parenthesization double
+# expression over exactly-converted decimal(38,0) integers (the
+# products exceed int64 at large SF — HUGEINT/decimal on each side),
+# so both engines emit identical bits; the total is left to the reader
+# because a float SUM's fold order is engine-specific (checklist 2).
+@register(
+    "stats_chisq_priority_status",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority, o_orderstatus, count(*)::HUGEINT AS obs
+      FROM orders GROUP BY 1, 2),
+    m AS (
+      SELECT o_orderpriority, o_orderstatus, obs,
+             sum(obs) OVER (PARTITION BY o_orderpriority) AS rt,
+             sum(obs) OVER (PARTITION BY o_orderstatus)   AS ct,
+             sum(obs) OVER ()                             AS n
+      FROM cells)
+    SELECT o_orderpriority, o_orderstatus,
+           obs::BIGINT AS obs,
+           rt::BIGINT AS row_total,
+           ct::BIGINT AS col_total,
+           (CAST(n * obs - rt * ct AS DOUBLE)
+            * CAST(n * obs - rt * ct AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(rt * ct AS DOUBLE)) AS chisq_cell
+    FROM m ORDER BY o_orderpriority, o_orderstatus
+    """,
+)
+def stats_chisq_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").to_df().select("o_orderpriority", "o_orderstatus")
+    cells = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("obs")
+    )
+    m = cells.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("o_orderpriority")).alias("rt"),
+        F.sum("obs").over(Window.partitionBy("o_orderstatus")).alias("ct"),
+        F.sum("obs").over(Window.partitionBy()).alias("n"),
+    )
+    dev = F.col("n") * F.col("obs") - F.col("rt") * F.col("ct")
+    return m.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.col("obs").cast("long").alias("obs"),
+        F.col("rt").cast("long").alias("row_total"),
+        F.col("ct").cast("long").alias("col_total"),
+        (
+            (dev.cast("double") * dev.cast("double"))
+            / (
+                F.col("n").cast("double")
+                * (F.col("rt") * F.col("ct")).cast("double")
+            )
+        ).alias("chisq_cell"),
+    ).orderBy("o_orderpriority", "o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension distribution audit of the embedding column — the
+# feature-store health check (a dead dimension, a scale outlier, a
+# drifted mean all show here).  posexplode fans each vector into
+# (dim, value) — |rows|·64, linear and map-side combinable — and the
+# moments ride QUANTIZED integers: q = floor(v·10⁴ + 0.5) is a per-row
+# IEEE multiply+add+floor on identical float32→float64 inputs
+# (deterministic bits on both engines), after which every aggregate is
+# exact integer arithmetic in decimal(38,0) — never a float SUM whose
+# fold order could flip the hash.  Output is the 64-row artifact.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_dimension_stats",
+    """
+    WITH x AS (
+      SELECT u.i AS dim,
+             CAST(floor(CAST(e.embedding[u.i + 1] AS DOUBLE) * 10000 + 0.5)
+                  AS BIGINT) AS q
+      FROM embeddings e, unnest(range(len(e.embedding))) u(i))
+    SELECT dim::BIGINT AS dim,
+           count(*)::BIGINT AS n_vals,
+           sum(q)::BIGINT AS sum_q,
+           (count(*)::HUGEINT * sum(q::HUGEINT * q)
+            - sum(q)::HUGEINT * sum(q))::BIGINT AS m2,
+           min(q)::BIGINT AS min_q,
+           max(q)::BIGINT AS max_q
+    FROM x GROUP BY 1 ORDER BY 1
+    """,
+)
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").to_df().select("embedding")
+    x = emb.select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("v").cast("double") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = x.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("q"))).alias("sq"),
+        F.sum(dec(F.col("q")) * dec(F.col("q"))).alias("sqq"),
+        F.min("q").alias("min_q"),
+        F.max("q").alias("max_q"),
+    )
+    return s.select(
+        "dim",
+        F.col("n").cast("long").alias("n_vals"),
+        F.col("sq").cast("long").alias("sum_q"),
+        (F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq"))
+        .cast("long")
+        .alias("m2"),
+        F.col("min_q").cast("long").alias("min_q"),
+        F.col("max_q").cast("long").alias("max_q"),
+    ).orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest: seasonal-naive (ŷ(t) = y(t−24 h)) on the hourly
+# event-count series, scored per event type with WAPE — the weighted
+# MAPE variant that ships as ONE exact integer division
+# (Σ|err|·10⁶ DIV Σactual) instead of a float mean of per-point
+# ratios.  The only row-level pass is the groupBy(type, hour) census;
+# the shifted self-join and the error sums run on the time-bounded
+# series artifact.  Hours absent from either side of the 24 h shift
+# drop from the inner join identically on both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "events_forecast_backtest",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2),
+    p AS (
+      SELECT a.event_type, a.x AS actual, b.x AS fc
+      FROM h a JOIN h b ON b.event_type = a.event_type
+                       AND b.h = a.h - INTERVAL 24 HOURS)
+    SELECT event_type,
+           count(*)::BIGINT AS n_hours,
+           sum(abs(actual - fc))::BIGINT AS abs_err,
+           sum(actual)::BIGINT AS total_actual,
+           ((sum(abs(actual - fc))::HUGEINT * 1000000)
+             // sum(actual))::BIGINT AS wape_ppm
+    FROM p GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    fc = h.select(
+        "event_type",
+        (F.col("h") + F.expr("INTERVAL 24 HOURS")).alias("h"),
+        F.col("x").alias("fcv"),
+    )
+    p = h.join(fc, ["event_type", "h"]).select(
+        "event_type", F.col("x").alias("actual"), F.col("fcv").alias("fcst")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return (
+        p.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum(dec(F.abs(F.col("actual") - F.col("fcst"))))
+            .alias("ae"),
+            F.sum(dec(F.col("actual"))).alias("ta"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            F.col("ae").cast("long").alias("abs_err"),
+            F.col("ta").cast("long").alias("total_actual"),
+            F.expr("CAST((ae * 1000000) DIV ta AS BIGINT)").alias("wape_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap between event types — exact Jaccard of user sets for
+# every type pair, the exact sibling of agg_kmv_overlap's sketch.  The
+# distinct (type, user) projection bounds the self-join fanout at
+# C(|types|, 2) pairs per user (types is a small closed set), so the
+# pair census is input-linear; sizes join back from the |types|-row
+# artifact.  Jaccard ships as the exact ppm division.
+# ---------------------------------------------------------------------------
+@register(
+    "events_type_overlap",
+    """
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (SELECT event_type, count(*)::BIGINT AS n FROM tu GROUP BY 1),
+    ix AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*)::BIGINT AS inter
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, inter,
+           (sa.n + sb.n - inter)::BIGINT AS union_n,
+           ((inter::HUGEINT * 1000000)
+             // (sa.n + sb.n - inter))::BIGINT AS jaccard_ppm
+    FROM ix
+    JOIN sz sa ON sa.event_type = type_a
+    JOIN sz sb ON sb.event_type = type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def events_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    tu = ev.select("event_type", "user_id").distinct()
+    sz = tu.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    ix = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        ix.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "inter",
+            (F.col("na") + F.col("nb") - F.col("inter"))
+            .cast("long")
+            .alias("union_n"),
+            F.expr(
+                "CAST((CAST(inter AS DECIMAL(38,0)) * 1000000) "
+                "DIV (na + nb - inter) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# New-vs-returning daily census — the growth-accounting split every
+# activation dashboard opens with.  Two hash aggregations do all the
+# row-level work (distinct user-days, then first-seen day per user);
+# the classification join is user-keyed and co-partitioned with the
+# distinct's own shuffle.  Complements events_user_retention (cohort
+# triangle) and events_dau_wau_stickiness (trailing actives) with the
+# per-day acquisition mix; the returning share ships as exact ppm.
+# ---------------------------------------------------------------------------
+@register(
+    "events_new_vs_returning",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day
+      FROM events),
+    fs AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1)
+    SELECT ud.day,
+           count(*)::BIGINT AS active_users,
+           sum(CASE WHEN ud.day = fs.first_day THEN 1 ELSE 0 END)::BIGINT
+             AS new_users,
+           sum(CASE WHEN ud.day > fs.first_day THEN 1 ELSE 0 END)::BIGINT
+             AS returning_users,
+           ((sum(CASE WHEN ud.day > fs.first_day THEN 1 ELSE 0 END)::HUGEINT
+             * 1000000) // count(*))::BIGINT AS returning_ppm
+    FROM ud JOIN fs USING (user_id)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    fs = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = ud.join(fs, "user_id")
+    return (
+        j.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("active_users"),
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("returning_users"),
+            F.expr(
+                "CAST((CAST(sum(CASE WHEN day > first_day THEN 1 ELSE 0 END) "
+                "AS DECIMAL(38,0)) * 1000000) DIV count(1) AS BIGINT)"
+            ).alias("returning_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year revenue growth by month — the comp-sales metric.  One
+# map-side-combinable groupBy collapses orders to the months-bounded
+# artifact (span, not volume); the YoY self-join and the exact
+# growth-ppm division run on it for free.  Revenue rides exact
+# round(price·100) cents; months with no prior-year counterpart drop
+# from the inner join identically on both engines.  Growth can be
+# NEGATIVE — both engines' integer division truncates toward zero
+# (Spark DIV by definition; DuckDB `//` verified: −7 // 2 = −3), so
+# the exact ppm is a plain DIV mirrored as //.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_yoy_growth",
+    """
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate)::DATE AS month,
+             sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::HUGEINT
+               AS cents
+      FROM orders GROUP BY 1)
+    SELECT a.month,
+           a.cents::BIGINT AS revenue_cents,
+           b.cents::BIGINT AS prior_year_cents,
+           (((a.cents - b.cents) * 1000000) // b.cents)::BIGINT
+             AS yoy_growth_ppm
+    FROM m a JOIN m b ON b.month = a.month - INTERVAL 1 YEAR
+    ORDER BY a.month
+    """,
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").to_df().select("o_orderdate", "o_totalprice")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("cents")
+    )
+    prior = m.select(
+        F.add_months(F.col("month"), 12).alias("month"),
+        F.col("cents").alias("pc"),
+    )
+    j = m.join(prior, "month")
+    return j.select(
+        "month",
+        F.col("cents").cast("long").alias("revenue_cents"),
+        F.col("pc").cast("long").alias("prior_year_cents"),
+        F.expr(
+            "CAST(((cents - pc) * 1000000) DIV pc AS BIGINT)"
+        ).alias("yoy_growth_ppm"),
+    ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# Daily behavioral-mix diversity — Gini-Simpson 1 − Σp² of the
+# event-type mix per day, the division-free diversity index (Shannon
+# needs log, whose last ulp is libm-specific; Simpson is a pure
+# rational and ships as the exact ppm (n² − Σc²)·10⁶ // n²).  One
+# groupBy(day, type) collapses the rows; the index computes on the
+# |days|·|types| artifact.
+# ---------------------------------------------------------------------------
+@register(
+    "events_daily_type_diversity",
+    """
+    WITH c AS (
+      SELECT date_trunc('day', ts)::DATE AS day, event_type,
+             count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2),
+    d AS (
+      SELECT day, sum(c)::HUGEINT AS n, sum(c::HUGEINT * c) AS ss,
+             count(*)::BIGINT AS n_types
+      FROM c GROUP BY 1)
+    SELECT day, n::BIGINT AS n_events, n_types,
+           (((n * n - ss) * 1000000) // (n * n))::BIGINT AS simpson_ppm
+    FROM d ORDER BY day
+    """,
+)
+def events_daily_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    c = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    d = c.groupBy("day").agg(
+        F.sum(dec(F.col("c"))).alias("n"),
+        F.sum(dec(F.col("c")) * dec(F.col("c"))).alias("ss"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    return d.select(
+        "day",
+        F.col("n").cast("long").alias("n_events"),
+        "n_types",
+        F.expr(
+            "CAST(((n * n - ss) * 1000000) DIV (n * n) AS BIGINT)"
+        ).alias("simpson_ppm"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Streaming daily new-user census (23rd streaming execution) — the
+# acquisition curve computed incrementally: first_seen_stateful keeps
+# ONE flag per user (applyInPandasWithState, O(1) state — the batch
+# form needs each user's full history every refresh) and emits exactly
+# one (user, first-day) row at first encounter; the daily rollup then
+# counts the emitted rows.  The finite replay stages events into three
+# time-ordered micro-batch files (the ntile staging harness every
+# streamed entry uses — ordered replay is what makes first-encounter ≡
+# min(day), see windows.py::first_seen_stateful).  The oracle is the
+# batch census: count users by min-day.
+# ---------------------------------------------------------------------------
+@register(
+    "events_new_users_streamed",
+    """
+    WITH ud AS (
+      SELECT user_id, min(date_trunc('day', ts)::DATE) AS first_day
+      FROM events GROUP BY 1)
+    SELECT first_day AS day, count(*)::BIGINT AS new_users
+    FROM ud GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_new_users_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from warp_spark.streaming import read_event_stream, run_stream_to_memory
+    from warp_spark.streaming.windows import first_seen_stateful
+
+    d = tempfile.mkdtemp(prefix="warp_stream_entry_")
+    name = f"new_users_streamed_{uuid.uuid4().hex[:8]}"
+    try:
+        batch = _events(spark, sf_dir).withColumn(
+            "__third", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+        )
+        for i in (1, 2, 3):
+            batch.filter(F.col("__third") == i).drop("__third").coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{d}/chunk{i}")
+            part = glob.glob(f"{d}/chunk{i}/part-*.parquet")[0]
+            os.rename(part, f"{d}/file_{i:03d}.parquet")
+            shutil.rmtree(f"{d}/chunk{i}", ignore_errors=True)
+            os.utime(f"{d}/file_{i:03d}.parquet", (1_700_000_000 + i,) * 2)
+        ev = read_event_stream(spark, d, max_files_per_trigger=1)
+        if dict(ev.dtypes)["ts"] == "timestamp_ntz":
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        out = first_seen_stateful(ev)
+        run_stream_to_memory(out, name, output_mode="update")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return (
+        spark.table(name)
+        .select(
+            F.expr(
+                "DATE_ADD(DATE'1970-01-01', CAST(first_epoch_day AS INT))"
+            ).alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_users"))
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bipartite degree census of the customer–part purchase graph — the
+# connectivity profile that sizes any co-purchase / recommendation
+# model.  One distinct-pair projection (the only row-level shuffle),
+# then a groupBy per side; the degree HISTOGRAM form keeps the output
+# bounded by max degree, not node count.  Both sides union into one
+# frame tagged by side.
+# ---------------------------------------------------------------------------
+@register(
+    "graph_bipartite_degrees",
+    """
+    WITH cp AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    dc AS (SELECT c, count(*)::BIGINT AS d FROM cp GROUP BY 1),
+    dp AS (SELECT p, count(*)::BIGINT AS d FROM cp GROUP BY 1),
+    h AS (
+      SELECT 'customer' AS side, d AS degree, count(*)::BIGINT AS n_nodes
+      FROM dc GROUP BY 2
+      UNION ALL
+      SELECT 'part', d, count(*)::BIGINT FROM dp GROUP BY 2)
+    SELECT side, degree, n_nodes FROM h ORDER BY side, degree
+    """,
+)
+def graph_bipartite_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").to_df().select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").to_df().select("o_orderkey", "o_custkey")
+    cp = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    dc = cp.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    dp = cp.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    h = dc.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    ).select(F.lit("customer").alias("side"), F.col("d").alias("degree"), "n_nodes")
+    h2 = dp.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    ).select(F.lit("part").alias("side"), F.col("d").alias("degree"), "n_nodes")
+    return h.union(h2).orderBy("side", "degree")
+
+
+# ---------------------------------------------------------------------------
+# Exact global norm percentiles over the embedding column — order
+# statistics on an UNBOUNDED value domain (unlike the histogram-form
+# percentile entries, no small domain to collapse to), so the pick
+# rides the distributed two-phase prefix rank (Dataset.rank 'prefix'
+# path — range partition + per-partition row_number + broadcast
+# offsets; never a single-task global window).  Norms are exact
+# integers: q = floor(v·10⁴ + 0.5) per element (per-row IEEE,
+# deterministic), norm²q = Σq² — so the percentile pick (value at rank
+# ceil(q·n), vec_id tiebreak) hash-matches DuckDB's quantile_disc.
+# The single driver-side n = count() is a scalar (the _ntile_global
+# precedent).
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_norm_percentiles",
+    """
+    WITH x AS (
+      SELECT e.vec_id,
+             CAST(floor(CAST(e.embedding[u.i + 1] AS DOUBLE) * 10000 + 0.5)
+                  AS BIGINT) AS q
+      FROM embeddings e, unnest(range(len(e.embedding))) u(i)),
+    nq AS (SELECT vec_id, sum(q * q)::BIGINT AS norm2q FROM x GROUP BY 1)
+    SELECT count(*)::BIGINT AS n_vecs,
+           quantile_disc(norm2q, 0.5)::BIGINT AS p50_norm2q,
+           quantile_disc(norm2q, 0.9)::BIGINT AS p90_norm2q,
+           quantile_disc(norm2q, 0.99)::BIGINT AS p99_norm2q,
+           max(norm2q)::BIGINT AS max_norm2q
+    FROM nq
+    """,
+)
+def embedding_norm_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from warp_spark.dataset import Dataset, Order
+
+    emb = _t(spark, sf_dir, "embeddings").to_df().select("vec_id", "embedding")
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        F.floor(F.col("v").cast("double") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    nq = x.groupBy("vec_id").agg(
+        F.sum(
+            F.col("q").cast("decimal(38,0)") * F.col("q").cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("norm2q")
+    )
+    n = nq.count()  # 1-scalar artifact (the _ntile_global precedent)
+    ranked = (
+        Dataset(nq)
+        .rank(
+            {"r": Aggregator(F.col("vec_id"), "countAll")},
+            by=[Order(F.col("norm2q")), Order(F.col("vec_id"))],
+        )
+        .to_df()
+    )
+    picks = {p: math.ceil(p / 100 * n) for p in (50, 90, 99)}
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        *[
+            F.max(F.when(F.col("r") == r, F.col("norm2q")))
+            .cast("long")
+            .alias(f"p{p}_norm2q")
+            for p, r in picks.items()
+        ],
+        F.max("norm2q").cast("long").alias("max_norm2q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session-length histogram — the engagement-depth distribution (how
+# many sessions are one-shot bounces vs 10+-event binges), computed
+# from the SAME library sessionize operator (streaming/windows.py —
+# Spark native session_window) that events_sessionize exposes; the
+# oracle replays the gaps-and-islands form.  Sessions collapse to the
+# event-count bucket (capped at 10 so the tail stays bounded) with
+# exact µs duration sums.
+# ---------------------------------------------------------------------------
+@register(
+    "events_session_length_hist",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sno
+      FROM marked),
+    sess AS (
+      SELECT user_id, sno, count(*)::BIGINT AS n_events,
+             (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS dur_us
+      FROM numbered GROUP BY 1, 2)
+    SELECT least(n_events, 10)::BIGINT AS bucket,
+           count(*)::BIGINT AS n_sessions,
+           sum(n_events)::BIGINT AS total_events,
+           sum(dur_us)::BIGINT AS total_duration_us
+    FROM sess GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_session_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.streaming import sessionize
+
+    ev = _events(spark, sf_dir)
+    sess = sessionize(ev, "ts", "30 minutes", keys=["user_id"])
+    return (
+        sess.select(
+            F.least(F.col("n_events"), F.lit(10)).cast("long").alias("bucket"),
+            F.col("n_events").cast("long").alias("ne"),
+            (
+                F.unix_micros(F.col("session_end").cast("timestamp"))
+                - F.unix_micros(F.col("session_start").cast("timestamp"))
+            ).alias("dur_us"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("ne").cast("long").alias("total_events"),
+            F.sum("dur_us").cast("long").alias("total_duration_us"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stationary distribution of the behavioral Markov chain — 20 power-
+# iteration steps over the event-type transition matrix (the
+# events_transition_matrix artifact: |types|² ≤ a few dozen cells).
+# The row-level work is ONE lag window partitioned by user (parallel
+# at any scale) + one groupBy; the iteration then runs DRIVER-SIDE on
+# the collected bounded matrix (the MMR/centroids bounded-artifact
+# discipline — O(|types|²) bytes, never data).  Determinism: the mass
+# vector rides INTEGER ppm with truncating division at every step —
+# v'[to] = Σ_from (v[from]·c)//n_from — so both engines (and the
+# oracle's 20 chained CTEs, aggregation being illegal in a recursive
+# term) compute identical integers; no float fold order exists.
+# Truncation leaks a few ppm of mass per step — deterministic and
+# documented, not an approximation claim.
+# ---------------------------------------------------------------------------
+def _markov_oracle_sql() -> str:
+    # MATERIALIZED everywhere (the embedding_mmr_diversify oracle
+    # precedent): an inlined CTE chain re-evaluates the lag window and
+    # the pair census once PER STEP (measured 25.7 s at sf0.001);
+    # materialized, each evaluates once and each step joins two tiny
+    # tables (sub-second at every SF).
+    head = """
+    WITH seq AS MATERIALIZED (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    pairs AS MATERIALIZED (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             count(*)::HUGEINT AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    tot AS MATERIALIZED (
+      SELECT from_type, sum(n) AS n_from FROM pairs GROUP BY 1),
+    types AS MATERIALIZED (SELECT DISTINCT event_type AS type FROM events),
+    kk AS (SELECT count(*)::HUGEINT AS k FROM types),
+    v0 AS (SELECT type, (1000000 // k) AS v FROM types, kk)"""
+    steps = "".join(
+        f""",
+    v{i + 1} AS MATERIALIZED (
+      SELECT p.to_type AS type, sum((v{i}.v * p.n) // t.n_from) AS v
+      FROM v{i}
+      JOIN pairs p ON p.from_type = v{i}.type
+      JOIN tot t ON t.from_type = v{i}.type
+      GROUP BY 1)"""
+        for i in range(20)
+    )
+    return (
+        head
+        + steps
+        + """
+    SELECT ty.type AS event_type, coalesce(v20.v, 0)::BIGINT AS stationary_ppm
+    FROM types ty LEFT JOIN v20 ON v20.type = ty.type
+    ORDER BY event_type
+    """
+    )
+
+
+@register("events_markov_stationary", _markov_oracle_sql())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("from_type", F.lag("event_type").over(w))
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    # bounded artifacts: the |types|²-cell matrix and the type universe
+    cells = [(r["from_type"], r["to_type"], int(r["n"])) for r in pairs.collect()]
+    types = sorted(
+        r["event_type"] for r in ev.select("event_type").distinct().collect()
+    )
+    n_from: dict = {}
+    for f, _t2, n in cells:
+        n_from[f] = n_from.get(f, 0) + n
+    k = len(types)
+    v = {t: 1_000_000 // k for t in types}
+    for _ in range(20):
+        nxt: dict = {}
+        for f, t2, n in cells:
+            m = v.get(f, 0)
+            if m:
+                nxt[t2] = nxt.get(t2, 0) + (m * n) // n_from[f]
+        v = nxt
+    return spark.createDataFrame(
+        [(t, v.get(t, 0)) for t in types],
+        schema="event_type string, stationary_ppm long",
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Scene-cut deltas over REAL Y4M video (pipeline/codecs.py::
+# y4m_scene_deltas) — frame differencing, the raw signal behind every
+# shot-boundary detector, as the next real-codec feature after
+# decode/resize: per consecutive frame pair, the summed |Δluma| in
+# exact int64.  Arrow-batched mapInPandas; the oracle replays the
+# synthetic pixel rule (id·17 + f·29 + i·3) mod 256, so a value match
+# proves decode + differencing are byte-exact.  Per-pair mean ships as
+# an exact milli-level DIV.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_scene_cuts",
+    """
+    WITH g AS (SELECT doc_id,
+                      2 + doc_id % 4        AS n_frames,
+                      8 + 2 * (doc_id % 4)  AS height,
+                      16 + 2 * (doc_id % 8) AS width
+               FROM documents),
+    fx AS (SELECT doc_id, unnest(range(0, n_frames - 1)) AS f FROM g),
+    px AS (SELECT fx.doc_id, fx.f, unnest(range(0, g.height * g.width)) AS i
+           FROM fx JOIN g USING (doc_id)),
+    d AS (SELECT doc_id, f,
+                 sum(abs(((doc_id * 17 + (f + 1) * 29 + i * 3) % 256)
+                         - ((doc_id * 17 + f * 29 + i * 3) % 256)))::BIGINT
+                   AS delta_sum,
+                 count(*)::BIGINT AS n_pixels
+          FROM px GROUP BY 1, 2)
+    SELECT doc_id, f::BIGINT AS f_from, delta_sum, n_pixels,
+           ((delta_sum * 1000) // n_pixels)::BIGINT AS mean_delta_milli
+    FROM d ORDER BY doc_id, f_from
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.codecs import synth_y4m_payloads, y4m_scene_deltas
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    d = y4m_scene_deltas(synth_y4m_payloads(docs))
+    return d.select(
+        "doc_id",
+        "f_from",
+        "delta_sum",
+        "n_pixels",
+        F.expr("CAST((delta_sum * 1000) DIV n_pixels AS BIGINT)").alias(
+            "mean_delta_milli"
+        ),
+    ).orderBy("doc_id", "f_from")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

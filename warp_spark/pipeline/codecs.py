@@ -698,3 +698,38 @@ def synth_y4m_payloads(
             yield pd.DataFrame({"doc_id": pdf[id_col].values, out_col: payloads})
 
     return df.select(id_col).mapInPandas(run, schema=f"{id_col} long, {out_col} binary")
+
+
+def y4m_scene_deltas(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Frame-differencing over REAL Y4M payloads: for every consecutive
+    frame pair emit the summed absolute luma delta — the raw signal a
+    scene-cut detector thresholds.  Same Arrow-batched mapInPandas
+    contract as the other codec featurizers; all outputs exact integers
+    (|a − b| of uint8 luma in int64), so a SQL oracle can replay the
+    synthetic pixel rule bit-for-bit."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames, w, h, _fps = decode_y4m(bytes(payload))
+                a = frames.astype(np.int64)
+                for f in range(a.shape[0] - 1):
+                    rows.append(
+                        (
+                            int(doc_id),
+                            f,
+                            int(np.abs(a[f + 1] - a[f]).sum()),
+                            w * h,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "f_from", "delta_sum", "n_pixels"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run,
+        schema=f"{id_col} long, f_from long, delta_sum long, n_pixels long",
+    )

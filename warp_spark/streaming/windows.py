@@ -346,6 +346,50 @@ def holt_linear(
     )
 
 
+def first_seen_stateful(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming first-seen detection — the acquisition half of the
+    batch new-vs-returning census as O(1) state per key: the state is
+    ONE byte-sized flag (user already counted); the FIRST micro-batch
+    that carries a key emits exactly one (key, first_day) row, every
+    later arrival of the key emits nothing.  Batch parity needs the
+    replay to be time-ordered across micro-batches (the staging
+    contract every streamed entry uses): within a batch the group's own
+    min(day) is exact regardless of row order, and time-ordered batches
+    guarantee no later batch can carry an earlier day for an
+    already-emitted key.  first_day ships as the integer epoch day —
+    µs // 86 400 000 000 after the explicit datetime64[ns]
+    normalization (the unit-drift guard from the attribution op)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} long, first_epoch_day long"
+    state_schema = "seen byte"
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        mn = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            us = pdf[ts_col].astype("datetime64[ns]").astype("int64") // 1000
+            d = int(us.min()) // 86_400_000_000
+            mn = d if mn is None else min(mn, d)
+        if state.exists or mn is None:
+            return
+        state.update((1,))
+        yield pd.DataFrame(
+            [(key[0], mn)], columns=[key_col, "first_epoch_day"]
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def ewma_stateful(
     df: DataFrame,
     ts_col: str = "ts",

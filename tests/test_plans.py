@@ -537,3 +537,39 @@ def test_never_judged_entries_are_queued_or_windowed():
         f"never-driver-judged entries neither in the window nor in the "
         f"PARITY.md rotation-queue section: {unaccounted}"
     )
+
+
+def test_bm25_index_probe_equals_inquery(spark):
+    """Persisted-then-probed BM25 must be IDENTICAL to the in-query
+    scorer: same tokenization, same exact-integer model inputs, same
+    fixed-parenthesization contribution, same fold order."""
+    import __spark_entry__ as m
+
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], r["score_ppm"])  # noqa: E731
+    probed = sorted(map(key, m.queries()["bm25_index_probe"](spark, SF).collect()))
+    inquery = sorted(map(key, m.queries()["bm25_topk"](spark, SF).collect()))
+    assert probed == inquery and len(probed) > 0
+
+
+def test_bm25_index_probe_partition_pruning(spark):
+    """The persisted postings must be probed via PARTITION PRUNING: the
+    scan's bucket IN (...) filter has to land in PartitionFilters (the
+    build_bm25_index layout contract — unprobed term buckets never
+    read), not as a post-scan Filter over every bucket."""
+    import re
+
+    from warp_spark.catalog import _ensure_bm25_index
+    from warp_spark.pipeline.text import bm25_index_probe
+
+    path = _ensure_bm25_index(spark, SF)
+    df = bm25_index_probe(spark, path, [(1, ["hash", "join"])], k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        s for s in re.findall(r"FileScan parquet[^\n]*", plan) if "/postings" in s
+    ]
+    assert scans, plan
+    assert all(
+        "PartitionFilters" in s
+        and "bucket" in s.split("PartitionFilters", 1)[1].split("]", 1)[0]
+        for s in scans
+    ), scans

@@ -178,6 +178,13 @@ HEAVY = [
     "events_session_length_hist",  # session_window -> bounded buckets
     "events_markov_stationary",    # lag window + bounded driver iteration
     "multimodal_scene_cuts",       # y4m decode + frame differencing
+    "embedding_gram_matrix",       # per-partition int64 outer product
+    "text_rake_keywords",          # tokenize explode + island window
+    "graph_degree_assortativity",  # wedge join + exact degree moments
+    "privacy_t_closeness",         # one groupBy, class/lang artifacts
+    "bm25_index_persist",          # full-vocab postings build + write
+    "bm25_index_probe",            # pruned-bucket read + scoring only
+    "multimodal_wav_silence",      # wav decode + run-length, map-side
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -733,3 +733,56 @@ def y4m_scene_deltas(
         run,
         schema=f"{id_col} long, f_from long, delta_sum long, n_pixels long",
     )
+
+
+def wav_silence_stats(
+    df: DataFrame,
+    threshold: int = 256,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Silence segmentation over REAL WAV payloads: run-length stats of
+    |sample| < threshold — the voice-activity-detection primitive.
+    Exact integers throughout (int16 samples, integer counts), so a
+    SQL gaps-and-islands replay of the synthetic sample rule matches
+    bit-for-bit.  Same Arrow-batched mapInPandas contract as the other
+    codec featurizers."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                samples, _rate = decode_wav(bytes(payload))
+                # (N, C) → flat mono stream (synth payloads are C=1)
+                s = np.asarray(samples, dtype=np.int64).ravel()
+                sil = (np.abs(s) < threshold).astype(np.int8)
+                # run-length encode the silent mask
+                n_silent = int(sil.sum())
+                if n_silent == 0:
+                    rows.append((int(doc_id), len(s), 0, 0, 0))
+                    continue
+                edges = np.diff(np.concatenate(([0], sil, [0])))
+                starts = np.flatnonzero(edges == 1)
+                ends = np.flatnonzero(edges == -1)
+                lens = ends - starts
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(s),
+                        n_silent,
+                        len(lens),
+                        int(lens.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_samples", "n_silent", "n_runs", "longest_run"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, n_samples long, n_silent long, "
+            "n_runs long, longest_run long"
+        ),
+    )

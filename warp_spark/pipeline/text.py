@@ -1681,3 +1681,141 @@ def pmi_bigrams(
         )
     )
     return sc.orderBy(F.col("pmi_lift").desc(), "w1", "w2").limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Persistable BM25 lexical index — the retrieval-cost-amortization
+# sibling of the IVF-PQ vector index (similarity.py::persist_ivfpq_index)
+# ---------------------------------------------------------------------------
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> None:
+    """Persist the lexical index as two parquet artifacts: postings
+    (term, doc_id, tf, dl) PARTITIONED BY a term-hash bucket — probing
+    a query's terms is partition pruning, the inverted file as a
+    physical layout — plus the 1-row corpus stats (n_docs, total_dl as
+    exact integers).  dl is denormalized into the postings so the
+    probe never joins a doc-length table.  Tokenization is byte-
+    identical to bm25_topk's (lowercased whitespace split), so a
+    probe's scores equal the in-query scorer's exactly."""
+    tk = "_bm25_tk"
+    base = (
+        docs.select(F.col(id_col), F.col(text_col))
+        .withColumn(tk, tokens(F.col(text_col)))
+        .select(
+            id_col,
+            F.size(tk).cast("long").alias("dl"),
+            F.explode(tk).alias("term"),
+        )
+    )
+    postings = (
+        base.groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+        )
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/postings"
+    )
+    stats = docs.select(tokens(F.col(text_col)).alias(tk)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tk)).cast("long").alias("total_dl"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_index_probe(
+    spark,
+    path: str,
+    queries: list,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Answer BM25 top-k FROM the persisted index, no corpus pass: the
+    postings scan carries bucket-IN (partition pruning over the
+    persisted layout) and term-IN (row-group pushdown) filters, so
+    only the query terms' lists are read; df re-derives from the
+    pruned postings (per-term doc count — identical to the build-time
+    value by construction); n_docs/total_dl load as the 1-row stats
+    artifact.  The scoring expression is the bm25_topk one verbatim
+    (same parenthesization, same ascending-term 0.0-init fold, same
+    tiebreak), so persisted-then-probed results are IDENTICAL to
+    trained-in-query results."""
+    from pyspark.sql.window import Window
+
+    terms = sorted({t for _, ts in queries for t in ts})
+    # bucket ids for the query terms via the same JVM hash (bounded:
+    # one row per distinct term)
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    bks = sorted(
+        r["b"]
+        for r in tdf.select(
+            F.pmod(F.xxhash64("term"), F.lit(16)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(bks) & F.col("term").isin(terms))
+        .select("term", id_col, "dl", "tf")
+    )
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    st = spark.read.parquet(f"{path}/stats").first()
+    n_docs, total_dl = st["n_docs"], st["total_dl"]
+    if not n_docs or not total_dl:
+        return spark.createDataFrame(
+            [], f"query_id long, rank int, {id_col} long, score_ppm long"
+        )
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries for t in set(ts)],
+        "query_id long, term string",
+    )
+    joined = postings.join(F.broadcast(dfreq), "term").join(
+        F.broadcast(qdf), "term"
+    )
+    idf = F.log2(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0)
+        - F.lit(b)
+        + F.lit(b) * F.col("dl") * F.lit(float(n_docs)) / F.lit(float(total_dl))
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / norm
+    scored = joined.select("query_id", id_col, F.col("term"), contrib.alias("c"))
+    per_pair = scored.groupBy("query_id", id_col).agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("term", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        per_pair.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            id_col,
+            F.floor(F.col("score") * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("score_ppm"),
+        )
+    )

@@ -97,6 +97,11 @@ def main():
         # embeds brute_force_topk PLUS the bounded candidate x candidate
         # similarity matrix (N=100 re-rank set) — both documented legs
         "embedding_mmr_diversify",
+        # Mann-Kendall sign census: the non-equi (day_j > day_i) pair join
+        # runs on the DAYS-BOUNDED artifact (<= ~2400 rows at any SF — time
+        # span, not volume; rows collapse to per-day counts first), so the
+        # nested loop is over O(span²) tiny pairs, never data
+        "stats_trend_mann_kendall",
     }
     bnl_offenders = [
         n for n, a in rows if a.get("bnl", 0) > 0 and n not in expected_bnl

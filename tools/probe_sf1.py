@@ -185,6 +185,10 @@ HEAVY = [
     "bm25_index_persist",          # full-vocab postings build + write
     "bm25_index_probe",            # pruned-bucket read + scoring only
     "multimodal_wav_silence",      # wav decode + run-length, map-side
+    "multimodal_image_gradient",   # png decode + diff sums, map-side
+    "graph_kcore_peeling",         # 10 peel rounds, checkpointed lineage
+    "stats_trend_mann_kendall",    # one groupBy + days-bounded pair census
+    "stats_runs_test_daily_orders",# one groupBy + bounded runs window
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

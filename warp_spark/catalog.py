@@ -13712,6 +13712,306 @@ def multimodal_wav_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_silence_stats(synth_wav_payloads(docs)).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# Image gradient energy over REAL PNG (pipeline/codecs.py::
+# png_gradient_energy) — Σ|∂x| + Σ|∂y| of the decoded grid, the
+# blur/texture primitive, and the image leg of the per-modality
+# segmentation set (video scene cuts / audio silence runs).  Exact
+# integers; the oracle replays the synthetic pixel rule
+# (id·31 + i·7) mod 256 with row-major index arithmetic (horizontal
+# neighbor i+1 within a row, vertical neighbor i+w).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_image_gradient",
+    """
+    WITH g AS (SELECT doc_id, 8 + doc_id % 8 AS h, 16 + doc_id % 16 AS w
+               FROM documents),
+    px AS (SELECT doc_id, h, w, unnest(range(0, h * w)) AS i FROM g),
+    v AS (SELECT doc_id, h, w, i, (doc_id * 31 + i * 7) % 256 AS p FROM px),
+    gx AS (SELECT doc_id,
+                  sum(abs(((doc_id * 31 + (i + 1) * 7) % 256) - p))::BIGINT
+                    AS gxs
+           FROM v WHERE (i + 1) % w != 0 GROUP BY 1),
+    gy AS (SELECT doc_id,
+                  sum(abs(((doc_id * 31 + (i + w) * 7) % 256) - p))::BIGINT
+                    AS gys
+           FROM v WHERE i < (h - 1) * w GROUP BY 1)
+    SELECT g.doc_id, g.h::BIGINT AS height, g.w::BIGINT AS width,
+           gx.gxs AS grad_x_sum, gy.gys AS grad_y_sum,
+           (((gx.gxs + gy.gys) * 1000) // (g.h * g.w))::BIGINT
+             AS mean_grad_milli
+    FROM g JOIN gx USING (doc_id) JOIN gy USING (doc_id)
+    ORDER BY g.doc_id
+    """,
+)
+def multimodal_image_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.codecs import png_gradient_energy, synth_png_payloads
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    d = png_gradient_energy(synth_png_payloads(docs))
+    return d.select(
+        "doc_id",
+        "height",
+        "width",
+        "grad_x_sum",
+        "grad_y_sum",
+        F.expr(
+            "CAST(((grad_x_sum + grad_y_sum) * 1000) DIV (height * width) "
+            "AS BIGINT)"
+        ).alias("mean_grad_milli"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (k=2, 10 fixed rounds) of the co-purchase graph — the
+# standard "remove the fringe" reduction before any community/motif
+# work.  Iterative like pagerank: each round recomputes degrees (one
+# groupBy) and keeps edges whose BOTH endpoints survive (two
+# equi-joins), with localCheckpoint truncating lineage per round.  The
+# round count is FIXED (a defined computation, the Markov-stationary
+# discipline — determinism over convergence claims); the oracle
+# replays the identical 10 rounds as chained MATERIALIZED CTEs.
+# ---------------------------------------------------------------------------
+def _kcore_oracle_sql() -> str:
+    head = """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+    steps = "".join(
+        f""",
+    d{i + 1} AS MATERIALIZED (
+      SELECT node, count(*) AS d
+      FROM (SELECT u AS node FROM e{i} UNION ALL SELECT v FROM e{i})
+      GROUP BY 1),
+    k{i + 1} AS MATERIALIZED (SELECT node FROM d{i + 1} WHERE d >= 2),
+    e{i + 1} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e{i} e
+      JOIN k{i + 1} a ON a.node = e.u
+      JOIN k{i + 1} b ON b.node = e.v)"""
+        for i in range(10)
+    )
+    return (
+        head
+        + steps
+        + """
+    SELECT
+      (SELECT count(*) FROM (SELECT DISTINCT node FROM
+         (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)))::BIGINT
+        AS n_nodes_initial,
+      (SELECT count(*) FROM e0)::BIGINT AS n_edges_initial,
+      (SELECT count(*) FROM (SELECT DISTINCT node FROM
+         (SELECT u AS node FROM e10 UNION ALL SELECT v FROM e10)))::BIGINT
+        AS n_nodes_core,
+      (SELECT count(*) FROM e10)::BIGINT AS n_edges_core
+    """
+    )
+
+
+@register("graph_kcore_peeling", _kcore_oracle_sql())
+def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").to_df().select("l_orderkey", "l_partkey")
+    other = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        li.join(other, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("v"))
+        .select(F.col("l_partkey").alias("u"), "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes_initial = (
+        edges.select(F.col("u").alias("n"))
+        .union(edges.select(F.col("v").alias("n")))
+        .distinct()
+        .count()
+    )
+    n_edges_initial = edges.count()
+    e = edges
+    for _ in range(10):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .union(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= 2).select("node")
+        ka = keep.select(F.col("node").alias("__a"))
+        kb = keep.select(F.col("node").alias("__b"))
+        e = (
+            e.join(ka, e["u"] == ka["__a"])
+            .join(kb, e["v"] == kb["__b"])
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    n_nodes_core = (
+        e.select(F.col("u").alias("n"))
+        .union(e.select(F.col("v").alias("n")))
+        .distinct()
+        .count()
+    )
+    n_edges_core = e.count()
+    return spark.createDataFrame(
+        [(n_nodes_initial, n_edges_initial, n_nodes_core, n_edges_core)],
+        schema=(
+            "n_nodes_initial long, n_edges_initial long, "
+            "n_nodes_core long, n_edges_core long"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend statistic over the daily order-count series — the
+# nonparametric "is demand drifting?" test.  One groupBy collapses the
+# rows to the days-bounded artifact; the O(days²) sign census runs on
+# that artifact (≤ ~2400 days at any SF — time span, not volume, the
+# CUSUM/backlog precedent).  S and the normalized trend ship as exact
+# integers (both engines truncate negative division toward zero,
+# verified in orders_yoy_growth).
+# ---------------------------------------------------------------------------
+@register(
+    "stats_trend_mann_kendall",
+    """
+    WITH d AS (
+      SELECT date_trunc('day', o_orderdate)::DATE AS day,
+             count(*)::BIGINT AS c
+      FROM orders GROUP BY 1),
+    p AS (
+      SELECT CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END
+               AS sgn
+      FROM d a JOIN d b ON b.day > a.day),
+    s AS (
+      SELECT (SELECT count(*) FROM d)::HUGEINT AS n,
+             sum(sgn)::HUGEINT AS s_stat,
+             count(*)::HUGEINT AS n_pairs
+      FROM p)
+    SELECT n::BIGINT AS n_days,
+           s_stat::BIGINT AS s_stat,
+           n_pairs::BIGINT AS n_pairs,
+           ((s_stat * 1000000) // n_pairs)::BIGINT AS trend_ppm
+    FROM s
+    """,
+)
+def stats_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").to_df().select("o_orderdate")
+    d = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = d.select(F.col("day").alias("da"), F.col("c").alias("ca"))
+    b = d.select(F.col("day").alias("db"), F.col("c").alias("cb"))
+    p = a.join(b, F.col("db") > F.col("da")).select(
+        F.when(F.col("cb") > F.col("ca"), 1)
+        .when(F.col("cb") < F.col("ca"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"))
+    s = _scalar_join(
+        p.agg(
+            F.sum(F.col("sgn").cast("decimal(38,0)")).alias("s_stat"),
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n_pairs"),
+        ),
+        nd,
+    )
+    return s.select(
+        F.col("__n").cast("long").alias("n_days"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.expr("CAST((s_stat * 1000000) DIV n_pairs AS BIGINT)").alias(
+            "trend_ppm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald–Wolfowitz runs test on daily order counts vs their exact median
+# — the randomness audit (too FEW runs = regime persistence, too MANY =
+# oscillation).  The series is the days-bounded artifact; the exact
+# median comes from the cumulative-count pick (smallest c with doubled
+# running count ≥ n, the quantile_disc identity), ties at the median
+# DROP (the classic treatment, deterministic on both engines), runs
+# count as 1 + sign changes over the day order, and the expected-runs
+# reference ships as the exact ppm 2·n1·n2·10⁶ DIV (n1+n2) + 10⁶.
+# ---------------------------------------------------------------------------
+@register(
+    "stats_runs_test_daily_orders",
+    """
+    WITH d AS (
+      SELECT date_trunc('day', o_orderdate)::DATE AS day,
+             count(*)::BIGINT AS c
+      FROM orders GROUP BY 1),
+    med AS (SELECT quantile_disc(c, 0.5) AS m FROM d),
+    sgn AS (
+      SELECT day, CASE WHEN c > m THEN 1 ELSE -1 END AS s
+      FROM d, med WHERE c != m),
+    runs AS (
+      SELECT s, CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                       OR lag(s) OVER (ORDER BY day) != s
+                     THEN 1 ELSE 0 END AS nr
+      FROM sgn)
+    SELECT sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT AS n_above,
+           sum(CASE WHEN s = -1 THEN 1 ELSE 0 END)::BIGINT AS n_below,
+           sum(nr)::BIGINT AS n_runs,
+           ((2 * sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::HUGEINT
+               * sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) * 1000000)
+             // (sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::HUGEINT
+                 + sum(CASE WHEN s = -1 THEN 1 ELSE 0 END))
+            + 1000000)::BIGINT AS expected_runs_ppm
+    FROM runs
+    """,
+)
+def stats_runs_test_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").to_df().select("o_orderdate")
+    d = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # exact median of the days-bounded series: histogram cumulative pick
+    h = d.groupBy("c").agg(F.count(F.lit(1)).alias("hc"))
+    wc = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.select(
+        "c", F.sum("hc").over(wc).alias("cw"), F.sum("hc").over(Window.partitionBy()).alias("n")
+    )
+    med = cum.filter(F.col("cw") * 2 >= F.col("n")).agg(
+        F.min("c").alias("__m")
+    )
+    sgn = (
+        _scalar_join(d, med)
+        .filter(F.col("c") != F.col("__m"))
+        .select(
+            "day", F.when(F.col("c") > F.col("__m"), 1).otherwise(-1).alias("s")
+        )
+    )
+    wd = Window.orderBy("day")
+    runs = sgn.select(
+        "s",
+        F.when(
+            F.lag("s").over(wd).isNull() | (F.lag("s").over(wd) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("nr"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return runs.agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_above"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_below"),
+        F.sum("nr").cast("long").alias("n_runs"),
+        (
+            F.expr(
+                "CAST((2 * CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS DECIMAL(38,0))"
+                " * sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) * 1000000)"
+                " DIV (CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS DECIMAL(38,0))"
+                " + sum(CASE WHEN s = -1 THEN 1 ELSE 0 END)) + 1000000 AS BIGINT)"
+            )
+        ).alias("expected_runs_ppm"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

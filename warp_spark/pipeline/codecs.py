@@ -786,3 +786,38 @@ def wav_silence_stats(
             "n_runs long, longest_run long"
         ),
     )
+
+
+def png_gradient_energy(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Spatial gradient energy over REAL PNG payloads: Σ|∂x| and Σ|∂y|
+    of the decoded grayscale grid — the blur/texture primitive (flat or
+    blurred images score low, sharp detail scores high), the image leg
+    of the segmentation set (video: scene cuts, audio: silence runs).
+    Exact integers (uint8 pixels diffed in int64); a SQL oracle replays
+    the synthetic pixel rule with index arithmetic."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_png(bytes(payload)).astype(np.int64)
+                if px.ndim == 3:  # (H, W, C) → grayscale synth is C=1
+                    px = px[:, :, 0]
+                h, w = px.shape
+                gx = int(np.abs(np.diff(px, axis=1)).sum())
+                gy = int(np.abs(np.diff(px, axis=0)).sum())
+                rows.append((int(doc_id), h, w, gx, gy))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "height", "width", "grad_x_sum", "grad_y_sum"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, height long, width long, "
+            "grad_x_sum long, grad_y_sum long"
+        ),
+    )

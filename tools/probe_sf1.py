@@ -189,6 +189,7 @@ HEAVY = [
     "graph_kcore_peeling",         # 10 peel rounds, checkpointed lineage
     "stats_trend_mann_kendall",    # one groupBy + days-bounded pair census
     "stats_runs_test_daily_orders",# one groupBy + bounded runs window
+    "events_diversity_streamed",   # 24th stream: windowed (day,type) census
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -14012,6 +14012,72 @@ def stats_runs_test_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Streaming twin of events_daily_type_diversity (24th streaming
+# execution): the (day, type) census runs as a real Structured
+# Streaming aggregation (1-day windowed counts, complete-mode memory
+# sink — state bounded by |days|·|types|, the hourly-rollup-streamed
+# discipline), and the division-free Gini-Simpson index computes over
+# the drained table exactly as the batch entry does.  Oracle = the
+# batch SQL; a value match proves the incremental census converges to
+# the batch census.
+# ---------------------------------------------------------------------------
+@register(
+    "events_diversity_streamed",
+    """
+    WITH c AS (
+      SELECT date_trunc('day', ts)::DATE AS day, event_type,
+             count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2),
+    d AS (
+      SELECT day, sum(c)::HUGEINT AS n, sum(c::HUGEINT * c) AS ss,
+             count(*)::BIGINT AS n_types
+      FROM c GROUP BY 1)
+    SELECT day, n::BIGINT AS n_events, n_types,
+           (((n * n - ss) * 1000000) // (n * n))::BIGINT AS simpson_ppm
+    FROM d ORDER BY day
+    """,
+)
+def events_diversity_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from warp_spark.streaming import run_stream_to_memory
+
+    d = tempfile.mkdtemp(prefix="warp_stream_entry_")
+    name = f"diversity_streamed_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = _stage_event_stream(spark, sf_dir, d)
+        counted = (
+            ev.withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        run_stream_to_memory(counted, name, output_mode="complete")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    t = (
+        spark.table(name)
+        .select(F.col("w.start").cast("date").alias("day"), "c")
+        .groupBy("day")
+        .agg(
+            F.sum(dec(F.col("c"))).alias("n"),
+            F.sum(dec(F.col("c")) * dec(F.col("c"))).alias("ss"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+        )
+    )
+    return t.select(
+        "day",
+        F.col("n").cast("long").alias("n_events"),
+        "n_types",
+        F.expr(
+            "CAST(((n * n - ss) * 1000000) DIV (n * n) AS BIGINT)"
+        ).alias("simpson_ppm"),
+    ).orderBy("day")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

@@ -2787,3 +2787,30 @@ def test_dau_wau_cover_explode(spark, tmp_path):
     # on Jan 8, day-1 actives have aged out of the trailing window (1+6=7 < 8)
     assert out["2024-01-08"]["dau"] == 1 and out["2024-01-08"]["wau"] == 1
     assert out["2024-01-01"]["stickiness_ppm"] == 1_000_000
+
+
+def test_prefix_sum_global_matches_spark_window(spark):
+    """The decimal-exact two-phase global cumsum (_prefix_sum_global,
+    the parts_abc backbone) must equal Spark's own un-partitioned
+    running-sum window — including descending order keys, ties broken
+    by id, and frames smaller than the partition count."""
+    from pyspark.sql import Window
+    from warp_spark.catalog import _prefix_sum_global
+
+    for n in [1, 2, 7, 997]:
+        df = spark.range(n).select(
+            F.col("id"),
+            ((F.col("id") * 37 % 100) + 1).cast("decimal(38,0)").alias("v"),
+        )
+        keys = [F.col("v").desc(), F.col("id")]
+        wkeys = [F.col("v").desc(), F.col("id").asc()]
+        w = Window.orderBy(*wkeys).rowsBetween(Window.unboundedPreceding, 0)
+        want = {
+            r["id"]: int(r["c"])
+            for r in df.select("id", F.sum("v").over(w).alias("c")).collect()
+        }
+        got = {
+            r["id"]: int(r["c"])
+            for r in _prefix_sum_global(df, keys, "v", "c").collect()
+        }
+        assert got == want, n

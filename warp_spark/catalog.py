@@ -14092,28 +14092,30 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # the window is rotated every round and the rotation is documented here
 # and in PARITY.md.
 #
-# Round-10 window: FRESHNESS rotation per the r9 verdict.  Post-r9 the
-# histogram is r9:50 / r8:47 / r7:47 / r6:47 / r5:5 / never-judged:19
-# — the 19 never-judged entries are the r9 additions (judge-gate green
-# 19/19 in the r9 verdict but no driver evidence), then the five
-# r05-vintage function-registry entries held back from the r9 window
-# (now the stalest driver evidence in the repo).  This window takes:
-#   * all 19 never-driver-judged r9 additions,
-#   * the five r05-vintage function-registry entries
-#     (pivot_linestatus, coercion_semantics, functions_math,
-#     functions_string, functions_datetime),
-#   * the flagship TPC-H trio kept in-window every round,
-#   * 23 of the 47 r06-vintage entries, picked by drift risk: the ANN
-#     tier, the dedup tier, the join tier (theta/range/interval/salted),
-#     the events rollup tier, the aggregate path, the text-analysis
-#     tier, and multimodal_decode.  The 24 left for the r11 queue are
-#     the registry / single-operator entries (explode/flatten/
-#     transpose/formula/functions_* etc.) whose code paths have not
-#     changed since they were judged.
-# The window was built against evidence through CORRECTNESS_r09
+# Round-11 window: FRESHNESS rotation per the r10 verdict (item 1).
+# Post-r10 the histogram is r10:50 / r9:47 / r8:47 / r7:47 / r6:24 /
+# never-judged:53 — the 53 never-judged entries are the r10 additions
+# (judge-gate green 53/53 in the r10 verdict, re-run by the judge at
+# sf0.01, but no driver evidence).  53 is MORE than one 50-window
+# holds, so per PARITY.md's window-planning note this window takes:
+#   * 47 of the 53 never-driver-judged r10 additions, prioritized per
+#     the r10 verdict: the persisted index pairs (ann_index_*,
+#     bm25_index_*), the four new streaming executions (ewma, holt,
+#     new_users, diversity), graph_jaccard_links / graph_kcore_peeling,
+#     and parts_abc_classification (the _prefix_sum_global path),
+#   * the flagship TPC-H trio kept in-window every round.
+# The 6 r10 additions held back for the r12 queue are the simplest
+# single-aggregation arithmetic entries with the least drift risk
+# (no shared library paths beyond groupBy/agg):
+#   market_concentration_hhi, events_seasonal_dow, text_readability,
+#   stats_benford_totalprice, events_time_to_conversion,
+#   orders_yoy_growth.
+# They head the r12 queue alongside the 24 r06-vintage registry /
+# single-operator entries (see PARITY.md rotation-queue section).
+# The window was built against evidence through CORRECTNESS_r10
 # (_DRIVER_WINDOW_ROUND below); the rotation-policy test evaluates it
 # against snapshots from rounds < _DRIVER_WINDOW_ROUND only, so the
-# driver's own r10 snapshot (which postdates this commit) cannot make
+# driver's own r11 snapshot (which postdates this commit) cannot make
 # the suite red between rounds.
 # ===========================================================================
 
@@ -14121,65 +14123,72 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # evaluated against CORRECTNESS_r*.json snapshots from rounds strictly
 # before this one (the evidence that existed when the window was
 # designed).
-_DRIVER_WINDOW_ROUND = 10
+_DRIVER_WINDOW_ROUND = 11
 
 _DRIVER_WINDOW = [
-    # --- the 19 never-driver-judged r9 additions ---
-    "multimodal_image_resize",
-    "dedup_neardup_streamed",
-    "text_zipf_spectrum",
-    "text_heaps_growth",
-    "events_stream_stream_left_join",
-    "multimodal_wav_resample",
-    "multimodal_y4m_resample",
-    "text_pmi_bigrams",
-    "events_rfm_segments",
-    "curation_contamination_matrix",
-    "events_attribution_last_touch",
-    "events_attribution_streamed",
-    "events_cohort_ltv",
-    "embedding_mmr_diversify",
-    "events_sample_streamed",
-    "privacy_k_anonymity",
-    "events_session_funnel",
-    "events_hourly_percentiles",
-    "basket_lift_topk",
-    # --- the five r05-vintage function-registry entries (stalest) ---
-    "pivot_linestatus",
-    "coercion_semantics",
-    "functions_math",
-    "functions_string",
-    "functions_datetime",
+    # --- 47 of the 53 never-driver-judged r10 additions ---
+    # persisted-index tier (r9 verdict item 6 deliverables)
+    "ann_index_persist",
+    "ann_index_probe",
+    "ann_index_recon_audit",
+    "bm25_index_persist",
+    "bm25_index_probe",
+    # streaming executions 21-24
+    "events_ewma_streamed",
+    "events_holt_streamed",
+    "events_new_users_streamed",
+    "events_diversity_streamed",
+    # graph tier
+    "graph_jaccard_links",
+    "graph_kcore_peeling",
+    "graph_bipartite_degrees",
+    "graph_degree_assortativity",
+    # distributed-prefix / order-statistics paths
+    "parts_abc_classification",
+    "embedding_norm_percentiles",
+    "text_vocab_coverage",
+    # privacy + stats tier
+    "privacy_l_diversity",
+    "privacy_t_closeness",
+    "stats_chisq_priority_status",
+    "stats_trend_mann_kendall",
+    "stats_runs_test_daily_orders",
+    # events analytics tier
+    "events_changepoint_cusum",
+    "events_anomaly_mad",
+    "events_holt_linear",
+    "events_inactivity_churn",
+    "events_engagement_gini",
+    "events_dau_wau_stickiness",
+    "events_hourly_acf",
+    "events_forecast_backtest",
+    "events_type_overlap",
+    "events_new_vs_returning",
+    "events_daily_type_diversity",
+    "events_session_length_hist",
+    "events_markov_stationary",
+    # orders analytics tier
+    "orders_open_backlog",
+    "orders_fulfillment_latency",
+    "orders_interpurchase_gap",
+    # aggregate path
+    "agg_weighted_median",
+    # embeddings tier
+    "embedding_dimension_stats",
+    "embedding_gram_matrix",
+    # curation + text tier
+    "curation_pareto_frontier",
+    "text_rake_keywords",
+    # multimodal segmentation tier
+    "multimodal_audio_energy",
+    "multimodal_image_histogram",
+    "multimodal_scene_cuts",
+    "multimodal_wav_silence",
+    "multimodal_image_gradient",
     # --- flagship TPC-H, kept every round ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    # --- stalest judged evidence: 23 of the 47 r06-vintage entries,
-    #     covering the drift-risk paths (ANN, dedup, joins, events
-    #     rollups, aggregate, text analysis, multimodal decode) ---
-    "ann_topk_bruteforce",
-    "ann_topk_ivf",
-    "ann_topk_lsh",
-    "embedding_near_pairs",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "events_daily_from_hourly",
-    "events_hourly_rollup",
-    "events_sliding_rollup",
-    "interval_join_error_bursts",
-    "join_left_aggregate",
-    "join_salted_aggregate",
-    "join_theta",
-    "range_join_error_views",
-    "agg_minimum_count",
-    "agg_pack_statuses",
-    "agg_two_phase",
-    "text_fingerprint_tokens",
-    "text_langid",
-    "text_quality",
-    "multimodal_decode",
 ]
 
 

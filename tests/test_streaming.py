@@ -90,6 +90,32 @@ def test_stream_batch_equivalence_sessionize(spark, events_dir):
     assert normalize(got) == normalize(expected)
 
 
+def test_sessionize_exact_boundary_gap_merges(spark):
+    """Pin Spark's session_window rule AT the exact gap (r10 ADVICE):
+    an event exactly 30:00 after the previous MERGES into the same
+    session — session_window treats the [ts, ts+gap] reach as closed
+    at the boundary — which is exactly the oracle convention
+    ``ts - lag(ts) > INTERVAL 30 MINUTE`` (strictly-greater opens a
+    new session).  One epsilon past the gap splits.  This is the
+    alignment proof for every session-windowed entry
+    (events_sessionize, its streaming twin, events_session_length_hist)."""
+    from warp_spark.streaming import sessionize
+
+    exact = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:30:00")],
+        "user_id long, ts string",
+    ).selectExpr("user_id", "cast(ts as timestamp) ts")
+    got = sessionize(exact, "ts", "30 minutes", keys=["user_id"]).collect()
+    assert len(got) == 1 and got[0]["n_events"] == 2
+
+    past = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:30:00.000001")],
+        "user_id long, ts string",
+    ).selectExpr("user_id", "cast(ts as timestamp) ts")
+    got = sessionize(past, "ts", "30 minutes", keys=["user_id"]).collect()
+    assert len(got) == 2 and all(r["n_events"] == 1 for r in got)
+
+
 def test_stateful_running_totals(spark, events_dir):
     from warp_spark.streaming.windows import running_totals_stateful
 

@@ -190,6 +190,10 @@ HEAVY = [
     "stats_trend_mann_kendall",    # one groupBy + days-bounded pair census
     "stats_runs_test_daily_orders",# one groupBy + bounded runs window
     "events_diversity_streamed",   # 24th stream: windowed (day,type) census
+    # round-11: the hub-capped jaccard twin — census ≤ cap²·|centers|
+    "graph_jaccard_links_capped",
+    # round-11: one-time canonical edge-list build + clustered write
+    "graph_edges_persist",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -1727,6 +1727,10 @@ def build_bm25_index(
     stats = docs.select(tokens(F.col(text_col)).alias(tk)).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.size(tk)).cast("long").alias("total_dl"),
+        # persisted so the probe derives its bucket modulus from the
+        # artifact — an index built with a non-default n_buckets is
+        # probed with the RIGHT partition pruning (r10 ADVICE)
+        F.lit(int(n_buckets)).cast("int").alias("n_buckets"),
     )
     stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
 
@@ -1753,13 +1757,21 @@ def bm25_index_probe(
     from pyspark.sql.window import Window
 
     terms = sorted({t for _, ts in queries for t in ts})
+    # stats first: the bucket MODULUS comes from the artifact (written
+    # by build_bm25_index), so an index built with a non-default
+    # n_buckets is probed with the right partition pruning — never a
+    # hardcoded 16 (r10 ADVICE).  Pre-stamp artifacts without the
+    # column fall back to the historical default.
+    st = spark.read.parquet(f"{path}/stats").first()
+    n_docs, total_dl = st["n_docs"], st["total_dl"]
+    n_buckets = st["n_buckets"] if "n_buckets" in st.asDict() else 16
     # bucket ids for the query terms via the same JVM hash (bounded:
     # one row per distinct term)
     tdf = spark.createDataFrame([(t,) for t in terms], "term string")
     bks = sorted(
         r["b"]
         for r in tdf.select(
-            F.pmod(F.xxhash64("term"), F.lit(16)).cast("int").alias("b")
+            F.pmod(F.xxhash64("term"), F.lit(int(n_buckets))).cast("int").alias("b")
         )
         .distinct()
         .collect()
@@ -1772,8 +1784,6 @@ def bm25_index_probe(
     dfreq = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
-    st = spark.read.parquet(f"{path}/stats").first()
-    n_docs, total_dl = st["n_docs"], st["total_dl"]
     if not n_docs or not total_dl:
         return spark.createDataFrame(
             [], f"query_id long, rank int, {id_col} long, score_ppm long"

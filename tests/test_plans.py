@@ -551,6 +551,56 @@ def test_bm25_index_probe_equals_inquery(spark):
     assert probed == inquery and len(probed) > 0
 
 
+def test_dedup_index_probe_equals_inquery(spark):
+    """Persisted-then-probed near-dup must be IDENTICAL to the in-query
+    incremental path: same md5-minhash signatures, same band postings
+    (corpus-side cap), same exact-Jaccard verify, same min-corpus-id
+    reduction."""
+    import __spark_entry__ as m
+
+    key = lambda r: (  # noqa: E731
+        r["doc_id"],
+        r["dup_of"],
+        r["best_jaccard"],
+        r["is_dup"],
+    )
+    probed = sorted(map(key, m.queries()["dedup_index_probe"](spark, SF).collect()))
+    inquery = sorted(map(key, m.queries()["dedup_incremental"](spark, SF).collect()))
+    assert probed == inquery and len(probed) > 0
+    assert any(r[3] for r in probed)  # the slice contains real dups
+
+
+def test_dedup_index_probe_partition_pruning(spark):
+    """A TRICKLE probe (single doc) against the persisted band postings
+    must prune: the bands scan's bucket IN (...) lands in
+    PartitionFilters — at most bands-per-doc of the 32 bucket
+    partitions are listed, unprobed buckets never read (the
+    persist_dedup_index layout contract; large probes legitimately
+    converge to all buckets, so the plan pin uses the 1-doc shape)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from warp_spark.catalog import _ensure_dedup_index, _t
+    from warp_spark.pipeline.dedup import dedup_index_probe
+
+    path = _ensure_dedup_index(spark, SF)
+    one = (
+        _t(spark, SF, "documents").to_df().filter(F.col("doc_id") == 17)
+    )
+    df = dedup_index_probe(spark, path, one, threshold=0.5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        s for s in re.findall(r"FileScan parquet[^\n]*", plan) if "/bands" in s
+    ]
+    assert scans, plan
+    assert all(
+        "PartitionFilters" in s
+        and "bucket" in s.split("PartitionFilters", 1)[1].split("]", 1)[0]
+        for s in scans
+    ), scans
+
+
 def test_bm25_index_probe_partition_pruning(spark):
     """The persisted postings must be probed via PARTITION PRUNING: the
     scan's bucket IN (...) filter has to land in PartitionFilters (the

@@ -170,3 +170,67 @@ def test_kmv_overlap_estimates_track_truth(spark):
     row = kmv_overlap(c, d, "v", k=256).collect()[0]
     assert row["c_both"] == 0 and row["est_union"] == 150.0
     assert row["est_jaccard"] == 0.0 and row["est_intersection"] == 0.0
+
+
+def test_tdigest_bounds_contain_exact_quantiles_and_tails_tighter(spark):
+    """The t-digest-style read-off must (a) bracket the exact quantile
+    value inside each [lo, hi] envelope, and (b) exhibit the defining
+    t-digest accuracy profile: tail centroids (q01, q99) span FEWER
+    ranks than the median centroid — accuracy ∝ min(q, 1−q)."""
+    from warp_spark.sketches import tdigest_quantiles
+
+    # skewed positive data, one group, exact quantiles known via sort
+    vals = [int(1.5**k) + j for k in range(1, 20) for j in range(5)]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, cents long"
+    )
+    row = tdigest_quantiles(
+        df, F.col("cents"), "grp", qs=(0.01, 0.5, 0.99)
+    ).collect()[0]
+    n = len(vals)
+    assert row["n"] == n
+    s = sorted(vals)
+    import math
+
+    for q, name in ((0.01, "q01"), (0.5, "q50"), (0.99, "q99")):
+        exact = s[math.ceil(q * n) - 1]
+        assert row[f"{name}_lo"] <= exact <= row[f"{name}_hi"], (name, exact, row)
+    assert row["q01_rank_span"] <= row["q50_rank_span"]
+    assert row["q99_rank_span"] <= row["q50_rank_span"]
+
+    # the strict tail-vs-middle profile, asserted where the law of
+    # large buckets applies (at small n midpoint clamping can shrink
+    # the median centroid to 1 rank too)
+    big = spark.range(0, 20000).select(
+        F.lit("g").alias("grp"), (F.col("id") + 1).alias("cents")
+    )
+    row = tdigest_quantiles(
+        big, F.col("cents"), "grp", qs=(0.01, 0.5, 0.99)
+    ).collect()[0]
+    assert row["q01_rank_span"] < row["q50_rank_span"]
+    assert row["q99_rank_span"] < row["q50_rank_span"]
+
+
+def test_tdigest_hist_shards_merge_by_count_add(spark):
+    """Stage 1 is the mergeable artifact: per-shard histograms summed
+    cell-wise must produce the IDENTICAL read-off as one global build —
+    the contract that lets streamed and batch percentiles share one
+    artifact (and the 100 TB shard-rollup path)."""
+    from pyspark.sql import functions as F
+
+    from warp_spark.sketches import tdigest_hist, tdigest_quantiles_from_hist
+
+    df = spark.range(0, 5000).select(
+        F.lit("g").alias("grp"), (F.col("id") * 7 % 9973 + 1).alias("cents")
+    )
+    full = tdigest_hist(df, F.col("cents"), "grp")
+    sh1 = tdigest_hist(df.filter(F.col("id") % 2 == 0), F.col("cents"), "grp")
+    sh2 = tdigest_hist(df.filter(F.col("id") % 2 == 1), F.col("cents"), "grp")
+    merged = (
+        sh1.unionByName(sh2)
+        .groupBy("grp", "__key")
+        .agg(F.sum("__cnt").alias("__cnt"))
+    )
+    a = tdigest_quantiles_from_hist(full, "grp").collect()
+    b = tdigest_quantiles_from_hist(merged, "grp").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]

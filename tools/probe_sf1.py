@@ -194,6 +194,14 @@ HEAVY = [
     "graph_jaccard_links_capped",
     # round-11: one-time canonical edge-list build + clustered write
     "graph_edges_persist",
+    # round-11: persisted near-dup index — corpus signatured at build
+    # only; probe = pruned band scan + verify-tier join
+    "dedup_index_persist",
+    "dedup_index_probe",
+    # round-11: t-digest-style sketch — one histogram groupBy + a
+    # bounded read-off; streamed twin stages from sf_dir
+    "agg_tdigest_quantiles",
+    "events_tdigest_streamed",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

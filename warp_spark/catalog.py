@@ -6710,6 +6710,134 @@ def dedup_neardup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_index_path(sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), f"warp_dedup_idx_v1_{tag}")
+
+
+def _ensure_dedup_index(spark: SparkSession, sf_dir: str, rebuild: bool = False) -> str:
+    """Build-once discipline for the persisted near-dup corpus index
+    (r10 verdict item 5 — completes the index triple: vector IVF-PQ,
+    lexical BM25, dedup minhash bands).  Corpus = the standing slice
+    (doc_id % 20 < 16, the dedup_incremental convention).  The stamp
+    carries a content fingerprint (doc_id sum + crc32-of-text sum),
+    so same-cardinality content changes rebuild."""
+    import os
+
+    from warp_spark.pipeline.dedup import persist_dedup_index
+
+    path = _dedup_index_path(sf_dir)
+    marker = os.path.join(path, "_INDEX_COMPLETE")
+    corpus = (
+        _t(spark, sf_dir, "documents").to_df().filter(F.col("doc_id") % 20 < 16)
+    )
+    fp = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("doc_id").cast("decimal(38,0)")).alias("ids"),
+        F.sum(F.crc32(F.col("text")).cast("decimal(38,0)")).alias("crc"),
+    ).first()
+    stamp = (
+        "dedup minhash=12 band=2 n_buckets=32 cap=10000 "
+        f"n_docs={fp['n']} idsum={fp['ids']} crcsum={fp['crc']}"
+    )
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            current = f.read().strip()
+    if rebuild or current != stamp:
+        os.makedirs(path, exist_ok=True)
+        persist_dedup_index(corpus, path)
+        with open(marker, "w") as f:
+            f.write(stamp + "\n")
+    return path
+
+
+# Persisted near-dup index, build half (pipeline/dedup.py::
+# persist_dedup_index): the standing corpus's LSH band postings
+# (PARTITIONED BY band-value hash bucket), the xxhash64 shingle-set
+# verify tier, and the 1-row stats artifact (the probe derives its
+# bucket modulus and signature shape FROM the artifact).  n_corpus_docs
+# is the differential column; postings_complete pins exactly
+# bands-per-doc (12 hashes / band size 2 = 6) rows per corpus doc
+# (no bucket near the 10k cap at any tested SF — the same
+# cap-never-binds fact the streamed entry's oracle relies on);
+# shingles_complete pins one verify row per corpus doc.
+@register(
+    "dedup_index_persist",
+    """
+    SELECT (SELECT count(*) FROM documents
+            WHERE doc_id % 20 < 16)::BIGINT AS n_corpus_docs,
+           CAST(6 AS BIGINT) AS bands_per_doc,
+           true AS postings_complete,
+           true AS shingles_complete
+    """,
+)
+def dedup_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_dedup_index(spark, sf_dir, rebuild=True)
+    bands = spark.read.parquet(f"{path}/bands")
+    sh = spark.read.parquet(f"{path}/shingles")
+    st = spark.read.parquet(f"{path}/stats")
+    bs = bands.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("corpus_id").alias("n_ids"),
+        F.countDistinct("corpus_id", "band_idx").alias("n_id_bands"),
+    )
+    ss = sh.agg(
+        F.count(F.lit(1)).alias("s_rows"),
+        F.countDistinct("corpus_id").alias("s_ids"),
+    )
+    return _scalar_join(st, bs, ss).select(
+        F.col("n_docs").cast("long").alias("n_corpus_docs"),
+        (F.col("num_hashes") / F.col("band_size"))
+        .cast("long")
+        .alias("bands_per_doc"),
+        (
+            (F.col("n_rows") == F.col("n_docs") * 6)
+            & (F.col("n_ids") == F.col("n_docs"))
+            & (F.col("n_id_bands") == F.col("n_docs") * 6)
+        ).alias("postings_complete"),
+        (
+            (F.col("s_rows") == F.col("n_docs"))
+            & (F.col("s_ids") == F.col("s_rows"))
+        ).alias("shingles_complete"),
+    )
+
+
+# Query half: dedup the SAME new-crawl slice as dedup_incremental
+# (doc_id % 20 >= 16) against the persisted artifacts alone — the
+# corpus is never re-signatured; the bands scan is bucket-IN pruned +
+# (band_idx, band_val) joined, the exact-Jaccard verify reads the
+# persisted shingle tier.  Semantics are incremental_dedup_stream's
+# static side (corpus-side bucket cap, applied at BUILD time), so the
+# oracle is dedup_incremental's, reused by reference — persisted-then-
+# probed results must reproduce the batch answer exactly (also
+# pytest-pinned against the in-query path).
+@register("dedup_index_probe", None)
+def dedup_index_probe_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.dedup import dedup_index_probe
+
+    path = _ensure_dedup_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").to_df()
+    batch = docs.filter(F.col("doc_id") % 20 >= 16)
+    hits = dedup_index_probe(spark, path, batch, threshold=0.5)
+    return (
+        batch.select("doc_id")
+        .join(hits, F.col("doc_id") == F.col("batch_id"), "left")
+        .select(
+            "doc_id",
+            "dup_of",
+            "best_jaccard",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+ORACLES["dedup_index_probe"] = ORACLES["dedup_incremental"]
+
+
 # ---------------------------------------------------------------------------
 # EXACT set-similarity join via prefix filtering (AllPairs/PPJoin
 # family, dedup.py::prefix_filter_jaccard_pairs): unlike the LSH
@@ -10410,6 +10538,153 @@ def agg_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hdr_quantiles(
         li, cents, "l_returnflag", qs=(0.5, 0.95, 0.99), sub_bits=5
     )
+
+
+def _tdigest_oracle(cents_cte: str, group_col: str) -> str:
+    """Generate the DuckDB replay of the t-digest-style read-off
+    (sketches.py::tdigest_quantiles): value histogram at 7 sub-bits
+    (modulus 128), then per quantile the closed-form rank-centroid
+    preimage (log-linear key of distance-to-nearest-tail at 5
+    sub-bits, mirrored above the midpoint) and the value envelope of
+    the buckets intersecting it — integer arithmetic end to end."""
+    pieces = []
+    for q in (0.01, 0.5, 0.99):
+        name = f"q{int(round(q * 100)):02d}"
+        r = f"ceil({q}::DOUBLE * n::DOUBLE)::BIGINT"
+        d = f"least({r}, n + 1 - {r})"
+        sh = f"greatest(length(bin({d})) - 5, 0)"
+        idx = f"({d} >> {sh})"
+        d_lo = f"({idx} << {sh})"
+        d_hi = f"((({idx} + 1) << {sh}) - 1)"
+        r1 = (
+            f"CASE WHEN {r} * 2 <= n THEN {d_lo} "
+            f"ELSE greatest(n + 1 - {d_hi}, n // 2 + 1) END"
+        )
+        r2 = (
+            f"CASE WHEN {r} * 2 <= n THEN least({d_hi}, n // 2) "
+            f"ELSE n + 1 - {d_lo} END"
+        )
+        pieces.append(f"({r1})::BIGINT AS {name}_r1, ({r2})::BIGINT AS {name}_r2")
+    params = ",\n             ".join(pieces)
+    sels = []
+    for q in (1, 50, 99):
+        name = f"q{q:02d}"
+        hit = f"cum - cnt + 1 <= p.{name}_r2 AND cum >= p.{name}_r1"
+        sels.append(
+            f"min(CASE WHEN {hit} THEN (key % 128) << (key // 128) END)::BIGINT"
+            f" AS {name}_lo,\n           "
+            f"max(CASE WHEN {hit} THEN (((key % 128) + 1) << (key // 128)) - 1 END)"
+            f"::BIGINT AS {name}_hi,\n           "
+            f"max(p.{name}_r2 - p.{name}_r1 + 1)::BIGINT AS {name}_rank_span"
+        )
+    sel = ",\n           ".join(sels)
+    return f"""
+    WITH c AS ({cents_cte}),
+    b AS (
+      SELECT {group_col},
+             (greatest(length(bin(cents)) - 7, 0) * 128
+              + (cents >> greatest(length(bin(cents)) - 7, 0)))::BIGINT AS key
+      FROM c),
+    hist AS (SELECT {group_col}, key, count(*)::BIGINT AS cnt
+             FROM b GROUP BY 1, 2),
+    cum AS (
+      SELECT {group_col}, key, cnt,
+             sum(cnt) OVER (PARTITION BY {group_col} ORDER BY key) AS cum,
+             sum(cnt) OVER (PARTITION BY {group_col}) AS n
+      FROM hist),
+    p AS (
+      SELECT {group_col}, n,
+             {params}
+      FROM (SELECT {group_col}, max(n)::BIGINT AS n FROM cum GROUP BY 1))
+    SELECT cum.{group_col}, max(p.n)::BIGINT AS n,
+           {sel}
+    FROM cum JOIN p USING ({group_col})
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# t-digest-STYLE mergeable quantile sketch (sketches.py::
+# tdigest_quantiles; r10 verdict item 7; parity anchor: the
+# reference's median tier, Function.swift:2136-2189).  Two stages:
+# (1) the mergeable integer artifact — a log-linear VALUE histogram at
+# 7 sub-bits (≤0.78 % bucket width), shard-merged by adding counts,
+# maintained incrementally by the streamed twin; (2) the t-digest-
+# style read-off — centroids formed in RANK space by log-linear
+# bucketing of each rank's distance to its nearest tail (5 sub-bits),
+# giving centroid size ∝ min(q, 1−q)·n: t-digest's tail-tight /
+# middle-coarse accuracy profile in pure integer arithmetic (no
+# asin/log to disagree cross-engine — keys come from bin()-length).
+# The rank_span columns EXPOSE the profile: q01/q99 spans ≪ q50 span
+# (pytest-pinned).  All columns BIGINT-exact on both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_tdigest_quantiles",
+    _tdigest_oracle(
+        "SELECT l_returnflag, "
+        "floor(l_extendedprice * 100.0::DOUBLE + 0.5::DOUBLE)::BIGINT AS cents "
+        "FROM lineitem",
+        "l_returnflag",
+    ),
+)
+def agg_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.sketches import tdigest_quantiles
+
+    li = _t(spark, sf_dir, "lineitem").to_df()
+    cents = F.floor(
+        F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    return tdigest_quantiles(
+        li, cents, "l_returnflag", qs=(0.01, 0.5, 0.99)
+    ).orderBy("l_returnflag")
+
+
+# Streamed twin (25th streaming execution): the SAME mergeable
+# histogram artifact maintained by an update-mode streaming count
+# aggregation over the micro-batched event feed — per-trigger
+# re-emissions carry the cumulative count, so max per (type, key) is
+# the final state — then the identical rank-centroid read-off over the
+# drained artifact.  Batch and stream share stage 1's state shape and
+# stage 2's code path verbatim: the "one artifact" contract of the
+# verdict item, value-matched to the batch computation by the oracle.
+@register(
+    "events_tdigest_streamed",
+    _tdigest_oracle(
+        "SELECT event_type, "
+        "floor(value * 100.0::DOUBLE + 0.5::DOUBLE)::BIGINT AS cents "
+        "FROM events",
+        "event_type",
+    ),
+)
+def events_tdigest_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from warp_spark.sketches import hdr_bucket, tdigest_quantiles_from_hist
+    from warp_spark.streaming import run_stream_to_memory
+
+    d = tempfile.mkdtemp(prefix="warp_tdigest_stream_")
+    name = f"tdigest_streamed_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = _stage_event_stream(spark, sf_dir, d)
+        cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+        hist = (
+            ev.select("event_type", hdr_bucket(cents, 7).alias("__key"))
+            .groupBy("event_type", "__key")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        run_stream_to_memory(hist, name, output_mode="update")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    drained = (
+        spark.table(name)
+        .groupBy("event_type", "__key")
+        .agg(F.max("__cnt").alias("__cnt"))
+    )
+    return tdigest_quantiles_from_hist(
+        drained, "event_type", qs=(0.01, 0.5, 0.99)
+    ).orderBy("event_type")
 
 
 # ---------------------------------------------------------------------------

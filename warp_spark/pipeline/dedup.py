@@ -852,6 +852,160 @@ def incremental_dedup_stream(
     )
 
 
+def persist_dedup_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_corpus_bucket: int = 10_000,
+    n_buckets: int = 32,
+) -> None:
+    """Persist the standing-corpus near-dup index as parquet artifacts
+    — the dedup leg of the persisted-index triple (vector: IVF-PQ,
+    lexical: BM25 postings, dedup: THIS).  Before this, every
+    incremental-dedup pass (batch or stream) re-signatured the whole
+    corpus in-query; at steady state the corpus index is a
+    materialized table and a probe touches ONLY these artifacts plus
+    the new slice.
+
+    Three artifacts:
+
+    - ``bands``: (corpus_id, band_idx, band_val) — the LSH band
+      postings, oversized buckets dropped at build time (the
+      corpus-side cap of incremental_dedup_stream), PARTITIONED BY a
+      band-value hash bucket so a small probe's bucket IN-list is
+      physical partition pruning (a trickle batch of 1 doc touches at
+      most bands-per-doc of the ``n_buckets`` partitions; large
+      probes converge to a full scan of |corpus|·bands rows — still
+      never a re-signature).
+    - ``shingles``: (corpus_id, sh_b array<bigint>) — the exact-verify
+      tier (xxhash64'd shingle sets, the storage-tier analogue of the
+      IVF-PQ raw vectors).
+    - ``stats``: 1-row (n_docs, num_hashes, band_size, n_buckets,
+      max_corpus_bucket) — the probe derives its bucket modulus and
+      signature shape FROM the artifact, never from hardcoded
+      constants (the BM25 n_buckets lesson, applied from day one).
+
+    Signatures use the pure-Column md5-minhash path (identical values
+    to the Arrow UDF — differential-pinned in test_scale_ops), so
+    persisted-then-probed results equal in-query results exactly.
+    """
+
+    def _sig(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(out_id), shingles(F.col(text_col)).alias("__sh")
+            )
+            .select(out_id, F.transform(F.col("__sh"), md5_hash_pair).alias("__hp"))
+            .select(out_id, minhash_from_pairs(F.col("__hp")).alias("__sig"))
+        )
+
+    bands = _sig(corpus, "corpus_id").select(
+        "corpus_id",
+        F.posexplode(lsh_bands(F.col("__sig"))).alias("band_idx", "band_val"),
+    )
+    sizes = bands.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    kept = (
+        bands.join(sizes, ["band_idx", "band_val"])
+        .filter(F.col("__n") <= max_corpus_bucket)
+        .select(
+            "corpus_id",
+            "band_idx",
+            "band_val",
+            F.pmod(F.xxhash64("band_val"), F.lit(n_buckets)).cast("int").alias(
+                "bucket"
+            ),
+        )
+    )
+    kept.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/bands")
+    sh = corpus.select(
+        F.col(id_col).alias("corpus_id"), shingles(F.col(text_col)).alias("__sh")
+    ).select(
+        "corpus_id",
+        F.transform(F.col("__sh"), lambda t: F.xxhash64(t)).alias("sh_b"),
+    )
+    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    stats = corpus.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.lit(DEFAULT_NUM_HASHES).cast("int").alias("num_hashes"),
+        F.lit(DEFAULT_BAND_SIZE).cast("int").alias("band_size"),
+        F.lit(int(n_buckets)).cast("int").alias("n_buckets"),
+        F.lit(int(max_corpus_bucket)).cast("long").alias("max_corpus_bucket"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def dedup_index_probe(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup a new slice against the PERSISTED corpus index — no
+    corpus pass: the batch is signatured map-side (pure-Column
+    md5-minhash, same values as the build), its band values hash to a
+    bucket IN-list that prunes the ``bands`` scan, candidates come
+    from the (band_idx, band_val) equi-join, and the exact Jaccard
+    verify joins the persisted ``shingles`` tier.  Returns
+    (batch_id, dup_of, best_jaccard) — one row per matched batch doc,
+    min-corpus-id winner, exactly incremental_dedup_stream's
+    static-side semantics, so probed results equal the in-query
+    incremental path (pytest-pinned)."""
+    st = spark.read.parquet(f"{path}/stats").first()
+    n_buckets = st["n_buckets"]
+    s = (
+        batch.select(
+            F.col(id_col).alias("batch_id"), shingles(F.col(text_col)).alias("__sh")
+        )
+        .select(
+            "batch_id",
+            F.transform(F.col("__sh"), lambda t: F.xxhash64(t)).alias("sh_a"),
+            F.transform(F.col("__sh"), md5_hash_pair).alias("__hp"),
+        )
+        .select(
+            "batch_id",
+            "sh_a",
+            minhash_from_pairs(F.col("__hp")).alias("__sig"),
+        )
+        .select(
+            "batch_id",
+            "sh_a",
+            F.posexplode(lsh_bands(F.col("__sig"))).alias("band_idx", "band_val"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bks = sorted(
+        r["b"]
+        for r in s.select(
+            F.pmod(F.xxhash64("band_val"), F.lit(int(n_buckets)))
+            .cast("int")
+            .alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    bands = (
+        spark.read.parquet(f"{path}/bands")
+        .filter(F.col("bucket").isin(bks))
+        .select("corpus_id", "band_idx", "band_val")
+    )
+    sh_old = spark.read.parquet(f"{path}/shingles")
+    cand = s.join(bands, ["band_idx", "band_val"]).join(sh_old, "corpus_id")
+    verified = cand.withColumn(
+        "jaccard",
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+    ).filter(F.col("jaccard") >= threshold)
+    return verified.groupBy("batch_id").agg(
+        F.min("corpus_id").alias("dup_of"),
+        F.max(F.round("jaccard", 6)).alias("best_jaccard"),
+    )
+
+
 def cluster_representatives(
     clusters: DataFrame,
     scores: DataFrame,

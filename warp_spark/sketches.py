@@ -298,3 +298,123 @@ def hdr_quantiles_from_hist(
         lo, hi = hdr_bounds(F.col(f"__{name}_key"), sub_bits)
         cols += [lo.alias(f"{name}_lo"), hi.alias(f"{name}_hi")]
     return out.select(*cols)
+
+
+def tdigest_hist(
+    df: DataFrame,
+    cents_col: Column,
+    group_col: str,
+    value_sub_bits: int = 7,
+) -> DataFrame:
+    """Stage 1 of the t-digest-style quantile sketch: the MERGEABLE
+    integer artifact — a log-linear value histogram ``(group, __key,
+    __cnt)`` at ``value_sub_bits`` precision (7 bits → ≤0.78 % relative
+    bucket width, ≤ ~7.5k buckets over the full bigint range; in
+    practice a few hundred).  Shard histograms merge by ADDING counts
+    and a streaming update-mode count aggregation maintains the same
+    state incrementally — this is the one artifact batch and streamed
+    percentiles share (r10 verdict item 7)."""
+    return (
+        df.select(
+            F.col(group_col), hdr_bucket(cents_col, value_sub_bits).alias("__key")
+        )
+        .groupBy(group_col, "__key")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+
+
+def tdigest_quantiles_from_hist(
+    hist: DataFrame,
+    group_col: str,
+    qs: Sequence[float] = (0.01, 0.5, 0.99),
+    value_sub_bits: int = 7,
+    rank_sub_bits: int = 5,
+) -> DataFrame:
+    """Stage 2 — the t-digest-STYLE read-off: centroids are formed in
+    RANK space by applying the same log-linear bucketing to each
+    rank's distance to its nearest tail, ``d = min(r, n+1−r)``, so
+    centroid width is ≤ 2^(1−rank_sub_bits) · d (6.25 % of the
+    distance-to-tail at 5 bits).  That is t-digest's defining accuracy
+    profile — tight at the tails, coarse in the middle (centroid size
+    ∝ min(q, 1−q)·n, the integer cousin of the k₁ scale function's
+    √(q(1−q))) — with NO asin/log boundary to disagree on
+    cross-engine: keys come from bin()-length integer arithmetic, so
+    the whole read-off replays exactly in SQL.
+
+    For each requested quantile: target rank r = ceil(q·n); its
+    centroid's rank interval [r1, r2] is the closed-form key-preimage
+    (mirrored to the upper side when 2r > n, clamped at the midpoint);
+    the answer is the [lo, hi] VALUE envelope of the stage-1 buckets
+    whose rank intervals intersect [r1, r2] — all BIGINT, so tail
+    quantiles provably come back with tighter rank spans than the
+    median (pytest-pinned).
+
+    Output: one row per group — ``group, n`` then ``q{XX}_lo, q{XX}_hi,
+    q{XX}_rank_span`` per quantile."""
+    if len(set(qs)) != len(qs):
+        raise ValueError(f"duplicate quantiles in qs: {qs}")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("__key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("__cum", F.sum("__cnt").over(w)).withColumn(
+        "__n", F.sum("__cnt").over(Window.partitionBy(group_col))
+    )
+    n = F.col("__n")
+    c1 = F.col("__cum") - F.col("__cnt") + 1  # bucket rank interval lo
+    c2 = F.col("__cum")  # bucket rank interval hi
+    blo, bhi = hdr_bounds(F.col("__key"), value_sub_bits)
+    aggs = [F.max("__n").alias("n")]
+    names = []
+    for q in qs:
+        r = F.ceil(F.lit(q) * n.cast("double")).cast("long")
+        d = F.least(r, n + 1 - r)
+        lower = (r * 2) <= n
+        dbl = F.when(d > 0, F.length(F.bin(d))).otherwise(F.lit(0))
+        shift = F.greatest(dbl - F.lit(rank_sub_bits), F.lit(0))
+        idx = F.call_function("shiftright", d, shift)
+        d_lo = F.call_function("shiftleft", idx, shift).cast("long")
+        d_hi = (F.call_function("shiftleft", idx + 1, shift) - 1).cast("long")
+        mid = F.floor(n / 2).cast("long")
+        r1 = F.when(lower, d_lo).otherwise(
+            F.greatest(n + 1 - d_hi, mid + 1)
+        )
+        r2 = F.when(lower, F.least(d_hi, mid)).otherwise(n + 1 - d_lo)
+        hit = (c1 <= r2) & (c2 >= r1)
+        name = f"q{int(round(q * 100)):02d}"
+        names.append(name)
+        aggs += [
+            F.min(F.when(hit, blo)).alias(f"{name}_lo"),
+            F.max(F.when(hit, bhi)).alias(f"{name}_hi"),
+            F.max(r2 - r1 + 1).alias(f"{name}_rank_span"),
+        ]
+    out = cum.groupBy(group_col).agg(*aggs)
+    cols = [F.col(group_col), F.col("n")]
+    for name in names:
+        cols += [
+            F.col(f"{name}_lo").cast("long").alias(f"{name}_lo"),
+            F.col(f"{name}_hi").cast("long").alias(f"{name}_hi"),
+            F.col(f"{name}_rank_span").cast("long").alias(f"{name}_rank_span"),
+        ]
+    return out.select(*cols)
+
+
+def tdigest_quantiles(
+    df: DataFrame,
+    cents_col: Column,
+    group_col: str,
+    qs: Sequence[float] = (0.01, 0.5, 0.99),
+    value_sub_bits: int = 7,
+    rank_sub_bits: int = 5,
+) -> DataFrame:
+    """Build + read off in one call (the batch path); the streamed twin
+    maintains :func:`tdigest_hist`'s state incrementally and calls
+    :func:`tdigest_quantiles_from_hist` on the drained artifact."""
+    return tdigest_quantiles_from_hist(
+        tdigest_hist(df, cents_col, group_col, value_sub_bits),
+        group_col,
+        qs=qs,
+        value_sub_bits=value_sub_bits,
+        rank_sub_bits=rank_sub_bits,
+    )

@@ -2917,3 +2917,39 @@ def test_prefix_sum_global_matches_spark_window(spark):
             for r in _prefix_sum_global(df, keys, "v", "c").collect()
         }
         assert got == want, n
+
+
+def test_spearman_and_ks_known_values(spark, tmp_path):
+    """Pin the two new exact-stats kernels on hand-checkable data by
+    running the catalog entries against a synthetic sf_dir: Spearman
+    must hit exactly +1 on a perfectly monotone (tie-free) relation,
+    and the KS sup-gap must be exact on a two-segment split with a
+    known distribution shift."""
+    import math
+
+    from warp_spark.catalog import QUERIES
+
+    d = str(tmp_path)
+    # lineitem: price = qty * 100 (monotone, tie-free) -> rho = +1
+    spark.createDataFrame(
+        [(float(q), float(q)) for q in range(1, 41)],
+        "l_quantity double, l_extendedprice double",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    row = QUERIES["stats_spearman_price_qty"](spark, d).collect()[0]
+    assert row["n"] == 40 and abs(row["spearman_rho"] - 1.0) < 1e-12
+
+    # orders/customer: BUILDING uniform on {1..4}, MACHINERY all at 4
+    # F1(3) = 3/4, F2(3) = 0 -> D = 3/4; cross-multiplied d_scaled =
+    # max|n2*C1 - n1*C2| = |4*3 - 4*0| = 12; d_ppm = 750000
+    spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1, 2, 3, 4, 4, 4, 4, 4])],
+        "o_custkey long, o_totalprice double",
+    ).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(i, "BUILDING" if i < 4 else "MACHINERY") for i in range(8)],
+        "c_custkey long, c_mktsegment string",
+    ).write.parquet(f"{d}/customer.parquet")
+    row = QUERIES["stats_ks_two_sample"](spark, d).collect()[0]
+    assert (row["n1"], row["n2"]) == (4, 4)
+    assert row["d_scaled"] == 12
+    assert row["d_ppm"] == math.floor(12 * 1_000_000 / 16)

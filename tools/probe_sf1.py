@@ -202,6 +202,10 @@ HEAVY = [
     # bounded read-off; streamed twin stages from sf_dir
     "agg_tdigest_quantiles",
     "events_tdigest_streamed",
+    # round-11: KS sup-gap via one distributed prefix sum; Spearman via
+    # two rank maps (histogram + prefix sum + value join each)
+    "stats_ks_two_sample",
+    "stats_spearman_price_qty",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -12932,6 +12932,173 @@ def stats_chisq_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact two-sample Kolmogorov–Smirnov statistic — "did the order-value
+# distribution shift between segments?", the distribution-drift test a
+# data pipeline runs between cohorts/snapshots.  Scale shape: rows
+# collapse to a per-cents histogram with BOTH sides' counts; the KS
+# sup-gap is then max |n2·C1(x) − n1·C2(x)| over that histogram — the
+# cross-multiplied form needs NO division per value, and the running
+# difference is ONE distributed prefix sum (_prefix_sum_global, the
+# decimal-exact two-phase cumsum) of the signed per-value delta
+# n2·c1 − n1·c2, never an un-partitioned window over row-level data.
+# d_ppm ships as one integer floor division — scale-free, engine-exact.
+# ---------------------------------------------------------------------------
+@register(
+    "stats_ks_two_sample",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg,
+             floor(o.o_totalprice * 100.0::DOUBLE + 0.5::DOUBLE)::BIGINT AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+    n AS (
+      SELECT sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)::HUGEINT AS n1,
+             sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END)::HUGEINT AS n2
+      FROM j),
+    h AS (
+      SELECT cents,
+             sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)::HUGEINT AS c1,
+             sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END)::HUGEINT AS c2
+      FROM j GROUP BY 1),
+    s AS (
+      SELECT sum((SELECT n2 FROM n) * c1 - (SELECT n1 FROM n) * c2)
+               OVER (ORDER BY cents) AS run
+      FROM h)
+    SELECT (SELECT n1 FROM n)::BIGINT AS n1,
+           (SELECT n2 FROM n)::BIGINT AS n2,
+           max(abs(run))::BIGINT AS d_scaled,
+           ((max(abs(run)) * 1000000)
+            // ((SELECT n1 FROM n) * (SELECT n2 FROM n)))::BIGINT AS d_ppm
+    FROM s
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").to_df().select("o_custkey", "o_totalprice")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .to_df()
+        .select("c_custkey", "c_mktsegment")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+    )
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    dec = lambda x: x.cast("decimal(38,0)")  # noqa: E731
+    ns = j.agg(
+        dec(F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0))).alias(
+            "__n1"
+        ),
+        dec(F.sum(F.when(F.col("seg") == "MACHINERY", 1).otherwise(0))).alias(
+            "__n2"
+        ),
+    )
+    h = j.groupBy("cents").agg(
+        dec(F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0))).alias("c1"),
+        dec(F.sum(F.when(F.col("seg") == "MACHINERY", 1).otherwise(0))).alias("c2"),
+    )
+    delta = _scalar_join(h, ns).select(
+        "cents",
+        "__n1",
+        "__n2",
+        (F.col("__n2") * F.col("c1") - F.col("__n1") * F.col("c2")).alias("d"),
+    )
+    run = _prefix_sum_global(delta, [F.col("cents")], "d", "run")
+    return run.agg(
+        F.max("__n1").cast("long").alias("n1"),
+        F.max("__n2").cast("long").alias("n2"),
+        F.max(F.abs(F.col("run"))).cast("long").alias("d_scaled"),
+        F.expr(
+            "CAST((max(abs(run)) * 1000000) DIV (max(__n1) * max(__n2)) AS BIGINT)"
+        ).alias("d_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact Spearman rank correlation (quantity vs price-in-cents over
+# lineitem) — the monotone-association twin of the Pearson corr_matrix
+# entry, robust to the price scale.  Tie handling is the CLASSICAL
+# average-rank form kept integer-exact by doubling: a row with value v
+# gets R' = 2·avg_rank = 2·cum_before(v) + cnt(v) + 1 — always an
+# integer.  Per variable that is one histogram groupBy + ONE
+# distributed prefix sum over the distinct-value domain
+# (_prefix_sum_global) + a hash join back on the value; the five
+# moments then ride decimal(38,0) exactly (both marginal sums equal
+# n(n+1) identically).  rho is the ONE fixed-parenthesization double
+# expression num / sqrt(denx · deny) over exactly-converted integers,
+# mirrored verbatim in the oracle (the chisq/acf discipline).
+# ---------------------------------------------------------------------------
+@register(
+    "stats_spearman_price_qty",
+    """
+    WITH v AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             floor(l_extendedprice * 100.0::DOUBLE + 0.5::DOUBLE)::BIGINT AS y
+      FROM lineitem),
+    hx AS (SELECT x, count(*)::HUGEINT AS cnt FROM v GROUP BY 1),
+    mx AS (SELECT x, 2 * (sum(cnt) OVER (ORDER BY x) - cnt) + cnt + 1 AS rx
+           FROM hx),
+    hy AS (SELECT y, count(*)::HUGEINT AS cnt FROM v GROUP BY 1),
+    my AS (SELECT y, 2 * (sum(cnt) OVER (ORDER BY y) - cnt) + cnt + 1 AS ry
+           FROM hy),
+    r AS (SELECT mx.rx, my.ry FROM v JOIN mx USING (x) JOIN my USING (y)),
+    s AS (
+      SELECT count(*)::HUGEINT AS n,
+             sum(rx)::HUGEINT AS sx, sum(ry)::HUGEINT AS sy,
+             sum(rx * rx)::HUGEINT AS sxx, sum(ry * ry)::HUGEINT AS syy,
+             sum(rx * ry)::HUGEINT AS sxy
+      FROM r)
+    SELECT n::BIGINT AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)) AS spearman_rho
+    FROM s
+    """,
+)
+def stats_spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").to_df().select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    def rank2_map(col: str, out: str) -> DataFrame:
+        h = li.groupBy(col).agg(dec(F.count(F.lit(1))).alias("cnt"))
+        c = _prefix_sum_global(h, [F.col(col)], "cnt", "cum")
+        return c.select(
+            col,
+            (
+                F.lit(2) * (F.col("cum") - F.col("cnt"))
+                + F.col("cnt")
+                + F.lit(1)
+            ).alias(out),
+        )
+    r = li.join(rank2_map("x", "rx"), "x").join(rank2_map("y", "ry"), "y")
+    s = r.agg(
+        dec(F.count(F.lit(1))).alias("n"),
+        F.sum(dec(F.col("rx"))).alias("sx"),
+        F.sum(dec(F.col("ry"))).alias("sy"),
+        F.sum(dec(F.col("rx")) * dec(F.col("rx"))).alias("sxx"),
+        F.sum(dec(F.col("ry")) * dec(F.col("ry"))).alias("syy"),
+        F.sum(dec(F.col("rx")) * dec(F.col("ry"))).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        (
+            num.cast("double")
+            / F.sqrt(denx.cast("double") * deny.cast("double"))
+        ).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-dimension distribution audit of the embedding column — the
 # feature-store health check (a dead dimension, a scale outlier, a
 # drifted mean all show here).  posexplode fans each vector into

@@ -174,11 +174,20 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             F.struct(F.col("dv").alias("d"), F.col("v").alias("n")).alias("kv"),
         )
     )
+    # repartition BEFORE persist: the cached partitioning is what the
+    # wedge self-join runs at, and AQE's input-byte coalescing starves
+    # the quadratic expansion when the edge list arrives from a small
+    # source (see jaccard_links for the measurement) — pinning the
+    # center-key hash partitioning here makes both wedge sides
+    # co-partitioned at full width with no further exchange.
+    n_exp = 2 * int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     oriented = ranked.select(
         F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("kb"),
-    ).persist()
+    ).repartition(n_exp, "a").persist()
     w1 = oriented.select("a", F.col("b").alias("x"), F.col("kb").alias("kx"))
     w2 = oriented.select("a", F.col("b").alias("y"), F.col("kb").alias("ky"))
     wedges = w1.join(w2, "a").where(F.col("kx") < F.col("ky")).select("a", "x", "y")
@@ -240,6 +249,20 @@ def jaccard_links(
             F.col("node").alias("u")
         )
         wedge_base = sym.join(ok_centers, "u")
+    # Pin the wedge-join parallelism EXPLICITLY: the self-join's output
+    # is quadratic in its input (Σ C(deg,2) rows from |sym| rows), so
+    # AQE's input-byte-driven partition coalescing — correct for
+    # size-preserving shuffles — starves the expansion stage down to
+    # one or two tasks whenever the edge list arrives from a small
+    # source (e.g. the persisted parquet artifact: measured 30 s vs
+    # 12 s for the identical census at sf0.1).  An explicit hash
+    # repartition on the center key is exempt from coalescing and
+    # co-partitions both join sides, so the expansion runs at 2×
+    # shuffle-partition width with zero extra exchanges.
+    n_exp = 2 * int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    wedge_base = wedge_base.repartition(n_exp, "u")
     w1 = wedge_base.select(F.col("u").alias("a"), F.col("v").alias("x"))
     w2 = wedge_base.select(F.col("u").alias("a"), F.col("v").alias("y"))
     cn = (

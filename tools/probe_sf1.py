@@ -206,6 +206,9 @@ HEAVY = [
     # two rank maps (histogram + prefix sum + value join each)
     "stats_ks_two_sample",
     "stats_spearman_price_qty",
+    # round-11: streamed KS drift — bounded histogram state + the
+    # cross-multiplied sup-gap read-off; stages events from sf_dir
+    "events_ks_drift_streamed",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

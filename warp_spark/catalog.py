@@ -10687,6 +10687,105 @@ def events_tdigest_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+# Streaming distribution-drift monitor (26th streaming execution): the
+# exact two-sample KS statistic between the 'view' and 'click' value
+# distributions, computed ONLINE — the state is the same bounded
+# log-linear histogram artifact the t-digest twin maintains (one row
+# per (type, 7-sub-bit bucket), update-mode counts; per-trigger
+# re-emissions carry cumulative counts so max per key is the final
+# state).  The read-off is stats_ks_two_sample's cross-multiplied
+# sup-gap over the drained artifact — max |n2·C1 − n1·C2| via one
+# distributed prefix sum of the signed per-bucket delta, one integer
+# floor division to ppm.  Bucketing is part of the metric's spec and
+# the oracle replays it bit-for-bit, so the comparison is exact, not
+# approximate-vs-exact.
+@register(
+    "events_ks_drift_streamed",
+    """
+    WITH c AS (
+      SELECT event_type,
+             floor(value * 100.0::DOUBLE + 0.5::DOUBLE)::BIGINT AS cents
+      FROM events WHERE event_type IN ('view', 'click')),
+    b AS (
+      SELECT event_type,
+             (greatest(length(bin(cents)) - 7, 0) * 128
+              + (cents >> greatest(length(bin(cents)) - 7, 0)))::BIGINT AS key
+      FROM c),
+    n AS (
+      SELECT sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::HUGEINT AS n1,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::HUGEINT AS n2
+      FROM b),
+    h AS (
+      SELECT key,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::HUGEINT AS c1,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::HUGEINT AS c2
+      FROM b GROUP BY 1),
+    s AS (
+      SELECT sum((SELECT n2 FROM n) * c1 - (SELECT n1 FROM n) * c2)
+               OVER (ORDER BY key) AS run
+      FROM h)
+    SELECT (SELECT n1 FROM n)::BIGINT AS n1,
+           (SELECT n2 FROM n)::BIGINT AS n2,
+           max(abs(run))::BIGINT AS d_scaled,
+           ((max(abs(run)) * 1000000)
+            // ((SELECT n1 FROM n) * (SELECT n2 FROM n)))::BIGINT AS d_ppm
+    FROM s
+    """,
+)
+def events_ks_drift_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from warp_spark.sketches import hdr_bucket
+    from warp_spark.streaming import run_stream_to_memory
+
+    d = tempfile.mkdtemp(prefix="warp_ksdrift_stream_")
+    name = f"ks_drift_streamed_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = _stage_event_stream(spark, sf_dir, d)
+        cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+        hist = (
+            ev.filter(F.col("event_type").isin("view", "click"))
+            .select("event_type", hdr_bucket(cents, 7).alias("__key"))
+            .groupBy("event_type", "__key")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        run_stream_to_memory(hist, name, output_mode="update")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    drained = (
+        spark.table(name)
+        .groupBy("event_type", "__key")
+        .agg(F.max("__cnt").alias("__cnt"))
+    )
+    is_v = F.col("event_type") == "view"
+    h = drained.groupBy("__key").agg(
+        dec(F.sum(F.when(is_v, F.col("__cnt")).otherwise(0))).alias("c1"),
+        dec(F.sum(F.when(~is_v, F.col("__cnt")).otherwise(0))).alias("c2"),
+    )
+    ns = drained.agg(
+        dec(F.sum(F.when(is_v, F.col("__cnt")).otherwise(0))).alias("__n1"),
+        dec(F.sum(F.when(~is_v, F.col("__cnt")).otherwise(0))).alias("__n2"),
+    )
+    delta = _scalar_join(h, ns).select(
+        "__key",
+        "__n1",
+        "__n2",
+        (F.col("__n2") * F.col("c1") - F.col("__n1") * F.col("c2")).alias("d"),
+    )
+    run = _prefix_sum_global(delta, [F.col("__key")], "d", "run")
+    return run.agg(
+        F.max("__n1").cast("long").alias("n1"),
+        F.max("__n2").cast("long").alias("n2"),
+        F.max(F.abs(F.col("run"))).cast("long").alias("d_scaled"),
+        F.expr(
+            "CAST((max(abs(run)) * 1000000) DIV (max(__n1) * max(__n2)) AS BIGINT)"
+        ).alias("d_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Weighted sampling without replacement (sampling.py:97): integer
 # lottery tickets + bottom-k of the per-row min ticket hash — the
@@ -13078,9 +13177,9 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(rx * ry)::HUGEINT AS sxy
       FROM r)
     SELECT n::BIGINT AS n,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                  * CAST(n * syy - sy * sy AS DOUBLE)) AS spearman_rho
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 9) AS spearman_rho
     FROM s
     """,
 )
@@ -13116,11 +13215,16 @@ def stats_spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # round(…, 9) on BOTH sides: the IEEE chain itself is mirrored, but
+    # DuckDB's HUGEINT→DOUBLE conversion is not correctly rounded for
+    # ~1e23-magnitude moments (observed 1-2 ULP drift at sf0.1), so the
+    # comparison rides the repo's round-both-sides float convention.
     return s.select(
         F.col("n").cast("long").alias("n"),
-        (
+        F.round(
             num.cast("double")
-            / F.sqrt(denx.cast("double") * deny.cast("double"))
+            / F.sqrt(denx.cast("double") * deny.cast("double")),
+            9,
         ).alias("spearman_rho"),
     )
 

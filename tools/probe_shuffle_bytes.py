@@ -104,10 +104,20 @@ ENTRY_TABLES = {
     "curation_ablation_funnel": ["documents"],
     "curation_dsir_weights": ["documents"],
     "decontaminate_neardup": ["documents"],
+    "graph_jaccard_links_capped": ["lineitem"],
+    "dedup_index_persist": ["documents"],
+    "dedup_index_probe": ["documents"],
+    "stats_ks_two_sample": ["orders", "customer"],
 }
 
 
 def main() -> None:
+    # the gateway JVM is the driver in local mode and its heap is fixed
+    # at first launch — the PySpark default 1g OOMs on the wedge-census
+    # entries at sf0.1, so size it BEFORE the first SparkSession
+    os.environ.setdefault(
+        "PYSPARK_SUBMIT_ARGS", "--driver-memory 8g pyspark-shell"
+    )
     entries = sys.argv[1:] or DEFAULT_ENTRIES
     print("| entry | sf | input rows | input MiB | shuffle-write MiB | shuffle B/row |")
     print("|---|---|---|---|---|---|")

@@ -2758,6 +2758,43 @@ def test_jaccard_links_hub_cap_bounds_census(spark):
     assert census == 1  # only 101 generates a wedge; 780 hub wedges gone
 
 
+def test_resource_allocation_links_semantics(spark):
+    """RA scores are exact integer sums of 10^6 DIV deg(center): a
+    square's diagonal collects two degree-2 centers (2 x 500000); a
+    path's endpoints collect one (500000); under the hub cap a pair
+    whose only common neighbor is the hub vanishes while niche
+    structure keeps its exact score."""
+    from warp_spark.pipeline.graph import resource_allocation_links
+
+    # square 1-2-3-4-1: diagonals (1,3),(2,4) via two deg-2 centers
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    out = {
+        (r["x"], r["y"]): r
+        for r in resource_allocation_links(edges, k=10).collect()
+    }
+    assert set(out) == {(1, 3), (2, 4)}
+    for r in out.values():
+        assert r["cn"] == 2 and r["ra_ppm"] == 1_000_000
+
+    # hub 0 over leaves 1..30 plus path 100-101-102: cap kills the
+    # hub's C(30,2) pairs, keeps (100,102) at exactly 500000
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 31)] + [(100, 101), (101, 102)],
+        "src long, dst long",
+    )
+    capped = resource_allocation_links(edges, k=1000, max_center_degree=10).collect()
+    assert [(r["x"], r["y"], r["cn"], r["ra_ppm"]) for r in capped] == [
+        (100, 102, 1, 500_000)
+    ]
+    uncapped = resource_allocation_links(edges, k=1000).collect()
+    # leaf pairs through the deg-30 hub score 10^6 DIV 30 = 33333
+    assert len(uncapped) == 30 * 29 // 2 + 1
+    hub_pair = [r for r in uncapped if (r["x"], r["y"]) == (1, 2)][0]
+    assert hub_pair["ra_ppm"] == 33_333
+
+
 def test_persist_edges_roundtrip_and_content_stamp(spark, tmp_path):
     """persist_edges canonicalizes (u<v, no loops, no dups) at write
     time and load_edges round-trips the exact set; the catalog's

@@ -209,6 +209,8 @@ HEAVY = [
     # round-11: streamed KS drift — bounded histogram state + the
     # cross-multiplied sup-gap read-off; stages events from sf_dir
     "events_ks_drift_streamed",
+    # round-11: RA link prediction — same capped wedge machinery
+    "graph_ra_links_capped",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -11017,6 +11017,56 @@ def graph_jaccard_links_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_links(load_edges(spark, path), k=20, max_center_degree=120)
 
 
+# Resource-Allocation link prediction (pipeline/graph.py::
+# resource_allocation_links, Zhou–Lü–Zhang EPJ B 2009) — the
+# degree-WEIGHTED recommender scorer next to the Jaccard census: a
+# common neighbor z contributes 1/deg(z), so two parts sharing one
+# niche co-purchase outrank two parts sharing a popular one.  Exact by
+# construction: the contribution is the integer 10⁶ DIV deg(z) and
+# pair scores are integer sums — no float fold order, no log()
+# (Adamic/Adar's weight) to pin cross-engine.  Runs the identical
+# capped wedge machinery over the persisted edge artifact (eighth
+# reader); the oracle replays cap and DIV bit-for-bit.
+@register(
+    "graph_ra_links_capped",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                      greatest(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey),
+    sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    deg AS (SELECT u AS node, count(*)::BIGINT AS deg FROM sym GROUP BY 1),
+    capped AS (
+      SELECT s.u, s.v, (1000000 // d.deg)::BIGINT AS contrib
+      FROM sym s JOIN deg d ON d.node = s.u
+      WHERE d.deg <= 120),
+    pairs AS (
+      SELECT w1.v AS x, w2.v AS y,
+             count(*)::BIGINT AS cn,
+             sum(w1.contrib)::BIGINT AS ra_ppm
+      FROM capped w1 JOIN capped w2 ON w1.u = w2.u
+      WHERE w1.v < w2.v
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT p.* FROM pairs p
+      LEFT JOIN e0 ON e0.u = p.x AND e0.v = p.y
+      WHERE e0.u IS NULL)
+    SELECT x, y, cn, ra_ppm
+    FROM cand
+    ORDER BY ra_ppm DESC, x, y
+    LIMIT 20
+    """,
+)
+def graph_ra_links_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.graph import load_edges, resource_allocation_links
+
+    path = _ensure_graph_edges(spark, sf_dir)
+    return resource_allocation_links(
+        load_edges(spark, path), k=20, max_center_degree=120
+    )
+
+
 def _graph_edges_path(sf_dir: str) -> str:
     import os
     import tempfile

@@ -292,6 +292,65 @@ def jaccard_links(
     ).limit(k)
 
 
+def resource_allocation_links(
+    edges: DataFrame, k: int = 20, max_center_degree: int | None = None
+) -> DataFrame:
+    """Resource-Allocation link prediction (Zhou, Lü & Zhang, EPJ B
+    2009) — the degree-weighted sibling of :func:`jaccard_links`: a
+    non-adjacent pair (x, y) scores Σ_z 1/deg(z) over common neighbors
+    z, so a shared niche neighbor counts for more than a shared hub
+    (RA beat Jaccard and Adamic/Adar in the original benchmark; it is
+    Adamic/Adar with 1/deg in place of 1/log deg — which also makes it
+    EXACT here: each center contributes ``1_000_000 div deg(z)``, an
+    integer, and pair scores are integer SUMS with no float fold order
+    or log() boundary to pin cross-engine).
+
+    Same machinery as jaccard_links: one wedge self-join per center
+    (Σ C(deg, 2) work) with the identical ``max_center_degree`` hub
+    valve (census ≤ cap² · |centers|) and the identical explicit
+    center-key repartition so AQE's input-byte coalescing cannot
+    starve the quadratic expansion; adjacency anti-join; distributed
+    TakeOrdered top-k on (ra_ppm desc, pair)."""
+    u, v = F.col("src"), F.col("dst")
+    und = (
+        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    wedge_base = sym.join(deg.withColumnRenamed("node", "u"), "u")
+    if max_center_degree is not None:
+        wedge_base = wedge_base.where(F.col("deg") <= int(max_center_degree))
+    n_exp = 2 * int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    wedge_base = wedge_base.repartition(n_exp, "u").withColumn(
+        "contrib", F.expr("CAST(1000000 DIV deg AS BIGINT)")
+    )
+    w1 = wedge_base.select(F.col("u").alias("a"), F.col("v").alias("x"), "contrib")
+    w2 = wedge_base.select(F.col("u").alias("a"), F.col("v").alias("y"))
+    scored_pairs = (
+        w1.join(w2, "a")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum("contrib").cast("long").alias("ra_ppm"),
+        )
+    )
+    cand = scored_pairs.join(
+        und,
+        (scored_pairs["x"] == und["u"]) & (scored_pairs["y"] == und["v"]),
+        "left_anti",
+    )
+    return cand.orderBy(
+        F.col("ra_ppm").desc(), F.col("x"), F.col("y")
+    ).limit(k)
+
+
 def persist_edges(edges: DataFrame, path: str) -> None:
     """Materialize the CANONICAL undirected edge list as a parquet
     artifact — the amortization step for a graph tier where several

@@ -2795,6 +2795,94 @@ def test_resource_allocation_links_semantics(spark):
     assert hub_pair["ra_ppm"] == 33_333
 
 
+def test_dedup_index_append_equals_rebuild(spark, tmp_path):
+    """Append-then-probe must equal full-rebuild-then-probe EXACTLY
+    (r11 verdict item 4): the dedup_index_append entry builds a base
+    index (doc_id%20<12), absorbs the 12..15 slice via
+    append_dedup_index, and probes — the result must be bit-identical
+    to probing the one-shot standing index (dedup_index_probe).  Also
+    pins the degrade path: an artifact whose build-time cap fired
+    refuses the append (returns False) instead of silently diverging
+    from rebuild semantics."""
+    import __spark_entry__ as m
+    from warp_spark.pipeline.dedup import append_dedup_index, persist_dedup_index
+
+    key = lambda r: (r["doc_id"], r["dup_of"], r["best_jaccard"], r["is_dup"])  # noqa: E731
+    appended = sorted(map(key, m.queries()["dedup_index_append"](spark, SF).collect()))
+    oneshot = sorted(map(key, m.queries()["dedup_index_probe"](spark, SF).collect()))
+    assert appended == oneshot and len(appended) > 0
+
+    # degrade path: cap=0 drops every posting at build time — the row
+    # count no longer equals docs × bands-per-doc, so append refuses
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "idx")
+    persist_dedup_index(docs, p, max_corpus_bucket=0)
+    new = spark.createDataFrame(
+        [(3, "seven eight nine ten eleven twelve")], "doc_id long, text string"
+    )
+    assert append_dedup_index(spark, p, new) is False
+
+
+def test_wedge_census_artifact_equals_inquery(spark, tmp_path):
+    """The persisted wedge census (r11 verdict item 2) must feed BOTH
+    capped scorers to results identical to the direct census-in-query
+    computation — one quadratic pass serving two entries is only an
+    optimization if it is invisible in the values — and the catalog's
+    wedge stamp must CHAIN the edge artifact's content stamp (an edge
+    content change at unchanged cardinality rebuilds the census)."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    import warp_spark.catalog as cat
+    from warp_spark.pipeline.graph import (
+        jaccard_links,
+        load_wedge_census,
+        persist_wedge_census,
+        resource_allocation_links,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5), (5, 1), (5, 6)],
+        "src long, dst long",
+    )
+    p = str(tmp_path / "wedges")
+    persist_wedge_census(edges, p, max_center_degree=3)
+    census = load_wedge_census(spark, p)
+    key = lambda r: tuple(r[c] for c in sorted(r.asDict()))  # noqa: E731
+    for fn in (jaccard_links, resource_allocation_links):
+        direct = sorted(map(key, fn(edges, k=100, max_center_degree=3).collect()))
+        fed = sorted(
+            map(key, fn(edges, k=100, max_center_degree=3, census=census).collect())
+        )
+        assert fed == direct and len(fed) > 0
+
+    # chain-stamp: rewriting lineitem content (same cardinality) flips
+    # the edge stamp, which must flip the wedge stamp through the chain
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+
+    def write_li(rows):
+        spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+
+    def wedge_stamp():
+        path = cat._ensure_graph_wedges(spark, sf)
+        with open(os.path.join(path, "_WEDGES_COMPLETE")) as f:
+            return f.read().strip()
+
+    write_li([(1, 10), (1, 11), (2, 11), (2, 12)])
+    w_a = wedge_stamp()
+    write_li([(1, 10), (1, 11), (2, 11), (2, 13)])
+    w_b = wedge_stamp()
+    assert w_a != w_b
+    assert wedge_stamp() == w_b  # idempotent on unchanged content
+
+
 def test_persist_edges_roundtrip_and_content_stamp(spark, tmp_path):
     """persist_edges canonicalizes (u<v, no loops, no dups) at write
     time and load_edges round-trips the exact set; the catalog's
@@ -2817,34 +2905,43 @@ def test_persist_edges_roundtrip_and_content_stamp(spark, tmp_path):
     )
     assert got == [(1, 2), (3, 4)]
 
-    # content-fingerprint stamp: same row count, different keys →
-    # different stamp string (the rebuild trigger)
+    # content-fingerprint stamp, tested BEHAVIORALLY against the real
+    # helper (r11 ADVICE: no replicated arithmetic, no source-string
+    # matching): run _ensure_graph_edges on a tmp sf_dir, rewrite the
+    # lineitem data at the SAME cardinality with different keys, run it
+    # again — the marker stamp must differ (the rebuild trigger), which
+    # also exercises the part-file stat signature (an overwrite changes
+    # only files INSIDE lineitem.parquet/, never the sf_dir itself).
+    import os
+
     import warp_spark.catalog as cat
 
-    li_a = spark.createDataFrame(
-        [(1, 10), (1, 11)], "l_orderkey long, l_partkey long"
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+
+    def write_li(rows):
+        spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+
+    def stamp():
+        path = cat._ensure_graph_edges(spark, sf)
+        with open(os.path.join(path, "_EDGES_COMPLETE")) as f:
+            return f.read().strip()
+
+    write_li([(1, 10), (1, 11)])
+    s_a = stamp()
+    write_li([(1, 10), (1, 12)])  # same cardinality, different keys
+    s_b = stamp()
+    assert s_a != s_b
+    # idempotence: unchanged content reuses the stamp (no rebuild churn)
+    assert stamp() == s_b
+    # and the rebuilt artifact reflects the NEW content
+    got2 = sorted(
+        (r["src"], r["dst"])
+        for r in load_edges(spark, cat._graph_edges_path(sf)).collect()
     )
-    li_b = spark.createDataFrame(
-        [(1, 10), (1, 12)], "l_orderkey long, l_partkey long"
-    )
-
-    def stamp_of(df):
-        fp = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.col("l_orderkey").cast("decimal(38,0)") * F.lit(1000003)
-                + F.col("l_partkey").cast("decimal(38,0)")
-            ).alias("s"),
-        ).first()
-        return f"copurchase canonical n_rows={fp['n']} keysum={fp['s']}"
-
-    assert stamp_of(li_a) != stamp_of(li_b)
-    # and the catalog helper produces exactly this stamp format (so the
-    # replicated arithmetic above cannot silently drift from the code)
-    import inspect
-
-    src = inspect.getsource(cat._ensure_graph_edges)
-    assert "copurchase canonical n_rows=" in src and "keysum=" in src
+    assert got2 == [(10, 12)]
 
 
 def test_pq_reconstruction_matches_numpy(spark):

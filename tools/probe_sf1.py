@@ -190,8 +190,10 @@ HEAVY = [
     "stats_trend_mann_kendall",    # one groupBy + days-bounded pair census
     "stats_runs_test_daily_orders",# one groupBy + bounded runs window
     "events_diversity_streamed",   # 24th stream: windowed (day,type) census
-    # round-11: the hub-capped jaccard twin — census ≤ cap²·|centers|
-    "graph_jaccard_links_capped",
+    # round-12: the capped census is now the DEFAULT jaccard entry,
+    # fed by the persisted wedge artifact
+    "graph_jaccard_links",
+    "graph_wedges_persist",
     # round-11: one-time canonical edge-list build + clustered write
     "graph_edges_persist",
     # round-11: persisted near-dup index — corpus signatured at build

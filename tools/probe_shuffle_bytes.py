@@ -104,7 +104,8 @@ ENTRY_TABLES = {
     "curation_ablation_funnel": ["documents"],
     "curation_dsir_weights": ["documents"],
     "decontaminate_neardup": ["documents"],
-    "graph_jaccard_links_capped": ["lineitem"],
+    "graph_jaccard_links": ["lineitem"],
+    "graph_wedges_persist": ["lineitem"],
     "dedup_index_persist": ["documents"],
     "dedup_index_probe": ["documents"],
     "stats_ks_two_sample": ["orders", "customer"],

@@ -6710,12 +6710,76 @@ def dedup_neardup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_index_path(sf_dir: str) -> str:
+def _artifact_path(prefix: str, sf_dir: str) -> str:
+    """Shared-tempdir location for a persisted per-dataset artifact.
+    The directory name keys on a HASH OF THE ABSOLUTE sf_dir, not just
+    its basename (r11 ADVICE): two different datasets both named
+    'sf0.01' previously thrash-rebuilt each other's artifact.  The
+    basename stays in the name for human debuggability."""
+    import hashlib
     import os
     import tempfile
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(tempfile.gettempdir(), f"warp_dedup_idx_v1_{tag}")
+    ap = os.path.abspath(os.path.normpath(sf_dir))
+    h = hashlib.sha256(ap.encode("utf-8")).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), f"{prefix}_{os.path.basename(ap)}_{h}"
+    )
+
+
+def _source_stat_sig(src: str) -> tuple:
+    """File-stat signature of a parquet dataset used to memoize the
+    content-fingerprint SCAN: stats the part files INSIDE the dataset
+    directory, not just the top-level path (r11 ADVICE — an in-place
+    rewrite of a part file changes neither the directory's mtime nor
+    its size, so the old top-level stat could reuse a stale stamp)."""
+    import glob as _glob
+    import os
+
+    if os.path.isfile(src):
+        files = [src]
+    else:
+        files = sorted(
+            _glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True)
+        ) or [src]
+    return tuple(
+        (f, os.stat(f).st_mtime_ns, os.stat(f).st_size)
+        for f in files
+        if os.path.exists(f)
+    )
+
+
+def _publish_artifact(path: str, marker_name: str, stamp: str, build_fn) -> None:
+    """Race-proof artifact rebuild (r11 ADVICE): build into a sibling
+    ``.build`` directory — the completion marker is written LAST,
+    inside it — then swap into place under an exclusive flock, so a
+    concurrent prober never observes a half-built directory (the old
+    in-place ``mode=overwrite`` deleted sub-artifacts first and wrote
+    the marker after the data).  ``build_fn(tmp_path)`` performs the
+    Spark writes."""
+    import fcntl
+    import os
+    import shutil
+
+    tmp = path + ".build"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    build_fn(tmp)
+    with open(os.path.join(tmp, marker_name), "w") as f:
+        f.write(stamp + "\n")
+    with open(path + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.rename(tmp, path)
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
+
+
+def _dedup_index_path(sf_dir: str) -> str:
+    return _artifact_path("warp_dedup_idx_v1", sf_dir)
 
 
 def _ensure_dedup_index(spark: SparkSession, sf_dir: str, rebuild: bool = False) -> str:
@@ -6748,10 +6812,12 @@ def _ensure_dedup_index(spark: SparkSession, sf_dir: str, rebuild: bool = False)
         with open(marker) as f:
             current = f.read().strip()
     if rebuild or current != stamp:
-        os.makedirs(path, exist_ok=True)
-        persist_dedup_index(corpus, path)
-        with open(marker, "w") as f:
-            f.write(stamp + "\n")
+        _publish_artifact(
+            path,
+            "_INDEX_COMPLETE",
+            stamp,
+            lambda tmp: persist_dedup_index(corpus, tmp),
+        )
     return path
 
 
@@ -6836,6 +6902,126 @@ def dedup_index_probe_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["dedup_index_probe"] = ORACLES["dedup_incremental"]
+
+
+def _dedup_append_path(sf_dir: str) -> str:
+    return _artifact_path("warp_dedup_idxapp_v1", sf_dir)
+
+
+def _ensure_dedup_index_appended(spark: SparkSession, sf_dir: str) -> str:
+    """Incremental-maintenance twin of _ensure_dedup_index (r11 verdict
+    item 4): builds the index from the BASE corpus (doc_id % 20 < 12),
+    then ABSORBS the 12..15 slice via pipeline/dedup.py::
+    append_dedup_index — after the append the artifact covers exactly
+    the standing corpus (doc_id % 20 < 16) that _ensure_dedup_index
+    builds in one shot, so probing it must reproduce the one-shot
+    index's answers (that equality IS the entry's oracle).  Content-
+    stamp reuse like every other ensure helper: the final stamp
+    fingerprints BOTH the base corpus and the appended slice, so the
+    append path re-runs exactly when the source content changes and
+    probes ride the artifact otherwise.  Marker discipline: the marker
+    is set to an 'appending' sentinel BEFORE the in-place append and
+    to the final stamp only after it completes — a mid-append crash
+    leaves the sentinel, which never matches, forcing a clean rebuild
+    instead of a double-append.  If append_dedup_index cannot
+    guarantee append ≡ rebuild (cap crossing), it degrades to the
+    one-shot build over the full standing corpus — correctness is
+    never conditional on the fast path."""
+    import os
+
+    from warp_spark.pipeline.dedup import append_dedup_index, persist_dedup_index
+
+    path = _dedup_append_path(sf_dir)
+    marker = os.path.join(path, "_INDEX_COMPLETE")
+    docs = _t(spark, sf_dir, "documents").to_df()
+    base = docs.filter(F.col("doc_id") % 20 < 12)
+    slice_ = docs.filter((F.col("doc_id") % 20 >= 12) & (F.col("doc_id") % 20 < 16))
+    # one conditional-aggregation scan fingerprints base and slice
+    is_base = F.col("doc_id") % 20 < 12
+    fp = docs.filter(F.col("doc_id") % 20 < 16).agg(
+        F.sum(F.when(is_base, 1).otherwise(0)).alias("nb"),
+        F.sum(
+            F.when(is_base, F.col("doc_id").cast("decimal(38,0)")).otherwise(0)
+        ).alias("idb"),
+        F.sum(
+            F.when(is_base, F.crc32(F.col("text")).cast("decimal(38,0)")).otherwise(0)
+        ).alias("crcb"),
+        F.sum(F.when(~is_base, 1).otherwise(0)).alias("ns"),
+        F.sum(
+            F.when(~is_base, F.col("doc_id").cast("decimal(38,0)")).otherwise(0)
+        ).alias("ids"),
+        F.sum(
+            F.when(~is_base, F.crc32(F.col("text")).cast("decimal(38,0)")).otherwise(0)
+        ).alias("crcs"),
+    ).first()
+    stamp = (
+        f"dedupapp base n={fp['nb']} id={fp['idb']} crc={fp['crcb']} "
+        f"+ appended n={fp['ns']} id={fp['ids']} crc={fp['crcs']}"
+    )
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            current = f.read().strip()
+    if current == stamp:
+        return path
+    _publish_artifact(
+        path,
+        "_INDEX_COMPLETE",
+        "dedupapp base only",
+        lambda tmp: persist_dedup_index(base, tmp),
+    )
+    with open(marker, "w") as f:
+        f.write("appending\n")
+    if not append_dedup_index(spark, path, slice_):
+        # cap crossed or shape drift: the safe path is the one-shot
+        # rebuild over the full standing corpus
+        _publish_artifact(
+            path,
+            "_INDEX_COMPLETE",
+            stamp,
+            lambda tmp: persist_dedup_index(
+                docs.filter(F.col("doc_id") % 20 < 16), tmp
+            ),
+        )
+        return path
+    with open(marker, "w") as f:
+        f.write(stamp + "\n")
+    return path
+
+
+# Incremental index maintenance, append half (pipeline/dedup.py::
+# append_dedup_index; r11 verdict item 4): the base index (corpus
+# doc_id % 20 < 12) absorbs the 12..15 slice — new band postings
+# appended INTO the bucket partitioning, shingle verify rows appended,
+# stats doc-count swapped — without re-signaturing the base corpus.
+# The entry then probes the appended index with the standard batch
+# slice (doc_id % 20 >= 16); because base + appended slice = exactly
+# the standing corpus, the result must equal dedup_index_probe /
+# dedup_incremental bit-for-bit, so the oracle is dedup_incremental's
+# by reference (append-then-probe ≡ rebuild-then-probe is ALSO
+# pytest-pinned directly).  Reference analogue: MutableDataset insert
+# (MutableData.swift:40-63).
+@register("dedup_index_append", None)
+def dedup_index_append_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.dedup import dedup_index_probe
+
+    path = _ensure_dedup_index_appended(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").to_df()
+    batch = docs.filter(F.col("doc_id") % 20 >= 16)
+    hits = dedup_index_probe(spark, path, batch, threshold=0.5)
+    return (
+        batch.select("doc_id")
+        .join(hits, F.col("doc_id") == F.col("batch_id"), "left")
+        .select(
+            "doc_id",
+            "dup_of",
+            "best_jaccard",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+ORACLES["dedup_index_append"] = ORACLES["dedup_incremental"]
 
 
 # ---------------------------------------------------------------------------
@@ -9897,11 +10083,7 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_index_path(sf_dir: str) -> str:
-    import os
-    import tempfile
-
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(tempfile.gettempdir(), f"warp_ann_ivfpq_v1_{tag}")
+    return _artifact_path("warp_ann_ivfpq_v1", sf_dir)
 
 
 def _ensure_ann_index(spark: SparkSession, sf_dir: str, rebuild: bool = False) -> str:
@@ -9935,9 +10117,14 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str, rebuild: bool = False) -
         with open(marker) as f:
             current = f.read().strip()
     if rebuild or current != stamp:
-        persist_ivfpq_index(emb, path, n_centroids=16, m=16, n_codes=32)
-        with open(marker, "w") as f:
-            f.write(stamp + "\n")
+        _publish_artifact(
+            path,
+            "_INDEX_COMPLETE",
+            stamp,
+            lambda tmp: persist_ivfpq_index(
+                emb, tmp, n_centroids=16, m=16, n_codes=32
+            ),
+        )
     return path
 
 
@@ -10503,8 +10690,8 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem),
     b AS (
       SELECT l_returnflag,
-             (greatest(length(bin(cents)) - 5, 0) * 32
-              + (cents >> greatest(length(bin(cents)) - 5, 0)))::BIGINT AS key
+             (greatest(CASE WHEN cents > 0 THEN length(bin(cents)) ELSE 0 END - 5, 0) * 32
+              + (cents >> greatest(CASE WHEN cents > 0 THEN length(bin(cents)) ELSE 0 END - 5, 0)))::BIGINT AS key
       FROM c),
     hist AS (SELECT l_returnflag, key, count(*) AS cnt FROM b GROUP BY 1, 2),
     cum AS (
@@ -10582,8 +10769,8 @@ def _tdigest_oracle(cents_cte: str, group_col: str) -> str:
     WITH c AS ({cents_cte}),
     b AS (
       SELECT {group_col},
-             (greatest(length(bin(cents)) - 7, 0) * 128
-              + (cents >> greatest(length(bin(cents)) - 7, 0)))::BIGINT AS key
+             (greatest(CASE WHEN cents > 0 THEN length(bin(cents)) ELSE 0 END - 7, 0) * 128
+              + (cents >> greatest(CASE WHEN cents > 0 THEN length(bin(cents)) ELSE 0 END - 7, 0)))::BIGINT AS key
       FROM c),
     hist AS (SELECT {group_col}, key, count(*)::BIGINT AS cnt
              FROM b GROUP BY 1, 2),
@@ -10708,8 +10895,8 @@ def events_tdigest_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type IN ('view', 'click')),
     b AS (
       SELECT event_type,
-             (greatest(length(bin(cents)) - 7, 0) * 128
-              + (cents >> greatest(length(bin(cents)) - 7, 0)))::BIGINT AS key
+             (greatest(CASE WHEN cents > 0 THEN length(bin(cents)) ELSE 0 END - 7, 0) * 128
+              + (cents >> greatest(CASE WHEN cents > 0 THEN length(bin(cents)) ELSE 0 END - 7, 0)))::BIGINT AS key
       FROM c),
     n AS (
       SELECT sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::HUGEINT AS n1,
@@ -10916,67 +11103,26 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (pipeline/graph.py::jaccard_links, Liben-Nowell & Kleinberg CIKM'03):
 # the top-20 non-adjacent part pairs by neighborhood Jaccard — "these
 # two parts are bought with the same things but never together", the
-# recommender candidate generator.  Intersection = wedge census,
-# union by inclusion–exclusion, score as ONE exact ppm floor division
-# — rank order is engine-identical because every compared value is an
-# integer.  The oracle replays the identical census in SQL.
+# recommender candidate generator.  DEFAULT = the HUB-CAPPED form
+# (r11 verdict finding 1: the uncapped wedge census is Σ C(deg, 2) —
+# quadratic in hub degree on open-domain graphs — so the entry a user
+# copies must be the bounded one; the exact census survives as the
+# explicitly-fenced graph_jaccard_links_exact on a bounded domain).
+# Centers (wedge midpoints) with degree > cap are excluded BEFORE the
+# self-join, bounding the census by cap² · |centers| no matter how
+# skewed the graph.  Under the cap, cn counts only common neighbors of
+# degree ≤ cap (super-hubs shared by everything carry no link signal),
+# while dx/dy and the adjacency anti-join keep full-graph semantics —
+# a deterministic lower-bound score the oracle replays with the
+# IDENTICAL cap.  Cap = 120 ≈ the sf0.1 median degree: non-degenerate
+# at every SF (sf0.001 median 89, sf0.01 median 115, sf0.1 median 119).
+# The census itself is READ FROM the persisted wedge artifact
+# (_ensure_graph_wedges, r11 verdict item 2) shared with the
+# Resource-Allocation scorer — the quadratic expansion is paid once at
+# artifact-build time; this entry is scan + anti-join + degree join +
+# top-k.
 @register(
     "graph_jaccard_links",
-    """
-    WITH e0 AS (
-      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
-                      greatest(a.l_partkey, b.l_partkey) AS v
-      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-      WHERE a.l_partkey < b.l_partkey),
-    sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
-    deg AS (SELECT u AS node, count(*)::BIGINT AS deg FROM sym GROUP BY 1),
-    cn AS (
-      SELECT w1.v AS x, w2.v AS y, count(*)::BIGINT AS cn
-      FROM sym w1 JOIN sym w2 ON w1.u = w2.u
-      WHERE w1.v < w2.v
-      GROUP BY 1, 2),
-    cand AS (
-      SELECT cn.* FROM cn
-      LEFT JOIN e0 ON e0.u = cn.x AND e0.v = cn.y
-      WHERE e0.u IS NULL),
-    scored AS (
-      SELECT c.x, c.y, c.cn,
-             (dx.deg + dy.deg - c.cn)::BIGINT AS un,
-             ((c.cn * 1000000) // (dx.deg + dy.deg - c.cn))::BIGINT AS jacc_ppm
-      FROM cand c
-      JOIN deg dx ON dx.node = c.x
-      JOIN deg dy ON dy.node = c.y)
-    SELECT x, y, cn, un, jacc_ppm
-    FROM scored
-    ORDER BY jacc_ppm DESC, x, y
-    LIMIT 20
-    """,
-)
-def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from warp_spark.pipeline.graph import jaccard_links, load_edges
-
-    edges = load_edges(spark, _ensure_graph_edges(spark, sf_dir))
-    # Exact census — open-domain hub-skewed graphs should use the
-    # capped twin below (graph_jaccard_links_capped), whose
-    # max_center_degree valve bounds the census by cap² · |centers|.
-    return jaccard_links(edges, k=20)
-
-
-# The HUB-CAPPED twin of graph_jaccard_links (r10 verdict finding 1):
-# the uncapped wedge census is Σ C(deg, 2) — quadratic in hub degree
-# on open-domain graphs — so the production valve is
-# jaccard_links(max_center_degree=...): centers (wedge midpoints)
-# with degree > cap are excluded BEFORE the self-join, bounding the
-# census by cap² · |centers| no matter how skewed the graph.  Under
-# the cap, cn counts only common neighbors of degree ≤ cap (super-hubs
-# shared by everything carry no link signal), while dx/dy and the
-# adjacency anti-join keep full-graph semantics — a deterministic
-# lower-bound score the oracle replays with the IDENTICAL cap.
-# Cap = 120 ≈ the sf0.1 median degree: non-degenerate at every SF
-# (sf0.001 median 89, sf0.01 median 115, sf0.1 median 119 → roughly
-# half the centers survive at sf0.1, halving the census).
-@register(
-    "graph_jaccard_links_capped",
     """
     WITH e0 AS (
       SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
@@ -11010,11 +11156,69 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
 )
-def graph_jaccard_links_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.graph import (
+        jaccard_links,
+        load_edges,
+        load_wedge_census,
+    )
+
+    edges = load_edges(spark, _ensure_graph_edges(spark, sf_dir))
+    census = load_wedge_census(spark, _ensure_graph_wedges(spark, sf_dir))
+    return jaccard_links(
+        edges, k=20, max_center_degree=_GRAPH_WEDGE_CAP, census=census
+    )
+
+
+# The EXACT census variant, explicitly fenced to a bounded domain
+# (r11 verdict finding 1, resolution path "bound its domain"): the
+# uncapped Σ C(deg, 2) wedge census is the scale-killer on hub-skewed
+# open-domain graphs, so the exact form runs on the INDUCED SUBGRAPH
+# of parts with partkey ≡ 0 (mod 4) — a deterministic ~1/16 edge
+# sample that keeps the census tractable at any SF while exercising
+# the exact (uncapped) code path end-to-end.  Production guidance
+# lives in the docstring of jaccard_links: exact census only on
+# bounded domains; open-domain graphs use the capped default above.
+@register(
+    "graph_jaccard_links_exact",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                      greatest(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+        AND a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0),
+    sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    deg AS (SELECT u AS node, count(*)::BIGINT AS deg FROM sym GROUP BY 1),
+    cn AS (
+      SELECT w1.v AS x, w2.v AS y, count(*)::BIGINT AS cn
+      FROM sym w1 JOIN sym w2 ON w1.u = w2.u
+      WHERE w1.v < w2.v
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT cn.* FROM cn
+      LEFT JOIN e0 ON e0.u = cn.x AND e0.v = cn.y
+      WHERE e0.u IS NULL),
+    scored AS (
+      SELECT c.x, c.y, c.cn,
+             (dx.deg + dy.deg - c.cn)::BIGINT AS un,
+             ((c.cn * 1000000) // (dx.deg + dy.deg - c.cn))::BIGINT AS jacc_ppm
+      FROM cand c
+      JOIN deg dx ON dx.node = c.x
+      JOIN deg dy ON dy.node = c.y)
+    SELECT x, y, cn, un, jacc_ppm
+    FROM scored
+    ORDER BY jacc_ppm DESC, x, y
+    LIMIT 20
+    """,
+)
+def graph_jaccard_links_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warp_spark.pipeline.graph import jaccard_links, load_edges
 
-    path = _ensure_graph_edges(spark, sf_dir)
-    return jaccard_links(load_edges(spark, path), k=20, max_center_degree=120)
+    edges = load_edges(spark, _ensure_graph_edges(spark, sf_dir)).where(
+        (F.col("src") % 4 == 0) & (F.col("dst") % 4 == 0)
+    )
+    return jaccard_links(edges, k=20)
 
 
 # Resource-Allocation link prediction (pipeline/graph.py::
@@ -11024,9 +11228,11 @@ def graph_jaccard_links_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # niche co-purchase outrank two parts sharing a popular one.  Exact by
 # construction: the contribution is the integer 10⁶ DIV deg(z) and
 # pair scores are integer sums — no float fold order, no log()
-# (Adamic/Adar's weight) to pin cross-engine.  Runs the identical
-# capped wedge machinery over the persisted edge artifact (eighth
-# reader); the oracle replays cap and DIV bit-for-bit.
+# (Adamic/Adar's weight) to pin cross-engine.  Reads the SAME persisted
+# wedge-census artifact as graph_jaccard_links (r11 verdict item 2 —
+# the ra_ppm sum and the cn count ride one groupBy at artifact-build
+# time), so this entry is scan + anti-join + top-k; the oracle replays
+# cap and DIV bit-for-bit.
 @register(
     "graph_ra_links_capped",
     """
@@ -11059,20 +11265,21 @@ def graph_jaccard_links_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_ra_links_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from warp_spark.pipeline.graph import load_edges, resource_allocation_links
+    from warp_spark.pipeline.graph import (
+        load_edges,
+        load_wedge_census,
+        resource_allocation_links,
+    )
 
-    path = _ensure_graph_edges(spark, sf_dir)
+    edges = load_edges(spark, _ensure_graph_edges(spark, sf_dir))
+    census = load_wedge_census(spark, _ensure_graph_wedges(spark, sf_dir))
     return resource_allocation_links(
-        load_edges(spark, path), k=20, max_center_degree=120
+        edges, k=20, max_center_degree=_GRAPH_WEDGE_CAP, census=census
     )
 
 
 def _graph_edges_path(sf_dir: str) -> str:
-    import os
-    import tempfile
-
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(tempfile.gettempdir(), f"warp_graph_edges_v1_{tag}")
+    return _artifact_path("warp_graph_edges_v1", sf_dir)
 
 
 _GRAPH_EDGES_FP_CACHE: dict = {}
@@ -11090,22 +11297,17 @@ def _ensure_graph_edges(spark: SparkSession, sf_dir: str, rebuild: bool = False)
     asked for on the BM25 stamp.  The fingerprint SCAN itself is
     memoized per (sf_dir, file stat signature) within the process, so
     the seven graph entries sharing the artifact pay it once per
-    session, not once per query — a source rewrite changes mtime/size
-    and re-scans."""
-    import glob as _glob
+    session, not once per query.  The stat signature covers the PART
+    FILES inside the dataset directory (r11 ADVICE: an in-place part
+    rewrite changes neither the directory's mtime nor its size), so
+    any writer that touches a data file re-scans."""
     import os
 
     from warp_spark.pipeline.graph import persist_edges
 
     path = _graph_edges_path(sf_dir)
     marker = os.path.join(path, "_EDGES_COMPLETE")
-    src = f"{sf_dir}/lineitem.parquet"
-    files = sorted(_glob.glob(src)) or [src]
-    stat_sig = tuple(
-        (f, os.stat(f).st_mtime_ns, os.stat(f).st_size)
-        for f in files
-        if os.path.exists(f)
-    )
+    stat_sig = _source_stat_sig(f"{sf_dir}/lineitem.parquet")
     cached = _GRAPH_EDGES_FP_CACHE.get(sf_dir)
     if cached is not None and cached[0] == stat_sig:
         stamp = cached[1]
@@ -11140,10 +11342,112 @@ def _ensure_graph_edges(spark: SparkSession, sf_dir: str, rebuild: bool = False)
             .where(F.col("l_partkey") < F.col("dst"))
             .select(F.col("l_partkey").alias("src"), "dst")
         )
-        persist_edges(edges, path)
-        with open(marker, "w") as f:
-            f.write(stamp + "\n")
+        _publish_artifact(
+            path, "_EDGES_COMPLETE", stamp, lambda tmp: persist_edges(edges, tmp)
+        )
     return path
+
+
+# The one hub-cap used by every capped link-prediction entry and the
+# persisted wedge artifact — ≈ the sf0.1 median degree (see the
+# graph_jaccard_links registration comment for the per-SF calibration).
+_GRAPH_WEDGE_CAP = 120
+
+
+def _graph_wedges_path(sf_dir: str) -> str:
+    return _artifact_path("warp_graph_wedges_v1", sf_dir)
+
+
+def _ensure_graph_wedges(spark: SparkSession, sf_dir: str, rebuild: bool = False) -> str:
+    """Build-once discipline for the persisted capped WEDGE CENSUS
+    (r11 verdict item 2): both capped link-prediction scorers (Jaccard
+    and Resource-Allocation) consume the identical cap-120 census, and
+    before this artifact each entry re-paid the same quadratic wedge
+    self-join from the edge artifact.  One census pass now writes
+    (x, y, cn, ra_ppm) once — the graph_edges_persist amortization
+    applied one level up.  The staleness stamp CHAINS the edge
+    artifact's content-fingerprint stamp, so a lineitem content change
+    propagates edge rebuild → wedge rebuild with no extra source
+    scan."""
+    import os
+
+    from warp_spark.pipeline.graph import load_edges, persist_wedge_census
+
+    edge_path = _ensure_graph_edges(spark, sf_dir)
+    with open(os.path.join(edge_path, "_EDGES_COMPLETE")) as f:
+        edge_stamp = f.read().strip()
+    path = _graph_wedges_path(sf_dir)
+    marker = os.path.join(path, "_WEDGES_COMPLETE")
+    stamp = f"wedges cap={_GRAPH_WEDGE_CAP} over [{edge_stamp}]"
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            current = f.read().strip()
+    if rebuild or current != stamp:
+        edges = load_edges(spark, edge_path)
+        _publish_artifact(
+            path,
+            "_WEDGES_COMPLETE",
+            stamp,
+            lambda tmp: persist_wedge_census(
+                edges, tmp, max_center_degree=_GRAPH_WEDGE_CAP
+            ),
+        )
+    return path
+
+
+# Persisted wedge-census artifact, build half (pipeline/graph.py::
+# persist_wedge_census): pay the capped quadratic expansion ONCE and
+# write (x, y, cn, ra_ppm) for every co-neighbor pair, so both capped
+# link-prediction entries become scan + anti-join + top-k (r11 verdict
+# item 2; the same build/probe split as graph_edges_persist one level
+# down and the ann/bm25/dedup index triple).  Differential columns:
+# the pair count and the exact integer totals of both score columns
+# must equal DuckDB's replay of the identical cap-120 census — a
+# dropped partition, a drifted cap, or a wrong contrib divisor
+# hash-fails the gate; pairs_canonical pins x < y on every row.
+@register(
+    "graph_wedges_persist",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                      greatest(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey),
+    sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    deg AS (SELECT u AS node, count(*)::BIGINT AS deg FROM sym GROUP BY 1),
+    capped AS (
+      SELECT s.u, s.v, (1000000 // d.deg)::BIGINT AS contrib
+      FROM sym s JOIN deg d ON d.node = s.u
+      WHERE d.deg <= 120),
+    pairs AS (
+      SELECT w1.v AS x, w2.v AS y,
+             count(*)::BIGINT AS cn,
+             sum(w1.contrib)::BIGINT AS ra_ppm
+      FROM capped w1 JOIN capped w2 ON w1.u = w2.u
+      WHERE w1.v < w2.v
+      GROUP BY 1, 2)
+    SELECT count(*)::BIGINT AS n_pairs,
+           sum(cn)::BIGINT AS cn_total,
+           sum(ra_ppm)::BIGINT AS ra_total,
+           true AS pairs_canonical
+    FROM pairs
+    """,
+)
+def graph_wedges_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.graph import load_wedge_census
+
+    path = _ensure_graph_wedges(spark, sf_dir, rebuild=True)
+    census = load_wedge_census(spark, path)
+    return census.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("cn").cast("long").alias("cn_total"),
+        F.sum("ra_ppm").cast("long").alias("ra_total"),
+        (
+            F.sum(F.when(F.col("x") < F.col("y"), 1).otherwise(0))
+            == F.count(F.lit(1))
+        ).alias("pairs_canonical"),
+    )
 
 
 # Persisted graph-edge artifact, build half (pipeline/graph.py::
@@ -11257,8 +11561,8 @@ def sample_weighted_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     b AS (
       SELECT event_type,
-             (greatest(length(bin(cents)) - 5, 0) * 32
-              + (cents >> greatest(length(bin(cents)) - 5, 0)))::BIGINT AS key
+             (greatest(CASE WHEN cents > 0 THEN length(bin(cents)) ELSE 0 END - 5, 0) * 32
+              + (cents >> greatest(CASE WHEN cents > 0 THEN length(bin(cents)) ELSE 0 END - 5, 0)))::BIGINT AS key
       FROM c),
     hist AS (SELECT event_type, key, count(*) AS cnt FROM b GROUP BY 1, 2),
     cum AS (
@@ -14348,11 +14652,7 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # marker stamp, mirroring _ensure_ann_index.
 # ---------------------------------------------------------------------------
 def _bm25_index_path(sf_dir: str) -> str:
-    import os
-    import tempfile
-
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(tempfile.gettempdir(), f"warp_bm25_idx_v1_{tag}")
+    return _artifact_path("warp_bm25_idx_v1", sf_dir)
 
 
 def _ensure_bm25_index(spark: SparkSession, sf_dir: str, rebuild: bool = False) -> str:
@@ -14371,18 +14671,25 @@ def _ensure_bm25_index(spark: SparkSession, sf_dir: str, rebuild: bool = False) 
         F.sum(F.col("doc_id").cast("decimal(38,0)")).alias("ids"),
         F.sum(F.crc32(F.col("text")).cast("decimal(38,0)")).alias("crc"),
     ).first()
+    # the stamp's n_buckets token derives from the actual build
+    # parameter (r11 verdict nit: a hardcoded token would not flip the
+    # stamp on a non-default-bucket rebuild)
+    n_buckets = 16
     stamp = (
-        f"bm25 n_buckets=16 n_docs={fp['n']} idsum={fp['ids']} crcsum={fp['crc']}"
+        f"bm25 n_buckets={n_buckets} "
+        f"n_docs={fp['n']} idsum={fp['ids']} crcsum={fp['crc']}"
     )
     current = None
     if os.path.exists(marker):
         with open(marker) as f:
             current = f.read().strip()
     if rebuild or current != stamp:
-        os.makedirs(path, exist_ok=True)
-        build_bm25_index(docs, path)
-        with open(marker, "w") as f:
-            f.write(stamp + "\n")
+        _publish_artifact(
+            path,
+            "_INDEX_COMPLETE",
+            stamp,
+            lambda tmp: build_bm25_index(docs, tmp, n_buckets=n_buckets),
+        )
     return path
 
 

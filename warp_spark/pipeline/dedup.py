@@ -1006,6 +1006,126 @@ def dedup_index_probe(
     )
 
 
+def append_dedup_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> bool:
+    """Absorb a new corpus slice into a persisted dedup index WITHOUT
+    re-signaturing the standing corpus — the 100 TB maintenance path
+    (r11 verdict item 4): a daily crawl slice is a fraction of a
+    percent of the corpus, so rebuilding the whole index per slice
+    re-pays the full signature scan for nothing.  Appends the slice's
+    band postings into the bucket-PARTITIONED ``bands`` artifact
+    (parquet append preserves the partitioning, so probe-side pruning
+    keeps working), its verify-tier shingle rows into ``shingles``,
+    and swaps the 1-row ``stats`` with the updated doc count — model
+    parameters (num_hashes, band_size, n_buckets, cap) are carried
+    over unchanged from the existing stats row.
+
+    Cap discipline: the build drops every posting of a
+    (band_idx, band_val) bucket exceeding ``max_corpus_bucket`` —
+    a retraction an append cannot perform on already-persisted rows.
+    So this function verifies the invariant incrementally and returns
+    ``False`` (caller must full-rebuild) when it cannot guarantee
+    append ≡ rebuild: (a) if the existing artifact itself dropped
+    buckets at build time (detected as band rows ≠ docs × bands-per-
+    doc — no stats-schema change needed), or (b) if any bucket touched
+    by the slice would cross the cap combined (counted via a
+    partition-PRUNED scan of exactly the slice's band-value buckets,
+    never a corpus re-signature).  On ``True``, append-then-probe
+    equals rebuild-then-probe EXACTLY (pytest-pinned).
+
+    Reference analogue: MutableDataset row insertion
+    (MutableData.swift:40-63) — the reference mutates standing data in
+    place; here the mutation is an append of immutable files plus a
+    stats swap, the Spark-native equivalent."""
+    st = spark.read.parquet(f"{path}/stats").first()
+    n_buckets = int(st["n_buckets"])
+    cap = int(st["max_corpus_bucket"])
+    bands_per_doc = int(st["num_hashes"]) // int(st["band_size"])
+    if (
+        int(st["num_hashes"]) != DEFAULT_NUM_HASHES
+        or int(st["band_size"]) != DEFAULT_BAND_SIZE
+    ):
+        return False  # signature shape drifted from this module's path
+    try:
+        old_bands = spark.read.parquet(f"{path}/bands")
+        n_band_rows = old_bands.count()
+    except Exception:
+        return False  # unreadable/empty postings (e.g. cap dropped all)
+    if n_band_rows != int(st["n_docs"]) * bands_per_doc:
+        return False  # build-time cap fired: append cannot retract
+
+    new_bands = (
+        new_docs.select(
+            F.col(id_col).alias("corpus_id"), shingles(F.col(text_col)).alias("__sh")
+        )
+        .select(
+            "corpus_id", F.transform(F.col("__sh"), md5_hash_pair).alias("__hp")
+        )
+        .select("corpus_id", minhash_from_pairs(F.col("__hp")).alias("__sig"))
+        .select(
+            "corpus_id",
+            F.posexplode(lsh_bands(F.col("__sig"))).alias("band_idx", "band_val"),
+        )
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("band_val"), F.lit(n_buckets)).cast("int"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    touched = sorted(
+        r["bucket"] for r in new_bands.select("bucket").distinct().collect()
+    )
+    new_cnt = new_bands.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    old_cnt = (
+        old_bands.filter(F.col("bucket").isin(touched))
+        .groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("n_old"))
+    )
+    worst = (
+        new_cnt.join(old_cnt, ["band_idx", "band_val"], "left")
+        .select(
+            (F.col("n_new") + F.coalesce(F.col("n_old"), F.lit(0))).alias("n")
+        )
+        .agg(F.max("n").alias("mx"))
+        .first()["mx"]
+    )
+    if worst is not None and worst > cap:
+        return False  # a combined bucket crosses the cap: rebuild
+
+    new_bands.select("corpus_id", "band_idx", "band_val", "bucket").write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(f"{path}/bands")
+    new_docs.select(
+        F.col(id_col).alias("corpus_id"), shingles(F.col(text_col)).alias("__sh")
+    ).select(
+        "corpus_id",
+        F.transform(F.col("__sh"), lambda t: F.xxhash64(t)).alias("sh_b"),
+    ).write.mode("append").parquet(f"{path}/shingles")
+    n_new = new_docs.count()
+    # stats swap: carry every model parameter, bump only the doc count
+    spark.createDataFrame(
+        [
+            (
+                int(st["n_docs"]) + int(n_new),
+                int(st["num_hashes"]),
+                int(st["band_size"]),
+                n_buckets,
+                cap,
+            )
+        ],
+        "n_docs long, num_hashes int, band_size int, n_buckets int, "
+        "max_corpus_bucket long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    return True
+
+
 def cluster_representatives(
     clusters: DataFrame,
     scores: DataFrame,

@@ -205,8 +205,116 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+def _canonical_undirected(edges: DataFrame):
+    """Shared normalization for every link scorer: the canonical
+    distinct undirected edge set (u < v), its symmetric closure, and
+    the degree table.  Hoisted out of the scorers so the census and
+    the score stage agree on one definition."""
+    u, v = F.col("src"), F.col("dst")
+    und = (
+        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    return und, sym, deg
+
+
+def _expansion_width(df: DataFrame, default: int = 200) -> int:
+    """Partition width for quadratic-expansion joins: 2× the shuffle
+    partition count.  The conf value may be non-numeric on some
+    platforms (e.g. an adaptive 'auto' setting) — the repartition is a
+    performance pin, not a semantic need, so a non-numeric value
+    degrades to the default width instead of raising (r11 ADVICE)."""
+    try:
+        n = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", str(default))
+        )
+    except (TypeError, ValueError):
+        n = default
+    return 2 * n
+
+
+def _census_from(und, sym, deg, max_center_degree):
+    # Pin the wedge-join parallelism EXPLICITLY: the self-join's output
+    # is quadratic in its input (Σ C(deg,2) rows from |sym| rows), so
+    # AQE's input-byte-driven partition coalescing — correct for
+    # size-preserving shuffles — starves the expansion stage down to
+    # one or two tasks whenever the edge list arrives from a small
+    # source (e.g. the persisted parquet artifact: measured 30 s vs
+    # 12 s for the identical census at sf0.1).  An explicit hash
+    # repartition on the center key is exempt from coalescing and
+    # co-partitions both join sides, so the expansion runs at 2×
+    # shuffle-partition width with zero extra exchanges.
+    wedge_base = sym.join(deg.withColumnRenamed("node", "u"), "u")
+    if max_center_degree is not None:
+        wedge_base = wedge_base.where(F.col("deg") <= int(max_center_degree))
+    wedge_base = wedge_base.repartition(_expansion_width(sym), "u").withColumn(
+        "contrib", F.expr("CAST(1000000 DIV deg AS BIGINT)")
+    )
+    w1 = wedge_base.select(F.col("u").alias("a"), F.col("v").alias("x"), "contrib")
+    w2 = wedge_base.select(F.col("u").alias("a"), F.col("v").alias("y"))
+    return (
+        w1.join(w2, "a")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum("contrib").cast("long").alias("ra_ppm"),
+        )
+    )
+
+
+def wedge_census(
+    edges: DataFrame, max_center_degree: int | None = None
+) -> DataFrame:
+    """ONE wedge-census pass serving every common-neighbor link scorer
+    (r11 verdict item 2): for each unordered pair (x, y) sharing at
+    least one common neighbor, emit both the common-neighbor count
+    ``cn`` (the Jaccard numerator) and the Resource-Allocation sum
+    ``ra_ppm`` = Σ_z 1_000_000 DIV deg(z) — the RA sum and the CN
+    count ride the same groupBy, so computing both is one extra agg
+    column, not a second quadratic expansion.  Adjacent pairs are
+    INCLUDED (the non-adjacency anti-join is the scorer's job), so one
+    persisted census serves any downstream scorer.
+
+    ``max_center_degree`` is the hub valve: wedge midpoints with
+    degree > cap are excluded BEFORE the self-join, bounding the
+    census by cap² · |centers| regardless of hub skew."""
+    und, sym, deg = _canonical_undirected(edges)
+    return _census_from(und, sym, deg, max_center_degree)
+
+
+def persist_wedge_census(
+    edges: DataFrame, path: str, max_center_degree: int | None = None
+) -> None:
+    """Materialize the wedge census as a parquet artifact — the
+    second-level amortization over :func:`persist_edges`: both capped
+    link-prediction scorers (Jaccard and Resource-Allocation) read the
+    SAME (x, y, cn, ra_ppm) census, so the quadratic wedge expansion
+    is paid once at write time and each scorer is then a columnar scan
+    + anti-join + top-k (the cache-step discipline one level up;
+    reference analogue QBECacheStep.swift:15-140)."""
+    wedge_census(edges, max_center_degree).repartition(8, "x").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_wedge_census(spark, path: str) -> DataFrame:
+    """Read back a persist_wedge_census artifact: (x, y, cn, ra_ppm)
+    rows with x < y — feed to jaccard_links / resource_allocation_links
+    via their ``census=`` parameter to skip the quadratic expansion."""
+    return spark.read.parquet(path)
+
+
 def jaccard_links(
-    edges: DataFrame, k: int = 20, max_center_degree: int | None = None
+    edges: DataFrame,
+    k: int = 20,
+    max_center_degree: int | None = None,
+    census: DataFrame | None = None,
 ) -> DataFrame:
     """Neighborhood-Jaccard link prediction (Liben-Nowell & Kleinberg,
     CIKM'03): for every NON-adjacent pair sharing ≥1 neighbor, score
@@ -232,45 +340,17 @@ def jaccard_links(
     ``None`` (default) = exact census, unchanged semantics.  All
     stages are hash-partitioned joins/aggregations on vertex ids; the
     adjacency anti-join removes existing edges; the top-k is a
-    distributed TakeOrdered, never a global window."""
-    u, v = F.col("src"), F.col("dst")
-    und = (
-        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = sym.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
-    )
-    wedge_base = sym
-    if max_center_degree is not None:
-        ok_centers = deg.where(F.col("deg") <= int(max_center_degree)).select(
-            F.col("node").alias("u")
-        )
-        wedge_base = sym.join(ok_centers, "u")
-    # Pin the wedge-join parallelism EXPLICITLY: the self-join's output
-    # is quadratic in its input (Σ C(deg,2) rows from |sym| rows), so
-    # AQE's input-byte-driven partition coalescing — correct for
-    # size-preserving shuffles — starves the expansion stage down to
-    # one or two tasks whenever the edge list arrives from a small
-    # source (e.g. the persisted parquet artifact: measured 30 s vs
-    # 12 s for the identical census at sf0.1).  An explicit hash
-    # repartition on the center key is exempt from coalescing and
-    # co-partitions both join sides, so the expansion runs at 2×
-    # shuffle-partition width with zero extra exchanges.
-    n_exp = 2 * int(
-        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    wedge_base = wedge_base.repartition(n_exp, "u")
-    w1 = wedge_base.select(F.col("u").alias("a"), F.col("v").alias("x"))
-    w2 = wedge_base.select(F.col("u").alias("a"), F.col("v").alias("y"))
-    cn = (
-        w1.join(w2, "a")
-        .where(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
-    )
+    distributed TakeOrdered, never a global window.
+
+    ``census``: a pre-computed :func:`wedge_census` DataFrame (e.g.
+    loaded via :func:`load_wedge_census`) — MUST have been built with
+    the same ``max_center_degree``; when given, the quadratic
+    expansion is skipped entirely and this is scan + anti-join +
+    degree join + top-k."""
+    und, sym, deg = _canonical_undirected(edges)
+    if census is None:
+        census = _census_from(und, sym, deg, max_center_degree)
+    cn = census.select("x", "y", "cn")
     cand = cn.join(
         und,
         (cn["x"] == und["u"]) & (cn["y"] == und["v"]),
@@ -293,7 +373,10 @@ def jaccard_links(
 
 
 def resource_allocation_links(
-    edges: DataFrame, k: int = 20, max_center_degree: int | None = None
+    edges: DataFrame,
+    k: int = 20,
+    max_center_degree: int | None = None,
+    census: DataFrame | None = None,
 ) -> DataFrame:
     """Resource-Allocation link prediction (Zhou, Lü & Zhang, EPJ B
     2009) — the degree-weighted sibling of :func:`jaccard_links`: a
@@ -310,36 +393,15 @@ def resource_allocation_links(
     valve (census ≤ cap² · |centers|) and the identical explicit
     center-key repartition so AQE's input-byte coalescing cannot
     starve the quadratic expansion; adjacency anti-join; distributed
-    TakeOrdered top-k on (ra_ppm desc, pair)."""
-    u, v = F.col("src"), F.col("dst")
-    und = (
-        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = sym.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
-    )
-    wedge_base = sym.join(deg.withColumnRenamed("node", "u"), "u")
-    if max_center_degree is not None:
-        wedge_base = wedge_base.where(F.col("deg") <= int(max_center_degree))
-    n_exp = 2 * int(
-        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    wedge_base = wedge_base.repartition(n_exp, "u").withColumn(
-        "contrib", F.expr("CAST(1000000 DIV deg AS BIGINT)")
-    )
-    w1 = wedge_base.select(F.col("u").alias("a"), F.col("v").alias("x"), "contrib")
-    w2 = wedge_base.select(F.col("u").alias("a"), F.col("v").alias("y"))
+    TakeOrdered top-k on (ra_ppm desc, pair).  The census pass is
+    LITERALLY shared with jaccard_links (:func:`wedge_census` emits cn
+    and ra_ppm from one groupBy), and a persisted census can be passed
+    via ``census=`` to skip the expansion entirely."""
+    und, sym, deg = _canonical_undirected(edges)
     scored_pairs = (
-        w1.join(w2, "a")
-        .where(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("cn"),
-            F.sum("contrib").cast("long").alias("ra_ppm"),
-        )
+        census
+        if census is not None
+        else _census_from(und, sym, deg, max_center_degree)
     )
     cand = scored_pairs.join(
         und,

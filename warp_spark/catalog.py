@@ -15189,30 +15189,25 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # the window is rotated every round and the rotation is documented here
 # and in PARITY.md.
 #
-# Round-11 window: FRESHNESS rotation per the r10 verdict (item 1).
-# Post-r10 the histogram is r10:50 / r9:47 / r8:47 / r7:47 / r6:24 /
-# never-judged:53 — the 53 never-judged entries are the r10 additions
-# (judge-gate green 53/53 in the r10 verdict, re-run by the judge at
-# sf0.01, but no driver evidence).  53 is MORE than one 50-window
-# holds, so per PARITY.md's window-planning note this window takes:
-#   * 47 of the 53 never-driver-judged r10 additions, prioritized per
-#     the r10 verdict: the persisted index pairs (ann_index_*,
-#     bm25_index_*), the four new streaming executions (ewma, holt,
-#     new_users, diversity), graph_jaccard_links / graph_kcore_peeling,
-#     and parts_abc_classification (the _prefix_sum_global path),
-#   * the flagship TPC-H trio kept in-window every round.
-# The 6 r10 additions held back for the r12 queue are the simplest
-# single-aggregation arithmetic entries with the least drift risk
-# (no shared library paths beyond groupBy/agg):
-#   market_concentration_hhi, events_seasonal_dow, text_readability,
-#   stats_benford_totalprice, events_time_to_conversion,
-#   orders_yoy_growth.
-# They head the r12 queue alongside the 24 r06-vintage registry /
-# single-operator entries (see PARITY.md rotation-queue section).
-# The window was built against evidence through CORRECTNESS_r10
+# Round-12 window: execute the r11-queued rotation exactly (r11
+# verdict item 1; PARITY.md "r12 rotation queue"): the 6 r10 additions
+# held back from the r11 window (simplest single-aggregation entries),
+# the 24 r06-vintage registry / single-operator entries (the stalest
+# driver evidence in the ledger; judge-gated green in r11), the pinned
+# flagship TPC-H trio, and 17 of the 47 r7-vintage entries to fill 50.
+# The r7-vintage fill prioritizes (a) the three graph entries that now
+# read the re-keyed/atomically-published edge artifact (this round's
+# artifact-hygiene changes touch their shared code path), (b) the
+# sketch-aggregation tier, whose hdr oracle gained the cents>0 guard
+# this round, and (c) six r7 streaming executions + three TPC-H
+# refreshes.  Entries added or semantically changed in r12
+# (graph_wedges_persist, graph_jaccard_links_exact, dedup_index_append,
+# graph_jaccard_links -> capped default, graph_ra_links_capped ->
+# artifact-fed) land in the r13 queue (PARITY.md).
+# The window was built against evidence through CORRECTNESS_r11
 # (_DRIVER_WINDOW_ROUND below); the rotation-policy test evaluates it
 # against snapshots from rounds < _DRIVER_WINDOW_ROUND only, so the
-# driver's own r11 snapshot (which postdates this commit) cannot make
+# driver's own r12 snapshot (which postdates this commit) cannot make
 # the suite red between rounds.
 # ===========================================================================
 
@@ -15220,68 +15215,62 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # evaluated against CORRECTNESS_r*.json snapshots from rounds strictly
 # before this one (the evidence that existed when the window was
 # designed).
-_DRIVER_WINDOW_ROUND = 11
+_DRIVER_WINDOW_ROUND = 12
 
 _DRIVER_WINDOW = [
-    # --- 47 of the 53 never-driver-judged r10 additions ---
-    # persisted-index tier (r9 verdict item 6 deliverables)
-    "ann_index_persist",
-    "ann_index_probe",
-    "ann_index_recon_audit",
-    "bm25_index_persist",
-    "bm25_index_probe",
-    # streaming executions 21-24
-    "events_ewma_streamed",
-    "events_holt_streamed",
-    "events_new_users_streamed",
-    "events_diversity_streamed",
-    # graph tier
-    "graph_jaccard_links",
-    "graph_kcore_peeling",
-    "graph_bipartite_degrees",
-    "graph_degree_assortativity",
-    # distributed-prefix / order-statistics paths
-    "parts_abc_classification",
-    "embedding_norm_percentiles",
-    "text_vocab_coverage",
-    # privacy + stats tier
-    "privacy_l_diversity",
-    "privacy_t_closeness",
-    "stats_chisq_priority_status",
-    "stats_trend_mann_kendall",
-    "stats_runs_test_daily_orders",
-    # events analytics tier
-    "events_changepoint_cusum",
-    "events_anomaly_mad",
-    "events_holt_linear",
-    "events_inactivity_churn",
-    "events_engagement_gini",
-    "events_dau_wau_stickiness",
-    "events_hourly_acf",
-    "events_forecast_backtest",
-    "events_type_overlap",
-    "events_new_vs_returning",
-    "events_daily_type_diversity",
-    "events_session_length_hist",
-    "events_markov_stationary",
-    # orders analytics tier
-    "orders_open_backlog",
-    "orders_fulfillment_latency",
-    "orders_interpurchase_gap",
-    # aggregate path
-    "agg_weighted_median",
-    # embeddings tier
-    "embedding_dimension_stats",
-    "embedding_gram_matrix",
-    # curation + text tier
-    "curation_pareto_frontier",
-    "text_rake_keywords",
-    # multimodal segmentation tier
-    "multimodal_audio_energy",
-    "multimodal_image_histogram",
-    "multimodal_scene_cuts",
-    "multimodal_wav_silence",
-    "multimodal_image_gradient",
+    # --- the 6 r10 additions held back from the r11 window ---
+    "market_concentration_hhi",
+    "events_seasonal_dow",
+    "text_readability",
+    "stats_benford_totalprice",
+    "events_time_to_conversion",
+    "orders_yoy_growth",
+    # --- the 24 r06-vintage registry / single-operator entries ---
+    "chain_order_buckets",
+    "dummies_onehot",
+    "explode_split_columns",
+    "explode_split_rows",
+    "filter_calculate",
+    "filter_set_in",
+    "flatten_melt",
+    "formula_calculate",
+    "formula_filter",
+    "formula_nl_calculate",
+    "functions_binary",
+    "functions_json",
+    "functions_lists",
+    "multimodal_frame_sample",
+    "q10_returned_items",
+    "random_sample",
+    "rank_running_total",
+    "search_contains",
+    "select_distinct",
+    "sequencer_enumerate",
+    "sort_offset_limit",
+    "transpose_region",
+    "union_by_name",
+    "unique_expression",
+    # --- r7-vintage fill: graph tier over the re-keyed edge artifact ---
+    "graph_pagerank",
+    "graph_triangle_counts",
+    "graph_degree_stats",
+    # --- r7-vintage fill: sketch tier (hdr oracle guard touched r12) ---
+    "agg_approx_sketch",
+    "agg_countmin_freq",
+    "agg_hdr_quantiles",
+    "agg_hll_distinct",
+    "agg_kmv_overlap",
+    # --- r7-vintage fill: streaming executions ---
+    "events_anomaly_zscore_streamed",
+    "events_countmin_streamed",
+    "events_hdr_streamed",
+    "events_hourly_rollup_streamed",
+    "events_running_totals_stateful",
+    "events_sessionize_streamed",
+    # --- r7-vintage fill: TPC-H refreshes ---
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
     # --- flagship TPC-H, kept every round ---
     "q1_pricing_summary",
     "q3_shipping_priority",

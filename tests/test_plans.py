@@ -570,6 +570,27 @@ def test_dedup_index_probe_equals_inquery(spark):
     assert any(r[3] for r in probed)  # the slice contains real dups
 
 
+def test_tdigest_probe_reads_only_artifact(spark):
+    """The persisted-sketch probe must (a) reproduce the in-query batch
+    t-digest entry bit-for-bit — batch, streamed, and persisted-probe
+    percentiles share ONE sketch state — and (b) scan ONLY the
+    artifact: a lineitem FileScan in the probe plan would mean the
+    'quantiles without a source pass' contract is broken."""
+    import __spark_entry__ as m
+    from warp_spark.catalog import _ensure_tdigest
+
+    _ensure_tdigest(spark, SF)  # artifact fresh → probe takes the pure path
+    probe_df = m.queries()["tdigest_probe"](spark, SF)
+    key = lambda r: tuple(r.asDict().items())  # noqa: E731
+    probed = sorted(map(key, probe_df.collect()))
+    batch = sorted(
+        map(key, m.queries()["agg_tdigest_quantiles"](spark, SF).collect())
+    )
+    assert probed == batch and len(probed) > 0
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan, plan
+
+
 def test_dedup_index_probe_partition_pruning(spark):
     """A TRICKLE probe (single doc) against the persisted band postings
     must prune: the bands scan's bucket IN (...) lands in

@@ -10874,6 +10874,128 @@ def events_tdigest_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def _tdigest_path(sf_dir: str) -> str:
+    return _artifact_path("warp_tdigest_v1", sf_dir)
+
+
+_TDIGEST_FP_CACHE: dict = {}
+
+
+def _ensure_tdigest(spark: SparkSession, sf_dir: str, rebuild: bool = False) -> str:
+    """Build-once discipline for the persisted quantile sketch (r11
+    verdict item 8 — the index-triple pattern applied to quantiles):
+    the mergeable log-linear value histogram over lineitem price cents
+    (sketches.py::tdigest_hist, the SAME stage-1 state the batch and
+    streamed t-digest entries compute in-query) written ONCE as a tiny
+    parquet artifact, so every percentile read-off is a scan of a few
+    hundred bucket rows instead of a source pass.  Content stamp =
+    row count + exact cents sum; the fingerprint SCAN is memoized per
+    (sf_dir, part-file stat signature) like the edge artifact's, so
+    repeated probes in one session pay zero lineitem scans."""
+    import os
+
+    from warp_spark.sketches import tdigest_hist
+
+    path = _tdigest_path(sf_dir)
+    marker = os.path.join(path, "_SKETCH_COMPLETE")
+    li = _t(spark, sf_dir, "lineitem").to_df()
+    cents = F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    stat_sig = _source_stat_sig(f"{sf_dir}/lineitem.parquet")
+    cached = _TDIGEST_FP_CACHE.get(sf_dir)
+    if cached is not None and cached[0] == stat_sig:
+        stamp = cached[1]
+    else:
+        fp = li.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents.cast("decimal(38,0)")).alias("s"),
+        ).first()
+        stamp = (
+            f"tdigest sub_bits=7 group=l_returnflag n={fp['n']} centssum={fp['s']}"
+        )
+        _TDIGEST_FP_CACHE[sf_dir] = (stat_sig, stamp)
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            current = f.read().strip()
+    if rebuild or current != stamp:
+        hist = tdigest_hist(li, cents, "l_returnflag", value_sub_bits=7)
+        _publish_artifact(
+            path,
+            "_SKETCH_COMPLETE",
+            stamp,
+            lambda tmp: hist.coalesce(1).write.mode("overwrite").parquet(tmp),
+        )
+    return path
+
+
+# Persisted quantile sketch, build half: write the mergeable log-linear
+# histogram (one row per (returnflag, 7-sub-bit value bucket) — a few
+# hundred rows at any SF) as an on-disk artifact shared by batch and
+# streamed percentile read-offs (r11 verdict item 8; the persisted-
+# index discipline applied to quantiles; reference analogue: the
+# median tier, Function.swift:2136-2189).  Differential columns: the
+# per-group value count AND the exact key-weighted checksum
+# Σ key·cnt must equal DuckDB's replay of the identical guarded
+# bucketing — a dropped bucket row, a drifted sub-bit count, or a
+# negative-value guard mismatch hash-fails the gate.
+@register(
+    "tdigest_persist",
+    """
+    WITH c AS (
+      SELECT l_returnflag,
+             floor(l_extendedprice * 100.0::DOUBLE + 0.5::DOUBLE)::BIGINT AS cents
+      FROM lineitem),
+    b AS (
+      SELECT l_returnflag,
+             (greatest(CASE WHEN cents > 0 THEN length(bin(cents)) ELSE 0 END - 7, 0) * 128
+              + (cents >> greatest(CASE WHEN cents > 0 THEN length(bin(cents)) ELSE 0 END - 7, 0)))::BIGINT AS key
+      FROM c),
+    h AS (SELECT l_returnflag, key, count(*)::BIGINT AS cnt FROM b GROUP BY 1, 2)
+    SELECT l_returnflag,
+           sum(cnt)::BIGINT AS n_values,
+           sum(key * cnt)::BIGINT AS key_weighted_sum,
+           count(*)::BIGINT AS n_buckets
+    FROM h GROUP BY 1 ORDER BY 1
+    """,
+)
+def tdigest_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_tdigest(spark, sf_dir, rebuild=True)
+    hist = spark.read.parquet(path)
+    return (
+        hist.groupBy("l_returnflag")
+        .agg(
+            F.sum("__cnt").cast("long").alias("n_values"),
+            F.sum(F.col("__key") * F.col("__cnt")).cast("long").alias(
+                "key_weighted_sum"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# Probe half: the t-digest rank-centroid read-off over the PERSISTED
+# histogram alone — no lineitem scan (the plan's only source is the
+# artifact) — and the answer must equal the in-query batch entry
+# bit-for-bit, so the oracle is agg_tdigest_quantiles' by reference:
+# batch, streamed, and persisted-probe percentiles all agree on one
+# sketch state.
+@register("tdigest_probe", None)
+def tdigest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.sketches import tdigest_quantiles_from_hist
+
+    path = _ensure_tdigest(spark, sf_dir)
+    hist = spark.read.parquet(path)
+    return tdigest_quantiles_from_hist(
+        hist, "l_returnflag", qs=(0.01, 0.5, 0.99)
+    ).orderBy("l_returnflag")
+
+
+ORACLES["tdigest_probe"] = ORACLES["agg_tdigest_quantiles"]
+
+
 # Streaming distribution-drift monitor (26th streaming execution): the
 # exact two-sample KS statistic between the 'view' and 'click' value
 # distributions, computed ONLINE — the state is the same bounded

@@ -191,9 +191,18 @@ HEAVY = [
     "stats_runs_test_daily_orders",# one groupBy + bounded runs window
     "events_diversity_streamed",   # 24th stream: windowed (day,type) census
     # round-12: the capped census is now the DEFAULT jaccard entry,
-    # fed by the persisted wedge artifact
+    # fed by the persisted wedge artifact (one quadratic pass serving
+    # both capped link predictors at build time)
     "graph_jaccard_links",
     "graph_wedges_persist",
+    # round-12: exact census, explicitly fenced to the mod-4 subgraph
+    "graph_jaccard_links_exact",
+    # round-12: incremental index maintenance (base build + slice
+    # append; stamp-reused on unchanged content like every ensure)
+    "dedup_index_append",
+    # round-12: persisted quantile sketch build + artifact-only probe
+    "tdigest_persist",
+    "tdigest_probe",
     # round-11: one-time canonical edge-list build + clustered write
     "graph_edges_persist",
     # round-11: persisted near-dup index — corpus signatured at build

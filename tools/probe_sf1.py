@@ -154,7 +154,8 @@ HEAVY = [
     # round-10 fourth batch
     "events_engagement_gini",      # two-phase rank + one scalar agg
     "multimodal_audio_energy",     # decode + sum-of-squares, map-side
-    "graph_jaccard_links",         # wedge census + degree joins
+    # (graph_jaccard_links moved to the round-12 batch below: capped
+    # default fed by the persisted wedge artifact)
     "ann_index_recon_audit",       # codes-storage join + Arrow recon
     # round-10 fifth batch
     "orders_open_backlog",         # +1/-1 census, days-bounded window

@@ -109,6 +109,9 @@ ENTRY_TABLES = {
     "dedup_index_persist": ["documents"],
     "dedup_index_probe": ["documents"],
     "stats_ks_two_sample": ["orders", "customer"],
+    "dedup_index_append": ["documents"],
+    "tdigest_persist": ["lineitem"],
+    "graph_jaccard_links_exact": ["lineitem"],
 }
 
 

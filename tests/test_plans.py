@@ -551,6 +551,49 @@ def test_bm25_index_probe_equals_inquery(spark):
     assert probed == inquery and len(probed) > 0
 
 
+def test_bm25_index_append_equals_rebuild(spark):
+    """Append-then-probe must equal the standing (one-shot) index's
+    probe EXACTLY: the bm25_index_append entry builds postings from
+    doc_id%20<16, absorbs the 16..19 slice via append_bm25_index, and
+    answers the same three fixed queries — bit-identical to
+    bm25_index_probe (and therefore to the in-query scorer)."""
+    import __spark_entry__ as m
+
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], r["score_ppm"])  # noqa: E731
+    appended = sorted(map(key, m.queries()["bm25_index_append"](spark, SF).collect()))
+    oneshot = sorted(map(key, m.queries()["bm25_index_probe"](spark, SF).collect()))
+    assert appended == oneshot and len(appended) > 0
+
+
+def test_ann_index_append_equals_frozen_rebuild(spark, tmp_path):
+    """append(build(train=B, encode=B), S) must be BYTE-EQUAL to
+    build(train=B, encode=B∪S): assignment and encoding are pure
+    functions of the frozen model, so the appended codes and storage
+    tables match the frozen-model rebuild row-for-row."""
+    from pyspark.sql import functions as F
+
+    from warp_spark.catalog import _t
+    from warp_spark.pipeline.similarity import (
+        append_ivfpq_index,
+        persist_ivfpq_index,
+    )
+
+    emb = _t(spark, SF, "embeddings").to_df()
+    base, slice_ = emb.filter(F.col("vec_id") % 5 != 4), emb.filter(
+        F.col("vec_id") % 5 == 4
+    )
+    p_app, p_full = str(tmp_path / "app"), str(tmp_path / "full")
+    persist_ivfpq_index(base, p_app, n_centroids=8, m=8, n_codes=16)
+    append_ivfpq_index(spark, p_app, slice_)
+    persist_ivfpq_index(
+        emb, p_full, n_centroids=8, m=8, n_codes=16, train_df=base
+    )
+    for sub in ("codes", "storage", "centroids", "codebooks"):
+        a = sorted(map(str, spark.read.parquet(f"{p_app}/{sub}").collect()))
+        b = sorted(map(str, spark.read.parquet(f"{p_full}/{sub}").collect()))
+        assert a == b and len(a) > 0, sub
+
+
 def test_dedup_index_probe_equals_inquery(spark):
     """Persisted-then-probed near-dup must be IDENTICAL to the in-query
     incremental path: same md5-minhash signatures, same band postings

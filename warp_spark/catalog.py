@@ -10269,6 +10269,113 @@ def ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_append_path(sf_dir: str) -> str:
+    return _artifact_path("warp_ann_idxapp_v1", sf_dir)
+
+
+def _ensure_ann_index_appended(spark: SparkSession, sf_dir: str) -> str:
+    """Incremental-maintenance twin of _ensure_ann_index — the VECTOR
+    leg of the append discipline (dedup: _ensure_dedup_index_appended;
+    lexical: _ensure_bm25_index_appended): train + encode the BASE
+    slice (vec_id % 5 != 4), then ABSORB the held-out fifth via
+    similarity.py::append_ivfpq_index with the model frozen — the
+    Faiss train-then-add pattern.  The appended index covers the full
+    corpus under the base-trained model, byte-equal to a frozen-model
+    rebuild (pytest-pinned); the entry's driver contract is the ANN
+    tier's recall floor vs exact brute force over the FULL corpus.
+    Same stamp/sentinel discipline as the other append twins."""
+    import os
+
+    from warp_spark.pipeline.similarity import (
+        append_ivfpq_index,
+        persist_ivfpq_index,
+    )
+
+    path = _ann_append_path(sf_dir)
+    marker = os.path.join(path, "_INDEX_COMPLETE")
+    emb = _t(spark, sf_dir, "embeddings").to_df()
+    is_base = F.col("vec_id") % 5 != 4
+    fp = emb.agg(
+        F.sum(F.when(is_base, 1).otherwise(0)).alias("nb"),
+        F.sum(
+            F.when(
+                is_base, F.crc32(F.col("embedding").cast("string")).cast("decimal(38,0)")
+            ).otherwise(0)
+        ).alias("crcb"),
+        F.sum(F.when(~is_base, 1).otherwise(0)).alias("ns"),
+        F.sum(
+            F.when(
+                ~is_base, F.crc32(F.col("embedding").cast("string")).cast("decimal(38,0)")
+            ).otherwise(0)
+        ).alias("crcs"),
+    ).first()
+    stamp = (
+        f"annapp base n={fp['nb']} crc={fp['crcb']} "
+        f"+ appended n={fp['ns']} crc={fp['crcs']}"
+    )
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            current = f.read().strip()
+    if current == stamp:
+        return path
+    base = emb.filter(is_base)
+    _publish_artifact(
+        path,
+        "_INDEX_COMPLETE",
+        "annapp base only",
+        lambda tmp: persist_ivfpq_index(
+            base, tmp, n_centroids=16, m=16, n_codes=32
+        ),
+    )
+    with open(marker, "w") as f:
+        f.write("appending\n")
+    append_ivfpq_index(spark, path, emb.filter(~is_base))
+    with open(marker, "w") as f:
+        f.write(stamp + "\n")
+    return path
+
+
+# Incremental index maintenance, vector leg (similarity.py::
+# append_ivfpq_index): the base-trained IVF-PQ index (vec_id % 5 != 4)
+# absorbs the held-out fifth with the MODEL FROZEN — slice assigned to
+# existing centroids, encoded through existing codebooks, codes rows
+# appended INTO the centroid_id partitioning, raw vectors into the
+# rerank tier; byte-equality to the frozen-model rebuild is
+# pytest-pinned.  The driver contract is the ANN tier's: recall@5 of
+# the probed appended index vs exact brute force over the FULL corpus
+# must clear the 0.8 floor — an appended slice the model never saw at
+# train time still retrieves, which is exactly what the train-then-add
+# production pattern promises between retrains.
+@register(
+    "ann_index_append",
+    """
+    SELECT CAST(10 AS BIGINT) AS n_queries,
+           CAST(0.8 AS DOUBLE) AS recall_floor,
+           true               AS recall_ge_floor
+    """,
+)
+def ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.similarity import (
+        brute_force_topk,
+        ivfpq_probe,
+        load_ivfpq_index,
+    )
+
+    path = _ensure_ann_index_appended(spark, sf_dir)
+    centroids, codebooks, codes, storage = load_ivfpq_index(spark, path)
+    emb = _t(spark, sf_dir, "embeddings").to_df()
+    q = emb.filter(F.col("vec_id") < 10)
+    return _ann_recall_check(
+        ivfpq_probe(
+            q, codes, centroids, codebooks, k=5, nprobe=12, rerank=100,
+            storage=storage,
+        ),
+        brute_force_topk(q, emb, k=5),
+        floor=0.8,
+    )
+
+
 # Embedding-space decontamination (similarity.py::semantic_contamination):
 # for every training vector the max cosine vs an eval set (vec_id%50==0
 # plays the benchmark here) — the semantic analogue of
@@ -14887,6 +14994,93 @@ def bm25_index_probe_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["bm25_index_probe"] = ORACLES["bm25_topk"]
+
+
+def _bm25_append_path(sf_dir: str) -> str:
+    return _artifact_path("warp_bm25_idxapp_v1", sf_dir)
+
+
+def _ensure_bm25_index_appended(spark: SparkSession, sf_dir: str) -> str:
+    """Incremental-maintenance twin of _ensure_bm25_index (the lexical
+    leg of the append discipline; dedup leg:
+    _ensure_dedup_index_appended): builds the postings from the BASE
+    slice (doc_id % 20 < 16), then ABSORBS the 16..19 slice via
+    text.py::append_bm25_index — base + slice = the FULL corpus the
+    standing index covers, so probing the appended index must
+    reproduce bm25_index_probe bit-for-bit (that equality IS the
+    entry's oracle).  Same stamp/sentinel discipline as the dedup
+    twin: content-fingerprinted final stamp, 'appending' sentinel
+    during the in-place mutation."""
+    import os
+
+    from warp_spark.pipeline.text import append_bm25_index, build_bm25_index
+
+    path = _bm25_append_path(sf_dir)
+    marker = os.path.join(path, "_INDEX_COMPLETE")
+    docs = _t(spark, sf_dir, "documents").to_df()
+    is_base = F.col("doc_id") % 20 < 16
+    fp = docs.agg(
+        F.sum(F.when(is_base, 1).otherwise(0)).alias("nb"),
+        F.sum(
+            F.when(is_base, F.crc32(F.col("text")).cast("decimal(38,0)")).otherwise(0)
+        ).alias("crcb"),
+        F.sum(F.when(~is_base, 1).otherwise(0)).alias("ns"),
+        F.sum(
+            F.when(~is_base, F.crc32(F.col("text")).cast("decimal(38,0)")).otherwise(0)
+        ).alias("crcs"),
+    ).first()
+    stamp = (
+        f"bm25app base n={fp['nb']} crc={fp['crcb']} "
+        f"+ appended n={fp['ns']} crc={fp['crcs']}"
+    )
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            current = f.read().strip()
+    if current == stamp:
+        return path
+    base = docs.filter(is_base)
+    _publish_artifact(
+        path,
+        "_INDEX_COMPLETE",
+        "bm25app base only",
+        lambda tmp: build_bm25_index(base, tmp),
+    )
+    with open(marker, "w") as f:
+        f.write("appending\n")
+    append_bm25_index(spark, path, docs.filter(~is_base))
+    with open(marker, "w") as f:
+        f.write(stamp + "\n")
+    return path
+
+
+# Incremental index maintenance, lexical leg (pipeline/text.py::
+# append_bm25_index): the base postings (doc_id % 20 < 16) absorb the
+# 16..19 slice — per-(term, doc) rows appended INTO the term-hash
+# bucket partitioning, stats n_docs/total_dl bumped additively in
+# exact integers — without re-tokenizing the base corpus.  Because
+# base + slice = the full corpus and the probe re-derives df from the
+# postings it reads, append-then-probe equals the standing index's
+# probe (and the in-query scorer) EXACTLY, so the oracle is
+# bm25_topk's by reference; the equality is also pytest-pinned.
+@register("bm25_index_append", None)
+def bm25_index_append_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.text import bm25_index_probe
+
+    path = _ensure_bm25_index_appended(spark, sf_dir)
+    return bm25_index_probe(
+        spark,
+        path,
+        [
+            (1, ["hash", "join"]),
+            (2, ["stream", "window", "agg"]),
+            (3, ["slow", "query", "scan"]),
+        ],
+        k=10,
+    )
+
+
+ORACLES["bm25_index_append"] = ORACLES["bm25_topk"]
 
 
 # ---------------------------------------------------------------------------

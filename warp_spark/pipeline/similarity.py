@@ -970,6 +970,7 @@ def persist_ivfpq_index(
     n_codes: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_df: DataFrame | None = None,
 ) -> dict:
     """Train an IVF-PQ index once and persist it as four parquet
     artifacts, so query cost amortizes across probes the way a
@@ -989,10 +990,18 @@ def persist_ivfpq_index(
     draws, no RNG state), so re-persisting yields byte-identical
     artifacts.  Everything driver-side is O(model); the corpus pass is
     one narrow projection, no shuffle beyond the partitioned write's
-    file routing."""
+    file routing.
+
+    ``train_df``: optional separate TRAINING corpus (default: train on
+    ``corpus`` itself).  This is the production vector-store pattern —
+    train the model on a base sample, encode everything — and the
+    frozen-model contract that makes :func:`append_ivfpq_index` exact:
+    append(build(train=B, encode=B), slice) ≡ build(train=B,
+    encode=B∪slice) (pytest-pinned)."""
     spark = corpus.sparkSession
-    centroids = ivf_centroids(corpus, n_centroids, id_col, vec_col)
-    codebooks = pq_codebooks(corpus, m, n_codes, vec_col, id_col)
+    train = train_df if train_df is not None else corpus
+    centroids = ivf_centroids(train, n_centroids, id_col, vec_col)
+    codebooks = pq_codebooks(train, m, n_codes, vec_col, id_col)
     spark.createDataFrame(
         [(int(i), [float(x) for x in v]) for i, v in centroids],
         "centroid_id long, vector array<double>",
@@ -1023,6 +1032,69 @@ def persist_ivfpq_index(
         .parquet(f"{path}/storage")
     )
     return {"n_centroids": n_centroids, "m": m, "n_codes": n_codes}
+
+
+def append_ivfpq_index(
+    spark,
+    path: str,
+    new_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Absorb new vectors into a persisted IVF-PQ index with the model
+    FROZEN — the vector leg of the incremental-maintenance discipline
+    (dedup leg: append_dedup_index; lexical leg: append_bm25_index),
+    and exactly how production vector stores grow an IVF index between
+    retrains (Faiss ``add`` after ``train``): centroids and codebooks
+    are READ from the artifact, never refit; the slice is assigned to
+    its nearest existing centroid and PQ-encoded through the existing
+    codebooks; its codes rows are appended INTO the centroid_id
+    partitioning (probe-side partition pruning keeps working) and its
+    raw vectors into the rerank storage tier.  No O(corpus) work — the
+    slice pass is the only data touched.
+
+    Contract: append(build(train=B, encode=B), S) is BYTE-EQUAL to
+    build(train=B, encode=B∪S) — the frozen-model rebuild
+    (persist_ivfpq_index's ``train_df``) — because assignment and
+    encoding are pure functions of the persisted model (pytest-pinned).
+    Recall on appended vectors degrades only as the corpus drifts from
+    the training sample; the pq_reconstruction audit entry is the
+    drift detector that schedules the retrain."""
+    centroids = [
+        (int(r["centroid_id"]), [float(x) for x in r["vector"]])
+        for r in spark.read.parquet(f"{path}/centroids")
+        .orderBy("centroid_id")
+        .collect()
+    ]
+    book_rows = (
+        spark.read.parquet(f"{path}/codebooks").orderBy("subspace", "code").collect()
+    )
+    n_sub = int(book_rows[-1]["subspace"]) + 1
+    codebooks = [
+        [
+            [float(x) for x in r["vector"]]
+            for r in book_rows
+            if int(r["subspace"]) == j
+        ]
+        for j in range(n_sub)
+    ]
+    (
+        new_vecs.select(
+            F.col(id_col).alias("vec_id"),
+            F.coalesce(ivf_assign(F.col(vec_col), centroids), F.lit(-1)).alias(
+                "centroid_id"
+            ),
+            pq_encode(F.col(vec_col), codebooks).alias("codes"),
+        )
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/codes")
+    )
+    (
+        new_vecs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vector"))
+        .write.mode("append")
+        .parquet(f"{path}/storage")
+    )
 
 
 def pq_reconstruction(

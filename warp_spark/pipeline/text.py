@@ -1735,6 +1735,61 @@ def build_bm25_index(
     stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
 
 
+def append_bm25_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Absorb a new document slice into a persisted BM25 index WITHOUT
+    re-tokenizing the standing corpus (the lexical leg of the
+    incremental-maintenance discipline; dedup leg:
+    dedup.py::append_dedup_index).  BM25 state is append-friendly by
+    construction: postings rows are per (term, doc) — a new doc's rows
+    never collide with persisted ones — and the probe re-derives df
+    from the postings it reads, so the only mutable state is the 1-row
+    stats (n_docs, total_dl), which updates additively in exact
+    integers.  Append-then-probe therefore equals
+    rebuild-then-probe EXACTLY, with no cap caveat (pytest-pinned).
+
+    The slice's postings are appended INTO the term-hash bucket
+    partitioning (modulus read FROM the stats artifact, never a
+    hardcoded constant), so probe-side partition pruning keeps
+    working.  Reference analogue: MutableDataset row insertion
+    (MutableData.swift:40-63)."""
+    tk = "_bm25_tk"
+    st = spark.read.parquet(f"{path}/stats").first()
+    n_buckets = int(st["n_buckets"]) if "n_buckets" in st.asDict() else 16
+    base = (
+        new_docs.select(F.col(id_col), F.col(text_col))
+        .withColumn(tk, tokens(F.col(text_col)))
+        .select(
+            id_col,
+            F.size(tk).cast("long").alias("dl"),
+            F.explode(tk).alias("term"),
+        )
+    )
+    postings = (
+        base.groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+        )
+    )
+    postings.write.mode("append").partitionBy("bucket").parquet(
+        f"{path}/postings"
+    )
+    inc = new_docs.select(tokens(F.col(text_col)).alias(tk)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum(F.size(tk)), F.lit(0)).cast("long").alias("dl"),
+    ).first()
+    spark.createDataFrame(
+        [(int(st["n_docs"]) + int(inc["n"]), int(st["total_dl"]) + int(inc["dl"]), n_buckets)],
+        "n_docs long, total_dl long, n_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
 def bm25_index_probe(
     spark,
     path: str,

@@ -536,6 +536,25 @@ def test_neardup_streamed_equals_batch(spark):
     assert any(r[3] for r in streamed)  # at least one real dup exercised
 
 
+def test_index_ingest_streamed_equals_batch(spark):
+    """The 27th streaming execution — continuous index ingest
+    (foreachBatch → append_dedup_index per trigger) — must leave the
+    index in a state whose probe reproduces the batch incremental
+    answer exactly: after three utime-pinned triggers absorb the
+    12..15 slice into the base-12 index, probing with the %20>=16
+    batch equals dedup_incremental per doc."""
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    key = lambda r: (r["doc_id"], r["dup_of"], r["best_jaccard"], r["is_dup"])
+    streamed = sorted(
+        map(key, m.queries()["dedup_index_append_streamed"](spark, sf).collect())
+    )
+    batch = sorted(map(key, m.queries()["dedup_incremental"](spark, sf).collect()))
+    assert streamed == batch
+    assert any(r[3] for r in streamed)  # at least one real dup exercised
+
+
 def test_stream_stream_left_join_emits_unmatched(spark):
     """The streaming left-outer interval join must emit EVERY click —
     matched rows with purchase columns, unmatched null-padded (only

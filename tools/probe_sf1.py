@@ -204,6 +204,12 @@ HEAVY = [
     # round-12: persisted quantile sketch build + artifact-only probe
     "tdigest_persist",
     "tdigest_probe",
+    # round-12: the other two incremental-maintenance legs + the
+    # streamed ingest (27th streaming execution; stages its slice from
+    # sf_dir so the 10x point is meaningful)
+    "bm25_index_append",
+    "ann_index_append",
+    "dedup_index_append_streamed",
     # round-11: one-time canonical edge-list build + clustered write
     "graph_edges_persist",
     # round-11: persisted near-dup index — corpus signatured at build

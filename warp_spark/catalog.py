@@ -7024,6 +7024,119 @@ def dedup_index_append_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["dedup_index_append"] = ORACLES["dedup_incremental"]
 
 
+def _ensure_dedup_base12(spark: SparkSession, sf_dir: str) -> str:
+    """Stamp-reused BASE index over doc_id % 20 < 12 — the shared
+    starting state of the append demonstrations.  The streamed ingest
+    entry copies this artifact (a small file-tree copy) and mutates
+    the COPY, so re-running the stream costs the ingest itself, never
+    a base re-signature."""
+    import os
+
+    from warp_spark.pipeline.dedup import persist_dedup_index
+
+    path = _artifact_path("warp_dedup_base12_v1", sf_dir)
+    marker = os.path.join(path, "_INDEX_COMPLETE")
+    base = _t(spark, sf_dir, "documents").to_df().filter(F.col("doc_id") % 20 < 12)
+    fp = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.crc32(F.col("text")).cast("decimal(38,0)")).alias("crc"),
+    ).first()
+    stamp = f"dedup base12 n={fp['n']} crc={fp['crc']}"
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            current = f.read().strip()
+    if current != stamp:
+        _publish_artifact(
+            path, "_INDEX_COMPLETE", stamp, lambda tmp: persist_dedup_index(base, tmp)
+        )
+    return path
+
+
+# 27th streaming execution — CONTINUOUS INDEX INGEST: the corpus slice
+# ARRIVES as three utime-pinned micro-batch files and EACH trigger
+# absorbs its batch into the persisted dedup index via foreachBatch →
+# pipeline/dedup.py::append_dedup_index (the streaming-upsert sink
+# pattern of mutable_streaming_merge applied to index maintenance —
+# the steady-state production shape where a crawl feed keeps the
+# near-dup index current between rebuilds).  Appends are set-unions
+# and the stats bump is additive, so the final artifact state is
+# batch-order-independent; after the drain the index covers exactly
+# the standing corpus, and probing it with the doc_id % 20 >= 16 batch
+# must reproduce dedup_incremental bit-for-bit (oracle by reference;
+# stream==batch also pytest-pinned).  State lives in the ARTIFACT, not
+# the state store — nothing O(corpus) in streaming state.
+@register("dedup_index_append_streamed", None)
+def dedup_index_append_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from warp_spark.pipeline.dedup import append_dedup_index, dedup_index_probe
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    slice_ = docs.filter((F.col("doc_id") % 20 >= 12) & (F.col("doc_id") % 20 < 16))
+    batch = docs.filter(F.col("doc_id") % 20 >= 16)
+    # the streamed demonstration re-ingests every run (like every other
+    # streamed entry, which replays its stream per run) — but it
+    # mutates a CHEAP COPY of the stamp-reused base artifact, so the
+    # per-run cost is the ingest, never a base re-signature
+    base_path = _ensure_dedup_base12(spark, sf_dir)
+    path = _artifact_path("warp_dedup_idxstr_v1", sf_dir)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    shutil.copytree(base_path, path)
+    with open(os.path.join(path, "_INDEX_COMPLETE"), "w") as f:
+        f.write("ingesting\n")
+    root = tempfile.mkdtemp(prefix="warp_idx_ingest_stream_")
+    try:
+        for i in range(3):
+            slice_.filter(F.col("doc_id") % 3 == i).select(
+                "doc_id", "text"
+            ).coalesce(1).write.mode("overwrite").parquet(f"{root}/stage{i}")
+            part = _glob.glob(f"{root}/stage{i}/part-*.parquet")[0]
+            tgt = f"{root}/file_{i:03d}.parquet"
+            os.rename(part, tgt)
+            shutil.rmtree(f"{root}/stage{i}", ignore_errors=True)
+            os.utime(tgt, (1_700_000_000 + 100 * i,) * 2)
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(root)
+        )
+
+        def ingest(bdf, batch_id):
+            if bdf.isEmpty():
+                return
+            if not append_dedup_index(spark, path, bdf):
+                raise RuntimeError(
+                    "append degraded mid-stream (cap crossed) — rebuild"
+                )
+
+        q = stream.writeStream.foreachBatch(ingest).start()
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    with open(os.path.join(path, "_INDEX_COMPLETE"), "w") as f:
+        f.write("dedupstr base + streamed 12..15\n")
+    hits = dedup_index_probe(spark, path, batch, threshold=0.5)
+    return (
+        batch.select("doc_id")
+        .join(hits, F.col("doc_id") == F.col("batch_id"), "left")
+        .select(
+            "doc_id",
+            "dup_of",
+            "best_jaccard",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+ORACLES["dedup_index_append_streamed"] = ORACLES["dedup_incremental"]
+
+
 # ---------------------------------------------------------------------------
 # EXACT set-similarity join via prefix filtering (AllPairs/PPJoin
 # family, dedup.py::prefix_filter_jaccard_pairs): unlike the LSH

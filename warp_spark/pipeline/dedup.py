@@ -1059,14 +1059,18 @@ def append_dedup_index(
     if n_band_rows != int(st["n_docs"]) * bands_per_doc:
         return False  # build-time cap fired: append cannot retract
 
+    # Arrow-tier signature (minhash_sig64_udf — bit-identical to the
+    # pure-Column md5 chain, differential-pinned in test_scale_ops):
+    # the HOF expression tree costs ~10 s of Catalyst ANALYSIS per plan
+    # regardless of row count, which would dominate a per-trigger
+    # append; the UDF plan is tiny and the work is Arrow-batched.  The
+    # shape guard above already pins this append to the default md5
+    # tier, so the substitution is always valid here.
     new_bands = (
         new_docs.select(
-            F.col(id_col).alias("corpus_id"), shingles(F.col(text_col)).alias("__sh")
+            F.col(id_col).alias("corpus_id"),
+            minhash_sig64_udf(F.col(text_col)).alias("__sig"),
         )
-        .select(
-            "corpus_id", F.transform(F.col("__sh"), md5_hash_pair).alias("__hp")
-        )
-        .select("corpus_id", minhash_from_pairs(F.col("__hp")).alias("__sig"))
         .select(
             "corpus_id",
             F.posexplode(lsh_bands(F.col("__sig"))).alias("band_idx", "band_val"),

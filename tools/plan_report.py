@@ -94,6 +94,9 @@ def main():
         # recall contract vs the same exact baseline (probe side itself
         # is pruned-scan + mapInPandas, no BNL)
         "ann_index_probe",
+        # same recall contract over the APPENDED index (r12) — the BNL
+        # is the embedded brute_force_topk baseline, not the probe
+        "ann_index_append",
         # embeds brute_force_topk PLUS the bounded candidate x candidate
         # similarity matrix (N=100 re-rank set) — both documented legs
         "embedding_mmr_diversify",

@@ -594,6 +594,106 @@ def test_ann_index_append_equals_frozen_rebuild(spark, tmp_path):
         assert a == b and len(a) > 0, sub
 
 
+def test_dedup_index_compact_preserves_content_and_collapses_files(spark):
+    """Compaction must be invisible in values and visible in layout:
+    after appends grow the bands partitions to multiple files,
+    compact_dedup_index returns each bucket to ONE file and the probe
+    answer is unchanged row-for-row."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    import shutil
+
+    from warp_spark.catalog import (
+        _dedup_append_path,
+        _ensure_dedup_index_appended,
+        _t,
+    )
+    from warp_spark.pipeline.dedup import compact_dedup_index, dedup_index_probe
+
+    # force a FRESH base+append state: a prior compaction leaves the
+    # (content-identical) one-file layout behind, which would void the
+    # small-files precondition below
+    stale = _dedup_append_path(SF)
+    if os.path.exists(stale):
+        shutil.rmtree(stale)
+    path = _ensure_dedup_index_appended(spark, SF)
+
+    def files_per_bucket():
+        counts = {}
+        for d in _glob.glob(os.path.join(path, "bands", "bucket=*")):
+            counts[d] = len(_glob.glob(os.path.join(d, "*.parquet")))
+        return counts
+
+    batch = _t(spark, SF, "documents").to_df().filter(F.col("doc_id") % 20 >= 16)
+    key = lambda r: (r["batch_id"], r["dup_of"], r["best_jaccard"])  # noqa: E731
+    before_files = files_per_bucket()
+    before = sorted(
+        map(key, dedup_index_probe(spark, path, batch, threshold=0.5).collect())
+    )
+    assert any(n > 1 for n in before_files.values())  # appends left small files
+    compact_dedup_index(spark, path)
+    after_files = files_per_bucket()
+    assert after_files and all(n == 1 for n in after_files.values())
+    after = sorted(
+        map(key, dedup_index_probe(spark, path, batch, threshold=0.5).collect())
+    )
+    assert after == before and len(after) > 0
+    # marker survived the swap (stamp-keyed reuse still works)
+    assert os.path.exists(os.path.join(path, "_INDEX_COMPLETE"))
+
+
+def test_bm25_and_ann_compact_preserve_probe_results(spark):
+    """The lexical and vector compaction legs must be invisible in
+    values: probing the appended index before and after compaction
+    yields identical rows, and the append-grown partitions collapse
+    back to one file each."""
+    import glob as _glob
+    import os
+    import shutil
+
+    import __spark_entry__ as m
+    from warp_spark.catalog import (
+        _ann_append_path,
+        _bm25_append_path,
+        _ensure_ann_index_appended,
+        _ensure_bm25_index_appended,
+    )
+
+    # bm25: fresh append state → multi-file buckets → compact → 1 file
+    for p in (_bm25_append_path(SF), _ann_append_path(SF)):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    bpath = _ensure_bm25_index_appended(spark, SF)
+    bkey = lambda r: (r["query_id"], r["rank"], r["doc_id"], r["score_ppm"])  # noqa: E731
+    before = sorted(map(bkey, m.queries()["bm25_index_append"](spark, SF).collect()))
+    multi = [
+        d
+        for d in _glob.glob(os.path.join(bpath, "postings", "bucket=*"))
+        if len(_glob.glob(os.path.join(d, "*.parquet"))) > 1
+    ]
+    assert multi  # appends left small files
+    after = sorted(map(bkey, m.queries()["bm25_index_compact"](spark, SF).collect()))
+    assert after == before and len(after) > 0
+    assert all(
+        len(_glob.glob(os.path.join(d, "*.parquet"))) == 1
+        for d in _glob.glob(os.path.join(bpath, "postings", "bucket=*"))
+    )
+
+    # ann: compaction must leave the recall contract green and the
+    # codes lists single-file (model artifacts byte-unchanged is
+    # covered by the append==frozen-rebuild pin)
+    apath = _ensure_ann_index_appended(spark, SF)
+    rows = m.queries()["ann_index_compact"](spark, SF).collect()
+    assert len(rows) == 1 and rows[0]["recall_ge_floor"]
+    assert all(
+        len(_glob.glob(os.path.join(d, "*.parquet"))) == 1
+        for d in _glob.glob(os.path.join(apath, "codes", "centroid_id=*"))
+    )
+
+
 def test_dedup_index_probe_equals_inquery(spark):
     """Persisted-then-probed near-dup must be IDENTICAL to the in-query
     incremental path: same md5-minhash signatures, same band postings

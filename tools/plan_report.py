@@ -97,6 +97,7 @@ def main():
         # same recall contract over the APPENDED index (r12) — the BNL
         # is the embedded brute_force_topk baseline, not the probe
         "ann_index_append",
+        "ann_index_compact",
         # embeds brute_force_topk PLUS the bounded candidate x candidate
         # similarity matrix (N=100 re-rank set) — both documented legs
         "embedding_mmr_diversify",

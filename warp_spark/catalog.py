@@ -7024,6 +7024,40 @@ def dedup_index_append_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["dedup_index_append"] = ORACLES["dedup_incremental"]
 
 
+# Index COMPACTION (pipeline/dedup.py::compact_dedup_index): the
+# maintenance consequence of the append path — each append adds one
+# file per touched bucket partition, so an append-heavy index slowly
+# turns probe-side partition pruning into a small-files scan (the
+# LSM compaction / Delta OPTIMIZE concern).  The entry takes the
+# appended index (base-12 + absorbed 12..15 slice), compacts it back
+# to one file per bucket, and probes — content preservation means the
+# result still equals dedup_incremental bit-for-bit (oracle by
+# reference; probe-before == probe-after and the file-count collapse
+# are pytest-pinned).
+@register("dedup_index_compact", None)
+def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.dedup import compact_dedup_index, dedup_index_probe
+
+    path = _ensure_dedup_index_appended(spark, sf_dir)
+    compact_dedup_index(spark, path)
+    docs = _t(spark, sf_dir, "documents").to_df()
+    batch = docs.filter(F.col("doc_id") % 20 >= 16)
+    hits = dedup_index_probe(spark, path, batch, threshold=0.5)
+    return (
+        batch.select("doc_id")
+        .join(hits, F.col("doc_id") == F.col("batch_id"), "left")
+        .select(
+            "doc_id",
+            "dup_of",
+            "best_jaccard",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+ORACLES["dedup_index_compact"] = ORACLES["dedup_incremental"]
+
+
 def _ensure_dedup_base12(spark: SparkSession, sf_dir: str) -> str:
     """Stamp-reused BASE index over doc_id % 20 < 12 — the shared
     starting state of the append demonstrations.  The streamed ingest
@@ -10447,6 +10481,43 @@ def _ensure_ann_index_appended(spark: SparkSession, sf_dir: str) -> str:
     with open(marker, "w") as f:
         f.write(stamp + "\n")
     return path
+
+
+# Compaction, vector leg (similarity.py::compact_ivfpq_index): after
+# frozen-model appends grow the inverted lists, re-cluster the codes
+# back to one file per centroid partition and coalesce the rerank
+# tier, model artifacts byte-unchanged — the probe's shortlist, ADC
+# scores, and rerank are identical before/after, so the entry carries
+# the same recall-floor contract as the append it maintains.
+@register(
+    "ann_index_compact",
+    """
+    SELECT CAST(10 AS BIGINT) AS n_queries,
+           CAST(0.8 AS DOUBLE) AS recall_floor,
+           true               AS recall_ge_floor
+    """,
+)
+def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.similarity import (
+        brute_force_topk,
+        compact_ivfpq_index,
+        ivfpq_probe,
+        load_ivfpq_index,
+    )
+
+    path = _ensure_ann_index_appended(spark, sf_dir)
+    compact_ivfpq_index(spark, path)
+    centroids, codebooks, codes, storage = load_ivfpq_index(spark, path)
+    emb = _t(spark, sf_dir, "embeddings").to_df()
+    q = emb.filter(F.col("vec_id") < 10)
+    return _ann_recall_check(
+        ivfpq_probe(
+            q, codes, centroids, codebooks, k=5, nprobe=12, rerank=100,
+            storage=storage,
+        ),
+        brute_force_topk(q, emb, k=5),
+        floor=0.8,
+    )
 
 
 # Incremental index maintenance, vector leg (similarity.py::
@@ -15165,6 +15236,33 @@ def _ensure_bm25_index_appended(spark: SparkSession, sf_dir: str) -> str:
     with open(marker, "w") as f:
         f.write(stamp + "\n")
     return path
+
+
+# Compaction, lexical leg (pipeline/text.py::compact_bm25_index):
+# re-cluster the append-grown postings back to one file per term-hash
+# bucket with content preserved — probing the compacted appended index
+# still answers the three fixed queries identically to the in-query
+# scorer (oracle = bm25_topk's by reference; file collapse + equality
+# pytest-pinned alongside the dedup compact).
+@register("bm25_index_compact", None)
+def bm25_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.text import bm25_index_probe, compact_bm25_index
+
+    path = _ensure_bm25_index_appended(spark, sf_dir)
+    compact_bm25_index(spark, path)
+    return bm25_index_probe(
+        spark,
+        path,
+        [
+            (1, ["hash", "join"]),
+            (2, ["stream", "window", "agg"]),
+            (3, ["slow", "query", "scan"]),
+        ],
+        k=10,
+    )
+
+
+ORACLES["bm25_index_compact"] = ORACLES["bm25_topk"]
 
 
 # Incremental index maintenance, lexical leg (pipeline/text.py::

@@ -1097,6 +1097,46 @@ def append_ivfpq_index(
     )
 
 
+def compact_ivfpq_index(spark, path: str) -> None:
+    """Rewrite an append-grown IVF-PQ index into its canonical file
+    layout with IDENTICAL content (the compact_dedup_index /
+    compact_bm25_index discipline applied to the vector store — Faiss
+    users know this as rebuilding the on-disk inverted lists after
+    many add() calls): each append adds one file per touched
+    centroid_id partition of the codes table and one to the storage
+    tier; compaction re-clusters codes to one file per inverted list
+    and coalesces storage, carrying the model artifacts (centroids,
+    codebooks) and markers over byte-unchanged.  Content-preserving by
+    construction, so a probe's shortlist, ADC scores, and rerank are
+    identical before and after.  Built as a sibling tree and
+    atomically renamed into place."""
+    import os
+    import shutil
+
+    codes = spark.read.parquet(f"{path}/codes")
+    n_lists = codes.select("centroid_id").distinct().count()
+    tmp = path + ".compact"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    codes.repartition(max(int(n_lists), 1), "centroid_id").write.partitionBy(
+        "centroid_id"
+    ).parquet(f"{tmp}/codes")
+    spark.read.parquet(f"{path}/storage").coalesce(8).write.parquet(
+        f"{tmp}/storage"
+    )
+    for sub in ("centroids", "codebooks"):
+        spark.read.parquet(f"{path}/{sub}").coalesce(1).write.parquet(
+            f"{tmp}/{sub}"
+        )
+    for name in os.listdir(path):
+        full = os.path.join(path, name)
+        if os.path.isfile(full):
+            shutil.copy2(full, os.path.join(tmp, name))
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
 def pq_reconstruction(
     codes: DataFrame,
     storage: DataFrame,

@@ -1790,6 +1790,39 @@ def append_bm25_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
 
 
+def compact_bm25_index(spark, path: str) -> None:
+    """Rewrite an append-grown BM25 index into its canonical file
+    layout with IDENTICAL content (the dedup.py::compact_dedup_index
+    discipline — LSM compaction / Delta OPTIMIZE for the lexical
+    index): each append adds one file per touched term-hash bucket, so
+    probe-side pruning slowly degrades into a small-files scan;
+    compaction re-clusters the postings to one file per bucket
+    partition and carries the stats row and marker files over
+    unchanged.  Content-preserving by construction (read → repartition
+    → write), so probe-before == probe-after exactly.  Built as a
+    sibling tree and atomically renamed into place."""
+    import os
+    import shutil
+
+    st = spark.read.parquet(f"{path}/stats")
+    strow = st.first()
+    n_buckets = int(strow["n_buckets"]) if "n_buckets" in strow.asDict() else 16
+    tmp = path + ".compact"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    spark.read.parquet(f"{path}/postings").repartition(
+        n_buckets, "bucket"
+    ).write.partitionBy("bucket").parquet(f"{tmp}/postings")
+    st.coalesce(1).write.parquet(f"{tmp}/stats")
+    for name in os.listdir(path):
+        full = os.path.join(path, name)
+        if os.path.isfile(full):
+            shutil.copy2(full, os.path.join(tmp, name))
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
 def bm25_index_probe(
     spark,
     path: str,

@@ -210,6 +210,11 @@ HEAVY = [
     "bm25_index_append",
     "ann_index_append",
     "dedup_index_append_streamed",
+    # round-12: the compaction finishers (content-preserving artifact
+    # rewrites — cost tracks artifact size, never the corpus)
+    "dedup_index_compact",
+    "bm25_index_compact",
+    "ann_index_compact",
     # round-11: one-time canonical edge-list build + clustered write
     "graph_edges_persist",
     # round-11: persisted near-dup index — corpus signatured at build

@@ -129,3 +129,92 @@ def test_degree_stats_histogram(spark):
     got = {r["degree"]: r["n_nodes"] for r in degree_stats(edges).collect()}
     # degrees: node1=3, node2=2, node3=2, node4=1
     assert got == {3: 1, 2: 2, 1: 1}
+
+
+def test_append_edges_equals_rebuild_and_dedupes_redelivery(spark, tmp_path):
+    """append_edges(base, slice) must leave the artifact equal to the
+    one-shot canonical build over base ∪ slice (r12 verdict item 5),
+    and re-delivered / reversed / duplicate slice edges must be
+    dropped — edge append is a set union, so the re-append
+    precondition is self-enforcing."""
+    from warp_spark.pipeline.graph import append_edges, load_edges, persist_edges
+
+    base = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    slice_ = spark.createDataFrame(
+        # one genuinely new edge, one re-delivery (reversed), one
+        # in-slice duplicate pair, and a self-loop
+        [(4, 5), (3, 2), (5, 4), (6, 6)],
+        "src long, dst long",
+    )
+    p = str(tmp_path / "edges")
+    persist_edges(base, p)
+    delta = append_edges(spark, p, slice_)
+    assert sorted((r["u"], r["v"]) for r in delta.collect()) == [(4, 5)]
+    appended = sorted((r["src"], r["dst"]) for r in load_edges(spark, p).collect())
+    p2 = str(tmp_path / "edges_oneshot")
+    persist_edges(base.union(slice_), p2)
+    oneshot = sorted((r["src"], r["dst"]) for r in load_edges(spark, p2).collect())
+    assert appended == oneshot
+    # idempotence: re-appending the same slice is a no-op
+    again = append_edges(spark, p, slice_)
+    assert again.isEmpty()
+    assert sorted((r["src"], r["dst"]) for r in load_edges(spark, p).collect()) == oneshot
+
+
+def test_update_wedge_census_equals_full_rebuild(spark, tmp_path):
+    """Delta census maintenance must be value-identical to the full
+    rebuild over the appended edge set, across every cap interaction
+    an append can cause: a center crossing the cap upward (its pairs
+    vanish), a center growing WITHIN the cap (its 10^6 DIV deg
+    contributions re-divide), and brand-new centers."""
+    from warp_spark.pipeline.graph import (
+        append_edges,
+        load_wedge_census,
+        persist_edges,
+        persist_wedge_census,
+        update_wedge_census,
+        wedge_census,
+    )
+
+    # base: center 1 at degree 2 (within cap 3), center 10 at degree 3
+    # (AT the cap), path 20-21-22 (center 21 deg 2), isolated pair 30-31
+    base = spark.createDataFrame(
+        [(1, 2), (1, 3), (10, 11), (10, 12), (10, 13), (20, 21), (21, 22), (30, 31)],
+        "src long, dst long",
+    )
+    # delta: grows center 1 to deg 3 (contrib re-divides), pushes
+    # center 10 OVER the cap (its pairs must vanish), creates new
+    # center 31 (30-31-32), and adds a wholly new component 40-41-42
+    delta_edges = spark.createDataFrame(
+        [(1, 4), (10, 14), (31, 32), (40, 41), (41, 42)],
+        "src long, dst long",
+    )
+    cap = 3
+    ep = str(tmp_path / "edges")
+    wp = str(tmp_path / "wedges")
+    persist_edges(base, ep)
+    persist_wedge_census(base, wp, max_center_degree=cap)
+    delta = append_edges(spark, ep, delta_edges)
+    assert update_wedge_census(spark, wp, ep, delta, max_center_degree=cap) is True
+
+    key = lambda r: (r["x"], r["y"], r["cn"], r["ra_ppm"])  # noqa: E731
+    updated = sorted(map(key, load_wedge_census(spark, wp).collect()))
+    full = sorted(
+        map(key, wedge_census(base.union(delta_edges), max_center_degree=cap).collect())
+    )
+    assert updated == full and len(updated) > 0
+    # the vanished hub really vanished: no pair through center 10
+    assert (11, 12) not in {(x, y) for x, y, _, _ in updated}
+    # center 1 grew within the cap: pair (2,3) now scores DIV 3
+    row_23 = [r for r in updated if (r[0], r[1]) == (2, 3)][0]
+    assert row_23[3] == 1_000_000 // 3
+
+    # honest fallback: a missing census artifact refuses
+    assert (
+        update_wedge_census(
+            spark, str(tmp_path / "nope"), ep, delta, max_center_degree=cap
+        )
+        is False
+    )

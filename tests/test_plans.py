@@ -280,7 +280,11 @@ def test_driver_window_rotation_policy():
     import re
 
     import __spark_entry__ as m
-    from warp_spark.catalog import _DRIVER_WINDOW, _DRIVER_WINDOW_ROUND
+    from warp_spark.catalog import (
+        _DRIVER_WINDOW,
+        _DRIVER_WINDOW_REJUDGE,
+        _DRIVER_WINDOW_ROUND,
+    )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, int] = {}
@@ -297,6 +301,10 @@ def test_driver_window_rotation_policy():
         return  # not enough history to rank freshness
     fresh_cutoff = sorted(rounds)[-2]  # two most recent judged rounds
     flagship = {"q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume"}
+    # Entries whose evidence predates a semantic change to the shipped
+    # code path are deliberately re-judged even though their snapshot
+    # looks fresh (catalog._DRIVER_WINDOW_REJUDGE documents each one).
+    exempt = flagship | _DRIVER_WINDOW_REJUDGE
     window = set(_DRIVER_WINDOW)
     all_names = set(m.queries())
     # staleness rank: never judged = -1 (stalest), else latest round
@@ -305,7 +313,7 @@ def test_driver_window_rotation_policy():
     offenders = [
         n
         for n in _DRIVER_WINDOW
-        if n not in flagship
+        if n not in exempt
         and latest.get(n, -1) >= fresh_cutoff
         and stalest_outside is not None
         and stalest_outside < latest.get(n, -1)

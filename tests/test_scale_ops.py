@@ -2862,6 +2862,7 @@ def test_wedge_census_artifact_equals_inquery(spark, tmp_path):
 
     # chain-stamp: rewriting lineitem content (same cardinality) flips
     # the edge stamp, which must flip the wedge stamp through the chain
+    # — assert BOTH artifacts rebuild, end-to-end (r12 verdict item 6)
     sf = str(tmp_path / "sf")
     os.makedirs(sf, exist_ok=True)
 
@@ -2870,17 +2871,23 @@ def test_wedge_census_artifact_equals_inquery(spark, tmp_path):
             rows, "l_orderkey long, l_partkey long"
         ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
 
+    def edge_stamp():
+        path = cat._ensure_graph_edges(spark, sf)
+        with open(os.path.join(path, "_EDGES_COMPLETE")) as f:
+            return f.read().strip()
+
     def wedge_stamp():
         path = cat._ensure_graph_wedges(spark, sf)
         with open(os.path.join(path, "_WEDGES_COMPLETE")) as f:
             return f.read().strip()
 
     write_li([(1, 10), (1, 11), (2, 11), (2, 12)])
-    w_a = wedge_stamp()
+    e_a, w_a = edge_stamp(), wedge_stamp()
     write_li([(1, 10), (1, 11), (2, 11), (2, 13)])
-    w_b = wedge_stamp()
-    assert w_a != w_b
-    assert wedge_stamp() == w_b  # idempotent on unchanged content
+    e_b, w_b = edge_stamp(), wedge_stamp()
+    assert e_a != e_b  # edge artifact rebuilt on content change
+    assert w_a != w_b  # ...and the wedge artifact followed the chain
+    assert (edge_stamp(), wedge_stamp()) == (e_b, w_b)  # idempotent
 
 
 def test_persist_edges_roundtrip_and_content_stamp(spark, tmp_path):

@@ -6742,40 +6742,44 @@ def _source_stat_sig(src: str) -> tuple:
         files = sorted(
             _glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True)
         ) or [src]
-    return tuple(
-        (f, os.stat(f).st_mtime_ns, os.stat(f).st_size)
-        for f in files
-        if os.path.exists(f)
-    )
+    sig = []
+    for f in files:
+        # single stat per file; a part file deleted between glob and
+        # stat (concurrent rewrite) becomes a sentinel entry, so the
+        # signature MISMATCHES and the caller rebuilds — instead of a
+        # FileNotFoundError escaping every ensure helper (r12 ADVICE)
+        try:
+            st = os.stat(f)
+            sig.append((f, st.st_mtime_ns, st.st_size))
+        except FileNotFoundError:
+            sig.append((f, -1, -1))
+    return tuple(sig)
 
 
 def _publish_artifact(path: str, marker_name: str, stamp: str, build_fn) -> None:
-    """Race-proof artifact rebuild (r11 ADVICE): build into a sibling
-    ``.build`` directory — the completion marker is written LAST,
+    """Race-proof artifact rebuild (r11 ADVICE): build into a UNIQUE
+    sibling scratch directory — the completion marker is written LAST,
     inside it — then swap into place under an exclusive flock, so a
-    concurrent prober never observes a half-built directory (the old
-    in-place ``mode=overwrite`` deleted sub-artifacts first and wrote
-    the marker after the data).  ``build_fn(tmp_path)`` performs the
-    Spark writes."""
-    import fcntl
+    concurrent prober never observes a half-built directory and two
+    concurrent builders never clobber each other's in-progress tree
+    (r12 ADVICE: the old fixed ``.build`` sibling was shared).
+    ``build_fn(tmp_path)`` performs the Spark writes.  The swap itself
+    is the repo-wide ``swap_artifact_dir`` discipline (artifacts.py),
+    shared with the pipeline compaction finishers."""
     import os
     import shutil
 
-    tmp = path + ".build"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    os.makedirs(tmp, exist_ok=True)
-    build_fn(tmp)
-    with open(os.path.join(tmp, marker_name), "w") as f:
-        f.write(stamp + "\n")
-    with open(path + ".lock", "w") as lk:
-        fcntl.flock(lk, fcntl.LOCK_EX)
-        try:
-            if os.path.exists(path):
-                shutil.rmtree(path)
-            os.rename(tmp, path)
-        finally:
-            fcntl.flock(lk, fcntl.LOCK_UN)
+    from warp_spark.artifacts import swap_artifact_dir, unique_sibling_tmp
+
+    tmp = unique_sibling_tmp(path, tag="build")
+    try:
+        build_fn(tmp)
+        with open(os.path.join(tmp, marker_name), "w") as f:
+            f.write(stamp + "\n")
+        swap_artifact_dir(path, tmp)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
 
 
 def _dedup_index_path(sf_dir: str) -> str:
@@ -7140,19 +7144,47 @@ def dedup_index_append_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(root)
         )
 
+        # mirrors _ensure_dedup_index_appended's degrade contract (r12
+        # ADVICE): if append_dedup_index refuses a trigger's batch (cap
+        # crossed / shape drift), remaining triggers stop appending and
+        # the drain falls through to a one-shot rebuild over the full
+        # standing slice — correctness is never conditional on the
+        # fast path, in the streamed leg too
+        degraded = {"flag": False}
+
         def ingest(bdf, batch_id):
-            if bdf.isEmpty():
+            if degraded["flag"] or bdf.isEmpty():
                 return
             if not append_dedup_index(spark, path, bdf):
-                raise RuntimeError(
-                    "append degraded mid-stream (cap crossed) — rebuild"
-                )
+                degraded["flag"] = True
 
         q = stream.writeStream.foreachBatch(ingest).start()
         q.processAllAvailable()
         q.stop()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+    if degraded["flag"]:
+        from warp_spark.pipeline.dedup import persist_dedup_index
+
+        _publish_artifact(
+            path,
+            "_INDEX_COMPLETE",
+            "dedupstr rebuilt (append degraded mid-stream)",
+            lambda tmp: persist_dedup_index(
+                docs.filter(F.col("doc_id") % 20 < 16), tmp
+            ),
+        )
+        hits = dedup_index_probe(spark, path, batch, threshold=0.5)
+        return (
+            batch.select("doc_id")
+            .join(hits, F.col("doc_id") == F.col("batch_id"), "left")
+            .select(
+                "doc_id",
+                "dup_of",
+                "best_jaccard",
+                F.col("dup_of").isNotNull().alias("is_dup"),
+            )
+        )
     with open(os.path.join(path, "_INDEX_COMPLETE"), "w") as f:
         f.write("dedupstr base + streamed 12..15\n")
     hits = dedup_index_probe(spark, path, batch, threshold=0.5)
@@ -10477,7 +10509,20 @@ def _ensure_ann_index_appended(spark: SparkSession, sf_dir: str) -> str:
     )
     with open(marker, "w") as f:
         f.write("appending\n")
-    append_ivfpq_index(spark, path, emb.filter(~is_base))
+    if not append_ivfpq_index(spark, path, emb.filter(~is_base)):
+        # precondition refused (slice re-delivers indexed ids): rebuild
+        # over the full corpus with the model still trained on the
+        # base slice, preserving the frozen-model byte-equality
+        # contract — correctness is never conditional on the fast path
+        _publish_artifact(
+            path,
+            "_INDEX_COMPLETE",
+            stamp,
+            lambda tmp: persist_ivfpq_index(
+                emb, tmp, n_centroids=16, m=16, n_codes=32, train_df=base
+            ),
+        )
+        return path
     with open(marker, "w") as f:
         f.write(stamp + "\n")
     return path
@@ -11916,6 +11961,217 @@ def graph_edges_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_distinct") == F.col("n_rows"))
             & (F.col("n_lt") == F.col("n_rows"))
         ).alias("canonical_complete"),
+    )
+
+
+def _graph_edgeapp_path(sf_dir: str) -> str:
+    return _artifact_path("warp_graph_edgeapp_v1", sf_dir)
+
+
+def _graph_wedgeapp_path(sf_dir: str) -> str:
+    return _artifact_path("warp_graph_wedgeapp_v1", sf_dir)
+
+
+def _ensure_graph_append_demo(spark: SparkSession, sf_dir: str) -> tuple:
+    """Incremental maintenance for the GRAPH artifacts (r12 verdict
+    item 5 — the edge/wedge analogue of the index append triple): the
+    co-purchase graph is built from the orders with l_orderkey % 10 <
+    8 (every edge is witnessed by a single order, so partitioning
+    orders partitions edge generation), then the remaining orders'
+    edges arrive as the daily delta — absorbed via graph.py::
+    append_edges (set-union semantics, re-delivered edges dropped by
+    a pruned anti-join) and folded into the standing cap-120 wedge
+    census via graph.py::update_wedge_census, whose quadratic stage
+    re-expands ONLY the touched centers' neighborhoods.  Base ∪ delta
+    = exactly the full co-purchase graph, so both appended artifacts
+    must equal their one-shot builds value-for-value (that equality
+    IS both entries' oracle; also pytest-pinned on constructed
+    graphs).  Staleness chains the standing edge artifact's content
+    stamp (no extra source scan); the sentinel discipline mirrors
+    _ensure_dedup_index_appended: an 'appending' marker during the
+    in-place mutation forces a clean rebuild after a mid-append
+    crash.  If update_wedge_census cannot fold the delta (missing or
+    unreadable census), it degrades to the one-shot census rebuild —
+    correctness is never conditional on the fast path."""
+    import os
+
+    from warp_spark.pipeline.graph import (
+        append_edges,
+        load_edges,
+        persist_edges,
+        persist_wedge_census,
+        update_wedge_census,
+    )
+
+    # chain the standing edge artifact's content stamp: same source,
+    # same fingerprint, zero additional scans
+    std_edge_path = _ensure_graph_edges(spark, sf_dir)
+    with open(os.path.join(std_edge_path, "_EDGES_COMPLETE")) as f:
+        edge_stamp = f.read().strip()
+    ep, wp = _graph_edgeapp_path(sf_dir), _graph_wedgeapp_path(sf_dir)
+    e_marker = os.path.join(ep, "_EDGES_COMPLETE")
+    w_marker = os.path.join(wp, "_WEDGES_COMPLETE")
+    stamp = f"edgeapp base<8+delta cap={_GRAPH_WEDGE_CAP} over [{edge_stamp}]"
+
+    def read_marker(p):
+        if os.path.exists(p):
+            with open(p) as f:
+                return f.read().strip()
+        return None
+
+    if read_marker(e_marker) == stamp and read_marker(w_marker) == stamp:
+        return ep, wp
+
+    li = _t(spark, sf_dir, "lineitem").to_df().select("l_orderkey", "l_partkey")
+
+    def order_edges(keys):
+        other = keys.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
+        return (
+            keys.join(other, "l_orderkey")
+            .where(F.col("l_partkey") < F.col("dst"))
+            .select(F.col("l_partkey").alias("src"), "dst")
+        )
+
+    base_e = order_edges(li.filter(F.col("l_orderkey") % 10 < 8))
+    delta_e = order_edges(li.filter(F.col("l_orderkey") % 10 >= 8))
+    _publish_artifact(
+        ep, "_EDGES_COMPLETE", "edgeapp base only", lambda t: persist_edges(base_e, t)
+    )
+    _publish_artifact(
+        wp,
+        "_WEDGES_COMPLETE",
+        "edgeapp base only",
+        lambda t: persist_wedge_census(
+            load_edges(spark, ep), t, max_center_degree=_GRAPH_WEDGE_CAP
+        ),
+    )
+    for m in (e_marker, w_marker):
+        with open(m, "w") as f:
+            f.write("appending\n")
+    delta = append_edges(spark, ep, delta_e)
+    if not update_wedge_census(
+        spark, wp, ep, delta, max_center_degree=_GRAPH_WEDGE_CAP
+    ):
+        _publish_artifact(
+            wp,
+            "_WEDGES_COMPLETE",
+            stamp,
+            lambda t: persist_wedge_census(
+                load_edges(spark, ep), t, max_center_degree=_GRAPH_WEDGE_CAP
+            ),
+        )
+        with open(e_marker, "w") as f:
+            f.write(stamp + "\n")
+        return ep, wp
+    for m in (e_marker, w_marker):
+        with open(m, "w") as f:
+            f.write(stamp + "\n")
+    return ep, wp
+
+
+# Incremental graph maintenance, edge leg (pipeline/graph.py::
+# append_edges; r12 verdict item 5): the standing co-purchase edge
+# artifact absorbs a delta of new orders' edges as a pruned-anti-join
+# set union — no fact-table self-join over the history, no wedge
+# recompute here (that is the wedge leg below).  Base (80% of orders)
+# ∪ delta = the full graph, so the appended artifact's census must
+# equal graph_edges_persist's one-shot numbers exactly — a dropped
+# delta row, a surviving duplicate, or a canonicalization slip
+# hash-fails the gate.
+@register(
+    "graph_edges_append",
+    """
+    WITH und AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                      greatest(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey)
+    SELECT (SELECT count(*) FROM und)::BIGINT AS n_edges,
+           (SELECT count(*) FROM (
+              SELECT DISTINCT node FROM (
+                SELECT u AS node FROM und
+                UNION ALL SELECT v FROM und)))::BIGINT AS n_nodes,
+           true AS canonical_complete
+    """,
+)
+def graph_edges_append_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.graph import load_edges
+
+    ep, _ = _ensure_graph_append_demo(spark, sf_dir)
+    e = load_edges(spark, ep)
+    nodes = e.select(F.col("src").alias("n")).union(
+        e.select(F.col("dst").alias("n"))
+    )
+    stats = _scalar_join(
+        e.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("src", "dst").alias("n_distinct"),
+            F.sum(F.when(F.col("src") < F.col("dst"), 1).otherwise(0)).alias(
+                "n_lt"
+            ),
+        ),
+        nodes.agg(F.countDistinct("n").alias("n_nodes")),
+    )
+    return stats.select(
+        F.col("n_rows").cast("long").alias("n_edges"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        (
+            (F.col("n_distinct") == F.col("n_rows"))
+            & (F.col("n_lt") == F.col("n_rows"))
+        ).alias("canonical_complete"),
+    )
+
+
+# Incremental graph maintenance, wedge leg (pipeline/graph.py::
+# update_wedge_census; r12 verdict item 5): fold the edge delta into
+# the standing cap-120 census by re-expanding ONLY the touched
+# centers' neighborhoods (old contributions subtracted, new added —
+# cap crossings and 10^6 DIV deg re-divisions fall out of the signed
+# merge), then aggregate the maintained census.  The oracle replays
+# the FULL-graph capped census in DuckDB, so the delta-maintained
+# artifact must equal the one-shot rebuild value-for-value — the
+# append ≡ rebuild contract, driver-differentially enforced.
+@register(
+    "graph_wedges_append",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                      greatest(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey),
+    sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    deg AS (SELECT u AS node, count(*)::BIGINT AS deg FROM sym GROUP BY 1),
+    capped AS (
+      SELECT s.u, s.v, (1000000 // d.deg)::BIGINT AS contrib
+      FROM sym s JOIN deg d ON d.node = s.u
+      WHERE d.deg <= 120),
+    pairs AS (
+      SELECT w1.v AS x, w2.v AS y,
+             count(*)::BIGINT AS cn,
+             sum(w1.contrib)::BIGINT AS ra_ppm
+      FROM capped w1 JOIN capped w2 ON w1.u = w2.u
+      WHERE w1.v < w2.v
+      GROUP BY 1, 2)
+    SELECT count(*)::BIGINT AS n_pairs,
+           sum(cn)::BIGINT AS cn_total,
+           sum(ra_ppm)::BIGINT AS ra_total,
+           true AS pairs_canonical
+    FROM pairs
+    """,
+)
+def graph_wedges_append_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warp_spark.pipeline.graph import load_wedge_census
+
+    _, wp = _ensure_graph_append_demo(spark, sf_dir)
+    census = load_wedge_census(spark, wp)
+    return census.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("cn").cast("long").alias("cn_total"),
+        F.sum("ra_ppm").cast("long").alias("ra_total"),
+        (
+            F.sum(F.when(F.col("x") < F.col("y"), 1).otherwise(0))
+            == F.count(F.lit(1))
+        ).alias("pairs_canonical"),
     )
 
 
@@ -15232,7 +15488,17 @@ def _ensure_bm25_index_appended(spark: SparkSession, sf_dir: str) -> str:
     )
     with open(marker, "w") as f:
         f.write("appending\n")
-    append_bm25_index(spark, path, docs.filter(~is_base))
+    if not append_bm25_index(spark, path, docs.filter(~is_base)):
+        # precondition refused (slice re-delivers indexed ids): the
+        # safe path is the one-shot rebuild over the full corpus —
+        # correctness is never conditional on the fast path
+        _publish_artifact(
+            path,
+            "_INDEX_COMPLETE",
+            stamp,
+            lambda tmp: build_bm25_index(docs, tmp),
+        )
+        return path
     with open(marker, "w") as f:
         f.write(stamp + "\n")
     return path
@@ -15716,25 +15982,25 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # the window is rotated every round and the rotation is documented here
 # and in PARITY.md.
 #
-# Round-12 window: execute the r11-queued rotation exactly (r11
-# verdict item 1; PARITY.md "r12 rotation queue"): the 6 r10 additions
-# held back from the r11 window (simplest single-aggregation entries),
-# the 24 r06-vintage registry / single-operator entries (the stalest
-# driver evidence in the ledger; judge-gated green in r11), the pinned
-# flagship TPC-H trio, and 17 of the 47 r7-vintage entries to fill 50.
-# The r7-vintage fill prioritizes (a) the three graph entries that now
-# read the re-keyed/atomically-published edge artifact (this round's
-# artifact-hygiene changes touch their shared code path), (b) the
-# sketch-aggregation tier, whose hdr oracle gained the cents>0 guard
-# this round, and (c) six r7 streaming executions + three TPC-H
-# refreshes.  Entries added or semantically changed in r12
-# (graph_wedges_persist, graph_jaccard_links_exact, dedup_index_append,
-# graph_jaccard_links -> capped default, graph_ra_links_capped ->
-# artifact-fed) land in the r13 queue (PARITY.md).
-# The window was built against evidence through CORRECTNESS_r11
+# Round-13 window: execute the r12-queued rotation exactly (r12
+# verdict item 1; PARITY.md "r13 rotation queue"): the 20
+# never-driver-judged entries first (the 9 r11 additions queued behind
+# the r12 window plus the 11 r12 additions — the full index-lifecycle
+# tier: persist/probe/append/append-streamed/compact across the dedup,
+# BM25 and ANN index families, the t-digest artifact pair, the wedge
+# census and its two artifact-fed link predictors, and the KS/Spearman
+# stats pair), then the `graph_jaccard_links` RE-JUDGE (its default
+# semantics changed in r12 from the exact census to the hub-capped
+# artifact-fed form, so the r11 driver evidence belongs to code that no
+# longer ships — see _DRIVER_WINDOW_REJUDGE), then 26 of the 30
+# r7-vintage entries (every TPC-H refresh, the span/decontamination
+# dedup tier, sampling, training prep, events analytics; the four-entry
+# curation cohort is held back as a coherent r14 fill — PARITY.md "r14
+# rotation queue"), then the pinned flagship TPC-H trio.
+# The window was built against evidence through CORRECTNESS_r12
 # (_DRIVER_WINDOW_ROUND below); the rotation-policy test evaluates it
 # against snapshots from rounds < _DRIVER_WINDOW_ROUND only, so the
-# driver's own r12 snapshot (which postdates this commit) cannot make
+# driver's own r13 snapshot (which postdates this commit) cannot make
 # the suite red between rounds.
 # ===========================================================================
 
@@ -15742,62 +16008,76 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # evaluated against CORRECTNESS_r*.json snapshots from rounds strictly
 # before this one (the evidence that existed when the window was
 # designed).
-_DRIVER_WINDOW_ROUND = 12
+_DRIVER_WINDOW_ROUND = 13
+
+# Entries whose existing driver evidence predates a SEMANTIC change to
+# the shipped code path — their "fresh" snapshot belongs to code that
+# no longer runs, so the rotation policy treats them as stale and the
+# window re-judges them deliberately (r12 verdict item 1 queued the
+# graph_jaccard_links re-judge: its r11 green was for the exact census,
+# repointed in r12 to the hub-capped wedge-artifact read).
+_DRIVER_WINDOW_REJUDGE = {"graph_jaccard_links"}
 
 _DRIVER_WINDOW = [
-    # --- the 6 r10 additions held back from the r11 window ---
-    "market_concentration_hhi",
-    "events_seasonal_dow",
-    "text_readability",
-    "stats_benford_totalprice",
-    "events_time_to_conversion",
-    "orders_yoy_growth",
-    # --- the 24 r06-vintage registry / single-operator entries ---
-    "chain_order_buckets",
-    "dummies_onehot",
-    "explode_split_columns",
-    "explode_split_rows",
-    "filter_calculate",
-    "filter_set_in",
-    "flatten_melt",
-    "formula_calculate",
-    "formula_filter",
-    "formula_nl_calculate",
-    "functions_binary",
-    "functions_json",
-    "functions_lists",
-    "multimodal_frame_sample",
-    "q10_returned_items",
-    "random_sample",
-    "rank_running_total",
-    "search_contains",
-    "select_distinct",
-    "sequencer_enumerate",
-    "sort_offset_limit",
-    "transpose_region",
-    "union_by_name",
-    "unique_expression",
-    # --- r7-vintage fill: graph tier over the re-keyed edge artifact ---
-    "graph_pagerank",
-    "graph_triangle_counts",
-    "graph_degree_stats",
-    # --- r7-vintage fill: sketch tier (hdr oracle guard touched r12) ---
-    "agg_approx_sketch",
-    "agg_countmin_freq",
-    "agg_hdr_quantiles",
-    "agg_hll_distinct",
-    "agg_kmv_overlap",
-    # --- r7-vintage fill: streaming executions ---
-    "events_anomaly_zscore_streamed",
-    "events_countmin_streamed",
-    "events_hdr_streamed",
-    "events_hourly_rollup_streamed",
-    "events_running_totals_stateful",
-    "events_sessionize_streamed",
-    # --- r7-vintage fill: TPC-H refreshes ---
-    "q4_order_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
+    # --- never-driver-judged: graph artifact tier (r11/r12 additions;
+    #     builds ordered before their artifact-fed probes) ---
+    "graph_edges_persist",
+    "graph_wedges_persist",
+    "graph_ra_links_capped",
+    "graph_jaccard_links_exact",
+    # --- never-driver-judged: dedup index lifecycle ---
+    "dedup_index_persist",
+    "dedup_index_probe",
+    "dedup_index_append",
+    "dedup_index_append_streamed",
+    "dedup_index_compact",
+    # --- never-driver-judged: BM25 + ANN index maintenance ---
+    "bm25_index_append",
+    "bm25_index_compact",
+    "ann_index_append",
+    "ann_index_compact",
+    # --- never-driver-judged: t-digest + stats tier ---
+    "agg_tdigest_quantiles",
+    "tdigest_persist",
+    "tdigest_probe",
+    "events_tdigest_streamed",
+    "events_ks_drift_streamed",
+    "stats_ks_two_sample",
+    "stats_spearman_price_qty",
+    # --- RE-JUDGE: default semantics repointed in r12 (exact census ->
+    #     hub-capped wedge-artifact read); r11 evidence predates it ---
+    "graph_jaccard_links",
+    # --- r7-vintage fill: TPC-H refreshes (all eight) ---
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_pseudo_profit",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity",
+    "q18_large_volume",
+    "q19_disjunctive_revenue",
+    # --- r7-vintage fill: dedup spans + decontamination ---
+    "decontaminate_ngram",
+    "dedup_duplicate_spans",
+    "dedup_span_masking",
+    "embedding_decontaminate",
+    "fuzzy_link_names",
+    # --- r7-vintage fill: events analytics ---
+    "events_anomaly_zscore",
+    "events_scd2_intervals",
+    "events_transition_matrix",
+    # --- r7-vintage fill: sampling / ranking / profiling ---
+    "ann_topk_ivfpq",
+    "profile_join_cardinality",
+    "rank_running_distinct",
+    "sample_weighted",
+    "sample_weighted_stratified",
+    "topk_per_group",
+    "text_pii_redact",
+    # --- r7-vintage fill: training prep ---
+    "pack_sequences",
+    "training_shuffle_global",
+    "training_shuffle_shards",
     # --- flagship TPC-H, kept every round ---
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -1084,6 +1084,24 @@ def append_dedup_index(
     touched = sorted(
         r["bucket"] for r in new_bands.select("bucket").distinct().collect()
     )
+    # no-re-append precondition (r12 verdict item 3): a slice holding
+    # already-indexed ids would double their postings/shingles and
+    # inflate n_docs — silently breaking append ≡ rebuild.  A
+    # re-delivered doc's signature is a pure function of its text, so
+    # its band rows sit in exactly the buckets this slice touches: one
+    # partition-PRUNED semi-join catches re-delivery without a corpus
+    # scan.  (An id re-delivered with DIFFERENT text may land in other
+    # buckets — ids are immutable keys by the module's contract, and
+    # that corruption is on the caller.)
+    overlap = (
+        old_bands.filter(F.col("bucket").isin(touched))
+        .select("corpus_id")
+        .join(new_bands.select("corpus_id").distinct(), "corpus_id", "leftsemi")
+        .limit(1)
+        .count()
+    )
+    if overlap:
+        return False  # slice re-delivers indexed ids: rebuild honestly
     new_cnt = new_bands.groupBy("band_idx", "band_val").agg(
         F.count(F.lit(1)).alias("n_new")
     )
@@ -1145,19 +1163,19 @@ def compact_dedup_index(spark, path: str) -> None:
     probe-before == probe-after exactly (pytest-pinned) and any
     content stamp keyed on the SOURCE still matches.
 
-    Swap discipline: the compacted tree is built as a sibling
-    directory and atomically renamed into place, same as the
-    catalog's _publish_artifact — a concurrent prober never sees a
-    half-compacted index."""
+    Swap discipline: the compacted tree is built in a UNIQUE sibling
+    scratch dir and swapped into place through the repo-wide
+    flock-guarded helper (artifacts.swap_artifact_dir — the same code
+    path as the catalog's _publish_artifact, r12 verdict item 2), so
+    writers serialize and a concurrent prober's worst case is the
+    momentary two-rename window, never a half-deleted tree."""
     import os
-    import shutil
+
+    from warp_spark.artifacts import swap_artifact_dir, unique_sibling_tmp
 
     st = spark.read.parquet(f"{path}/stats")
     n_buckets = int(st.first()["n_buckets"])
-    tmp = path + ".compact"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    os.makedirs(tmp)
+    tmp = unique_sibling_tmp(path, tag="compact")
     # one task per bucket (deterministic hash routing) → one file per
     # bucket partition, the build-time layout
     spark.read.parquet(f"{path}/bands").repartition(
@@ -1167,12 +1185,13 @@ def compact_dedup_index(spark, path: str) -> None:
         f"{tmp}/shingles"
     )
     st.coalesce(1).write.parquet(f"{tmp}/stats")
+    import shutil
+
     for name in os.listdir(path):
         full = os.path.join(path, name)
         if os.path.isfile(full):  # markers and metadata travel as-is
             shutil.copy2(full, os.path.join(tmp, name))
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    swap_artifact_dir(path, tmp)
 
 
 def cluster_representatives(

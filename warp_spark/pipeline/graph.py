@@ -238,7 +238,7 @@ def _expansion_width(df: DataFrame, default: int = 200) -> int:
     return 2 * n
 
 
-def _census_from(und, sym, deg, max_center_degree):
+def _census_from(und, sym, deg, max_center_degree, centers=None):
     # Pin the wedge-join parallelism EXPLICITLY: the self-join's output
     # is quadratic in its input (Σ C(deg,2) rows from |sym| rows), so
     # AQE's input-byte-driven partition coalescing — correct for
@@ -252,6 +252,15 @@ def _census_from(und, sym, deg, max_center_degree):
     wedge_base = sym.join(deg.withColumnRenamed("node", "u"), "u")
     if max_center_degree is not None:
         wedge_base = wedge_base.where(F.col("deg") <= int(max_center_degree))
+    if centers is not None:
+        # delta-maintenance path (update_wedge_census): expand wedges
+        # only around the given midpoints — a semi-join Catalyst turns
+        # into a broadcast when the touched set is small (the daily-
+        # delta shape), bounding the quadratic stage by the touched
+        # centers' neighborhoods instead of the whole graph
+        wedge_base = wedge_base.join(
+            centers.select(F.col(centers.columns[0]).alias("u")), "u", "leftsemi"
+        )
     wedge_base = wedge_base.repartition(_expansion_width(sym), "u").withColumn(
         "contrib", F.expr("CAST(1000000 DIV deg AS BIGINT)")
     )
@@ -451,6 +460,146 @@ def load_edges(spark, path: str) -> DataFrame:
     return spark.read.parquet(path).select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     )
+
+
+def append_edges(spark, path: str, new_edges: DataFrame) -> DataFrame:
+    """Absorb an edge slice into a persist_edges artifact WITHOUT
+    rebuilding the standing graph — the graph leg of the incremental-
+    maintenance discipline (r12 verdict item 5; index legs:
+    append_dedup_index / append_bm25_index / append_ivfpq_index): a
+    daily co-purchase delta is a fraction of the standing edge set, so
+    re-running the fact-table self-join over the whole history per
+    slice re-pays everything for nothing.
+
+    The slice is canonicalized (u < v, loops and in-slice duplicates
+    dropped) and anti-joined against the standing artifact, so
+    RE-DELIVERED edges are dropped rather than corrupting the set
+    invariant — edge append is a set union, which makes the re-append
+    precondition self-enforcing here (unlike the counting indexes,
+    where re-delivery must REFUSE).  Only genuinely-new rows are
+    appended into the artifact's parquet layout.
+
+    Returns the eagerly-checkpointed canonical delta that was actually
+    appended (possibly empty): callers feed it straight to
+    :func:`update_wedge_census`, and the checkpoint pins its content
+    against the artifact files the append itself just changed (a lazy
+    plan would re-list the directory and see its own output).
+
+    Reference analogue: MutableDataset row insertion
+    (MutableData.swift:40-63)."""
+    su, sv = F.col("src"), F.col("dst")
+    standing = spark.read.parquet(path)
+    delta = (
+        new_edges.select(F.least(su, sv).alias("u"), F.greatest(su, sv).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .join(standing, ["u", "v"], "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    if delta.isEmpty():
+        return delta
+    # hash-cluster on u like the build, one task per slice-bucket; the
+    # artifact accumulates one file per append (compaction territory,
+    # same as the index families)
+    delta.repartition(2, "u").write.mode("append").parquet(path)
+    return delta
+
+
+def update_wedge_census(
+    spark,
+    census_path: str,
+    edges_path: str,
+    delta: DataFrame,
+    max_center_degree: int | None = None,
+) -> bool:
+    """Incrementally fold an edge delta into a persist_wedge_census
+    artifact — the second level of the graph maintenance discipline
+    (r12 verdict item 5): the quadratic wedge expansion re-runs ONLY
+    around the centers whose neighborhoods changed, never over the
+    whole graph.
+
+    Call AFTER :func:`append_edges`: ``edges_path`` already holds the
+    NEW canonical edge set, and ``delta`` is the checkpointed slice
+    append_edges returned.  Every center whose degree changed is an
+    endpoint of a delta edge, so the touched set is exactly the
+    delta's endpoints; for those centers the OLD contributions
+    (reconstructed from new-minus-delta, two linear scans) are
+    subtracted and the NEW contributions added — which natively
+    handles every cap interaction an append can cause: a center
+    crossing the cap upward loses all its pairs (new side excluded by
+    the cap filter), and a center whose degree grows within the cap
+    swaps its 10^6 DIV deg contributions at both the old and new
+    divisor.  Appends never lower a degree, so no center re-enters
+    under the cap.
+
+    The merged census (standing ⊎ signed delta, zero rows dropped) is
+    rewritten and atomically swapped — an INDEX-sized write, the
+    compaction cost class, while the quadratic stage stays bounded by
+    the touched neighborhoods.  Returns ``False`` (caller must
+    rebuild) when the standing census artifact is missing/unreadable —
+    the honest-fallback contract of the index append legs."""
+    import os
+
+    from warp_spark.artifacts import swap_artifact_dir, unique_sibling_tmp
+
+    if not os.path.isdir(census_path):
+        return False
+    try:
+        standing = spark.read.parquet(census_path)
+    except Exception:
+        return False
+    if delta.isEmpty():
+        return True  # nothing appended: the census is already current
+    new_und = spark.read.parquet(edges_path).select("u", "v")
+    old_und = new_und.join(delta, ["u", "v"], "left_anti")
+    touched = (
+        delta.select(F.col("u").alias("node"))
+        .union(delta.select(F.col("v").alias("node")))
+        .distinct()
+    )
+
+    def side_census(und):
+        sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        deg = sym.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        )
+        return _census_from(und, sym, deg, max_center_degree, centers=touched)
+
+    signed = side_census(new_und).select("x", "y", "cn", "ra_ppm").union(
+        side_census(old_und).select(
+            "x", "y", (-F.col("cn")).alias("cn"), (-F.col("ra_ppm")).alias("ra_ppm")
+        )
+    )
+    merged = (
+        standing.select("x", "y", "cn", "ra_ppm")
+        .union(signed)
+        .groupBy("x", "y")
+        .agg(
+            F.sum("cn").cast("long").alias("cn"),
+            F.sum("ra_ppm").cast("long").alias("ra_ppm"),
+        )
+        .where(F.col("cn") > 0)
+    )
+    tmp = unique_sibling_tmp(census_path, tag="delta")
+    merged.repartition(8, "x").write.mode("overwrite").parquet(tmp)
+    # carry MARKER files (the catalog's stamp) over unchanged — the
+    # census artifact is a flat parquet directory, so the old data
+    # files and Spark's write sentinels must NOT travel (the merged
+    # tree has its own); the CALLER owns re-stamping after a
+    # successful update
+    import shutil
+
+    for name in os.listdir(census_path):
+        full = os.path.join(census_path, name)
+        if (
+            os.path.isfile(full)
+            and not name.endswith(".parquet")
+            and not name.endswith(".crc")
+            and name != "_SUCCESS"
+        ):
+            shutil.copy2(full, os.path.join(tmp, name))
+    swap_artifact_dir(census_path, tmp)
+    return True
 
 
 def degree_stats(edges: DataFrame) -> DataFrame:

@@ -1040,7 +1040,7 @@ def append_ivfpq_index(
     new_vecs: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> None:
+) -> bool:
     """Absorb new vectors into a persisted IVF-PQ index with the model
     FROZEN — the vector leg of the incremental-maintenance discipline
     (dedup leg: append_dedup_index; lexical leg: append_bm25_index),
@@ -1059,7 +1059,29 @@ def append_ivfpq_index(
     encoding are pure functions of the persisted model (pytest-pinned).
     Recall on appended vectors degrades only as the corpus drifts from
     the training sample; the pq_reconstruction audit entry is the
-    drift detector that schedules the retrain."""
+    drift detector that schedules the retrain.
+
+    No-re-append precondition (r12 verdict item 3): a slice holding
+    already-indexed ids would duplicate their codes and storage rows
+    (a probe would then shortlist/rerank the same id twice), so the
+    function returns ``False`` (caller must frozen-model-rebuild, the
+    append_dedup_index contract) when any slice id already appears in
+    the codes table.  The check is a single-column (column-pruned)
+    semi-join over the codes' vec_id column — one integer column of
+    the INDEX, never a corpus re-encode."""
+    overlap = (
+        spark.read.parquet(f"{path}/codes")
+        .select("vec_id")
+        .join(
+            new_vecs.select(F.col(id_col).alias("vec_id")).distinct(),
+            "vec_id",
+            "leftsemi",
+        )
+        .limit(1)
+        .count()
+    )
+    if overlap:
+        return False  # slice re-delivers indexed ids: rebuild honestly
     centroids = [
         (int(r["centroid_id"]), [float(x) for x in r["vector"]])
         for r in spark.read.parquet(f"{path}/centroids")
@@ -1095,6 +1117,7 @@ def append_ivfpq_index(
         .write.mode("append")
         .parquet(f"{path}/storage")
     )
+    return True
 
 
 def compact_ivfpq_index(spark, path: str) -> None:
@@ -1108,17 +1131,18 @@ def compact_ivfpq_index(spark, path: str) -> None:
     and coalesces storage, carrying the model artifacts (centroids,
     codebooks) and markers over byte-unchanged.  Content-preserving by
     construction, so a probe's shortlist, ADC scores, and rerank are
-    identical before and after.  Built as a sibling tree and
-    atomically renamed into place."""
+    identical before and after.  Built in a unique sibling scratch
+    dir and swapped into place through the repo-wide flock-guarded
+    helper (artifacts.swap_artifact_dir — the same code path as the
+    catalog's _publish_artifact, r12 verdict item 2)."""
     import os
     import shutil
 
+    from warp_spark.artifacts import swap_artifact_dir, unique_sibling_tmp
+
     codes = spark.read.parquet(f"{path}/codes")
     n_lists = codes.select("centroid_id").distinct().count()
-    tmp = path + ".compact"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    os.makedirs(tmp)
+    tmp = unique_sibling_tmp(path, tag="compact")
     codes.repartition(max(int(n_lists), 1), "centroid_id").write.partitionBy(
         "centroid_id"
     ).parquet(f"{tmp}/codes")
@@ -1133,8 +1157,7 @@ def compact_ivfpq_index(spark, path: str) -> None:
         full = os.path.join(path, name)
         if os.path.isfile(full):
             shutil.copy2(full, os.path.join(tmp, name))
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    swap_artifact_dir(path, tmp)
 
 
 def pq_reconstruction(

@@ -1741,7 +1741,7 @@ def append_bm25_index(
     new_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> None:
+) -> bool:
     """Absorb a new document slice into a persisted BM25 index WITHOUT
     re-tokenizing the standing corpus (the lexical leg of the
     incremental-maintenance discipline; dedup leg:
@@ -1753,6 +1753,17 @@ def append_bm25_index(
     integers.  Append-then-probe therefore equals
     rebuild-then-probe EXACTLY, with no cap caveat (pytest-pinned).
 
+    No-re-append precondition (r12 verdict item 3): a slice holding
+    already-indexed ids would double their postings and inflate the
+    stats, silently breaking append ≡ rebuild — so the function
+    returns ``False`` (caller must full-rebuild, the
+    append_dedup_index contract) when any slice id already appears in
+    the postings.  The check is a single-column (column-pruned)
+    semi-join over the postings' id column: a common word's bucket
+    holds most docs, so partition pruning buys nothing for the
+    lexical index — but it reads one long column of the INDEX, never
+    a corpus re-tokenization.
+
     The slice's postings are appended INTO the term-hash bucket
     partitioning (modulus read FROM the stats artifact, never a
     hardcoded constant), so probe-side partition pruning keeps
@@ -1761,6 +1772,15 @@ def append_bm25_index(
     tk = "_bm25_tk"
     st = spark.read.parquet(f"{path}/stats").first()
     n_buckets = int(st["n_buckets"]) if "n_buckets" in st.asDict() else 16
+    overlap = (
+        spark.read.parquet(f"{path}/postings")
+        .select(id_col)
+        .join(new_docs.select(id_col).distinct(), id_col, "leftsemi")
+        .limit(1)
+        .count()
+    )
+    if overlap:
+        return False  # slice re-delivers indexed ids: rebuild honestly
     base = (
         new_docs.select(F.col(id_col), F.col(text_col))
         .withColumn(tk, tokens(F.col(text_col)))
@@ -1788,6 +1808,7 @@ def append_bm25_index(
         [(int(st["n_docs"]) + int(inc["n"]), int(st["total_dl"]) + int(inc["dl"]), n_buckets)],
         "n_docs long, total_dl long, n_buckets int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    return True
 
 
 def compact_bm25_index(spark, path: str) -> None:
@@ -1799,18 +1820,20 @@ def compact_bm25_index(spark, path: str) -> None:
     compaction re-clusters the postings to one file per bucket
     partition and carries the stats row and marker files over
     unchanged.  Content-preserving by construction (read → repartition
-    → write), so probe-before == probe-after exactly.  Built as a
-    sibling tree and atomically renamed into place."""
+    → write), so probe-before == probe-after exactly.  Built in a
+    unique sibling scratch dir and swapped into place through the
+    repo-wide flock-guarded helper (artifacts.swap_artifact_dir — the
+    same code path as the catalog's _publish_artifact, r12 verdict
+    item 2)."""
     import os
     import shutil
+
+    from warp_spark.artifacts import swap_artifact_dir, unique_sibling_tmp
 
     st = spark.read.parquet(f"{path}/stats")
     strow = st.first()
     n_buckets = int(strow["n_buckets"]) if "n_buckets" in strow.asDict() else 16
-    tmp = path + ".compact"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    os.makedirs(tmp)
+    tmp = unique_sibling_tmp(path, tag="compact")
     spark.read.parquet(f"{path}/postings").repartition(
         n_buckets, "bucket"
     ).write.partitionBy("bucket").parquet(f"{tmp}/postings")
@@ -1819,8 +1842,7 @@ def compact_bm25_index(spark, path: str) -> None:
         full = os.path.join(path, name)
         if os.path.isfile(full):
             shutil.copy2(full, os.path.join(tmp, name))
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    swap_artifact_dir(path, tmp)
 
 
 def bm25_index_probe(

@@ -795,3 +795,24 @@ def test_new_users_streamed_equals_batch_census(spark):
         .count()
     )
     assert thirds >= 1
+
+
+def test_graph_ingest_streamed_equals_batch(spark):
+    """The 28th streaming execution — continuous graph ingest
+    (foreachBatch → append_edges per trigger, then one census fold) —
+    must leave the census in a state identical to the batch append
+    twin's: after three utime-pinned triggers absorb the delta orders'
+    edges into the base-8 graph, the capped census aggregate equals
+    graph_wedges_append (which the driver gate pins to the one-shot
+    full-graph rebuild)."""
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    key = lambda r: tuple(r[c] for c in sorted(r.asDict()))
+    streamed = sorted(
+        map(key, m.queries()["graph_ingest_streamed"](spark, sf).collect())
+    )
+    batch = sorted(map(key, m.queries()["graph_wedges_append"](spark, sf).collect()))
+    assert streamed == batch and len(streamed) == 1
+    # a real census came through, not an empty artifact
+    assert streamed[0][1] > 0  # cn_total (columns sorted: cn_total first)

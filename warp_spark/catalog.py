@@ -7203,6 +7203,101 @@ def dedup_index_append_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["dedup_index_append_streamed"] = ORACLES["dedup_incremental"]
 
 
+# The full MAINTENANCE LIFECYCLE as ONE auditable entry (r12 verdict
+# optional item 8): append → staleness check → compact → probe over
+# the dedup index family, composed end-to-end in a single catalog
+# entry — the 100 TB operational loop (a nightly cron: absorb the
+# day's slice, verify the artifact is current, re-cluster the small
+# files, serve) demonstrated as one plan rather than four separate
+# entries.  Each leg keeps its standing contract: the append refuses
+# re-delivered ids and cap crossings (one-shot rebuild fallback), the
+# staleness check is the marker-vs-content-stamp discipline every
+# ensure helper uses, compaction is content-preserving under the
+# shared flock-guarded swap, and the final probe must reproduce
+# dedup_incremental bit-for-bit (oracle by reference) — so a fault in
+# ANY leg of the loop hash-fails the gate.
+@register("dedup_index_lifecycle", None)
+def dedup_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os
+    import shutil
+
+    from warp_spark.pipeline.dedup import (
+        append_dedup_index,
+        compact_dedup_index,
+        dedup_index_probe,
+        persist_dedup_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    slice_ = docs.filter((F.col("doc_id") % 20 >= 12) & (F.col("doc_id") % 20 < 16))
+    batch = docs.filter(F.col("doc_id") % 20 >= 16)
+    # the lifecycle re-runs every invocation (like the streamed ingest)
+    # over a cheap copy of the stamp-reused base-12 artifact
+    base_path = _ensure_dedup_base12(spark, sf_dir)
+    path = _artifact_path("warp_dedup_idxlife_v1", sf_dir)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    shutil.copytree(base_path, path)
+    marker = os.path.join(path, "_INDEX_COMPLETE")
+    with open(marker, "w") as f:
+        f.write("maintaining\n")
+    # 1) APPEND the day's slice (honest fallback on refusal)
+    if not append_dedup_index(spark, path, slice_):
+        _publish_artifact(
+            path,
+            "_INDEX_COMPLETE",
+            "lifecycle rebuilt (append refused)",
+            lambda tmp: persist_dedup_index(
+                docs.filter(F.col("doc_id") % 20 < 16), tmp
+            ),
+        )
+    # 2) STALENESS CHECK: the maintained artifact must now cover the
+    # standing corpus — its doc count is the cheap invariant a nightly
+    # job asserts before serving (a full content re-stamp would re-pay
+    # the corpus scan the append path exists to avoid)
+    n_index = int(spark.read.parquet(f"{path}/stats").first()["n_docs"])
+    n_corpus = docs.filter(F.col("doc_id") % 20 < 16).count()
+    if n_index != n_corpus:  # stale: the honest path is the rebuild
+        _publish_artifact(
+            path,
+            "_INDEX_COMPLETE",
+            "lifecycle rebuilt (stale count)",
+            lambda tmp: persist_dedup_index(
+                docs.filter(F.col("doc_id") % 20 < 16), tmp
+            ),
+        )
+    # 3) COMPACT the append-grown layout back to one file per bucket
+    n_files_before = len(
+        _glob.glob(os.path.join(path, "bands", "**", "*.parquet"), recursive=True)
+    )
+    compact_dedup_index(spark, path)
+    n_files_after = len(
+        _glob.glob(os.path.join(path, "bands", "**", "*.parquet"), recursive=True)
+    )
+    if n_files_after > n_files_before:  # compaction must never grow files
+        raise RuntimeError(
+            f"compaction grew the index: {n_files_before} -> {n_files_after}"
+        )
+    with open(marker, "w") as f:
+        f.write("lifecycle base-12 + appended 12..15, compacted\n")
+    # 4) PROBE: serve the incoming batch from the maintained index
+    hits = dedup_index_probe(spark, path, batch, threshold=0.5)
+    return (
+        batch.select("doc_id")
+        .join(hits, F.col("doc_id") == F.col("batch_id"), "left")
+        .select(
+            "doc_id",
+            "dup_of",
+            "best_jaccard",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+ORACLES["dedup_index_lifecycle"] = ORACLES["dedup_incremental"]
+
+
 # ---------------------------------------------------------------------------
 # EXACT set-similarity join via prefix filtering (AllPairs/PPJoin
 # family, dedup.py::prefix_filter_jaccard_pairs): unlike the LSH
@@ -11972,6 +12067,64 @@ def _graph_wedgeapp_path(sf_dir: str) -> str:
     return _artifact_path("warp_graph_wedgeapp_v1", sf_dir)
 
 
+def _copurchase_order_edges(li: DataFrame) -> DataFrame:
+    """Within-order part pairs (src < dst) of a (l_orderkey,
+    l_partkey) projection — every co-purchase edge is witnessed by a
+    single order, so filtering orders BEFORE this join partitions edge
+    generation (the property both graph append demos rely on)."""
+    other = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
+    return (
+        li.join(other, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("dst"))
+        .select(F.col("l_partkey").alias("src"), "dst")
+    )
+
+
+def _ensure_graph_base8(spark: SparkSession, sf_dir: str) -> tuple:
+    """Stamp-reused BASE graph artifacts — canonical edges and the
+    cap-120 wedge census over the orders with l_orderkey % 10 < 8 —
+    the shared starting state of the graph append demonstrations
+    (batch twin: _ensure_graph_append_demo; streamed twin:
+    graph_ingest_streamed).  Both twins COPY these trees and mutate
+    the copies, so re-running either costs the ingest itself, never a
+    base rebuild (the _ensure_dedup_base12 discipline).  Staleness
+    chains the standing edge artifact's content stamp."""
+    import os
+
+    from warp_spark.pipeline.graph import load_edges, persist_edges, persist_wedge_census
+
+    std_edge_path = _ensure_graph_edges(spark, sf_dir)
+    with open(os.path.join(std_edge_path, "_EDGES_COMPLETE")) as f:
+        edge_stamp = f.read().strip()
+    ep = _artifact_path("warp_graph_base8e_v1", sf_dir)
+    wp = _artifact_path("warp_graph_base8w_v1", sf_dir)
+    stamp = f"graph base8 cap={_GRAPH_WEDGE_CAP} over [{edge_stamp}]"
+
+    def current(p, name):
+        m = os.path.join(p, name)
+        if os.path.exists(m):
+            with open(m) as f:
+                return f.read().strip()
+        return None
+
+    if current(ep, "_EDGES_COMPLETE") != stamp:
+        li = _t(spark, sf_dir, "lineitem").to_df().select("l_orderkey", "l_partkey")
+        base_e = _copurchase_order_edges(li.filter(F.col("l_orderkey") % 10 < 8))
+        _publish_artifact(
+            ep, "_EDGES_COMPLETE", stamp, lambda t: persist_edges(base_e, t)
+        )
+    if current(wp, "_WEDGES_COMPLETE") != stamp:
+        _publish_artifact(
+            wp,
+            "_WEDGES_COMPLETE",
+            stamp,
+            lambda t: persist_wedge_census(
+                load_edges(spark, ep), t, max_center_degree=_GRAPH_WEDGE_CAP
+            ),
+        )
+    return ep, wp
+
+
 def _ensure_graph_append_demo(spark: SparkSession, sf_dir: str) -> tuple:
     """Incremental maintenance for the GRAPH artifacts (r12 verdict
     item 5 — the edge/wedge analogue of the index append triple): the
@@ -11998,7 +12151,6 @@ def _ensure_graph_append_demo(spark: SparkSession, sf_dir: str) -> tuple:
     from warp_spark.pipeline.graph import (
         append_edges,
         load_edges,
-        persist_edges,
         persist_wedge_census,
         update_wedge_census,
     )
@@ -12023,28 +12175,17 @@ def _ensure_graph_append_demo(spark: SparkSession, sf_dir: str) -> tuple:
         return ep, wp
 
     li = _t(spark, sf_dir, "lineitem").to_df().select("l_orderkey", "l_partkey")
+    delta_e = _copurchase_order_edges(li.filter(F.col("l_orderkey") % 10 >= 8))
+    # start from cheap COPIES of the shared stamp-reused base pair —
+    # the base build (including its census) is paid once per content
+    # change, shared with the streamed twin
+    import shutil
 
-    def order_edges(keys):
-        other = keys.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
-        return (
-            keys.join(other, "l_orderkey")
-            .where(F.col("l_partkey") < F.col("dst"))
-            .select(F.col("l_partkey").alias("src"), "dst")
-        )
-
-    base_e = order_edges(li.filter(F.col("l_orderkey") % 10 < 8))
-    delta_e = order_edges(li.filter(F.col("l_orderkey") % 10 >= 8))
-    _publish_artifact(
-        ep, "_EDGES_COMPLETE", "edgeapp base only", lambda t: persist_edges(base_e, t)
-    )
-    _publish_artifact(
-        wp,
-        "_WEDGES_COMPLETE",
-        "edgeapp base only",
-        lambda t: persist_wedge_census(
-            load_edges(spark, ep), t, max_center_degree=_GRAPH_WEDGE_CAP
-        ),
-    )
+    base_ep, base_wp = _ensure_graph_base8(spark, sf_dir)
+    for src, dst in ((base_ep, ep), (base_wp, wp)):
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst)
     for m in (e_marker, w_marker):
         with open(m, "w") as f:
             f.write("appending\n")
@@ -12173,6 +12314,105 @@ def graph_wedges_append_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.count(F.lit(1))
         ).alias("pairs_canonical"),
     )
+
+
+# 28th streaming execution — CONTINUOUS GRAPH INGEST: the delta
+# orders' co-purchase edges ARRIVE as three utime-pinned micro-batch
+# files and EACH trigger absorbs its batch into the edge artifact via
+# foreachBatch → graph.py::append_edges (the dedup_index_append_
+# streamed pattern applied to the graph tier — a live order feed
+# keeping the co-purchase graph current).  Edge append is a set
+# union, so the final artifact state is batch-order-independent; the
+# cumulative delta (reconstructed as appended-minus-base, two pruned
+# columnar scans — no state held across triggers) is then folded into
+# the copied base census ONCE via update_wedge_census.  The oracle
+# replays the FULL-graph capped census in DuckDB, so stream-ingested
+# append ≡ one-shot rebuild is driver-differentially enforced;
+# stream==batch is also pytest-pinned against graph_wedges_append.
+# State lives in the ARTIFACT, not the state store — nothing
+# O(graph) in streaming state.
+@register("graph_ingest_streamed", None)
+def graph_ingest_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from warp_spark.pipeline.graph import (
+        append_edges,
+        load_edges,
+        load_wedge_census,
+        persist_wedge_census,
+        update_wedge_census,
+    )
+
+    base_ep, base_wp = _ensure_graph_base8(spark, sf_dir)
+    ep = _artifact_path("warp_graph_edgestr_v1", sf_dir)
+    wp = _artifact_path("warp_graph_wedgestr_v1", sf_dir)
+    for src, dst in ((base_ep, ep), (base_wp, wp)):
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst)
+    li = _t(spark, sf_dir, "lineitem").to_df().select("l_orderkey", "l_partkey")
+    delta_e = _copurchase_order_edges(li.filter(F.col("l_orderkey") % 10 >= 8))
+    root = tempfile.mkdtemp(prefix="warp_graph_ingest_stream_")
+    try:
+        for i in range(3):
+            delta_e.filter(F.col("src") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{root}/stage{i}")
+            part = _glob.glob(f"{root}/stage{i}/part-*.parquet")[0]
+            tgt = f"{root}/file_{i:03d}.parquet"
+            os.rename(part, tgt)
+            shutil.rmtree(f"{root}/stage{i}", ignore_errors=True)
+            os.utime(tgt, (1_700_000_000 + 100 * i,) * 2)
+        stream = (
+            spark.readStream.schema("src bigint, dst bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(root)
+        )
+
+        def ingest(bdf, batch_id):
+            if not bdf.isEmpty():
+                append_edges(spark, ep, bdf)
+
+        q = stream.writeStream.foreachBatch(ingest).start()
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    # cumulative delta = appended minus base: deterministic, no state
+    # carried across triggers
+    delta_all = (
+        spark.read.parquet(ep)
+        .select("u", "v")
+        .join(spark.read.parquet(base_ep).select("u", "v"), ["u", "v"], "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    if not update_wedge_census(
+        spark, wp, ep, delta_all, max_center_degree=_GRAPH_WEDGE_CAP
+    ):
+        _publish_artifact(
+            wp,
+            "_WEDGES_COMPLETE",
+            "graphstr rebuilt (delta fold refused)",
+            lambda t: persist_wedge_census(
+                load_edges(spark, ep), t, max_center_degree=_GRAPH_WEDGE_CAP
+            ),
+        )
+    census = load_wedge_census(spark, wp)
+    return census.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("cn").cast("long").alias("cn_total"),
+        F.sum("ra_ppm").cast("long").alias("ra_total"),
+        (
+            F.sum(F.when(F.col("x") < F.col("y"), 1).otherwise(0))
+            == F.count(F.lit(1))
+        ).alias("pairs_canonical"),
+    )
+
+
+ORACLES["graph_ingest_streamed"] = ORACLES["graph_wedges_append"]
 
 
 # ---------------------------------------------------------------------------

@@ -800,19 +800,44 @@ def test_new_users_streamed_equals_batch_census(spark):
 def test_graph_ingest_streamed_equals_batch(spark):
     """The 28th streaming execution — continuous graph ingest
     (foreachBatch → append_edges per trigger, then one census fold) —
-    must leave the census in a state identical to the batch append
-    twin's: after three utime-pinned triggers absorb the delta orders'
-    edges into the base-8 graph, the capped census aggregate equals
-    graph_wedges_append (which the driver gate pins to the one-shot
-    full-graph rebuild)."""
+    must leave the census in a state identical to the one-shot batch
+    census over the same (even-part induced) domain: after three
+    utime-pinned triggers absorb the 2%-of-orders delta into the
+    copied base graph, the maintained census aggregate equals
+    wedge_census(full even graph) computed directly."""
     import __spark_entry__ as m
+    from pyspark.sql import functions as F
+
+    from warp_spark.catalog import _copurchase_order_edges, _t
+    from warp_spark.pipeline.graph import wedge_census
 
     sf = "/root/testdata/sf0.001"
     key = lambda r: tuple(r[c] for c in sorted(r.asDict()))
     streamed = sorted(
         map(key, m.queries()["graph_ingest_streamed"](spark, sf).collect())
     )
-    batch = sorted(map(key, m.queries()["graph_wedges_append"](spark, sf).collect()))
+    li = (
+        _t(spark, sf, "lineitem")
+        .to_df()
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey") % 2 == 0)
+    )
+    batch = sorted(
+        map(
+            key,
+            wedge_census(_copurchase_order_edges(li), max_center_degree=120)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.sum("cn").cast("long").alias("cn_total"),
+                F.sum("ra_ppm").cast("long").alias("ra_total"),
+                (
+                    F.sum(F.when(F.col("x") < F.col("y"), 1).otherwise(0))
+                    == F.count(F.lit(1))
+                ).alias("pairs_canonical"),
+            )
+            .collect(),
+        )
+    )
     assert streamed == batch and len(streamed) == 1
     # a real census came through, not an empty artifact
     assert streamed[0][1] > 0  # cn_total (columns sorted: cn_total first)

@@ -218,3 +218,41 @@ def test_update_wedge_census_equals_full_rebuild(spark, tmp_path):
         )
         is False
     )
+
+
+def test_compact_edges_preserves_content_and_collapses_files(spark, tmp_path):
+    """Edge compaction (the graph leg of the LSM finisher discipline)
+    must collapse the append-grown file layout back to the build-time
+    8-file clustering with the edge SET bit-identical."""
+    import glob
+    import os
+
+    from warp_spark.pipeline.graph import (
+        append_edges,
+        compact_edges,
+        load_edges,
+        persist_edges,
+    )
+
+    base = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "src long, dst long"
+    )
+    p = str(tmp_path / "edges")
+    persist_edges(base, p)
+    for lo in (100, 200, 300):
+        append_edges(
+            spark,
+            p,
+            spark.createDataFrame(
+                [(lo + i, lo + i + 1) for i in range(0, 10, 2)],
+                "src long, dst long",
+            ),
+        )
+    before = sorted((r["src"], r["dst"]) for r in load_edges(spark, p).collect())
+    n_files_before = len(glob.glob(os.path.join(p, "*.parquet")))
+    assert n_files_before > 8  # appends really fragmented the layout
+    compact_edges(spark, p)
+    after = sorted((r["src"], r["dst"]) for r in load_edges(spark, p).collect())
+    n_files_after = len(glob.glob(os.path.join(p, "*.parquet")))
+    assert after == before and len(after) > 0
+    assert n_files_after <= 8

@@ -12278,6 +12278,70 @@ def graph_edges_append_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Compaction, graph leg (pipeline/graph.py::compact_edges): re-cluster
+# the append-grown edge artifact back to the build-time 8-file
+# hash-on-u layout with content preserved — the same LSM finisher the
+# three index families got in r12, closing build/append/compact parity
+# for the graph tier.  The oracle is the full-graph census again:
+# compaction must be value-invisible, so the compacted appended
+# artifact still equals the one-shot build exactly (file collapse is
+# asserted inline and pytest-pinned).
+@register(
+    "graph_edges_compact",
+    """
+    WITH und AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                      greatest(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey)
+    SELECT (SELECT count(*) FROM und)::BIGINT AS n_edges,
+           (SELECT count(*) FROM (
+              SELECT DISTINCT node FROM (
+                SELECT u AS node FROM und
+                UNION ALL SELECT v FROM und)))::BIGINT AS n_nodes,
+           true AS canonical_complete
+    """,
+)
+def graph_edges_compact_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os
+
+    from warp_spark.pipeline.graph import compact_edges, load_edges
+
+    ep, _ = _ensure_graph_append_demo(spark, sf_dir)
+    n_before = len(
+        _glob.glob(os.path.join(ep, "**", "*.parquet"), recursive=True)
+    )
+    compact_edges(spark, ep)
+    n_after = len(
+        _glob.glob(os.path.join(ep, "**", "*.parquet"), recursive=True)
+    )
+    if n_after > max(n_before, 8):  # compaction must never grow files
+        raise RuntimeError(f"edge compaction grew files: {n_before} -> {n_after}")
+    e = load_edges(spark, ep)
+    nodes = e.select(F.col("src").alias("n")).union(
+        e.select(F.col("dst").alias("n"))
+    )
+    stats = _scalar_join(
+        e.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("src", "dst").alias("n_distinct"),
+            F.sum(F.when(F.col("src") < F.col("dst"), 1).otherwise(0)).alias(
+                "n_lt"
+            ),
+        ),
+        nodes.agg(F.countDistinct("n").alias("n_nodes")),
+    )
+    return stats.select(
+        F.col("n_rows").cast("long").alias("n_edges"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        (
+            (F.col("n_distinct") == F.col("n_rows"))
+            & (F.col("n_lt") == F.col("n_rows"))
+        ).alias("canonical_complete"),
+    )
+
+
 # Incremental graph maintenance, wedge leg (pipeline/graph.py::
 # update_wedge_census; r12 verdict item 5): fold the edge delta into
 # the standing cap-120 census by re-expanding ONLY the touched

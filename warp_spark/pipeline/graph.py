@@ -505,6 +505,38 @@ def append_edges(spark, path: str, new_edges: DataFrame) -> DataFrame:
     return delta
 
 
+def compact_edges(spark, path: str) -> None:
+    """Rewrite an append-grown edge artifact into its canonical file
+    layout with IDENTICAL content — the graph leg of the compaction
+    discipline (index legs: compact_dedup_index / compact_bm25_index /
+    compact_ivfpq_index): each append_edges call adds its own parquet
+    files, so after K daily deltas every edge scan opens O(K) small
+    files; compaction re-clusters back to the build-time 8-file
+    hash-on-u layout (restoring per-file min/max statistics over u).
+    Content-preserving by construction (read → repartition → write),
+    so every downstream algorithm — and the census maintained against
+    this artifact — is unchanged.  Built in a unique sibling scratch
+    dir and swapped through the repo-wide flock-guarded helper
+    (artifacts.swap_artifact_dir)."""
+    import os
+    import shutil
+
+    from warp_spark.artifacts import swap_artifact_dir, unique_sibling_tmp
+
+    tmp = unique_sibling_tmp(path, tag="compact")
+    spark.read.parquet(path).repartition(8, "u").write.mode("overwrite").parquet(tmp)
+    for name in os.listdir(path):
+        full = os.path.join(path, name)
+        if (
+            os.path.isfile(full)
+            and not name.endswith(".parquet")
+            and not name.endswith(".crc")
+            and name != "_SUCCESS"
+        ):
+            shutil.copy2(full, os.path.join(tmp, name))
+    swap_artifact_dir(path, tmp)
+
+
 def update_wedge_census(
     spark,
     census_path: str,

@@ -209,3 +209,63 @@ def test_publish_artifact_concurrent_builders_do_not_clobber(tmp_path):
     # whichever builder won, its marker and payload are the SAME build
     assert stamp == f"stamp-{payload}"
     assert not [n for n in os.listdir(tmp_path) if ".build." in n or ".trash." in n]
+
+
+def test_delete_from_dedup_index_equals_rebuild_on_remaining(spark, tmp_path):
+    """Index DELETE (the third mutation verb): removing a slice from a
+    persisted dedup index must leave band postings, shingles, and
+    stats IDENTICAL to a fresh build over the remaining corpus — and
+    the honest-refusal contract must trip on an id that was never
+    indexed and on an id indexed under different text."""
+    from pyspark.sql import functions as F
+
+    from warp_spark.pipeline.dedup import (
+        delete_from_dedup_index,
+        persist_dedup_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i} delta epsilon zeta eta theta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    keep, drop = docs.filter("doc_id < 14"), docs.filter("doc_id >= 14")
+    p_del, p_ref = str(tmp_path / "del"), str(tmp_path / "ref")
+    persist_dedup_index(docs, p_del)
+    assert delete_from_dedup_index(spark, p_del, drop) is True
+    persist_dedup_index(keep, p_ref)
+    for sub, key in (("bands", None), ("shingles", None), ("stats", None)):
+        a = sorted(map(str, spark.read.parquet(f"{p_del}/{sub}").collect()))
+        b = sorted(map(str, spark.read.parquet(f"{p_ref}/{sub}").collect()))
+        assert a == b and len(a) > 0, sub
+
+    # refusal: id never indexed
+    ghost = spark.createDataFrame(
+        [(99, "nine nine nine nine nine nine")], "doc_id long, text string"
+    )
+    n_rows = spark.read.parquet(f"{p_del}/bands").count()
+    assert delete_from_dedup_index(spark, p_del, ghost) is False
+    # refusal: id indexed under DIFFERENT text (signature mismatch)
+    wrong = spark.createDataFrame(
+        [(3, "totally different content here now friend")], "doc_id long, text string"
+    )
+    assert delete_from_dedup_index(spark, p_del, wrong) is False
+    # refused deletes wrote nothing
+    assert spark.read.parquet(f"{p_del}/bands").count() == n_rows
+    assert int(spark.read.parquet(f"{p_del}/stats").first()["n_docs"]) == 14
+
+
+def test_dedup_index_delete_entry_takes_the_fast_path(spark):
+    """The catalog entry must exercise the PRUNED delete, not the
+    fallback rebuild: on the shipped corpus delete_from_dedup_index
+    accepts the 12..15 slice (every id indexed under exactly its
+    text), so the marker reads 'deleted', never 'rebuilt'."""
+    import os
+
+    import __spark_entry__ as m
+    import warp_spark.catalog as cat
+
+    sf = "/root/testdata/sf0.001"
+    m.queries()["dedup_index_delete"](spark, sf).count()
+    path = cat._artifact_path("warp_dedup_idxdel_v1", sf)
+    with open(os.path.join(path, "_INDEX_COMPLETE")) as f:
+        assert "deleted" in f.read()

@@ -7298,6 +7298,99 @@ def dedup_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["dedup_index_lifecycle"] = ORACLES["dedup_incremental"]
 
 
+# Index DELETION (pipeline/dedup.py::delete_from_dedup_index) — the
+# third mutation verb of the index lifecycle, and the one production
+# cannot skip: takedowns, retention expiry, and right-to-be-forgotten
+# requests mutate a standing index at 100 TB where rebuild-per-batch
+# is not an option (reference analogue: MutableDataset row removal,
+# MutableData.swift:40-63).  The entry copies the standing %20<16
+# index, DELETES the 12..15 slice (postings removed by rewriting only
+# the touched bucket partitions; shingles by one anti-join; n_docs
+# decremented exactly; refusal on any id not indexed under exactly
+# the supplied text), then probes with the %20>=16 batch — the result
+# must equal an incremental dedup against the %20<12 corpus, replayed
+# value-for-value by the DuckDB oracle below.  Delete ≡
+# rebuild-on-remaining is also pytest-pinned.
+@register(
+    "dedup_index_delete",
+    "WITH "
+    + _DUCK_LSH
+    + """,
+capped AS (SELECT band_idx, band_val FROM bands
+           GROUP BY 1, 2 HAVING count(*) <= 10000),
+xcand AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+          JOIN capped s
+            ON s.band_idx = a.band_idx AND s.band_val = a.band_val
+          WHERE a.doc_id % 20 >= 16 AND b.doc_id % 20 < 12),
+ver AS (SELECT c.batch_id, c.corpus_id,
+               round(len(list_intersect(x.sh, y.sh))::DOUBLE
+                     / len(list_distinct(x.sh || y.sh)), 6) AS j
+        FROM xcand c
+        JOIN sh x ON x.doc_id = c.batch_id
+        JOIN sh y ON y.doc_id = c.corpus_id
+        WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+              / len(list_distinct(x.sh || y.sh)) >= 0.5),
+hits AS (SELECT batch_id, min(corpus_id) AS dup_of, max(j) AS best_jaccard
+         FROM ver GROUP BY batch_id)
+SELECT d.doc_id, h.dup_of, h.best_jaccard, h.dup_of IS NOT NULL AS is_dup
+FROM documents d LEFT JOIN hits h ON h.batch_id = d.doc_id
+WHERE d.doc_id % 20 >= 16
+""",
+)
+def dedup_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from warp_spark.pipeline.dedup import (
+        delete_from_dedup_index,
+        dedup_index_probe,
+        persist_dedup_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    del_docs = docs.filter(
+        (F.col("doc_id") % 20 >= 12) & (F.col("doc_id") % 20 < 16)
+    )
+    batch = docs.filter(F.col("doc_id") % 20 >= 16)
+    # the deletion re-runs every invocation over a cheap copy of the
+    # stamp-reused standing index (the streamed-ingest discipline)
+    std_path = _ensure_dedup_index(spark, sf_dir)
+    path = _artifact_path("warp_dedup_idxdel_v1", sf_dir)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    shutil.copytree(std_path, path)
+    marker = os.path.join(path, "_INDEX_COMPLETE")
+    with open(marker, "w") as f:
+        f.write("deleting\n")
+    if not delete_from_dedup_index(spark, path, del_docs):
+        # refusal (shape drift / cap drop / id-text mismatch): the
+        # honest path is the rebuild over the remaining corpus
+        _publish_artifact(
+            path,
+            "_INDEX_COMPLETE",
+            "delete rebuilt (refused)",
+            lambda tmp: persist_dedup_index(
+                docs.filter(F.col("doc_id") % 20 < 12), tmp
+            ),
+        )
+    else:
+        with open(marker, "w") as f:
+            f.write("standing minus 12..15 (deleted)\n")
+    hits = dedup_index_probe(spark, path, batch, threshold=0.5)
+    return (
+        batch.select("doc_id")
+        .join(hits, F.col("doc_id") == F.col("batch_id"), "left")
+        .select(
+            "doc_id",
+            "dup_of",
+            "best_jaccard",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # EXACT set-similarity join via prefix filtering (AllPairs/PPJoin
 # family, dedup.py::prefix_filter_jaccard_pairs): unlike the LSH

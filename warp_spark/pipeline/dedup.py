@@ -1148,6 +1148,146 @@ def append_dedup_index(
     return True
 
 
+def delete_from_dedup_index(
+    spark,
+    path: str,
+    del_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> bool:
+    """Remove documents from a persisted dedup index WITHOUT
+    re-signaturing the standing corpus — the third mutation verb of
+    the index lifecycle (build/probe/append/DELETE/compact; reference
+    analogue: MutableDataset row removal, MutableData.swift:40-63):
+    takedowns, retention expiry, and right-to-be-forgotten requests
+    are deletions against a standing index, and rebuilding 100 TB of
+    signatures per takedown batch is not an option.
+
+    ``del_docs`` must carry the documents AS INDEXED (id and text):
+    the deleted docs' band signatures are recomputed (Arrow tier, the
+    append leg's reasoning) and their postings removed by rewriting
+    ONLY the touched bucket partitions — a partition-pruned rewrite,
+    never a corpus pass.  The shingle verify tier is rewritten with
+    one anti-join (an INDEX-sized columnar pass, the compaction cost
+    class) and ``n_docs`` decremented exactly.
+
+    Honest-refusal contract (returns ``False``, caller must rebuild):
+    (a) signature-shape drift or a build-time cap drop, same guards as
+    append_dedup_index — a capped build dropped postings a delete
+    cannot reconstruct; (b) any requested doc NOT present with
+    EXACTLY its indexed signature (id re-used with different text, or
+    id never indexed) — verified by counting pruned postings matched
+    per (corpus_id, band_idx, band_val): anything other than
+    n_deleted × bands-per-doc means the delete would corrupt the
+    row-count invariant that guards every future append/delete.
+
+    On ``True``, delete-then-probe equals rebuild-on-remaining-then-
+    probe EXACTLY (pytest-pinned), and the bands swap happens under
+    the index's ``.lock`` flock (artifacts.py discipline)."""
+    import fcntl
+    import os
+    import shutil
+
+    from warp_spark.artifacts import unique_sibling_tmp
+
+    st = spark.read.parquet(f"{path}/stats").first()
+    n_buckets = int(st["n_buckets"])
+    bands_per_doc = int(st["num_hashes"]) // int(st["band_size"])
+    if (
+        int(st["num_hashes"]) != DEFAULT_NUM_HASHES
+        or int(st["band_size"]) != DEFAULT_BAND_SIZE
+    ):
+        return False  # signature shape drifted from this module's path
+    try:
+        old_bands = spark.read.parquet(f"{path}/bands")
+        n_band_rows = old_bands.count()
+    except Exception:
+        return False
+    if n_band_rows != int(st["n_docs"]) * bands_per_doc:
+        return False  # build-time cap fired: delete cannot reconstruct
+
+    del_bands = (
+        del_docs.select(
+            F.col(id_col).alias("corpus_id"),
+            minhash_sig64_udf(F.col(text_col)).alias("__sig"),
+        )
+        .select(
+            "corpus_id",
+            F.posexplode(lsh_bands(F.col("__sig"))).alias("band_idx", "band_val"),
+        )
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("band_val"), F.lit(n_buckets)).cast("int"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_del = del_bands.select("corpus_id").distinct().count()
+    if n_del == 0:
+        return True
+    touched = sorted(
+        r["bucket"] for r in del_bands.select("bucket").distinct().collect()
+    )
+    old_pruned = old_bands.filter(F.col("bucket").isin(touched))
+    matched = old_pruned.join(
+        del_bands.select("corpus_id", "band_idx", "band_val"),
+        ["corpus_id", "band_idx", "band_val"],
+        "leftsemi",
+    ).count()
+    if matched != n_del * bands_per_doc:
+        return False  # not indexed, or indexed under different text
+
+    del_ids = del_bands.select("corpus_id").distinct()
+    remaining = old_pruned.join(del_ids, "corpus_id", "left_anti").select(
+        "corpus_id", "band_idx", "band_val", "bucket"
+    )
+    tmp = unique_sibling_tmp(os.path.join(path, "bands"), tag="delete")
+    remaining.repartition(max(len(touched), 1), "bucket").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(tmp)
+    # swap ONLY the touched bucket partitions, under the index lock; a
+    # bucket whose postings all belonged to deleted docs simply
+    # disappears (parquet readers handle absent partitions)
+    with open(path + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            for b in touched:
+                dst = os.path.join(path, "bands", f"bucket={b}")
+                src = os.path.join(tmp, f"bucket={b}")
+                shutil.rmtree(dst, ignore_errors=True)
+                if os.path.exists(src):
+                    os.rename(src, dst)
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    sh_tmp = unique_sibling_tmp(os.path.join(path, "shingles"), tag="delete")
+    (
+        spark.read.parquet(f"{path}/shingles")
+        .join(del_ids, "corpus_id", "left_anti")
+        .coalesce(8)
+        .write.mode("overwrite")
+        .parquet(sh_tmp)
+    )
+    from warp_spark.artifacts import swap_artifact_dir
+
+    swap_artifact_dir(os.path.join(path, "shingles"), sh_tmp)
+
+    spark.createDataFrame(
+        [
+            (
+                int(st["n_docs"]) - int(n_del),
+                int(st["num_hashes"]),
+                int(st["band_size"]),
+                n_buckets,
+                int(st["max_corpus_bucket"]),
+            )
+        ],
+        "n_docs long, num_hashes int, band_size int, n_buckets int, "
+        "max_corpus_bucket long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    return True
+
+
 def compact_dedup_index(spark, path: str) -> None:
     """Rewrite an append-grown dedup index into its canonical file
     layout with IDENTICAL content — the maintenance op every

@@ -269,3 +269,74 @@ def test_dedup_index_delete_entry_takes_the_fast_path(spark):
     path = cat._artifact_path("warp_dedup_idxdel_v1", sf)
     with open(os.path.join(path, "_INDEX_COMPLETE")) as f:
         assert "deleted" in f.read()
+
+
+def test_delete_from_bm25_index_equals_rebuild_on_remaining(spark, tmp_path):
+    """BM25 delete must leave postings and stats identical to a fresh
+    build over the remaining corpus, and refuse absent ids or text
+    drift."""
+    from warp_spark.pipeline.text import build_bm25_index, delete_from_bm25_index
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i} delta epsilon zeta eta theta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    keep, drop = docs.filter("doc_id < 14"), docs.filter("doc_id >= 14")
+    p_del, p_ref = str(tmp_path / "del"), str(tmp_path / "ref")
+    build_bm25_index(docs, p_del)
+    assert delete_from_bm25_index(spark, p_del, drop) is True
+    build_bm25_index(keep, p_ref)
+    for sub in ("postings", "stats"):
+        a = sorted(map(str, spark.read.parquet(f"{p_del}/{sub}").collect()))
+        b = sorted(map(str, spark.read.parquet(f"{p_ref}/{sub}").collect()))
+        assert a == b and len(a) > 0, sub
+    ghost = spark.createDataFrame(
+        [(99, "nine nine nine")], "doc_id long, text string"
+    )
+    assert delete_from_bm25_index(spark, p_del, ghost) is False
+    wrong = spark.createDataFrame(
+        [(3, "totally different words now")], "doc_id long, text string"
+    )
+    assert delete_from_bm25_index(spark, p_del, wrong) is False
+    assert int(spark.read.parquet(f"{p_del}/stats").first()["n_docs"]) == 14
+
+
+def test_delete_from_ivfpq_index_inverts_append(spark, tmp_path):
+    """Under a frozen model, append and delete are exact inverses:
+    delete(append(build(B), S), S) must equal build(B) table-for-table
+    — and absent/drifted vectors refuse."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from warp_spark.pipeline.similarity import (
+        append_ivfpq_index,
+        delete_from_ivfpq_index,
+        persist_ivfpq_index,
+    )
+
+    rng = random.Random(11)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    base, slice_ = emb.filter("vec_id < 30"), emb.filter("vec_id >= 30")
+    p_del, p_ref = str(tmp_path / "del"), str(tmp_path / "ref")
+    persist_ivfpq_index(base, p_del, n_centroids=4, m=4, n_codes=8)
+    append_ivfpq_index(spark, p_del, slice_)
+    assert delete_from_ivfpq_index(spark, p_del, slice_) is True
+    persist_ivfpq_index(base, p_ref, n_centroids=4, m=4, n_codes=8)
+    for sub in ("codes", "storage", "centroids", "codebooks"):
+        a = sorted(map(str, spark.read.parquet(f"{p_del}/{sub}").collect()))
+        b = sorted(map(str, spark.read.parquet(f"{p_ref}/{sub}").collect()))
+        assert a == b and len(a) > 0, sub
+    # refusal: id never indexed
+    ghost = spark.createDataFrame(
+        [(999, [0.5] * 16)], "vec_id long, embedding array<float>"
+    )
+    assert delete_from_ivfpq_index(spark, p_del, ghost) is False
+    # refusal: id indexed under a DIFFERENT vector
+    drift = emb.filter("vec_id = 3").select(
+        "vec_id", F.transform("embedding", lambda x: x + F.lit(2.0)).alias("embedding")
+    )
+    assert delete_from_ivfpq_index(spark, p_del, drift) is False

@@ -16011,6 +16011,176 @@ def bm25_index_append_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["bm25_index_append"] = ORACLES["bm25_topk"]
 
 
+# Index deletion, lexical leg (pipeline/text.py::delete_from_bm25_index
+# — the dedup_index_delete discipline applied to the postings store):
+# copy the standing full-corpus index, DELETE the 16..19 slice (one
+# anti-join rewrite of the postings, stats decremented in exact
+# integers, refusal on absent ids / text drift / duplicated postings),
+# then probe the three fixed queries — scores must equal BM25 over the
+# REMAINING corpus, replayed value-for-value by the oracle (bm25_topk's
+# SQL restricted to doc_id % 20 < 16: n_docs, total_dl, and df all
+# shift with the deletion, so a stale stats row or a surviving posting
+# hash-fails).  Delete ≡ rebuild-on-remaining is also pytest-pinned.
+@register(
+    "bm25_index_delete",
+    """
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+      FROM documents WHERE doc_id % 20 < 16
+    ),
+    d AS (
+      SELECT doc_id, len(tk)::BIGINT AS dl,
+             list_filter(tk, t -> t IN ('agg','hash','join','query',
+                                        'scan','slow','stream','window')) AS hits
+      FROM base
+    ),
+    tfc AS (
+      SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, dl, unnest(hits) AS term FROM d)
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tfc GROUP BY 1),
+    st AS (SELECT count(*)::BIGINT AS n_docs, sum(len(tk))::BIGINT AS total_dl
+           FROM base),
+    q AS (SELECT * FROM (VALUES (1,'hash'),(1,'join'),
+                                (2,'stream'),(2,'window'),(2,'agg'),
+                                (3,'slow'),(3,'query'),(3,'scan'))
+          AS v(query_id, term)),
+    scored AS (
+      SELECT q.query_id, t.doc_id, t.term,
+             log2((n_docs::DOUBLE - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)
+                  + 1.0::DOUBLE)
+               * (t.tf * 2.2::DOUBLE)
+               / (t.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                  + 0.75::DOUBLE * t.dl * n_docs::DOUBLE / total_dl::DOUBLE))
+               AS c
+      FROM tfc t JOIN dfreq USING (term) JOIN q ON q.term = t.term
+      CROSS JOIN st
+    ),
+    pair AS (
+      SELECT query_id, doc_id,
+             list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY term)),
+                         (a, x) -> a + x) AS score
+      FROM scored GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS rank
+      FROM pair
+    )
+    SELECT query_id, rank, doc_id,
+           floor(score * 1000000.0::DOUBLE + 0.5::DOUBLE)::BIGINT AS score_ppm
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from warp_spark.pipeline.text import (
+        bm25_index_probe,
+        build_bm25_index,
+        delete_from_bm25_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").to_df()
+    del_docs = docs.filter(F.col("doc_id") % 20 >= 16)
+    std_path = _ensure_bm25_index(spark, sf_dir)
+    path = _artifact_path("warp_bm25_idxdel_v1", sf_dir)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    shutil.copytree(std_path, path)
+    marker = os.path.join(path, "_INDEX_COMPLETE")
+    with open(marker, "w") as f:
+        f.write("deleting\n")
+    if not delete_from_bm25_index(spark, path, del_docs):
+        _publish_artifact(
+            path,
+            "_INDEX_COMPLETE",
+            "bm25 delete rebuilt (refused)",
+            lambda tmp: build_bm25_index(
+                docs.filter(F.col("doc_id") % 20 < 16), tmp
+            ),
+        )
+    else:
+        with open(marker, "w") as f:
+            f.write("full minus 16..19 (deleted)\n")
+    return bm25_index_probe(
+        spark,
+        path,
+        [
+            (1, ["hash", "join"]),
+            (2, ["stream", "window", "agg"]),
+            (3, ["slow", "query", "scan"]),
+        ],
+        k=10,
+    )
+
+
+# Index deletion, vector leg (pipeline/similarity.py::
+# delete_from_ivfpq_index — Faiss remove_ids under a frozen model):
+# copy the appended index (base-trained model + absorbed fifth),
+# DELETE that same fifth — touched inverted lists rewritten pruned,
+# rerank storage anti-joined, model artifacts untouched; append and
+# delete are exact inverses under a frozen model, so the result is
+# byte-equal to the base-only build (pytest-pinned).  The driver
+# contract is the ANN tier's recall floor: probing the deleted index
+# against exact brute force over the REMAINING corpus must clear 0.8.
+@register(
+    "ann_index_delete",
+    """
+    SELECT CAST(10 AS BIGINT) AS n_queries,
+           CAST(0.8 AS DOUBLE) AS recall_floor,
+           true               AS recall_ge_floor
+    """,
+)
+def ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from warp_spark.pipeline.similarity import (
+        brute_force_topk,
+        delete_from_ivfpq_index,
+        ivfpq_probe,
+        load_ivfpq_index,
+        persist_ivfpq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").to_df()
+    is_base = F.col("vec_id") % 5 != 4
+    std_path = _ensure_ann_index_appended(spark, sf_dir)
+    path = _artifact_path("warp_ann_idxdel_v1", sf_dir)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    shutil.copytree(std_path, path)
+    marker = os.path.join(path, "_INDEX_COMPLETE")
+    with open(marker, "w") as f:
+        f.write("deleting\n")
+    if not delete_from_ivfpq_index(spark, path, emb.filter(~is_base)):
+        _publish_artifact(
+            path,
+            "_INDEX_COMPLETE",
+            "ann delete rebuilt (refused)",
+            lambda tmp: persist_ivfpq_index(
+                emb.filter(is_base), tmp, n_centroids=16, m=16, n_codes=32
+            ),
+        )
+    else:
+        with open(marker, "w") as f:
+            f.write("appended minus held-out fifth (deleted)\n")
+    centroids, codebooks, codes, storage = load_ivfpq_index(spark, path)
+    q = emb.filter(F.col("vec_id") < 10)
+    return _ann_recall_check(
+        ivfpq_probe(
+            q, codes, centroids, codebooks, k=5, nprobe=12, rerank=100,
+            storage=storage,
+        ),
+        brute_force_topk(q, emb.filter(is_base), k=5),
+        floor=0.8,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Silence segmentation over REAL WAV audio (pipeline/codecs.py::
 # wav_silence_stats) — the voice-activity primitive, completing the

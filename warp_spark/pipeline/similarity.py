@@ -1120,6 +1120,118 @@ def append_ivfpq_index(
     return True
 
 
+def delete_from_ivfpq_index(
+    spark,
+    path: str,
+    del_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    """Remove vectors from a persisted IVF-PQ index with the model
+    FROZEN — the vector leg of the delete discipline (dedup:
+    delete_from_dedup_index; lexical: delete_from_bm25_index), and
+    exactly how production vector stores shed rows between retrains
+    (Faiss ``remove_ids``): centroids and codebooks are untouched, the
+    deleted ids' codes rows are dropped by rewriting ONLY the touched
+    centroid_id partitions, and their raw vectors leave the rerank
+    tier via one anti-join.
+
+    ``del_vecs`` must carry the vectors AS INDEXED: the slice is
+    re-assigned and re-encoded through the persisted model (pure
+    functions, so byte-identical to what the index holds) and
+    verified — every recomputed (vec_id, centroid_id, codes) row must
+    exist in the pruned partitions, and the ids' indexed rows must
+    number exactly the slice's, so an absent id, a drifted vector, or
+    a double-appended id all REFUSE (``False``, caller rebuilds on
+    the remaining corpus).  On ``True``,
+    delete(append(build(B), S), S) is BYTE-EQUAL to build(B)
+    (pytest-pinned) — append and delete are exact inverses under a
+    frozen model."""
+    import fcntl
+    import os
+    import shutil
+
+    from warp_spark.artifacts import swap_artifact_dir, unique_sibling_tmp
+
+    centroids = [
+        (int(r["centroid_id"]), [float(x) for x in r["vector"]])
+        for r in spark.read.parquet(f"{path}/centroids")
+        .orderBy("centroid_id")
+        .collect()
+    ]
+    book_rows = (
+        spark.read.parquet(f"{path}/codebooks").orderBy("subspace", "code").collect()
+    )
+    n_sub = int(book_rows[-1]["subspace"]) + 1
+    codebooks = [
+        [
+            [float(x) for x in r["vector"]]
+            for r in book_rows
+            if int(r["subspace"]) == j
+        ]
+        for j in range(n_sub)
+    ]
+    del_enc = del_vecs.select(
+        F.col(id_col).alias("vec_id"),
+        F.coalesce(ivf_assign(F.col(vec_col), centroids), F.lit(-1)).alias(
+            "centroid_id"
+        ),
+        pq_encode(F.col(vec_col), codebooks).alias("codes"),
+    ).localCheckpoint(eager=True)
+    n_del = del_enc.select("vec_id").distinct().count()
+    if n_del == 0:
+        return True
+    touched = sorted(
+        r["centroid_id"]
+        for r in del_enc.select("centroid_id").distinct().collect()
+    )
+    codes = spark.read.parquet(f"{path}/codes")
+    pruned = codes.filter(F.col("centroid_id").isin(touched))
+    matched = pruned.join(
+        del_enc, ["vec_id", "centroid_id", "codes"], "leftsemi"
+    ).count()
+    indexed_for_ids = (
+        codes.select("vec_id")
+        .join(del_enc.select("vec_id").distinct(), "vec_id", "leftsemi")
+        .count()
+    )
+    if matched != n_del or indexed_for_ids != n_del:
+        return False  # absent id, vector drift, or duplicated codes
+
+    del_ids = del_enc.select("vec_id").distinct()
+    remaining = pruned.join(del_ids, "vec_id", "left_anti").select(
+        "vec_id", "codes", "centroid_id"
+    )
+    tmp = unique_sibling_tmp(os.path.join(path, "codes"), tag="delete")
+    remaining.repartition(max(len(touched), 1), "centroid_id").write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(tmp)
+    # swap ONLY the touched inverted lists, under the index lock
+    with open(path + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            for c in touched:
+                dst = os.path.join(path, "codes", f"centroid_id={c}")
+                src = os.path.join(tmp, f"centroid_id={c}")
+                shutil.rmtree(dst, ignore_errors=True)
+                if os.path.exists(src):
+                    os.rename(src, dst)
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    st_tmp = unique_sibling_tmp(os.path.join(path, "storage"), tag="delete")
+    (
+        spark.read.parquet(f"{path}/storage")
+        .join(del_ids, "vec_id", "left_anti")
+        .coalesce(8)
+        .write.mode("overwrite")
+        .parquet(st_tmp)
+    )
+    swap_artifact_dir(os.path.join(path, "storage"), st_tmp)
+    return True
+
+
 def compact_ivfpq_index(spark, path: str) -> None:
     """Rewrite an append-grown IVF-PQ index into its canonical file
     layout with IDENTICAL content (the compact_dedup_index /

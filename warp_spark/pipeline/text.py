@@ -1811,6 +1811,94 @@ def append_bm25_index(
     return True
 
 
+def delete_from_bm25_index(
+    spark,
+    path: str,
+    del_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> bool:
+    """Remove documents from a persisted BM25 index WITHOUT
+    re-tokenizing the standing corpus — the lexical leg of the delete
+    discipline (dedup leg: dedup.py::delete_from_dedup_index;
+    takedowns / retention expiry / right-to-be-forgotten against a
+    standing index).  BM25 state deletes cleanly: postings rows are
+    per (term, doc) and df/idf re-derive at probe time, so removal is
+    an anti-join on the id plus an exact-integer decrement of the
+    1-row stats (n_docs, total_dl).
+
+    ``del_docs`` must carry the documents AS INDEXED: the slice is
+    re-tokenized (one slice pass) and verified row-for-row against
+    the standing postings — every recomputed (term, id, tf, dl) must
+    exist, and the ids' indexed rows must number exactly the
+    recomputed rows, so an id that was never indexed, an id indexed
+    under different text, or a double-appended id all REFUSE
+    (``False``, caller rebuilds on the remaining corpus).  A common
+    word's bucket holds most docs, so the rewrite is a full postings
+    pass (index-sized, the compaction cost class — one read →
+    anti-join → write per delete batch, never a corpus
+    re-tokenization), swapped under the repo-wide flock discipline."""
+    import os
+
+    from warp_spark.artifacts import swap_artifact_dir, unique_sibling_tmp
+
+    tk = "_bm25_tk"
+    st = spark.read.parquet(f"{path}/stats").first()
+    n_buckets = int(st["n_buckets"]) if "n_buckets" in st.asDict() else 16
+    del_post = (
+        del_docs.select(F.col(id_col), F.col(text_col))
+        .withColumn(tk, tokens(F.col(text_col)))
+        .select(
+            id_col,
+            F.size(tk).cast("long").alias("dl"),
+            F.explode(tk).alias("term"),
+        )
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    # n/dl decrements come from the SLICE itself (covers zero-token
+    # docs, which have no postings to verify but did count in n_docs)
+    inc = del_docs.select(tokens(F.col(text_col)).alias(tk)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum(F.size(tk)), F.lit(0)).cast("long").alias("dl"),
+    ).first()
+    if int(inc["n"]) == 0:
+        return True
+    n_del_rows = del_post.count()
+    del_ids = del_docs.select(id_col).distinct()
+    postings = spark.read.parquet(f"{path}/postings")
+    matched = postings.join(
+        del_post, ["term", id_col, "dl", "tf"], "leftsemi"
+    ).count()
+    indexed_for_ids = postings.join(del_ids, id_col, "leftsemi").count()
+    if matched != n_del_rows or indexed_for_ids != n_del_rows:
+        return False  # absent id, text drift, or duplicated postings
+    tmp = unique_sibling_tmp(os.path.join(path, "postings"), tag="delete")
+    (
+        postings.join(del_ids, id_col, "left_anti")
+        # the anti-join hoists the key column; restore the build-time
+        # column order so the artifact stays layout-faithful
+        .select("term", id_col, "dl", "tf", "bucket")
+        .repartition(n_buckets, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    swap_artifact_dir(os.path.join(path, "postings"), tmp)
+    spark.createDataFrame(
+        [
+            (
+                int(st["n_docs"]) - int(inc["n"]),
+                int(st["total_dl"]) - int(inc["dl"]),
+                n_buckets,
+            )
+        ],
+        "n_docs long, total_dl long, n_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    return True
+
+
 def compact_bm25_index(spark, path: str) -> None:
     """Rewrite an append-grown BM25 index into its canonical file
     layout with IDENTICAL content (the dedup.py::compact_dedup_index

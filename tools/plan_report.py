@@ -98,6 +98,9 @@ def main():
         # is the embedded brute_force_topk baseline, not the probe
         "ann_index_append",
         "ann_index_compact",
+        # same recall contract over the DELETED index (r13) — again the
+        # embedded exact baseline, not the delete/probe path
+        "ann_index_delete",
         # embeds brute_force_topk PLUS the bounded candidate x candidate
         # similarity matrix (N=100 re-rank set) — both documented legs
         "embedding_mmr_diversify",

@@ -234,6 +234,22 @@ HEAVY = [
     "events_ks_drift_streamed",
     # round-11: RA link prediction — same capped wedge machinery
     "graph_ra_links_capped",
+    # round-13: graph incremental maintenance (edge append is a pruned
+    # anti-join set union; the wedge fold re-expands only touched
+    # centers; compaction is an artifact-sized rewrite) and the
+    # streamed twin (28th streaming execution; stages its delta from
+    # sf_dir so the 10x point is meaningful)
+    "graph_edges_append",
+    "graph_wedges_append",
+    "graph_edges_compact",
+    "graph_ingest_streamed",
+    # round-13: the composed maintenance loop and the delete verb
+    # across all three index families (per-run copy+mutate+probe
+    # demos — cost tracks slice + artifact, never the corpus)
+    "dedup_index_lifecycle",
+    "dedup_index_delete",
+    "bm25_index_delete",
+    "ann_index_delete",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

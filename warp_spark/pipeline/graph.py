@@ -602,9 +602,15 @@ def update_wedge_census(
             "x", "y", (-F.col("cn")).alias("cn"), (-F.col("ra_ppm")).alias("ra_ppm")
         )
     )
+    # ONE shuffle for the whole merge: pre-partitioning on exactly the
+    # grouping keys lets the groupBy reuse the exchange (Catalyst's
+    # clustered-distribution check), so the index-sized rewrite moves
+    # the census once — not groupBy-to-32 then repartition-to-8 again
+    # (measured 708 MiB/run at sf0.1 with the double pass)
     merged = (
         standing.select("x", "y", "cn", "ra_ppm")
         .union(signed)
+        .repartition(8, "x", "y")
         .groupBy("x", "y")
         .agg(
             F.sum("cn").cast("long").alias("cn"),
@@ -613,7 +619,7 @@ def update_wedge_census(
         .where(F.col("cn") > 0)
     )
     tmp = unique_sibling_tmp(census_path, tag="delta")
-    merged.repartition(8, "x").write.mode("overwrite").parquet(tmp)
+    merged.write.mode("overwrite").parquet(tmp)
     # carry MARKER files (the catalog's stamp) over unchanged — the
     # census artifact is a flat parquet directory, so the old data
     # files and Spark's write sentinels must NOT travel (the merged

@@ -306,8 +306,15 @@ def persist_wedge_census(
     SAME (x, y, cn, ra_ppm) census, so the quadratic wedge expansion
     is paid once at write time and each scorer is then a columnar scan
     + anti-join + top-k (the cache-step discipline one level up;
-    reference analogue QBECacheStep.swift:15-140)."""
-    wedge_census(edges, max_center_degree).repartition(8, "x").write.mode(
+    reference analogue QBECacheStep.swift:15-140).
+
+    Layout: the census groupBy's output is already hash-clustered on
+    (x, y), so the write COALESCES to 8 files instead of re-shuffling
+    by x — coalesce merges whole hash partitions (files stay disjoint
+    pair-hash groups) and skips a second census-sized exchange per
+    build (no consumer range-filters x, so x min/max file stats bought
+    nothing)."""
+    wedge_census(edges, max_center_degree).coalesce(8).write.mode(
         "overwrite"
     ).parquet(path)
 

@@ -1084,41 +1084,48 @@ def append_dedup_index(
     touched = sorted(
         r["bucket"] for r in new_bands.select("bucket").distinct().collect()
     )
-    # no-re-append precondition (r12 verdict item 3): a slice holding
-    # already-indexed ids would double their postings/shingles and
-    # inflate n_docs — silently breaking append ≡ rebuild.  A
-    # re-delivered doc's signature is a pure function of its text, so
-    # its band rows sit in exactly the buckets this slice touches: one
-    # partition-PRUNED semi-join catches re-delivery without a corpus
-    # scan.  (An id re-delivered with DIFFERENT text may land in other
-    # buckets — ids are immutable keys by the module's contract, and
-    # that corruption is on the caller.)
-    overlap = (
-        old_bands.filter(F.col("bucket").isin(touched))
-        .select("corpus_id")
-        .join(new_bands.select("corpus_id").distinct(), "corpus_id", "leftsemi")
-        .limit(1)
-        .count()
+    # ONE partition-pruned pass answers BOTH preconditions (fused to a
+    # single Spark job — this runs per TRIGGER in the streamed ingest,
+    # where per-job overhead dominates the tiny scans):
+    # (a) no-re-append (r12 verdict item 3): a slice holding
+    #     already-indexed ids would double their postings/shingles and
+    #     inflate n_docs — a re-delivered doc's signature is a pure
+    #     function of its text, so its band rows sit in exactly the
+    #     buckets this slice touches, and the broadcast id-flag join
+    #     catches re-delivery without a corpus scan.  (An id
+    #     re-delivered with DIFFERENT text may land in other buckets —
+    #     ids are immutable keys by the module's contract.)
+    # (b) the cap invariant: any bucket the slice touches that would
+    #     cross max_corpus_bucket combined forces a rebuild.
+    new_ids = new_bands.select("corpus_id").distinct()
+    old_flag = old_bands.filter(F.col("bucket").isin(touched)).join(
+        F.broadcast(new_ids.select(F.col("corpus_id").alias("__nid"))),
+        F.col("corpus_id") == F.col("__nid"),
+        "left",
     )
-    if overlap:
-        return False  # slice re-delivers indexed ids: rebuild honestly
+    old_cnt = old_flag.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).alias("n_old"),
+        F.sum(F.when(F.col("__nid").isNotNull(), 1).otherwise(0)).alias("n_dup"),
+    )
     new_cnt = new_bands.groupBy("band_idx", "band_val").agg(
         F.count(F.lit(1)).alias("n_new")
     )
-    old_cnt = (
-        old_bands.filter(F.col("bucket").isin(touched))
-        .groupBy("band_idx", "band_val")
-        .agg(F.count(F.lit(1)).alias("n_old"))
-    )
-    worst = (
-        new_cnt.join(old_cnt, ["band_idx", "band_val"], "left")
-        .select(
-            (F.col("n_new") + F.coalesce(F.col("n_old"), F.lit(0))).alias("n")
+    chk = (
+        new_cnt.join(old_cnt, ["band_idx", "band_val"], "full")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("n_new").isNotNull(),
+                    F.col("n_new") + F.coalesce(F.col("n_old"), F.lit(0)),
+                )
+            ).alias("mx"),
+            F.coalesce(F.sum("n_dup"), F.lit(0)).alias("dups"),
         )
-        .agg(F.max("n").alias("mx"))
-        .first()["mx"]
+        .first()
     )
-    if worst is not None and worst > cap:
+    if chk["dups"] and int(chk["dups"]) > 0:
+        return False  # slice re-delivers indexed ids: rebuild honestly
+    if chk["mx"] is not None and chk["mx"] > cap:
         return False  # a combined bucket crosses the cap: rebuild
 
     new_bands.select("corpus_id", "band_idx", "band_val", "bucket").write.mode(
@@ -1130,7 +1137,10 @@ def append_dedup_index(
         "corpus_id",
         F.transform(F.col("__sh"), lambda t: F.xxhash64(t)).alias("sh_b"),
     ).write.mode("append").parquet(f"{path}/shingles")
-    n_new = new_docs.count()
+    # exact by construction (posexplode emits bands_per_doc rows per
+    # doc) and a trivial job on the checkpointed bands — no source
+    # re-scan just to count the slice
+    n_new = new_bands.count() // bands_per_doc
     # stats swap: carry every model parameter, bump only the doc count
     spark.createDataFrame(
         [

@@ -16603,25 +16603,23 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # the window is rotated every round and the rotation is documented here
 # and in PARITY.md.
 #
-# Round-13 window: execute the r12-queued rotation exactly (r12
-# verdict item 1; PARITY.md "r13 rotation queue"): the 20
-# never-driver-judged entries first (the 9 r11 additions queued behind
-# the r12 window plus the 11 r12 additions — the full index-lifecycle
-# tier: persist/probe/append/append-streamed/compact across the dedup,
-# BM25 and ANN index families, the t-digest artifact pair, the wedge
-# census and its two artifact-fed link predictors, and the KS/Spearman
-# stats pair), then the `graph_jaccard_links` RE-JUDGE (its default
-# semantics changed in r12 from the exact census to the hub-capped
-# artifact-fed form, so the r11 driver evidence belongs to code that no
-# longer ships — see _DRIVER_WINDOW_REJUDGE), then 26 of the 30
-# r7-vintage entries (every TPC-H refresh, the span/decontamination
-# dedup tier, sampling, training prep, events analytics; the four-entry
-# curation cohort is held back as a coherent r14 fill — PARITY.md "r14
-# rotation queue"), then the pinned flagship TPC-H trio.
-# The window was built against evidence through CORRECTNESS_r12
+# Round-14 window: execute the r13-queued rotation exactly (r13
+# verdict item 1; PARITY.md "r14 rotation queue"): the 8
+# never-driver-judged r13 additions first (the completed mutation
+# surface — graph append/fold/compact, the streamed graph ingest, the
+# composed dedup lifecycle, and the delete verb across all three index
+# families), then the four-entry r7-vintage curation cohort held back
+# from the r13 fill, then 35 of the 47 r8-vintage entries (the
+# artifact/pipeline tier with the most code-path drift since r8:
+# dedup/decontamination, ANN quantization, embeddings, text analysis,
+# streaming executions, the four remaining TPC-H refreshes, multimodal
+# real codecs, and the mutable-DML/infer roundtrips; the 12 simplest
+# registry/single-operator entries are held back as the r15 fill —
+# PARITY.md "r15 rotation queue"), then the pinned flagship TPC-H
+# trio.  The window was built against evidence through CORRECTNESS_r13
 # (_DRIVER_WINDOW_ROUND below); the rotation-policy test evaluates it
 # against snapshots from rounds < _DRIVER_WINDOW_ROUND only, so the
-# driver's own r13 snapshot (which postdates this commit) cannot make
+# driver's own r14 snapshot (which postdates this commit) cannot make
 # the suite red between rounds.
 # ===========================================================================
 
@@ -16629,76 +16627,76 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # evaluated against CORRECTNESS_r*.json snapshots from rounds strictly
 # before this one (the evidence that existed when the window was
 # designed).
-_DRIVER_WINDOW_ROUND = 13
+_DRIVER_WINDOW_ROUND = 14
 
 # Entries whose existing driver evidence predates a SEMANTIC change to
 # the shipped code path — their "fresh" snapshot belongs to code that
 # no longer runs, so the rotation policy treats them as stale and the
-# window re-judges them deliberately (r12 verdict item 1 queued the
-# graph_jaccard_links re-judge: its r11 green was for the exact census,
-# repointed in r12 to the hub-capped wedge-artifact read).
-_DRIVER_WINDOW_REJUDGE = {"graph_jaccard_links"}
+# window re-judges them deliberately.  Empty this round: the
+# graph_jaccard_links re-judge queued by r12 landed driver-green in
+# r13 on the shipped capped-census semantics, discharging it.
+_DRIVER_WINDOW_REJUDGE: set[str] = set()
 
 _DRIVER_WINDOW = [
-    # --- never-driver-judged: graph artifact tier (r11/r12 additions;
-    #     builds ordered before their artifact-fed probes) ---
-    "graph_edges_persist",
-    "graph_wedges_persist",
-    "graph_ra_links_capped",
-    "graph_jaccard_links_exact",
-    # --- never-driver-judged: dedup index lifecycle ---
-    "dedup_index_persist",
-    "dedup_index_probe",
-    "dedup_index_append",
-    "dedup_index_append_streamed",
-    "dedup_index_compact",
-    # --- never-driver-judged: BM25 + ANN index maintenance ---
-    "bm25_index_append",
-    "bm25_index_compact",
-    "ann_index_append",
-    "ann_index_compact",
-    # --- never-driver-judged: t-digest + stats tier ---
-    "agg_tdigest_quantiles",
-    "tdigest_persist",
-    "tdigest_probe",
-    "events_tdigest_streamed",
-    "events_ks_drift_streamed",
-    "stats_ks_two_sample",
-    "stats_spearman_price_qty",
-    # --- RE-JUDGE: default semantics repointed in r12 (exact census ->
-    #     hub-capped wedge-artifact read); r11 evidence predates it ---
-    "graph_jaccard_links",
-    # --- r7-vintage fill: TPC-H refreshes (all eight) ---
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_pseudo_profit",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity",
-    "q18_large_volume",
-    "q19_disjunctive_revenue",
-    # --- r7-vintage fill: dedup spans + decontamination ---
-    "decontaminate_ngram",
-    "dedup_duplicate_spans",
-    "dedup_span_masking",
-    "embedding_decontaminate",
-    "fuzzy_link_names",
-    # --- r7-vintage fill: events analytics ---
-    "events_anomaly_zscore",
-    "events_scd2_intervals",
-    "events_transition_matrix",
-    # --- r7-vintage fill: sampling / ranking / profiling ---
-    "ann_topk_ivfpq",
-    "profile_join_cardinality",
-    "rank_running_distinct",
-    "sample_weighted",
-    "sample_weighted_stratified",
-    "topk_per_group",
-    "text_pii_redact",
-    # --- r7-vintage fill: training prep ---
-    "pack_sequences",
-    "training_shuffle_global",
-    "training_shuffle_shards",
+    # --- never-driver-judged: the 8 r13 additions (judge-gated 8/8 at
+    #     sf0.01 by the r13 judge; mutation-surface tier, builds/appends
+    #     ordered before their compacts and composed entries) ---
+    "graph_edges_append",
+    "graph_wedges_append",
+    "graph_edges_compact",
+    "graph_ingest_streamed",
+    "dedup_index_lifecycle",
+    "dedup_index_delete",
+    "bm25_index_delete",
+    "ann_index_delete",
+    # --- r7-vintage fill: the curation cohort held back from r13 ---
+    "curation_ablation_funnel",
+    "curation_dsir_weights",
+    "curation_token_budget",
+    "mixture_rebalance",
+    # --- r8-vintage fill: TPC-H refreshes (the four not in r13's) ---
+    "q11_important_parts",
+    "q20_promotable_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    # --- r8-vintage fill: dedup / decontamination tier ---
+    "dedup_incremental",
+    "dedup_clusters_star",
+    "dedup_containment",
+    "decontaminate_bloom",
+    "decontaminate_neardup",
+    "winnow_overlap",
+    "embedding_semantic_dedup",
+    # --- r8-vintage fill: ANN quantization + embeddings ---
+    "ann_topk_pq",
+    "ann_topk_quantized",
+    "embedding_kmeans",
+    # --- r8-vintage fill: aggregation / sketch registry ---
+    "aggregate_reducers",
+    "agg_kmv_distinct",
+    "agg_skew_kurtosis",
+    "agg_mode_mad",
+    # --- r8-vintage fill: text analysis + tokenization ---
+    "text_repetition",
+    "text_tfidf_topterms",
+    "text_lm_score",
+    "bpe_train_merges",
+    "chunk_documents_rag",
+    # --- r8-vintage fill: curation + quality ---
+    "pipeline_curation_summary",
+    "quality_robust_stats",
+    "split_assign",
+    # --- r8-vintage fill: events analytics + streaming executions ---
+    "events_funnel",
+    "events_user_retention",
+    "events_gapfill_hourly",
+    "events_stream_stream_join",
+    "events_heavy_hitters_streamed",
+    # --- r8-vintage fill: roundtrips / multimodal ---
+    "infer_formula_roundtrip",
+    "mutable_dml_roundtrip",
+    "multimodal_png_real",
+    "multimodal_wav_real",
     # --- flagship TPC-H, kept every round ---
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -340,3 +340,120 @@ def test_delete_from_ivfpq_index_inverts_append(spark, tmp_path):
         "vec_id", F.transform("embedding", lambda x: x + F.lit(2.0)).alias("embedding")
     )
     assert delete_from_ivfpq_index(spark, p_del, drift) is False
+
+
+def test_mutation_verbs_serialize_on_the_index_root_lock(spark, tmp_path):
+    """r13 verdict item 3: EVERY mutation verb (append / delete /
+    compact) must hold the canonical <index>.lock for its whole
+    read-verify-write span — an external holder of the root lock
+    blocks the verb entirely, so two verbs on the same index can
+    never interleave their sub-artifact swaps or both pass a
+    precondition."""
+    import fcntl
+
+    from warp_spark.pipeline.dedup import (
+        append_dedup_index,
+        compact_dedup_index,
+        delete_from_dedup_index,
+        persist_dedup_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i} delta epsilon zeta eta theta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "idx")
+    persist_dedup_index(docs.filter("doc_id < 14"), p)
+
+    for verb in (
+        lambda: append_dedup_index(spark, p, docs.filter("doc_id >= 14")),
+        lambda: delete_from_dedup_index(spark, p, docs.filter("doc_id >= 14")),
+        lambda: compact_dedup_index(spark, p),
+    ):
+        lk = open(p + ".lock", "w")
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        before = sorted(map(str, spark.read.parquet(f"{p}/stats").collect()))
+        t = threading.Thread(target=verb)
+        t.start()
+        try:
+            time.sleep(0.5)
+            # the verb is parked on the root flock: it has not read,
+            # verified, or written ANYTHING yet
+            assert t.is_alive()
+            assert sorted(map(str, spark.read.parquet(f"{p}/stats").collect())) == before
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
+            lk.close()
+        t.join(timeout=120)
+        assert not t.is_alive()
+
+
+def test_delete_racing_compact_converges_on_remaining(spark, tmp_path):
+    """Cross-verb interleaving (r13 verdict item 3): a delete and a
+    compact fired concurrently at the same index must serialize on the
+    root lock — whichever order wins, the surviving tree equals a
+    fresh build over the remaining corpus (compaction is content-
+    preserving, so delete-then-compact == compact-then-delete)."""
+    from warp_spark.pipeline.dedup import (
+        compact_dedup_index,
+        delete_from_dedup_index,
+        persist_dedup_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i} delta epsilon zeta eta theta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    p_race, p_ref = str(tmp_path / "race"), str(tmp_path / "ref")
+    persist_dedup_index(docs, p_race)
+    results = {}
+
+    def do_delete():
+        results["deleted"] = delete_from_dedup_index(
+            spark, p_race, docs.filter("doc_id >= 14")
+        )
+
+    threads = [
+        threading.Thread(target=do_delete),
+        threading.Thread(target=compact_dedup_index, args=(spark, p_race)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+        assert not t.is_alive()
+    assert results["deleted"] is True
+    persist_dedup_index(docs.filter("doc_id < 14"), p_ref)
+    for sub in ("bands", "shingles", "stats"):
+        a = sorted(map(str, spark.read.parquet(f"{p_race}/{sub}").collect()))
+        b = sorted(map(str, spark.read.parquet(f"{p_ref}/{sub}").collect()))
+        assert a == b and len(a) > 0, sub
+
+
+def test_delete_from_bm25_index_refuses_zero_token_rows(spark, tmp_path):
+    """r13 verdict item 7: a slice row whose text tokenizes to nothing
+    has no postings to verify, so its indexed-ness is unverifiable —
+    a never-indexed zero-token id would otherwise pass the 0 == 0
+    verification and over-decrement n_docs.  Such slices refuse, and
+    the refused delete writes nothing."""
+    from warp_spark.pipeline.text import build_bm25_index, delete_from_bm25_index
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i} delta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "bm25")
+    build_bm25_index(docs, p)
+    n_post = spark.read.parquet(f"{p}/postings").count()
+
+    # a NEVER-indexed empty doc smuggled into an otherwise-valid slice
+    sneaky = docs.filter("doc_id >= 8").union(
+        spark.createDataFrame([(99, "   ")], "doc_id long, text string")
+    )
+    assert delete_from_bm25_index(spark, p, sneaky) is False
+    # null text is the same unverifiable shape
+    nully = spark.createDataFrame([(98, None)], "doc_id long, text string")
+    assert delete_from_bm25_index(spark, p, nully) is False
+    # the refused deletes wrote NOTHING
+    assert spark.read.parquet(f"{p}/postings").count() == n_post
+    assert int(spark.read.parquet(f"{p}/stats").first()["n_docs"]) == 10

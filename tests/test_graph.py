@@ -256,3 +256,116 @@ def test_compact_edges_preserves_content_and_collapses_files(spark, tmp_path):
     n_files_after = len(glob.glob(os.path.join(p, "*.parquet")))
     assert after == before and len(after) > 0
     assert n_files_after <= 8
+
+
+def test_delete_edges_equals_rebuild_on_remaining(spark, tmp_path):
+    """delete_edges (the graph DELETE verb, r13 verdict item 2) must
+    leave the artifact equal to the one-shot canonical build over the
+    remaining edge set, report exactly the rows it removed, and treat
+    absent / re-delivered / reversed / self-loop slice edges as
+    no-ops — set semantics make edge deletion self-enforcing."""
+    from warp_spark.pipeline.graph import delete_edges, load_edges, persist_edges
+
+    full = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "src long, dst long"
+    )
+    slice_ = spark.createDataFrame(
+        # two real removals (one reversed), one absent edge, an
+        # in-slice duplicate, and a self-loop
+        [(4, 3), (4, 5), (7, 8), (5, 4), (6, 6)],
+        "src long, dst long",
+    )
+    p = str(tmp_path / "edges")
+    persist_edges(full, p)
+    delta = delete_edges(spark, p, slice_)
+    assert sorted((r["u"], r["v"]) for r in delta.collect()) == [(3, 4), (4, 5)]
+    remaining = sorted((r["src"], r["dst"]) for r in load_edges(spark, p).collect())
+    p2 = str(tmp_path / "edges_oneshot")
+    persist_edges(
+        spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "src long, dst long"), p2
+    )
+    assert remaining == sorted(
+        (r["src"], r["dst"]) for r in load_edges(spark, p2).collect()
+    )
+    # idempotence: re-delivering the takedown removes nothing
+    again = delete_edges(spark, p, slice_)
+    assert again.isEmpty()
+    assert remaining == sorted(
+        (r["src"], r["dst"]) for r in load_edges(spark, p).collect()
+    )
+
+
+def test_update_wedge_census_delete_fold_with_cap_reentry(spark, tmp_path):
+    """Folding a DELETE delta (removed=True) must be value-identical
+    to the full census rebuild over the remaining edges, across every
+    cap interaction a delete can cause — above all the downward
+    crossing the append fold never sees: a center whose degree drops
+    back to ≤ cap RE-ENTERS the census and its pairs re-expand from
+    the post-delete neighborhood (r13 verdict item 2)."""
+    from warp_spark.pipeline.graph import (
+        delete_edges,
+        load_wedge_census,
+        persist_edges,
+        persist_wedge_census,
+        update_wedge_census,
+        wedge_census,
+    )
+
+    # center 10 at degree 4 (OVER cap 3 — absent from the base census),
+    # center 1 at degree 3 (AT the cap), center 20 at degree 2, and a
+    # pair 30-31 that will vanish entirely
+    full = spark.createDataFrame(
+        [
+            (10, 11), (10, 12), (10, 13), (10, 14),
+            (1, 2), (1, 3), (1, 4),
+            (20, 21), (20, 22),
+            (30, 31), (31, 32),
+        ],
+        "src long, dst long",
+    )
+    # delete: drops center 10 to degree 3 (downward cap crossing — it
+    # must RE-ENTER with its remaining C(3,2) pairs), shrinks center 1
+    # to degree 2 (contribs re-divide at DIV 2), and removes 31-32
+    # (killing the (30,32) pair through center 31)
+    removals = spark.createDataFrame(
+        [(10, 14), (1, 4), (31, 32)], "src long, dst long"
+    )
+    cap = 3
+    ep = str(tmp_path / "edges")
+    wp = str(tmp_path / "wedges")
+    persist_edges(full, ep)
+    persist_wedge_census(full, wp, max_center_degree=cap)
+    base_pairs = {(r["x"], r["y"]) for r in load_wedge_census(spark, wp).collect()}
+    assert (11, 12) not in base_pairs  # hub 10 capped out of the base census
+    delta = delete_edges(spark, ep, removals)
+    assert (
+        update_wedge_census(
+            spark, wp, ep, delta, max_center_degree=cap, removed=True
+        )
+        is True
+    )
+
+    key = lambda r: (r["x"], r["y"], r["cn"], r["ra_ppm"])  # noqa: E731
+    updated = sorted(map(key, load_wedge_census(spark, wp).collect()))
+    remaining_edges = spark.createDataFrame(
+        [
+            (10, 11), (10, 12), (10, 13),
+            (1, 2), (1, 3),
+            (20, 21), (20, 22),
+            (30, 31),
+        ],
+        "src long, dst long",
+    )
+    full_rebuild = sorted(
+        map(key, wedge_census(remaining_edges, max_center_degree=cap).collect())
+    )
+    assert updated == full_rebuild and len(updated) > 0
+    pairs = {(x, y): (cn, ra) for x, y, cn, ra in updated}
+    # the downward crossing re-entered: center 10's pairs are back at
+    # its NEW divisor (deg 3)
+    for pr in ((11, 12), (11, 13), (12, 13)):
+        assert pairs[pr] == (1, 1_000_000 // 3), pr
+    # center 1 shrank within the cap: (2,3) re-divides at DIV 2
+    assert pairs[(2, 3)] == (1, 1_000_000 // 2)
+    # the killed wedge is gone
+    assert (30, 32) not in pairs

@@ -22,12 +22,69 @@ missing/stale marker, the standing self-heal contract).
 
 from __future__ import annotations
 
+import contextlib
 import fcntl
+import functools
 import os
 import shutil
 import tempfile
 
-__all__ = ["unique_sibling_tmp", "swap_artifact_dir"]
+__all__ = [
+    "unique_sibling_tmp",
+    "swap_artifact_dir",
+    "index_mutation",
+    "locked_mutation",
+]
+
+
+@contextlib.contextmanager
+def index_mutation(path: str):
+    """Hold the canonical ``<path>.lock`` flock across an ENTIRE
+    read-verify-write mutation of the artifact rooted at ``path`` —
+    the one lock every mutation verb (append / delete / compact)
+    serializes on (r13 verdict item 3: the verbs previously locked
+    per-subtree inconsistently — bands under ``<path>.lock`` but
+    shingles under ``<path>/shingles.lock``, postings under their own
+    lock, appends under none — so two different verbs on the same
+    index serialized only when they happened to pick the same lock
+    file).  Holding the root lock across the whole verify+mutate span
+    also closes the TOCTOU the per-swap locks left open: two
+    concurrent appends could both pass the cap/no-re-append
+    precondition and then both append.
+
+    Sub-artifact swaps inside the span call
+    ``swap_artifact_dir(..., locked=True)`` — they are already
+    serialized by this lock, and taking their own per-subtree flock
+    would add nothing (different lock file) while suggesting mutual
+    exclusion that does not exist.
+
+    Readers stay lock-free (the standing self-heal contract): the
+    worst case they observe is a momentary missing sub-directory
+    between the two renames of a swap."""
+    with open(path + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
+
+
+def locked_mutation(fn):
+    """Decorator form of :func:`index_mutation` for the mutation verbs,
+    whose shared signature is ``fn(spark, path, ...)`` with ``path``
+    the index root: the whole verb — precondition reads, verification
+    joins, file appends, sub-artifact swaps, and the stats overwrite —
+    runs under one exclusive ``<path>.lock``.  Any internal
+    ``swap_artifact_dir`` call must pass ``locked=True`` (re-taking
+    the same lock file on a fresh file description would
+    self-deadlock)."""
+
+    @functools.wraps(fn)
+    def wrapper(spark, path, *args, **kwargs):
+        with index_mutation(path):
+            return fn(spark, path, *args, **kwargs)
+
+    return wrapper
 
 
 def unique_sibling_tmp(path: str, tag: str = "build") -> str:
@@ -42,29 +99,46 @@ def unique_sibling_tmp(path: str, tag: str = "build") -> str:
     )
 
 
-def swap_artifact_dir(path: str, tmp: str) -> None:
+def _swap(path: str, tmp: str) -> str | None:
+    """The two-rename swap itself; caller must hold the covering lock.
+    Returns the trash directory to reclaim (outside the lock), if any."""
+    trash = None
+    if os.path.exists(path):
+        # reserve a unique sibling name, then vacate it for the
+        # rename (the covering flock is held, so no other writer
+        # races for the name)
+        trash = tempfile.mkdtemp(
+            prefix=os.path.basename(path) + ".trash.",
+            dir=os.path.dirname(os.path.abspath(path)) or ".",
+        )
+        os.rmdir(trash)
+        os.rename(path, trash)
+    os.rename(tmp, path)
+    return trash
+
+
+def swap_artifact_dir(path: str, tmp: str, locked: bool = False) -> None:
     """Atomically install the finished tree ``tmp`` as ``path`` under
     an exclusive ``<path>.lock`` flock.  The displaced old tree is
     renamed aside first (two cheap renames back-to-back) and reclaimed
     only after the lock is released, so a lock-free reader's worst case
     is a momentary ENOENT between renames — never a half-deleted or
-    half-built directory."""
-    trash = None
-    with open(path + ".lock", "w") as lk:
-        fcntl.flock(lk, fcntl.LOCK_EX)
-        try:
-            if os.path.exists(path):
-                # reserve a unique sibling name, then vacate it for the
-                # rename (we hold the flock, so no other writer races
-                # for the name)
-                trash = tempfile.mkdtemp(
-                    prefix=os.path.basename(path) + ".trash.",
-                    dir=os.path.dirname(os.path.abspath(path)) or ".",
-                )
-                os.rmdir(trash)
-                os.rename(path, trash)
-            os.rename(tmp, path)
-        finally:
-            fcntl.flock(lk, fcntl.LOCK_UN)
+    half-built directory.
+
+    ``locked=True`` skips taking ``<path>.lock``: the caller asserts
+    it already holds a lock covering this swap (the
+    :func:`index_mutation` root lock for a sub-artifact swap inside a
+    mutation verb — flock is per-open-file-description, so re-taking
+    the SAME lock file here would self-deadlock, and taking a
+    per-subtree lock file would serialize against nothing)."""
+    if locked:
+        trash = _swap(path, tmp)
+    else:
+        with open(path + ".lock", "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                trash = _swap(path, tmp)
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
     if trash is not None:
         shutil.rmtree(trash, ignore_errors=True)

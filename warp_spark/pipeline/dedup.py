@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from warp_spark.artifacts import locked_mutation
 from warp_spark.pipeline.text import fingerprint, tokens
 
 DEFAULT_NUM_HASHES = 12
@@ -1006,6 +1007,7 @@ def dedup_index_probe(
     )
 
 
+@locked_mutation
 def append_dedup_index(
     spark,
     path: str,
@@ -1041,7 +1043,13 @@ def append_dedup_index(
     Reference analogue: MutableDataset row insertion
     (MutableData.swift:40-63) — the reference mutates standing data in
     place; here the mutation is an append of immutable files plus a
-    stats swap, the Spark-native equivalent."""
+    stats swap, the Spark-native equivalent.
+
+    Concurrency: the ENTIRE verb — precondition reads, cap check,
+    file appends, stats overwrite — holds the canonical
+    ``<path>.lock`` (artifacts.locked_mutation, r13 verdict item 3),
+    so two appends, or an append racing a delete/compact, serialize
+    instead of both passing the precondition and double-inserting."""
     st = spark.read.parquet(f"{path}/stats").first()
     n_buckets = int(st["n_buckets"])
     cap = int(st["max_corpus_bucket"])
@@ -1158,6 +1166,7 @@ def append_dedup_index(
     return True
 
 
+@locked_mutation
 def delete_from_dedup_index(
     spark,
     path: str,
@@ -1192,9 +1201,11 @@ def delete_from_dedup_index(
     row-count invariant that guards every future append/delete.
 
     On ``True``, delete-then-probe equals rebuild-on-remaining-then-
-    probe EXACTLY (pytest-pinned), and the bands swap happens under
-    the index's ``.lock`` flock (artifacts.py discipline)."""
-    import fcntl
+    probe EXACTLY (pytest-pinned).  The ENTIRE verb — verification,
+    bands partition rewrite, shingles swap, stats decrement — holds
+    the canonical ``<path>.lock`` (artifacts.locked_mutation, r13
+    verdict item 3), so a delete racing an append or compact
+    serializes on one lock instead of interleaving per-subtree."""
     import os
     import shutil
 
@@ -1254,20 +1265,16 @@ def delete_from_dedup_index(
     remaining.repartition(max(len(touched), 1), "bucket").write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(tmp)
-    # swap ONLY the touched bucket partitions, under the index lock; a
-    # bucket whose postings all belonged to deleted docs simply
-    # disappears (parquet readers handle absent partitions)
-    with open(path + ".lock", "w") as lk:
-        fcntl.flock(lk, fcntl.LOCK_EX)
-        try:
-            for b in touched:
-                dst = os.path.join(path, "bands", f"bucket={b}")
-                src = os.path.join(tmp, f"bucket={b}")
-                shutil.rmtree(dst, ignore_errors=True)
-                if os.path.exists(src):
-                    os.rename(src, dst)
-        finally:
-            fcntl.flock(lk, fcntl.LOCK_UN)
+    # swap ONLY the touched bucket partitions — the verb-wide root
+    # lock is already held, so no per-swap flock; a bucket whose
+    # postings all belonged to deleted docs simply disappears
+    # (parquet readers handle absent partitions)
+    for b in touched:
+        dst = os.path.join(path, "bands", f"bucket={b}")
+        src = os.path.join(tmp, f"bucket={b}")
+        shutil.rmtree(dst, ignore_errors=True)
+        if os.path.exists(src):
+            os.rename(src, dst)
     shutil.rmtree(tmp, ignore_errors=True)
 
     sh_tmp = unique_sibling_tmp(os.path.join(path, "shingles"), tag="delete")
@@ -1280,7 +1287,7 @@ def delete_from_dedup_index(
     )
     from warp_spark.artifacts import swap_artifact_dir
 
-    swap_artifact_dir(os.path.join(path, "shingles"), sh_tmp)
+    swap_artifact_dir(os.path.join(path, "shingles"), sh_tmp, locked=True)
 
     spark.createDataFrame(
         [
@@ -1298,6 +1305,7 @@ def delete_from_dedup_index(
     return True
 
 
+@locked_mutation
 def compact_dedup_index(spark, path: str) -> None:
     """Rewrite an append-grown dedup index into its canonical file
     layout with IDENTICAL content — the maintenance op every
@@ -1314,11 +1322,11 @@ def compact_dedup_index(spark, path: str) -> None:
     content stamp keyed on the SOURCE still matches.
 
     Swap discipline: the compacted tree is built in a UNIQUE sibling
-    scratch dir and swapped into place through the repo-wide
-    flock-guarded helper (artifacts.swap_artifact_dir — the same code
-    path as the catalog's _publish_artifact, r12 verdict item 2), so
-    writers serialize and a concurrent prober's worst case is the
-    momentary two-rename window, never a half-deleted tree."""
+    scratch dir while the whole verb holds the canonical
+    ``<path>.lock`` (artifacts.locked_mutation — the lock every
+    mutation verb serializes on, r13 verdict item 3), so writers
+    serialize and a concurrent prober's worst case is the momentary
+    two-rename window, never a half-deleted tree."""
     import os
 
     from warp_spark.artifacts import swap_artifact_dir, unique_sibling_tmp
@@ -1341,7 +1349,7 @@ def compact_dedup_index(spark, path: str) -> None:
         full = os.path.join(path, name)
         if os.path.isfile(full):  # markers and metadata travel as-is
             shutil.copy2(full, os.path.join(tmp, name))
-    swap_artifact_dir(path, tmp)
+    swap_artifact_dir(path, tmp, locked=True)
 
 
 def cluster_representatives(

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from warp_spark.artifacts import locked_mutation
+
 
 def pagerank_int(
     edges: DataFrame,
@@ -469,6 +471,7 @@ def load_edges(spark, path: str) -> DataFrame:
     )
 
 
+@locked_mutation
 def append_edges(spark, path: str, new_edges: DataFrame) -> DataFrame:
     """Absorb an edge slice into a persist_edges artifact WITHOUT
     rebuilding the standing graph — the graph leg of the incremental-
@@ -493,7 +496,11 @@ def append_edges(spark, path: str, new_edges: DataFrame) -> DataFrame:
     plan would re-list the directory and see its own output).
 
     Reference analogue: MutableDataset row insertion
-    (MutableData.swift:40-63)."""
+    (MutableData.swift:40-63).  The whole verb — anti-join
+    verification and file append — holds the canonical
+    ``<path>.lock`` (artifacts.locked_mutation, r13 verdict item 3),
+    so two appends, or an append racing a delete/compact, serialize
+    on one lock."""
     su, sv = F.col("src"), F.col("dst")
     standing = spark.read.parquet(path)
     delta = (
@@ -512,6 +519,7 @@ def append_edges(spark, path: str, new_edges: DataFrame) -> DataFrame:
     return delta
 
 
+@locked_mutation
 def compact_edges(spark, path: str) -> None:
     """Rewrite an append-grown edge artifact into its canonical file
     layout with IDENTICAL content — the graph leg of the compaction
@@ -523,8 +531,8 @@ def compact_edges(spark, path: str) -> None:
     Content-preserving by construction (read → repartition → write),
     so every downstream algorithm — and the census maintained against
     this artifact — is unchanged.  Built in a unique sibling scratch
-    dir and swapped through the repo-wide flock-guarded helper
-    (artifacts.swap_artifact_dir)."""
+    dir while the whole verb holds the canonical ``<path>.lock``
+    (artifacts.locked_mutation, r13 verdict item 3)."""
     import os
     import shutil
 
@@ -541,15 +549,89 @@ def compact_edges(spark, path: str) -> None:
             and name != "_SUCCESS"
         ):
             shutil.copy2(full, os.path.join(tmp, name))
-    swap_artifact_dir(path, tmp)
+    swap_artifact_dir(path, tmp, locked=True)
 
 
+@locked_mutation
+def delete_edges(spark, path: str, removed_edges: DataFrame) -> DataFrame:
+    """Remove an edge slice from a persist_edges artifact WITHOUT
+    rebuilding the standing graph — the graph leg of the DELETE
+    discipline (index legs: delete_from_dedup_index /
+    delete_from_bm25_index / delete_from_ivfpq_index; r13 verdict
+    item 2, the one missing cell in the build/probe/append/delete/
+    compact matrix): a takedown or retention expiry removes a user's
+    or an order's edges from a standing co-purchase graph, and
+    re-running the fact-table self-join over the whole history per
+    takedown batch re-pays everything for nothing.
+
+    Set semantics make edge deletion self-enforcing, the mirror of
+    :func:`append_edges`: the slice is canonicalized (u < v, loops
+    and in-slice duplicates dropped) and intersected with the
+    standing set — edges already absent (never present, or removed by
+    an earlier delivery of the same takedown) simply remove nothing,
+    so at-least-once delivery cannot corrupt the set invariant and no
+    refusal contract is needed (unlike the counting indexes, where an
+    unverifiable row must REFUSE).
+
+    The rewrite is one anti-join over the ARTIFACT (the compact_edges
+    cost class — an edge artifact has no pruned sub-partition to
+    rewrite, unlike the bucketed indexes) re-clustered to the
+    build-time 8-file hash-on-u layout, built in a unique sibling
+    scratch dir and swapped while the whole verb holds the canonical
+    ``<path>.lock`` (artifacts.locked_mutation).  Marker files travel
+    unchanged; the CALLER owns re-stamping after a successful delete.
+
+    Returns the eagerly-checkpointed canonical delta that was
+    actually REMOVED (possibly empty): callers feed it straight to
+    :func:`update_wedge_census` with ``removed=True``, and the
+    checkpoint pins its content against the artifact files this
+    delete just replaced.
+
+    Reference analogue: MutableDataset row removal
+    (MutableData.swift:40-63)."""
+    import os
+    import shutil
+
+    from warp_spark.artifacts import swap_artifact_dir, unique_sibling_tmp
+
+    su, sv = F.col("src"), F.col("dst")
+    standing = spark.read.parquet(path)
+    slice_ = (
+        removed_edges.select(
+            F.least(su, sv).alias("u"), F.greatest(su, sv).alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    delta = standing.join(slice_, ["u", "v"], "leftsemi").localCheckpoint(
+        eager=True
+    )
+    if delta.isEmpty():
+        return delta
+    remaining = standing.join(slice_, ["u", "v"], "left_anti")
+    tmp = unique_sibling_tmp(path, tag="delete")
+    remaining.repartition(8, "u").write.mode("overwrite").parquet(tmp)
+    for name in os.listdir(path):
+        full = os.path.join(path, name)
+        if (
+            os.path.isfile(full)
+            and not name.endswith(".parquet")
+            and not name.endswith(".crc")
+            and name != "_SUCCESS"
+        ):
+            shutil.copy2(full, os.path.join(tmp, name))
+    swap_artifact_dir(path, tmp, locked=True)
+    return delta
+
+
+@locked_mutation
 def update_wedge_census(
     spark,
     census_path: str,
     edges_path: str,
     delta: DataFrame,
     max_center_degree: int | None = None,
+    removed: bool = False,
 ) -> bool:
     """Incrementally fold an edge delta into a persist_wedge_census
     artifact — the second level of the graph maintenance discipline
@@ -557,26 +639,37 @@ def update_wedge_census(
     around the centers whose neighborhoods changed, never over the
     whole graph.
 
-    Call AFTER :func:`append_edges`: ``edges_path`` already holds the
-    NEW canonical edge set, and ``delta`` is the checkpointed slice
-    append_edges returned.  Every center whose degree changed is an
-    endpoint of a delta edge, so the touched set is exactly the
-    delta's endpoints; for those centers the OLD contributions
-    (reconstructed from new-minus-delta, two linear scans) are
-    subtracted and the NEW contributions added — which natively
-    handles every cap interaction an append can cause: a center
-    crossing the cap upward loses all its pairs (new side excluded by
-    the cap filter), and a center whose degree grows within the cap
-    swaps its 10^6 DIV deg contributions at both the old and new
-    divisor.  Appends never lower a degree, so no center re-enters
-    under the cap.
+    Call AFTER :func:`append_edges` (default) or :func:`delete_edges`
+    (``removed=True``): ``edges_path`` already holds the NEW canonical
+    edge set, and ``delta`` is the checkpointed slice the edge verb
+    returned (appended rows, or removed rows).  Every center whose
+    neighborhood changed is an endpoint of a delta edge, so the
+    touched set is exactly the delta's endpoints; for those centers
+    the OLD contributions are subtracted and the NEW contributions
+    added.  The OLD edge set is reconstructed from the new one and the
+    delta — new-minus-delta for an append, new-UNION-delta for a
+    delete (the removed rows are disjoint from the post-delete set by
+    construction) — two linear scans either way, never a snapshot.
+
+    The signed old-minus-new merge natively handles every cap
+    interaction in BOTH directions (r13 verdict item 2): a center
+    crossing the cap upward on append loses all its pairs (new side
+    excluded by the cap filter); a center dropping back to ≤ cap on
+    delete RE-ENTERS — it contributed nothing on the old side (cap-
+    excluded) and its pairs re-expand from the post-delete
+    neighborhood on the new side; and a center whose degree moves
+    within the cap swaps its 10^6 DIV deg contributions at both
+    divisors.  Pairs whose common-neighbor count reaches zero leave
+    the census (the ``cn > 0`` filter).
 
     The merged census (standing ⊎ signed delta, zero rows dropped) is
     rewritten and atomically swapped — an INDEX-sized write, the
     compaction cost class, while the quadratic stage stays bounded by
     the touched neighborhoods.  Returns ``False`` (caller must
     rebuild) when the standing census artifact is missing/unreadable —
-    the honest-fallback contract of the index append legs."""
+    the honest-fallback contract of the index append legs.  The whole
+    fold holds the canonical ``<census_path>.lock``
+    (artifacts.locked_mutation)."""
     import os
 
     from warp_spark.artifacts import swap_artifact_dir, unique_sibling_tmp
@@ -588,9 +681,13 @@ def update_wedge_census(
     except Exception:
         return False
     if delta.isEmpty():
-        return True  # nothing appended: the census is already current
+        return True  # nothing changed: the census is already current
     new_und = spark.read.parquet(edges_path).select("u", "v")
-    old_und = new_und.join(delta, ["u", "v"], "left_anti")
+    old_und = (
+        new_und.union(delta.select("u", "v"))
+        if removed
+        else new_und.join(delta, ["u", "v"], "left_anti")
+    )
     touched = (
         delta.select(F.col("u").alias("node"))
         .union(delta.select(F.col("v").alias("node")))
@@ -643,7 +740,7 @@ def update_wedge_census(
             and name != "_SUCCESS"
         ):
             shutil.copy2(full, os.path.join(tmp, name))
-    swap_artifact_dir(census_path, tmp)
+    swap_artifact_dir(census_path, tmp, locked=True)
     return True
 
 

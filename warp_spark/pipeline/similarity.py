@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from warp_spark.artifacts import locked_mutation
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -1034,6 +1036,7 @@ def persist_ivfpq_index(
     return {"n_centroids": n_centroids, "m": m, "n_codes": n_codes}
 
 
+@locked_mutation
 def append_ivfpq_index(
     spark,
     path: str,
@@ -1068,7 +1071,13 @@ def append_ivfpq_index(
     append_dedup_index contract) when any slice id already appears in
     the codes table.  The check is a single-column (column-pruned)
     semi-join over the codes' vec_id column — one integer column of
-    the INDEX, never a corpus re-encode."""
+    the INDEX, never a corpus re-encode.
+
+    Concurrency: the ENTIRE verb — overlap precondition, codes and
+    storage appends — holds the canonical ``<path>.lock``
+    (artifacts.locked_mutation, r13 verdict item 3), so two appends,
+    or an append racing a delete/compact, serialize instead of both
+    passing the precondition."""
     overlap = (
         spark.read.parquet(f"{path}/codes")
         .select("vec_id")
@@ -1120,6 +1129,7 @@ def append_ivfpq_index(
     return True
 
 
+@locked_mutation
 def delete_from_ivfpq_index(
     spark,
     path: str,
@@ -1146,8 +1156,9 @@ def delete_from_ivfpq_index(
     the remaining corpus).  On ``True``,
     delete(append(build(B), S), S) is BYTE-EQUAL to build(B)
     (pytest-pinned) — append and delete are exact inverses under a
-    frozen model."""
-    import fcntl
+    frozen model.  The ENTIRE verb — verification, inverted-list
+    rewrite, storage swap — holds the canonical ``<path>.lock``
+    (artifacts.locked_mutation, r13 verdict item 3)."""
     import os
     import shutil
 
@@ -1206,18 +1217,14 @@ def delete_from_ivfpq_index(
     remaining.repartition(max(len(touched), 1), "centroid_id").write.mode(
         "overwrite"
     ).partitionBy("centroid_id").parquet(tmp)
-    # swap ONLY the touched inverted lists, under the index lock
-    with open(path + ".lock", "w") as lk:
-        fcntl.flock(lk, fcntl.LOCK_EX)
-        try:
-            for c in touched:
-                dst = os.path.join(path, "codes", f"centroid_id={c}")
-                src = os.path.join(tmp, f"centroid_id={c}")
-                shutil.rmtree(dst, ignore_errors=True)
-                if os.path.exists(src):
-                    os.rename(src, dst)
-        finally:
-            fcntl.flock(lk, fcntl.LOCK_UN)
+    # swap ONLY the touched inverted lists — the verb-wide root lock
+    # is already held, so no per-swap flock
+    for c in touched:
+        dst = os.path.join(path, "codes", f"centroid_id={c}")
+        src = os.path.join(tmp, f"centroid_id={c}")
+        shutil.rmtree(dst, ignore_errors=True)
+        if os.path.exists(src):
+            os.rename(src, dst)
     shutil.rmtree(tmp, ignore_errors=True)
 
     st_tmp = unique_sibling_tmp(os.path.join(path, "storage"), tag="delete")
@@ -1228,10 +1235,11 @@ def delete_from_ivfpq_index(
         .write.mode("overwrite")
         .parquet(st_tmp)
     )
-    swap_artifact_dir(os.path.join(path, "storage"), st_tmp)
+    swap_artifact_dir(os.path.join(path, "storage"), st_tmp, locked=True)
     return True
 
 
+@locked_mutation
 def compact_ivfpq_index(spark, path: str) -> None:
     """Rewrite an append-grown IVF-PQ index into its canonical file
     layout with IDENTICAL content (the compact_dedup_index /
@@ -1244,9 +1252,9 @@ def compact_ivfpq_index(spark, path: str) -> None:
     codebooks) and markers over byte-unchanged.  Content-preserving by
     construction, so a probe's shortlist, ADC scores, and rerank are
     identical before and after.  Built in a unique sibling scratch
-    dir and swapped into place through the repo-wide flock-guarded
-    helper (artifacts.swap_artifact_dir — the same code path as the
-    catalog's _publish_artifact, r12 verdict item 2)."""
+    dir while the whole verb holds the canonical ``<path>.lock``
+    (artifacts.locked_mutation, r13 verdict item 3 — the same lock
+    every mutation verb serializes on)."""
     import os
     import shutil
 
@@ -1269,7 +1277,7 @@ def compact_ivfpq_index(spark, path: str) -> None:
         full = os.path.join(path, name)
         if os.path.isfile(full):
             shutil.copy2(full, os.path.join(tmp, name))
-    swap_artifact_dir(path, tmp)
+    swap_artifact_dir(path, tmp, locked=True)
 
 
 def pq_reconstruction(

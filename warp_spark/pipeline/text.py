@@ -15,6 +15,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from warp_spark.artifacts import locked_mutation
+
 # Small function-word lists per language for the n-gram/stopword-hit
 # language heuristic. Deliberately tiny: the heuristic is argmax of hit
 # counts, which is cheap and fully SQL-expressible.
@@ -1735,6 +1737,7 @@ def build_bm25_index(
     stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
 
 
+@locked_mutation
 def append_bm25_index(
     spark,
     path: str,
@@ -1768,7 +1771,13 @@ def append_bm25_index(
     partitioning (modulus read FROM the stats artifact, never a
     hardcoded constant), so probe-side partition pruning keeps
     working.  Reference analogue: MutableDataset row insertion
-    (MutableData.swift:40-63)."""
+    (MutableData.swift:40-63).
+
+    Concurrency: the ENTIRE verb — overlap precondition, postings
+    append, stats overwrite — holds the canonical ``<path>.lock``
+    (artifacts.locked_mutation, r13 verdict item 3), so two appends,
+    or an append racing a delete/compact, serialize instead of both
+    passing the precondition."""
     tk = "_bm25_tk"
     st = spark.read.parquet(f"{path}/stats").first()
     n_buckets = int(st["n_buckets"]) if "n_buckets" in st.asDict() else 16
@@ -1811,6 +1820,7 @@ def append_bm25_index(
     return True
 
 
+@locked_mutation
 def delete_from_bm25_index(
     spark,
     path: str,
@@ -1837,7 +1847,17 @@ def delete_from_bm25_index(
     word's bucket holds most docs, so the rewrite is a full postings
     pass (index-sized, the compaction cost class — one read →
     anti-join → write per delete batch, never a corpus
-    re-tokenization), swapped under the repo-wide flock discipline."""
+    re-tokenization); the ENTIRE verb holds the canonical
+    ``<path>.lock`` (artifacts.locked_mutation, r13 verdict item 3).
+
+    Zero-token refusal (r13 verdict item 7): a slice row whose text
+    tokenizes to NOTHING (null or whitespace-only) has no postings to
+    verify, so its indexed-ness is unverifiable — a never-indexed
+    zero-token id would sail through the matched/indexed_for_ids
+    checks (0 == 0) and silently over-decrement n_docs.  Such slices
+    REFUSE outright; the caller rebuilds on the remaining corpus,
+    where the zero-token doc's membership is decided by the corpus
+    itself, not by an unverifiable claim."""
     import os
 
     from warp_spark.artifacts import swap_artifact_dir, unique_sibling_tmp
@@ -1857,14 +1877,22 @@ def delete_from_bm25_index(
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .localCheckpoint(eager=True)
     )
-    # n/dl decrements come from the SLICE itself (covers zero-token
-    # docs, which have no postings to verify but did count in n_docs)
+    # n/dl decrements come from the SLICE itself, in the same pass
+    # that counts zero-token rows (null or whitespace-only text):
+    # those have no postings, so nothing verifiable ties them to the
+    # index — refuse rather than risk decrementing n_docs for a doc
+    # that was never indexed (r13 verdict item 7)
     inc = del_docs.select(tokens(F.col(text_col)).alias(tk)).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.coalesce(F.sum(F.size(tk)), F.lit(0)).cast("long").alias("dl"),
+        F.sum(
+            F.when(F.coalesce(F.size(tk), F.lit(0)) <= 0, 1).otherwise(0)
+        ).cast("long").alias("n_zero"),
     ).first()
     if int(inc["n"]) == 0:
         return True
+    if int(inc["n_zero"]) > 0:
+        return False  # zero-token rows: indexed-ness unverifiable
     n_del_rows = del_post.count()
     del_ids = del_docs.select(id_col).distinct()
     postings = spark.read.parquet(f"{path}/postings")
@@ -1885,7 +1913,7 @@ def delete_from_bm25_index(
         .partitionBy("bucket")
         .parquet(tmp)
     )
-    swap_artifact_dir(os.path.join(path, "postings"), tmp)
+    swap_artifact_dir(os.path.join(path, "postings"), tmp, locked=True)
     spark.createDataFrame(
         [
             (
@@ -1899,6 +1927,7 @@ def delete_from_bm25_index(
     return True
 
 
+@locked_mutation
 def compact_bm25_index(spark, path: str) -> None:
     """Rewrite an append-grown BM25 index into its canonical file
     layout with IDENTICAL content (the dedup.py::compact_dedup_index
@@ -1909,10 +1938,9 @@ def compact_bm25_index(spark, path: str) -> None:
     partition and carries the stats row and marker files over
     unchanged.  Content-preserving by construction (read → repartition
     → write), so probe-before == probe-after exactly.  Built in a
-    unique sibling scratch dir and swapped into place through the
-    repo-wide flock-guarded helper (artifacts.swap_artifact_dir — the
-    same code path as the catalog's _publish_artifact, r12 verdict
-    item 2)."""
+    unique sibling scratch dir while the whole verb holds the
+    canonical ``<path>.lock`` (artifacts.locked_mutation, r13 verdict
+    item 3 — the same lock every mutation verb serializes on)."""
     import os
     import shutil
 
@@ -1930,7 +1958,7 @@ def compact_bm25_index(spark, path: str) -> None:
         full = os.path.join(path, name)
         if os.path.isfile(full):
             shutil.copy2(full, os.path.join(tmp, name))
-    swap_artifact_dir(path, tmp)
+    swap_artifact_dir(path, tmp, locked=True)
 
 
 def bm25_index_probe(

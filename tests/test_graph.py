@@ -369,3 +369,50 @@ def test_update_wedge_census_delete_fold_with_cap_reentry(spark, tmp_path):
     assert pairs[(2, 3)] == (1, 1_000_000 // 2)
     # the killed wedge is gone
     assert (30, 32) not in pairs
+
+
+def test_assume_canonical_flags_equal_default_paths(spark):
+    # r14 optimization: every artifact-fed algorithm may skip the
+    # internal canonicalizing distinct (a content no-op but a real
+    # |E| exchange) when the input is already canonical.  Pin the
+    # equivalence on a canonical edge set with triangles, a hub, and
+    # a disconnected pair.
+    from warp_spark.pipeline.graph import (
+        degree_stats,
+        jaccard_links,
+        resource_allocation_links,
+        triangle_counts,
+        wedge_census,
+    )
+
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 3), (4, 5), (1, 6), (2, 6)]
+    edges = _edges(spark, pairs)  # canonical already: src < dst, distinct
+
+    def key(r):
+        return tuple(r[c] for c in r.__fields__)
+
+    for fn in (
+        lambda e, **kw: wedge_census(e, max_center_degree=3, **kw),
+        lambda e, **kw: jaccard_links(e, k=100, **kw),
+        lambda e, **kw: resource_allocation_links(e, k=100, **kw),
+        triangle_counts,
+        degree_stats,
+    ):
+        base = sorted(map(key, fn(edges).collect()))
+        fast = sorted(map(key, fn(edges, assume_canonical=True).collect()))
+        assert fast == base
+
+
+def test_pagerank_assume_distinct_equals_default(spark):
+    pairs = [(1, 0), (2, 0), (3, 0), (0, 1), (2, 3)]
+    base = {
+        r["node"]: r["score"]
+        for r in pagerank_int(_edges(spark, pairs), iters=3).collect()
+    }
+    fast = {
+        r["node"]: r["score"]
+        for r in pagerank_int(
+            _edges(spark, pairs), iters=3, assume_distinct=True
+        ).collect()
+    }
+    assert fast == base

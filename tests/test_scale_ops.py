@@ -3094,3 +3094,38 @@ def test_spearman_and_ks_known_values(spark, tmp_path):
     assert (row["n1"], row["n2"]) == (4, 4)
     assert row["d_scaled"] == 12
     assert row["d_ppm"] == math.floor(12 * 1_000_000 / 16)
+
+
+def test_ivfpq_fused_assign_encode_and_train_equal_two_step(spark):
+    """r14 optimization pins: (a) ivfpq_train's single hash-ordered
+    draw yields element-for-element the same model as the two-collect
+    form (ivf_centroids + pq_codebooks); (b) the fused one-crossing
+    ivfpq_assign_encode equals ivf_assign + pq_encode row-for-row."""
+    from warp_spark.pipeline.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivfpq_assign_encode,
+        ivfpq_train,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents, books = ivfpq_train(emb, n_centroids=16, m=16, n_codes=32)
+    assert cents == ivf_centroids(emb, n_centroids=16)
+    assert books == pq_codebooks(emb, m=16, n_codes=32)
+
+    enc = ivfpq_assign_encode(F.col("embedding"), cents, books)
+    fused = {
+        r["vec_id"]: (r["e"]["centroid_id"], tuple(r["e"]["codes"]))
+        for r in emb.select("vec_id", enc.alias("e")).collect()
+    }
+    twostep = {
+        r["vec_id"]: (r["cid"], tuple(r["c"]))
+        for r in emb.select(
+            "vec_id",
+            ivf_assign(F.col("embedding"), cents).alias("cid"),
+            pq_encode(F.col("embedding"), books).alias("c"),
+        ).collect()
+    }
+    assert fused == twostep

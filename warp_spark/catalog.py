@@ -5054,6 +5054,42 @@ def _stage_parquet_files(
     return len(parts)
 
 
+def _stage_split_files(
+    df: DataFrame, root: str, key: Column, cols: list, n: int = 3
+) -> None:
+    """Stage ``df`` as ``n`` utime-pinned micro-batch files, one per
+    residue class of ``key`` — in ONE Spark job (guide §1.2: the old
+    per-entry loops ran ``n`` filter + coalesce(1) writes, each
+    re-scanning the source).  ``partitionBy`` on the residue writes
+    one file per class (the partition column is dropped, so each file
+    carries exactly ``cols``); per-file row SETS are identical to the
+    filter form, and in-file order is irrelevant to every consumer
+    (order-independent appends / per-row scoring).  Empty classes
+    still get their (empty) trigger file."""
+    import glob as _glob
+    import os
+    import shutil
+
+    df.select(*cols, key.alias("__b")).repartition(1).write.mode(
+        "overwrite"
+    ).partitionBy("__b").parquet(f"{root}/stage")
+    for i in range(n):
+        hits = _glob.glob(f"{root}/stage/__b={i}/part-*.parquet")
+        tgt = f"{root}/file_{i:03d}.parquet"
+        if hits:
+            os.rename(hits[0], tgt)
+        else:
+            df.limit(0).select(*cols).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{root}/stage_empty{i}")
+            os.rename(
+                _glob.glob(f"{root}/stage_empty{i}/part-*.parquet")[0], tgt
+            )
+            shutil.rmtree(f"{root}/stage_empty{i}", ignore_errors=True)
+        os.utime(tgt, (1_700_000_000 + 100 * i,) * 2)
+    shutil.rmtree(f"{root}/stage", ignore_errors=True)
+
+
 def _stage_event_stream(spark: SparkSession, sf_dir: str, tmpdir: str) -> DataFrame:
     """Stage events.parquet into a temp dir (the file source wants a
     directory) and open it as a readStream with ``ts`` normalized to a
@@ -6671,17 +6707,12 @@ def dedup_neardup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="warp_neardup_stream_")
     name = f"neardup_streamed_{uuid.uuid4().hex[:8]}"
     try:
-        for i in range(3):
-            batch.filter(F.col("doc_id") % 3 == i).select(
-                "doc_id", "text"
-            ).coalesce(1).write.mode("overwrite").parquet(f"{root}/stage{i}")
-            part = _glob.glob(f"{root}/stage{i}/part-*.parquet")[0]
-            tgt = f"{root}/file_{i:03d}.parquet"
-            os.rename(part, tgt)
-            shutil.rmtree(f"{root}/stage{i}", ignore_errors=True)
-            # FileStreamSource orders new files by mtime: pin the
-            # micro-batch order deterministically
-            os.utime(tgt, (1_700_000_000 + 100 * i,) * 2)
+        # FileStreamSource orders new files by mtime: _stage_split_files
+        # pins the micro-batch order deterministically, staging all
+        # three trigger files in ONE batch pass
+        _stage_split_files(
+            batch, root, F.col("doc_id") % 3, ["doc_id", "text"]
+        )
         stream = (
             spark.readStream.schema("doc_id bigint, text string")
             .option("maxFilesPerTrigger", 1)
@@ -7129,15 +7160,11 @@ def dedup_index_append_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.write("ingesting\n")
     root = tempfile.mkdtemp(prefix="warp_idx_ingest_stream_")
     try:
-        for i in range(3):
-            slice_.filter(F.col("doc_id") % 3 == i).select(
-                "doc_id", "text"
-            ).coalesce(1).write.mode("overwrite").parquet(f"{root}/stage{i}")
-            part = _glob.glob(f"{root}/stage{i}/part-*.parquet")[0]
-            tgt = f"{root}/file_{i:03d}.parquet"
-            os.rename(part, tgt)
-            shutil.rmtree(f"{root}/stage{i}", ignore_errors=True)
-            os.utime(tgt, (1_700_000_000 + 100 * i,) * 2)
+        # ONE slice pass stages all three trigger files (previously
+        # three filter+coalesce(1) writes, each re-scanning documents)
+        _stage_split_files(
+            slice_, root, F.col("doc_id") % 3, ["doc_id", "text"]
+        )
         stream = (
             spark.readStream.schema("doc_id bigint, text string")
             .option("maxFilesPerTrigger", 1)
@@ -11695,7 +11722,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = und.union(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    scores = pagerank_int(edges, iters=3)
+    # und ∪ swap(und) of the canonical artifact is duplicate-free by
+    # construction (u<v rows disjoint from u>v rows), so the internal
+    # distinct's |E| exchange is a content no-op — skip it
+    scores = pagerank_int(edges, iters=3, assume_distinct=True)
     return (
         scores.select(
             F.col("node").alias("l_partkey"), F.col("score").alias("pr_score")
@@ -11737,7 +11767,7 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warp_spark.pipeline.graph import load_edges, triangle_counts
 
     edges = load_edges(spark, _ensure_graph_edges(spark, sf_dir))
-    out = triangle_counts(edges)
+    out = triangle_counts(edges, assume_canonical=True)
     return (
         out.select(F.col("node").alias("l_partkey"), "triangles")
         .orderBy(F.col("triangles").desc(), "l_partkey")
@@ -11812,7 +11842,11 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = load_edges(spark, _ensure_graph_edges(spark, sf_dir))
     census = load_wedge_census(spark, _ensure_graph_wedges(spark, sf_dir))
     return jaccard_links(
-        edges, k=20, max_center_degree=_GRAPH_WEDGE_CAP, census=census
+        edges,
+        k=20,
+        max_center_degree=_GRAPH_WEDGE_CAP,
+        census=census,
+        assume_canonical=True,
     )
 
 
@@ -11864,7 +11898,9 @@ def graph_jaccard_links_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = load_edges(spark, _ensure_graph_edges(spark, sf_dir)).where(
         (F.col("src") % 4 == 0) & (F.col("dst") % 4 == 0)
     )
-    return jaccard_links(edges, k=20)
+    # a filter of the canonical artifact is still canonical (subset of
+    # a distinct u<v set), so the internal re-distinct can be skipped
+    return jaccard_links(edges, k=20, assume_canonical=True)
 
 
 # Resource-Allocation link prediction (pipeline/graph.py::
@@ -11920,7 +11956,11 @@ def graph_ra_links_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = load_edges(spark, _ensure_graph_edges(spark, sf_dir))
     census = load_wedge_census(spark, _ensure_graph_wedges(spark, sf_dir))
     return resource_allocation_links(
-        edges, k=20, max_center_degree=_GRAPH_WEDGE_CAP, census=census
+        edges,
+        k=20,
+        max_center_degree=_GRAPH_WEDGE_CAP,
+        census=census,
+        assume_canonical=True,
     )
 
 
@@ -12036,7 +12076,10 @@ def _ensure_graph_wedges(spark: SparkSession, sf_dir: str, rebuild: bool = False
             "_WEDGES_COMPLETE",
             stamp,
             lambda tmp: persist_wedge_census(
-                edges, tmp, max_center_degree=_GRAPH_WEDGE_CAP
+                edges,
+                tmp,
+                max_center_degree=_GRAPH_WEDGE_CAP,
+                assume_canonical=True,
             ),
         )
     return path
@@ -12227,7 +12270,10 @@ def _ensure_graph_base(
             "_WEDGES_COMPLETE",
             stamp,
             lambda t: persist_wedge_census(
-                load_edges(spark, ep), t, max_center_degree=_GRAPH_WEDGE_CAP
+                load_edges(spark, ep),
+                t,
+                max_center_degree=_GRAPH_WEDGE_CAP,
+                assume_canonical=True,
             ),
         )
     return ep, wp
@@ -12306,7 +12352,10 @@ def _ensure_graph_append_demo(spark: SparkSession, sf_dir: str) -> tuple:
             "_WEDGES_COMPLETE",
             stamp,
             lambda t: persist_wedge_census(
-                load_edges(spark, ep), t, max_center_degree=_GRAPH_WEDGE_CAP
+                load_edges(spark, ep),
+                t,
+                max_center_degree=_GRAPH_WEDGE_CAP,
+                assume_canonical=True,
             ),
         )
         with open(e_marker, "w") as f:
@@ -12571,15 +12620,8 @@ def graph_ingest_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     root = tempfile.mkdtemp(prefix="warp_graph_ingest_stream_")
     try:
-        for i in range(3):
-            delta_e.filter(F.col("src") % 3 == i).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(f"{root}/stage{i}")
-            part = _glob.glob(f"{root}/stage{i}/part-*.parquet")[0]
-            tgt = f"{root}/file_{i:03d}.parquet"
-            os.rename(part, tgt)
-            shutil.rmtree(f"{root}/stage{i}", ignore_errors=True)
-            os.utime(tgt, (1_700_000_000 + 100 * i,) * 2)
+        # one checkpoint pass stages all three trigger files
+        _stage_split_files(delta_e, root, F.col("src") % 3, ["src", "dst"])
         stream = (
             spark.readStream.schema("src bigint, dst bigint")
             .option("maxFilesPerTrigger", 1)
@@ -12611,7 +12653,10 @@ def graph_ingest_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_WEDGES_COMPLETE",
             "graphstr rebuilt (delta fold refused)",
             lambda t: persist_wedge_census(
-                load_edges(spark, ep), t, max_center_degree=_GRAPH_WEDGE_CAP
+                load_edges(spark, ep),
+                t,
+                max_center_degree=_GRAPH_WEDGE_CAP,
+                assume_canonical=True,
             ),
         )
     census = load_wedge_census(spark, wp)
@@ -13025,7 +13070,7 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warp_spark.pipeline.graph import degree_stats, load_edges
 
     edges = load_edges(spark, _ensure_graph_edges(spark, sf_dir))
-    return degree_stats(edges).orderBy("degree")
+    return degree_stats(edges, assume_canonical=True).orderBy("degree")
 
 
 def _ablation_oracle() -> str:
@@ -16330,18 +16375,27 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = load_edges(spark, _ensure_graph_edges(spark, sf_dir)).select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     )
-    n_nodes_initial = (
-        edges.select(F.col("u").alias("n"))
-        .union(edges.select(F.col("v").alias("n")))
-        .distinct()
-        .count()
-    )
-    n_edges_initial = edges.count()
+
+    def _graph_counts(e: DataFrame) -> tuple[int, int]:
+        # ONE job answers both census questions (guide §1.2: previously
+        # a distinct-count plus a count — two scans of the same edge
+        # set): explode emits both endpoints, count(*)/2 is |E| exactly
+        row = (
+            e.select(F.explode(F.array("u", "v")).alias("n"))
+            .agg(
+                F.countDistinct("n").alias("nodes"),
+                (F.count(F.lit(1)) / 2).cast("long").alias("edges"),
+            )
+            .first()
+        )
+        return int(row["nodes"]), int(row["edges"])
+
+    n_nodes_initial, n_edges_initial = _graph_counts(edges)
     e = edges
+    prev_edges = n_edges_initial
     for _ in range(10):
         deg = (
-            e.select(F.col("u").alias("node"))
-            .union(e.select(F.col("v").alias("node")))
+            e.select(F.explode(F.array("u", "v")).alias("node"))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
         )
@@ -16354,13 +16408,16 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
-    n_nodes_core = (
-        e.select(F.col("u").alias("n"))
-        .union(e.select(F.col("v").alias("n")))
-        .distinct()
-        .count()
-    )
-    n_edges_core = e.count()
+        # fixpoint early-exit (result-identical to the fixed 10 rounds:
+        # peeling only ever REMOVES edges, so an unchanged edge count
+        # means e_{i+1} == e_i and every remaining round is a no-op —
+        # the count is a trivial job on the just-materialized
+        # checkpoint, far cheaper than a dead peel round)
+        n_e = e.count()
+        if n_e == prev_edges:
+            break
+        prev_edges = n_e
+    n_nodes_core, n_edges_core = _graph_counts(e)
     return spark.createDataFrame(
         [(n_nodes_initial, n_edges_initial, n_nodes_core, n_edges_core)],
         schema=(

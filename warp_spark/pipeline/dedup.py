@@ -1074,24 +1074,34 @@ def append_dedup_index(
     # append; the UDF plan is tiny and the work is Arrow-batched.  The
     # shape guard above already pins this append to the default md5
     # tier, so the substitution is always valid here.
-    new_bands = (
-        new_docs.select(
-            F.col(id_col).alias("corpus_id"),
-            minhash_sig64_udf(F.col(text_col)).alias("__sig"),
-        )
-        .select(
-            "corpus_id",
-            F.posexplode(lsh_bands(F.col("__sig"))).alias("band_idx", "band_val"),
-        )
-        .withColumn(
-            "bucket",
-            F.pmod(F.xxhash64("band_val"), F.lit(n_buckets)).cast("int"),
-        )
-        .localCheckpoint(eager=True)
+    # ONE slice pass computes BOTH tiers (guide §1.2: the old form
+    # scanned new_docs twice — the Arrow minhash for the bands, then a
+    # separate shingle pass for the verify tier — per TRIGGER in the
+    # streamed ingest); the checkpoint holds per-doc signature + shingle
+    # hashes and every downstream job derives from it
+    doc_rows = new_docs.select(
+        F.col(id_col).alias("corpus_id"),
+        minhash_sig64_udf(F.col(text_col)).alias("__sig"),
+        F.transform(shingles(F.col(text_col)), lambda t: F.xxhash64(t)).alias(
+            "sh_b"
+        ),
+    ).localCheckpoint(eager=True)
+    new_bands = doc_rows.select(
+        "corpus_id",
+        F.posexplode(lsh_bands(F.col("__sig"))).alias("band_idx", "band_val"),
+    ).withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("band_val"), F.lit(n_buckets)).cast("int"),
     )
-    touched = sorted(
-        r["bucket"] for r in new_bands.select("bucket").distinct().collect()
-    )
+    # ONE job answers "which buckets are touched" AND "how many band
+    # rows" (n_new derives exactly: posexplode emits bands_per_doc rows
+    # per doc) — previously a distinct-collect plus a count
+    pre = new_bands.agg(
+        F.collect_set("bucket").alias("touched"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).first()
+    touched = sorted(pre["touched"])
+    n_new = int(pre["n_rows"]) // bands_per_doc
     # ONE partition-pruned pass answers BOTH preconditions (fused to a
     # single Spark job — this runs per TRIGGER in the streamed ingest,
     # where per-job overhead dominates the tiny scans):
@@ -1139,16 +1149,11 @@ def append_dedup_index(
     new_bands.select("corpus_id", "band_idx", "band_val", "bucket").write.mode(
         "append"
     ).partitionBy("bucket").parquet(f"{path}/bands")
-    new_docs.select(
-        F.col(id_col).alias("corpus_id"), shingles(F.col(text_col)).alias("__sh")
-    ).select(
-        "corpus_id",
-        F.transform(F.col("__sh"), lambda t: F.xxhash64(t)).alias("sh_b"),
-    ).write.mode("append").parquet(f"{path}/shingles")
-    # exact by construction (posexplode emits bands_per_doc rows per
-    # doc) and a trivial job on the checkpointed bands — no source
-    # re-scan just to count the slice
-    n_new = new_bands.count() // bands_per_doc
+    # the shingle tier was computed in the SAME slice pass as the
+    # signatures (doc_rows checkpoint above) — no text re-scan
+    doc_rows.select("corpus_id", "sh_b").write.mode("append").parquet(
+        f"{path}/shingles"
+    )
     # stats swap: carry every model parameter, bump only the doc count
     spark.createDataFrame(
         [
@@ -1242,12 +1247,17 @@ def delete_from_dedup_index(
         )
         .localCheckpoint(eager=True)
     )
-    n_del = del_bands.select("corpus_id").distinct().count()
+    # ONE job answers both "how many distinct docs" and "which buckets
+    # are touched" (previously a count + a collect over the same tiny
+    # checkpointed frame — two scheduler round-trips for one answer)
+    pre = del_bands.agg(
+        F.countDistinct("corpus_id").alias("n_del"),
+        F.collect_set("bucket").alias("touched"),
+    ).first()
+    n_del = int(pre["n_del"])
     if n_del == 0:
         return True
-    touched = sorted(
-        r["bucket"] for r in del_bands.select("bucket").distinct().collect()
-    )
+    touched = sorted(pre["touched"])
     old_pruned = old_bands.filter(F.col("bucket").isin(touched))
     matched = old_pruned.join(
         del_bands.select("corpus_id", "band_idx", "band_val"),

@@ -33,6 +33,7 @@ def pagerank_int(
     scale: int = 1_000_000,
     damping_num: int = 85,
     damping_den: int = 100,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank in scaled integer arithmetic.
 
@@ -60,8 +61,14 @@ def pagerank_int(
     # degree-annotated edges all derive from it, and without the persist
     # each derivation would recompute the (potentially expensive)
     # upstream edge construction — measured 3x the build cost on the
-    # part co-purchase graph.
-    edges = edges.select("src", "dst").distinct().persist()
+    # part co-purchase graph.  ``assume_distinct=True`` declares the
+    # input already duplicate-free (e.g. the persisted canonical
+    # artifact or its symmetric closure) and skips the distinct's full
+    # |E| exchange — a content no-op on such input (guide §2.4).
+    edges = edges.select("src", "dst")
+    if not assume_distinct:
+        edges = edges.distinct()
+    edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -137,7 +144,9 @@ def pagerank_oracle_sql(
     return "WITH " + ",\n    ".join(parts)
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(
+    edges: DataFrame, assume_canonical: bool = False
+) -> DataFrame:
     """Per-vertex triangle counts via the degree-ordered edge iterator.
 
     Canonicalize to undirected distinct edges, then orient every edge
@@ -155,14 +164,18 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     and orientation is precisely what caps it.
 
     Returns one row per vertex that participates in ≥1 triangle:
-    ``(node, triangles)``.
+    ``(node, triangles)``.  ``assume_canonical``: see
+    :func:`_canonical_undirected`.
     """
     u, v = F.col("src"), F.col("dst")
-    und = (
-        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    if assume_canonical:
+        und = edges.select(u.alias("u"), v.alias("v"))
+    else:
+        und = (
+            edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
     sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -207,17 +220,30 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
-def _canonical_undirected(edges: DataFrame):
+def _canonical_undirected(edges: DataFrame, assume_canonical: bool = False):
     """Shared normalization for every link scorer: the canonical
     distinct undirected edge set (u < v), its symmetric closure, and
     the degree table.  Hoisted out of the scorers so the census and
-    the score stage agree on one definition."""
+    the score stage agree on one definition.
+
+    ``assume_canonical=True`` declares the input ALREADY canonical —
+    distinct ``(src, dst)`` rows with ``src < dst`` (what
+    :func:`load_edges` returns, the persist_edges build invariant the
+    ``graph_edges_persist`` gate value-checks every round) — and skips
+    the ``distinct``: on such input it is a content no-op but still a
+    full |E| exchange + aggregation at runtime (guide §2.4, "a
+    distinct on data that is already unique" is an accidental
+    shuffle).  Any filter of a canonical set stays canonical, so
+    induced-subgraph callers qualify too."""
     u, v = F.col("src"), F.col("dst")
-    und = (
-        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    if assume_canonical:
+        und = edges.select(u.alias("u"), v.alias("v"))
+    else:
+        und = (
+            edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
     sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
@@ -280,7 +306,9 @@ def _census_from(und, sym, deg, max_center_degree, centers=None):
 
 
 def wedge_census(
-    edges: DataFrame, max_center_degree: int | None = None
+    edges: DataFrame,
+    max_center_degree: int | None = None,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """ONE wedge-census pass serving every common-neighbor link scorer
     (r11 verdict item 2): for each unordered pair (x, y) sharing at
@@ -294,13 +322,17 @@ def wedge_census(
 
     ``max_center_degree`` is the hub valve: wedge midpoints with
     degree > cap are excluded BEFORE the self-join, bounding the
-    census by cap² · |centers| regardless of hub skew."""
-    und, sym, deg = _canonical_undirected(edges)
+    census by cap² · |centers| regardless of hub skew.
+    ``assume_canonical``: see :func:`_canonical_undirected`."""
+    und, sym, deg = _canonical_undirected(edges, assume_canonical)
     return _census_from(und, sym, deg, max_center_degree)
 
 
 def persist_wedge_census(
-    edges: DataFrame, path: str, max_center_degree: int | None = None
+    edges: DataFrame,
+    path: str,
+    max_center_degree: int | None = None,
+    assume_canonical: bool = False,
 ) -> None:
     """Materialize the wedge census as a parquet artifact — the
     second-level amortization over :func:`persist_edges`: both capped
@@ -316,7 +348,7 @@ def persist_wedge_census(
     pair-hash groups) and skips a second census-sized exchange per
     build (no consumer range-filters x, so x min/max file stats bought
     nothing)."""
-    wedge_census(edges, max_center_degree).coalesce(8).write.mode(
+    wedge_census(edges, max_center_degree, assume_canonical).coalesce(8).write.mode(
         "overwrite"
     ).parquet(path)
 
@@ -333,6 +365,7 @@ def jaccard_links(
     k: int = 20,
     max_center_degree: int | None = None,
     census: DataFrame | None = None,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Neighborhood-Jaccard link prediction (Liben-Nowell & Kleinberg,
     CIKM'03): for every NON-adjacent pair sharing ≥1 neighbor, score
@@ -364,8 +397,9 @@ def jaccard_links(
     loaded via :func:`load_wedge_census`) — MUST have been built with
     the same ``max_center_degree``; when given, the quadratic
     expansion is skipped entirely and this is scan + anti-join +
-    degree join + top-k."""
-    und, sym, deg = _canonical_undirected(edges)
+    degree join + top-k.  ``assume_canonical``: see
+    :func:`_canonical_undirected`."""
+    und, sym, deg = _canonical_undirected(edges, assume_canonical)
     if census is None:
         census = _census_from(und, sym, deg, max_center_degree)
     cn = census.select("x", "y", "cn")
@@ -395,6 +429,7 @@ def resource_allocation_links(
     k: int = 20,
     max_center_degree: int | None = None,
     census: DataFrame | None = None,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Resource-Allocation link prediction (Zhou, Lü & Zhang, EPJ B
     2009) — the degree-weighted sibling of :func:`jaccard_links`: a
@@ -414,8 +449,9 @@ def resource_allocation_links(
     TakeOrdered top-k on (ra_ppm desc, pair).  The census pass is
     LITERALLY shared with jaccard_links (:func:`wedge_census` emits cn
     and ra_ppm from one groupBy), and a persisted census can be passed
-    via ``census=`` to skip the expansion entirely."""
-    und, sym, deg = _canonical_undirected(edges)
+    via ``census=`` to skip the expansion entirely.
+    ``assume_canonical``: see :func:`_canonical_undirected`."""
+    und, sym, deg = _canonical_undirected(edges, assume_canonical)
     scored_pairs = (
         census
         if census is not None
@@ -744,7 +780,9 @@ def update_wedge_census(
     return True
 
 
-def degree_stats(edges: DataFrame) -> DataFrame:
+def degree_stats(
+    edges: DataFrame, assume_canonical: bool = False
+) -> DataFrame:
     """Degree-distribution profile of an undirected graph — the
     pre-flight every graph algorithm here wants before it runs
     (pagerank's superstep cost and triangle_counts' wedge bound
@@ -758,13 +796,17 @@ def degree_stats(edges: DataFrame) -> DataFrame:
     each endpoint via a single explode — NOT a union of the edge set
     with its swap, which would execute the (expensive) distinct-edge
     build twice.  Two hash aggregations, no windows, no driver collect.
+    ``assume_canonical``: see :func:`_canonical_undirected`.
     """
     u, v = F.col("src"), F.col("dst")
-    und = (
-        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    if assume_canonical:
+        und = edges.select(u.alias("u"), v.alias("v"))
+    else:
+        und = (
+            edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
     deg = (
         und.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")

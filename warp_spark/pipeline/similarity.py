@@ -326,6 +326,52 @@ def ivf_assign(vec: Column, centroids: list) -> Column:
     return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
 
+def ivfpq_assign_encode(vec: Column, centroids: list, codebooks) -> Column:
+    """Fused ``ivf_assign`` + ``pq_encode`` as ONE Arrow crossing
+    (guide §4.1: the embedding column previously shipped to Python
+    twice — one ArrowEvalPython per UDF — for the same normalized
+    matrix).  Returns ``struct(centroid_id int, codes array<int>)``
+    with values identical to the two-UDF form: same float64 matmul and
+    first-occurrence argmax as ``_centroid_sims``/``array_position``,
+    same per-subspace squared-distance argmin as ``pq_encode``
+    (pytest-pinned byte-equality via the frozen-model append/delete
+    contracts)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    c = np.stack([v for _, v in centroids]).astype(np.float64)
+    cn = (c / np.linalg.norm(c, axis=1, keepdims=True)).T.copy()
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    sub = books[0].shape[1]
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("centroid_id", T.IntegerType()),
+                T.StructField("codes", T.ArrayType(T.IntegerType())),
+            ]
+        )
+    )
+    def assign_encode(vs: pd.Series) -> pd.DataFrame:
+        m = np.stack(vs.to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ cn
+        cid = sims.argmax(axis=1).astype(np.int32)
+        codes = np.empty((len(m), len(books)), dtype=np.int64)
+        for j, bk in enumerate(books):
+            xs = m[:, j * sub : (j + 1) * sub]
+            d = ((xs[:, None, :] - bk[None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "centroid_id": cid,
+                "codes": [row.tolist() for row in codes],
+            }
+        )
+
+    return assign_encode(vec)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -610,6 +656,34 @@ def lsh_near_pairs(
 # raw corpus, small enough to keep hot, and queries score codes via
 # per-query lookup tables (ADC) without touching the raw vectors.
 # ---------------------------------------------------------------------------
+def _fit_codebooks(x, m: int, n_codes: int, iters: int):
+    """The driver-side Lloyd trainer shared by :func:`pq_codebooks` and
+    :func:`ivfpq_train`: ``x`` is the already-collected (sample, dim)
+    float64 matrix in hash order.  Deterministic — no RNG state."""
+    import numpy as np
+
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        # deterministic init: first n_codes distinct subvectors in sample order
+        _, idx = np.unique(xs.round(9), axis=0, return_index=True)
+        cents = xs[np.sort(idx)[:n_codes]].copy()
+        for _ in range(iters):
+            d = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(len(cents)):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = xs[mask].mean(axis=0)
+        books.append(cents.tolist())
+    return books
+
+
 def pq_codebooks(
     corpus: DataFrame,
     m: int = 8,
@@ -633,26 +707,43 @@ def pq_codebooks(
         .collect()
     )
     x = np.stack([np.array(r[vec_col], dtype=np.float64) for r in rows])
-    x = x / np.linalg.norm(x, axis=1, keepdims=True)
-    dim = x.shape[1]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
-    books = []
-    for j in range(m):
-        xs = x[:, j * sub : (j + 1) * sub]
-        # deterministic init: first n_codes distinct subvectors in sample order
-        _, idx = np.unique(xs.round(9), axis=0, return_index=True)
-        cents = xs[np.sort(idx)[:n_codes]].copy()
-        for _ in range(iters):
-            d = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
-            for c in range(len(cents)):
-                mask = assign == c
-                if mask.any():
-                    cents[c] = xs[mask].mean(axis=0)
-        books.append(cents.tolist())
-    return books
+    return _fit_codebooks(x, m, n_codes, iters)
+
+
+def ivfpq_train(
+    train: DataFrame,
+    n_centroids: int = 16,
+    m: int = 16,
+    n_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 256,
+    iters: int = 5,
+):
+    """Train coarse centroids AND PQ codebooks from ONE hash-ordered
+    training draw (guide §1.2 step 1 — don't pay two corpus passes for
+    two prefixes of the same deterministic sample): ``ivf_centroids``
+    takes the first ``n_centroids`` rows of the md5-ordered corpus and
+    ``pq_codebooks`` the first ``sample`` rows of the SAME ordering, so
+    a single top-``max(sample, n_centroids)`` collect serves both.
+    Returns ``(centroids, codebooks)`` — element-for-element identical
+    to the two-collect form (pytest-pinned)."""
+    import numpy as np
+
+    rows = (
+        train.select(F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(max(int(n_centroids), int(sample)))
+        .collect()
+    )
+    centroids = [
+        (i, [float(x) for x in r[vec_col]])
+        for i, r in enumerate(rows[: int(n_centroids)])
+    ]
+    x = np.stack(
+        [np.array(r[vec_col], dtype=np.float64) for r in rows[: int(sample)]]
+    )
+    return centroids, _fit_codebooks(x, m, n_codes, iters)
 
 
 def pq_encode(vec: Column, codebooks) -> Column:
@@ -833,17 +924,23 @@ def ivfpq_topk(
     closure-captured per-query probe sets — the corpus is never joined
     or shuffled, map-side top-k bounds the window input to
     shortlist·P·|queries| rows exactly like pq_topk."""
-    if centroids is None:
+    if centroids is None and codebooks is None:
+        # ONE hash-ordered training draw serves both model halves
+        # (ivfpq_train) instead of two top-k corpus passes
+        centroids, codebooks = ivfpq_train(
+            corpus, n_centroids, m, n_codes, id_col, vec_col
+        )
+    elif centroids is None:
         centroids = ivf_centroids(corpus, n_centroids, id_col, vec_col)
-    if codebooks is None:
+    elif codebooks is None:
         codebooks = pq_codebooks(corpus, m, n_codes, vec_col, id_col)
-    # corpus: inverted-file assignment + PQ codes, one narrow pass
+    # corpus: inverted-file assignment + PQ codes, one narrow pass and
+    # ONE Arrow crossing (ivfpq_assign_encode fuses the two UDFs)
+    enc = ivfpq_assign_encode(F.col(vec_col), centroids, codebooks)
     codes = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.coalesce(ivf_assign(F.col(vec_col), centroids), F.lit(-1)).alias(
-            "centroid_id"
-        ),
-        pq_encode(F.col(vec_col), codebooks).alias("codes"),
+        F.coalesce(enc["centroid_id"], F.lit(-1)).alias("centroid_id"),
+        enc["codes"].alias("codes"),
     )
     return ivfpq_probe(
         queries,
@@ -1002,8 +1099,12 @@ def persist_ivfpq_index(
     encode=B∪slice) (pytest-pinned)."""
     spark = corpus.sparkSession
     train = train_df if train_df is not None else corpus
-    centroids = ivf_centroids(train, n_centroids, id_col, vec_col)
-    codebooks = pq_codebooks(train, m, n_codes, vec_col, id_col)
+    # ONE training draw serves both model halves (ivfpq_train): the
+    # centroid and codebook samples are prefixes of the same
+    # md5-ordered draw, so the second top-k corpus pass was pure waste
+    centroids, codebooks = ivfpq_train(
+        train, n_centroids, m, n_codes, id_col, vec_col
+    )
     spark.createDataFrame(
         [(int(i), [float(x) for x in v]) for i, v in centroids],
         "centroid_id long, vector array<double>",
@@ -1016,13 +1117,12 @@ def persist_ivfpq_index(
         ],
         "subspace long, code long, vector array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    enc = ivfpq_assign_encode(F.col(vec_col), centroids, codebooks)
     (
         corpus.select(
             F.col(id_col).alias("vec_id"),
-            F.coalesce(ivf_assign(F.col(vec_col), centroids), F.lit(-1)).alias(
-                "centroid_id"
-            ),
-            pq_encode(F.col(vec_col), codebooks).alias("codes"),
+            F.coalesce(enc["centroid_id"], F.lit(-1)).alias("centroid_id"),
+            enc["codes"].alias("codes"),
         )
         .write.mode("overwrite")
         .partitionBy("centroid_id")
@@ -1109,13 +1209,12 @@ def append_ivfpq_index(
         ]
         for j in range(n_sub)
     ]
+    enc = ivfpq_assign_encode(F.col(vec_col), centroids, codebooks)
     (
         new_vecs.select(
             F.col(id_col).alias("vec_id"),
-            F.coalesce(ivf_assign(F.col(vec_col), centroids), F.lit(-1)).alias(
-                "centroid_id"
-            ),
-            pq_encode(F.col(vec_col), codebooks).alias("codes"),
+            F.coalesce(enc["centroid_id"], F.lit(-1)).alias("centroid_id"),
+            enc["codes"].alias("codes"),
         )
         .write.mode("append")
         .partitionBy("centroid_id")
@@ -1182,31 +1281,49 @@ def delete_from_ivfpq_index(
         ]
         for j in range(n_sub)
     ]
+    enc = ivfpq_assign_encode(F.col(vec_col), centroids, codebooks)
     del_enc = del_vecs.select(
         F.col(id_col).alias("vec_id"),
-        F.coalesce(ivf_assign(F.col(vec_col), centroids), F.lit(-1)).alias(
-            "centroid_id"
-        ),
-        pq_encode(F.col(vec_col), codebooks).alias("codes"),
+        F.coalesce(enc["centroid_id"], F.lit(-1)).alias("centroid_id"),
+        enc["codes"].alias("codes"),
     ).localCheckpoint(eager=True)
-    n_del = del_enc.select("vec_id").distinct().count()
+    # ONE job answers both "how many distinct ids" and "which lists
+    # are touched" (previously a count + a collect over the same tiny
+    # checkpointed frame — two scheduler round-trips for one answer)
+    pre = del_enc.agg(
+        F.countDistinct("vec_id").alias("n_del"),
+        F.collect_set("centroid_id").alias("touched"),
+    ).first()
+    n_del = int(pre["n_del"])
     if n_del == 0:
         return True
-    touched = sorted(
-        r["centroid_id"]
-        for r in del_enc.select("centroid_id").distinct().collect()
-    )
+    touched = sorted(pre["touched"])
     codes = spark.read.parquet(f"{path}/codes")
     pruned = codes.filter(F.col("centroid_id").isin(touched))
-    matched = pruned.join(
-        del_enc, ["vec_id", "centroid_id", "codes"], "leftsemi"
-    ).count()
-    indexed_for_ids = (
-        codes.select("vec_id")
-        .join(del_enc.select("vec_id").distinct(), "vec_id", "leftsemi")
-        .count()
+    # ONE full codes pass answers both verification counts (previously
+    # two scans): rows of the requested ids anywhere in the index
+    # (indexed_for_ids — an id hiding in an UNtouched list is drift),
+    # flagged by whether they match a recomputed row exactly (matched —
+    # a full-row match implies its list is in ``touched``, so this
+    # equals the old pruned-scan count row-for-row).
+    ver = (
+        codes.join(
+            del_enc.select(F.col("vec_id").alias("__did")).distinct(),
+            F.col("vec_id") == F.col("__did"),
+            "leftsemi",
+        )
+        .join(
+            del_enc.withColumn("__m", F.lit(1)),
+            ["vec_id", "centroid_id", "codes"],
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("indexed_for_ids"),
+            F.coalesce(F.sum("__m"), F.lit(0)).alias("matched"),
+        )
+        .first()
     )
-    if matched != n_del or indexed_for_ids != n_del:
+    if int(ver["matched"]) != n_del or int(ver["indexed_for_ids"]) != n_del:
         return False  # absent id, vector drift, or duplicated codes
 
     del_ids = del_enc.select("vec_id").distinct()

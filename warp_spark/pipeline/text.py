@@ -1781,23 +1781,28 @@ def append_bm25_index(
     tk = "_bm25_tk"
     st = spark.read.parquet(f"{path}/stats").first()
     n_buckets = int(st["n_buckets"]) if "n_buckets" in st.asDict() else 16
+    # ONE tokenize pass over the slice (guide §1.2: the old form read
+    # and tokenized new_docs twice — once for the postings, once for
+    # the stats increments — and scanned it a third time for the
+    # overlap ids); every downstream job reads the checkpointed
+    # per-doc token arrays instead of the source
+    doc_tk = (
+        new_docs.select(F.col(id_col), tokens(F.col(text_col)).alias(tk))
+        .localCheckpoint(eager=True)
+    )
     overlap = (
         spark.read.parquet(f"{path}/postings")
         .select(id_col)
-        .join(new_docs.select(id_col).distinct(), id_col, "leftsemi")
+        .join(doc_tk.select(id_col).distinct(), id_col, "leftsemi")
         .limit(1)
         .count()
     )
     if overlap:
         return False  # slice re-delivers indexed ids: rebuild honestly
-    base = (
-        new_docs.select(F.col(id_col), F.col(text_col))
-        .withColumn(tk, tokens(F.col(text_col)))
-        .select(
-            id_col,
-            F.size(tk).cast("long").alias("dl"),
-            F.explode(tk).alias("term"),
-        )
+    base = doc_tk.select(
+        id_col,
+        F.size(tk).cast("long").alias("dl"),
+        F.explode(tk).alias("term"),
     )
     postings = (
         base.groupBy("term", id_col, "dl")
@@ -1809,7 +1814,7 @@ def append_bm25_index(
     postings.write.mode("append").partitionBy("bucket").parquet(
         f"{path}/postings"
     )
-    inc = new_docs.select(tokens(F.col(text_col)).alias(tk)).agg(
+    inc = doc_tk.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.coalesce(F.sum(F.size(tk)), F.lit(0)).cast("long").alias("dl"),
     ).first()
@@ -1865,10 +1870,16 @@ def delete_from_bm25_index(
     tk = "_bm25_tk"
     st = spark.read.parquet(f"{path}/stats").first()
     n_buckets = int(st["n_buckets"]) if "n_buckets" in st.asDict() else 16
+    # ONE tokenize pass over the slice (guide §1.2: the old form
+    # re-tokenized del_docs a second time just to derive the stats
+    # decrements): checkpoint the per-doc token arrays once, derive
+    # both the recomputed postings and the slice totals from that
+    doc_tk = (
+        del_docs.select(F.col(id_col), tokens(F.col(text_col)).alias(tk))
+        .localCheckpoint(eager=True)
+    )
     del_post = (
-        del_docs.select(F.col(id_col), F.col(text_col))
-        .withColumn(tk, tokens(F.col(text_col)))
-        .select(
+        doc_tk.select(
             id_col,
             F.size(tk).cast("long").alias("dl"),
             F.explode(tk).alias("term"),
@@ -1882,7 +1893,7 @@ def delete_from_bm25_index(
     # those have no postings, so nothing verifiable ties them to the
     # index — refuse rather than risk decrementing n_docs for a doc
     # that was never indexed (r13 verdict item 7)
-    inc = del_docs.select(tokens(F.col(text_col)).alias(tk)).agg(
+    inc = doc_tk.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.coalesce(F.sum(F.size(tk)), F.lit(0)).cast("long").alias("dl"),
         F.sum(
@@ -1894,13 +1905,29 @@ def delete_from_bm25_index(
     if int(inc["n_zero"]) > 0:
         return False  # zero-token rows: indexed-ness unverifiable
     n_del_rows = del_post.count()
-    del_ids = del_docs.select(id_col).distinct()
+    del_ids = doc_tk.select(id_col).distinct()
     postings = spark.read.parquet(f"{path}/postings")
-    matched = postings.join(
-        del_post, ["term", id_col, "dl", "tf"], "leftsemi"
-    ).count()
-    indexed_for_ids = postings.join(del_ids, id_col, "leftsemi").count()
-    if matched != n_del_rows or indexed_for_ids != n_del_rows:
+    # ONE postings pass answers both verification counts (previously
+    # two scans): rows of the requested ids anywhere in the index
+    # (indexed_for_ids), flagged by whether they match a recomputed
+    # (term, id, dl, tf) row exactly (matched — del_post's ids are a
+    # subset of del_ids, so the semi-filter drops no matchable row and
+    # the keys are unique post-groupBy, so the left join fans out
+    # nothing; counts equal the old two-scan form row-for-row)
+    ver = (
+        postings.join(del_ids, id_col, "leftsemi")
+        .join(
+            del_post.withColumn("__m", F.lit(1)),
+            ["term", id_col, "dl", "tf"],
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("indexed_for_ids"),
+            F.coalesce(F.sum("__m"), F.lit(0)).alias("matched"),
+        )
+        .first()
+    )
+    if int(ver["matched"]) != n_del_rows or int(ver["indexed_for_ids"]) != n_del_rows:
         return False  # absent id, text drift, or duplicated postings
     tmp = unique_sibling_tmp(os.path.join(path, "postings"), tag="delete")
     (

@@ -1724,17 +1724,19 @@ def mutable_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         d = os.path.join(root, "changes")
         os.makedirs(d)
-        for i, b in ((1, b1), (2, b2)):
-            b.select(*cols, "seq", "op").coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(f"{d}/stage{i}")
-            part = glob.glob(f"{d}/stage{i}/part-*.parquet")[0]
-            tgt = f"{d}/file_{i:03d}.parquet"
-            os.rename(part, tgt)
-            shutil.rmtree(f"{d}/stage{i}", ignore_errors=True)
-            # distinct mtimes: FileStreamSource orders new files by
-            # modification time — this pins batch 1 before batch 2
-            os.utime(tgt, (1_700_000_000 + 100 * i,) * 2)
+        # ONE job stages both change batches, split on seq (previously
+        # two coalesce(1) writes, each re-scanning orders); distinct
+        # mtimes from the helper pin batch 1 before batch 2 (the
+        # FileStreamSource orders new files by modification time)
+        _stage_split_files(
+            b1.select(*cols, "seq", "op").unionByName(
+                b2.select(*cols, "seq", "op")
+            ),
+            d,
+            F.col("seq") - 1,
+            cols + ["seq", "op"],
+            n=2,
+        )
         stream = (
             spark.readStream.schema(
                 "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
@@ -2089,23 +2091,54 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_mode_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from warp_spark.median import grouped_median
-
     li = _t(spark, sf_dir, "lineitem").to_df().select(
         F.col("l_returnflag").alias("g"), F.col("l_quantity").cast("long").alias("v")
     )
-    counts = li.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    # ONE lineitem scan builds the (g, v) histogram; mode, median AND
+    # MAD all derive from histograms (guide §1.2/§2.3: the old form
+    # scanned lineitem three times — the mode groupBy, grouped_median's
+    # full-row window sort, and the MAD deviation join+window — and
+    # twice paid a per-ROW rank window where a per-VALUE cumulative
+    # suffices; the quantity domain is ~50 values, so the windows now
+    # run over ≤|domain| rows per group).  Interpolated medians from
+    # the cumulative histogram pick the identical two middle VALUES as
+    # grouped_median's rank filter — value at rank r = min v with
+    # cum(v) ≥ r — and the only doubles are the same two midpoints.
+    counts = (
+        li.groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     w = Window.partitionBy("g").orderBy(F.col("c").desc(), F.col("v").asc())
     mode_t = (
         counts.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("g", F.col("v").alias("mode_value"))
     )
-    med = grouped_median(li, ["g"], "v", out_col="median_qty")
-    mad_in = li.join(F.broadcast(med), "g").select(
-        "g", F.abs(F.col("v") - F.col("median_qty")).alias("dev")
+
+    def hist_median(h: DataFrame, out: str) -> DataFrame:
+        wv = Window.partitionBy("g").orderBy("v")
+        t = h.withColumn("cum", F.sum("c").over(wv)).withColumn(
+            "n", F.sum("c").over(Window.partitionBy("g"))
+        )
+        lo_rk = ((F.col("n") + 1) / 2).cast("long")
+        hi_rk = (F.col("n") / 2 + 1).cast("long")
+        return (
+            t.groupBy("g")
+            .agg(
+                F.min(F.when(F.col("cum") >= lo_rk, F.col("v"))).alias("__lo"),
+                F.min(F.when(F.col("cum") >= hi_rk, F.col("v"))).alias("__hi"),
+            )
+            .select("g", ((F.col("__lo") + F.col("__hi")) / 2).alias(out))
+        )
+
+    med = hist_median(counts, "median_qty")
+    dev_h = (
+        counts.join(F.broadcast(med), "g")
+        .groupBy("g", F.abs(F.col("v") - F.col("median_qty")).alias("v"))
+        .agg(F.sum("c").alias("c"))
     )
-    mad_t = grouped_median(mad_in, ["g"], "dev", out_col="mad")
+    mad_t = hist_median(dev_h, "mad")
     return (
         mode_t.join(med, "g")
         .join(mad_t, "g")
@@ -4012,14 +4045,12 @@ def events_sample_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"sample_streamed_{uuid.uuid4().hex[:8]}"
     try:
         batch = _events(spark, sf_dir)
-        for i in (0, 1, 2):  # unordered thirds — the op is order-free
-            batch.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(f"{d}/chunk{i}")
-            part = glob.glob(f"{d}/chunk{i}/part-*.parquet")[0]
-            os.rename(part, f"{d}/file_{i:03d}.parquet")
-            shutil.rmtree(f"{d}/chunk{i}", ignore_errors=True)
-            os.utime(f"{d}/file_{i:03d}.parquet", (1_700_000_000 + i,) * 2)
+        # unordered thirds — the op is order-free; ONE pass stages all
+        # three trigger files (previously 3 filter+coalesce(1) writes,
+        # each re-scanning events)
+        _stage_split_files(
+            batch, d, F.col("event_id") % 3, list(batch.columns)
+        )
         ev = read_event_stream(spark, d, max_files_per_trigger=1)
         hv = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10).cast("long")
         keyed = ev.select(
@@ -4105,14 +4136,16 @@ def events_attribution_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.ntile(3).over(Window.orderBy("ts", "__is_touch", "event_id")),
             )
         )
-        for i in (1, 2, 3):
-            batch.filter(F.col("__third") == i).drop(
-                "__third", "__is_touch"
-            ).coalesce(1).write.mode("overwrite").parquet(f"{d}/chunk{i}")
-            part = glob.glob(f"{d}/chunk{i}/part-*.parquet")[0]
-            os.rename(part, f"{d}/file_{i:03d}.parquet")
-            shutil.rmtree(f"{d}/chunk{i}", ignore_errors=True)
-            os.utime(f"{d}/file_{i:03d}.parquet", (1_700_000_000 + i,) * 2)
+        # ONE pass stages the time-ordered thirds (the old loop ran the
+        # global ntile WINDOW three times — once per filter — plus three
+        # source scans); row→file assignment is identical, and the
+        # stateful consumer sorts within each micro-batch group
+        _stage_split_files(
+            batch,
+            d,
+            F.col("__third") - 1,
+            [c for c in batch.columns if not c.startswith("__")],
+        )
         ev = read_event_stream(spark, d, max_files_per_trigger=1)
         if dict(ev.dtypes)["ts"] == "timestamp_ntz":
             ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -4297,6 +4330,9 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def basket_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").to_df()
+    # NOTE (r14): an eager localCheckpoint on op was tried and measured
+    # a wash (2.86 vs 2.88 s at sf0.1) — the four consumers already
+    # share the distinct's exchange via ReusedExchange
     op = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
@@ -7777,13 +7813,16 @@ def events_late_data_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch = _events(spark, sf_dir).withColumn(
             "__third", F.ntile(3).over(Window.orderBy(F.col("ts").desc()))
         )
-        for i in (1, 2, 3):
-            batch.filter(F.col("__third") == i).drop("__third").coalesce(
-                1
-            ).write.mode("overwrite").parquet(f"{d}/chunk{i}")
-            part = glob.glob(f"{d}/chunk{i}/part-*.parquet")[0]
-            os.rename(part, f"{d}/file_{i:03d}.parquet")
-            shutil.rmtree(f"{d}/chunk{i}", ignore_errors=True)
+        # ONE pass stages all three trigger files (previously three
+        # window+filter+coalesce(1) writes); the old loop relied on
+        # natural write mtimes for batch order — the helper's explicit
+        # utimes pin the same tile-1-first order deterministically
+        _stage_split_files(
+            batch,
+            d,
+            F.col("__third") - 1,
+            [c for c in batch.columns if c != "__third"],
+        )
         ev = read_event_stream(spark, d, max_files_per_trigger=1)
         if dict(ev.dtypes)["ts"] == "bigint":
             ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
@@ -8598,14 +8637,15 @@ def events_holt_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "__third", F.ntile(3).over(Window.orderBy("ts", "event_id"))
             )
         )
-        for i in (1, 2, 3):
-            batch.filter(F.col("__third") == i).drop("__third").coalesce(
-                1
-            ).write.mode("overwrite").parquet(f"{d}/chunk{i}")
-            part = glob.glob(f"{d}/chunk{i}/part-*.parquet")[0]
-            os.rename(part, f"{d}/file_{i:03d}.parquet")
-            shutil.rmtree(f"{d}/chunk{i}", ignore_errors=True)
-            os.utime(f"{d}/file_{i:03d}.parquet", (1_700_000_000 + i,) * 2)
+        # ONE pass stages the time-ordered thirds (the old loop ran the
+        # global ntile window + a source scan per file); assignment is
+        # identical and consumers are in-batch order-insensitive
+        _stage_split_files(
+            batch,
+            d,
+            F.col("__third") - 1,
+            [c for c in batch.columns if c != "__third"],
+        )
         ev = read_event_stream(spark, d, max_files_per_trigger=1)
         if dict(ev.dtypes)["ts"] == "timestamp_ntz":
             ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -8837,7 +8877,15 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gh")
         )
     )
-    gc = gh.groupBy("gh").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # checkpoint the gram histogram once: it feeds the census .first(),
+    # the ranked chain's range-sort SAMPLING pass, and the ranked run
+    # itself — without it the explode+groupBy re-executes for each
+    # (guide §1.2; the multimodal_image_histogram range-sampling find)
+    gc = (
+        gh.groupBy("gh")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     v = gc.agg(
         F.count(F.lit(1)).alias("__vocab"), F.sum("c").alias("__total")
     ).first()
@@ -9116,14 +9164,15 @@ def events_ewma_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "__third", F.ntile(3).over(Window.orderBy("ts", "event_id"))
             )
         )
-        for i in (1, 2, 3):
-            batch.filter(F.col("__third") == i).drop("__third").coalesce(
-                1
-            ).write.mode("overwrite").parquet(f"{d}/chunk{i}")
-            part = glob.glob(f"{d}/chunk{i}/part-*.parquet")[0]
-            os.rename(part, f"{d}/file_{i:03d}.parquet")
-            shutil.rmtree(f"{d}/chunk{i}", ignore_errors=True)
-            os.utime(f"{d}/file_{i:03d}.parquet", (1_700_000_000 + i,) * 2)
+        # ONE pass stages the time-ordered thirds (the old loop ran the
+        # global ntile window + a source scan per file); assignment is
+        # identical and consumers are in-batch order-insensitive
+        _stage_split_files(
+            batch,
+            d,
+            F.col("__third") - 1,
+            [c for c in batch.columns if c != "__third"],
+        )
         ev = read_event_stream(spark, d, max_files_per_trigger=1)
         if dict(ev.dtypes)["ts"] == "timestamp_ntz":
             ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -9860,7 +9909,13 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warp_spark.pipeline.codecs import synth_wav_payloads, wav_energy_features
 
     docs = _t(spark, sf_dir, "documents").to_df()
-    return wav_energy_features(synth_wav_payloads(docs)).orderBy("doc_id")
+    # checkpoint before the global sort (range sampling would re-run
+    # the WAV encode+decode chain — see multimodal_image_histogram)
+    return (
+        wav_energy_features(synth_wav_payloads(docs))
+        .localCheckpoint(eager=False)
+        .orderBy("doc_id")
+    )
 
 
 # Luminance histogram over REAL decoded PNGs (codecs.py::png_histogram)
@@ -9892,7 +9947,17 @@ def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warp_spark.pipeline.codecs import png_histogram, synth_png_payloads
 
     docs = _t(spark, sf_dir, "documents").to_df()
-    return png_histogram(synth_png_payloads(docs)).orderBy("doc_id", "bin")
+    # checkpoint before the global sort: Exchange rangepartitioning
+    # SAMPLES its child, which re-executes the whole encode+decode
+    # Arrow chain a second time (measured 7.0 → 4.1 s at sf0.1);
+    # the checkpoint materializes the tiny histogram once and the
+    # sampling pass reads it back (guide §1.2 — don't compute things
+    # twice)
+    return (
+        png_histogram(synth_png_payloads(docs))
+        .localCheckpoint(eager=False)
+        .orderBy("doc_id", "bin")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -14711,8 +14776,24 @@ def stats_spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
 
+    # ONE lineitem scan builds the joint (x, y) histogram; the marginal
+    # histograms ROLL UP from it and the moment sums run cnt-weighted
+    # over histogram rows instead of raw rows (guide §1.2/§2.3: the old
+    # form scanned lineitem three times — two marginal groupBys plus
+    # the final double join of every raw row against both rank maps —
+    # and the y-side rank join shuffled the whole fact table).  All
+    # arithmetic is exact decimal(38,0), so the weighted sums equal the
+    # per-row sums identically; the joint histogram is bounded by the
+    # VALUE DOMAIN product (qty ≤ ~50 distinct, cents ≤ price range),
+    # not the data volume.
+    hxy = (
+        li.groupBy("x", "y")
+        .agg(dec(F.count(F.lit(1))).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+
     def rank2_map(col: str, out: str) -> DataFrame:
-        h = li.groupBy(col).agg(dec(F.count(F.lit(1))).alias("cnt"))
+        h = hxy.groupBy(col).agg(F.sum("cnt").alias("cnt"))
         c = _prefix_sum_global(h, [F.col(col)], "cnt", "cum")
         return c.select(
             col,
@@ -14722,14 +14803,14 @@ def stats_spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(1)
             ).alias(out),
         )
-    r = li.join(rank2_map("x", "rx"), "x").join(rank2_map("y", "ry"), "y")
+    r = hxy.join(rank2_map("x", "rx"), "x").join(rank2_map("y", "ry"), "y")
     s = r.agg(
-        dec(F.count(F.lit(1))).alias("n"),
-        F.sum(dec(F.col("rx"))).alias("sx"),
-        F.sum(dec(F.col("ry"))).alias("sy"),
-        F.sum(dec(F.col("rx")) * dec(F.col("rx"))).alias("sxx"),
-        F.sum(dec(F.col("ry")) * dec(F.col("ry"))).alias("syy"),
-        F.sum(dec(F.col("rx")) * dec(F.col("ry"))).alias("sxy"),
+        F.sum(F.col("cnt")).alias("n"),
+        F.sum(F.col("cnt") * dec(F.col("rx"))).alias("sx"),
+        F.sum(F.col("cnt") * dec(F.col("ry"))).alias("sy"),
+        F.sum(F.col("cnt") * dec(F.col("rx")) * dec(F.col("rx"))).alias("sxx"),
+        F.sum(F.col("cnt") * dec(F.col("ry")) * dec(F.col("ry"))).alias("syy"),
+        F.sum(F.col("cnt") * dec(F.col("rx")) * dec(F.col("ry"))).alias("sxy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -15122,14 +15203,15 @@ def events_new_users_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch = _events(spark, sf_dir).withColumn(
             "__third", F.ntile(3).over(Window.orderBy("ts", "event_id"))
         )
-        for i in (1, 2, 3):
-            batch.filter(F.col("__third") == i).drop("__third").coalesce(
-                1
-            ).write.mode("overwrite").parquet(f"{d}/chunk{i}")
-            part = glob.glob(f"{d}/chunk{i}/part-*.parquet")[0]
-            os.rename(part, f"{d}/file_{i:03d}.parquet")
-            shutil.rmtree(f"{d}/chunk{i}", ignore_errors=True)
-            os.utime(f"{d}/file_{i:03d}.parquet", (1_700_000_000 + i,) * 2)
+        # ONE pass stages the time-ordered thirds (the old loop ran the
+        # global ntile window + a source scan per file); assignment is
+        # identical and consumers are in-batch order-insensitive
+        _stage_split_files(
+            batch,
+            d,
+            F.col("__third") - 1,
+            [c for c in batch.columns if c != "__third"],
+        )
         ev = read_event_stream(spark, d, max_files_per_trigger=1)
         if dict(ev.dtypes)["ts"] == "timestamp_ntz":
             ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -15467,7 +15549,9 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((delta_sum * 1000) DIV n_pixels AS BIGINT)").alias(
             "mean_delta_milli"
         ),
-    ).orderBy("doc_id", "f_from")
+    ).localCheckpoint(eager=False).orderBy("doc_id", "f_from")
+    # ^ checkpoint before the global sort: range sampling would re-run
+    # the Y4M decode chain (see multimodal_image_histogram)
 
 
 # ---------------------------------------------------------------------------
@@ -16267,7 +16351,13 @@ def multimodal_wav_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warp_spark.pipeline.codecs import synth_wav_payloads, wav_silence_stats
 
     docs = _t(spark, sf_dir, "documents").to_df()
-    return wav_silence_stats(synth_wav_payloads(docs)).orderBy("doc_id")
+    # checkpoint before the global sort (range sampling would re-run
+    # the WAV chain — see multimodal_image_histogram)
+    return (
+        wav_silence_stats(synth_wav_payloads(docs))
+        .localCheckpoint(eager=False)
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -16317,7 +16407,9 @@ def multimodal_image_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(((grad_x_sum + grad_y_sum) * 1000) DIV (height * width) "
             "AS BIGINT)"
         ).alias("mean_grad_milli"),
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")
+    # ^ checkpoint before the global sort: range sampling would re-run
+    # the PNG decode + Sobel chain (see multimodal_image_histogram)
 
 
 # ---------------------------------------------------------------------------

@@ -1512,6 +1512,10 @@ def prefix_filter_jaccard_pairs(
         )
     )
     p_len = (F.col("n") - F.floor(F.lit(threshold) * F.col("n")) + 1).cast("int")
+    # NOTE (r14): an eager localCheckpoint here was tried and measured
+    # SLOWER (3.40 → 3.75 s at sf0.1) — the four consumers of `pre`
+    # already share the ordered groupBy's exchange via ReusedExchange,
+    # so the checkpoint only added materialization cost
     pre = ordered.withColumn("pf", F.slice(F.col("sh"), 1, p_len))
     px = pre.select(
         F.col(id_col).alias("pid"),

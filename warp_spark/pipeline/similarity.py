@@ -1727,12 +1727,6 @@ def spherical_kmeans(
     import numpy as np
 
     dim = len(corpus.select(vec_col).first()[0])
-    # ‖x‖ staged once so the per-coordinate normalized sums reuse it
-    nrm_col = F.sqrt(
-        F.aggregate(
-            F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x
-        )
-    )
     cents = [(i, v) for i, v in ivf_centroids(corpus, k, id_col, vec_col)]
     objectives: list[float] = []
 
@@ -1750,29 +1744,91 @@ def spherical_kmeans(
             )
         )
 
-    for _ in range(iters):
-        assigned = _assign(cents)
-        # stage ‖x‖ in its own projection (CollapseProject discipline)
-        staged = assigned.withColumn("__nrm", nrm_col)
-        stats = (
-            staged.groupBy("cluster")
+    def _iter_stats(centroids):
+        """Per-iteration sufficient statistics as ONE Arrow pass
+        emitting k partial rows per task (guide §2.3 "aggregate before
+        you shuffle" + §4.1): the old form shipped the vector column
+        through an ArrowEvalPython sims pass, then paid a per-row
+        interpreted `aggregate` HOF for ‖x‖ and `dim` element_at sums
+        over EVERY row in the JVM aggregate.  Here assignment (the
+        identical matmul + first-occurrence argmax as _centroid_sims)
+        and the guarded normalized sums happen in the same numpy
+        kernel, and only k×(dim+2) values per task cross the shuffle.
+        Assignments are bit-identical; vsum/obj partial-sum order
+        changes only the float fold order, which the objective's 1e-9
+        monotone tolerance and the invariant-row contract absorb (same
+        latitude the JVM partial-aggregate merge order already has)."""
+        c = np.stack([v for _, v in centroids]).astype(np.float64)
+        cn = (c / np.linalg.norm(c, axis=1, keepdims=True)).T.copy()
+        kk = len(centroids)
+
+        def fn(batches):
+            from pyspark import TaskContext
+
+            counts = np.zeros(kk, dtype=np.int64)
+            obj = np.zeros(kk, dtype=np.float64)
+            vs = np.zeros((kk, dim), dtype=np.float64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                nrm = np.linalg.norm(m, axis=1, keepdims=True)
+                sims = (m / nrm) @ cn
+                cid = sims.argmax(axis=1)
+                counts += np.bincount(cid, minlength=kk)
+                obj += np.bincount(cid, weights=sims.max(axis=1), minlength=kk)
+                # the vsum guard mirrors the old when(nrm>0, x/nrm, x)
+                mn = np.where(nrm > 0, m / np.where(nrm > 0, nrm, 1.0), m)
+                np.add.at(vs, cid, mn)
+            part = TaskContext.get().partitionId()
+            yield pd.DataFrame(
+                {
+                    "cluster": np.arange(kk, dtype=np.int32),
+                    "part": np.full(kk, part, dtype=np.int32),
+                    "n": counts,
+                    "obj": obj,
+                    "vsum": [row.tolist() for row in vs],
+                }
+            )
+
+        partials = corpus.select(vec_col).mapInPandas(
+            fn,
+            schema="cluster int, part int, n long, obj double, "
+            "vsum array<double>",
+        )
+        # fold the partials in SORTED task order: float sums must be
+        # run-to-run deterministic (the end-to-end determinism pytest
+        # pins obj1 == obj2), and collect_list arrival order is not —
+        # array_sort on the (part, …) struct pins the fold order
+        zero = F.array_repeat(F.lit(0.0), dim)
+        return (
+            partials.groupBy("cluster")
             .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("sim").alias("obj"),
-                F.array(
-                    *[
-                        F.sum(
-                            F.when(
-                                F.col("__nrm") > 0,
-                                F.element_at(F.col(vec_col), i + 1) / F.col("__nrm"),
-                            ).otherwise(F.element_at(F.col(vec_col), i + 1))
-                        )
-                        for i in range(dim)
-                    ]
+                F.sum("n").alias("n"),
+                F.array_sort(
+                    F.collect_list(F.struct("part", "obj", "vsum"))
+                ).alias("ps"),
+            )
+            .select(
+                "cluster",
+                "n",
+                F.aggregate(
+                    F.col("ps"), F.lit(0.0), lambda acc, x: acc + x["obj"]
+                ).alias("obj"),
+                F.aggregate(
+                    F.col("ps"),
+                    zero,
+                    lambda acc, x: F.zip_with(
+                        acc, x["vsum"], lambda a, b: a + b
+                    ),
                 ).alias("vsum"),
             )
+            .where(F.col("n") > 0)
             .collect()
         )
+
+    for _ in range(iters):
+        stats = _iter_stats(cents)
         total_n = sum(r["n"] for r in stats)
         objectives.append(float(sum(r["obj"] for r in stats)) / total_n)
         new_cents = []

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from warp_spark.aggregators import Aggregator
 from warp_spark.dataset import Dataset, Order
 from warp_spark.functions import call
+from warp_spark.localdf import small_rows_df
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> Dataset:
@@ -2522,7 +2523,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warp_spark.pipeline.text import bpe_train
 
     merges = bpe_train(_t(spark, sf_dir, "documents").to_df(), n_merges=6)
-    return spark.createDataFrame(
+    return small_rows_df(
+        spark,
         [(i + 1, l, r, m, c) for i, (l, r, m, c) in enumerate(merges)],
         "rank long, lft string, rgt string, merged string, weighted_count long",
     )
@@ -7939,7 +7941,8 @@ def events_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFram
         max_ts = batch_ev.agg(F.max("ts")).first()[0]  # 1-scalar artifact
         flush_ts = max_ts + _dt.timedelta(days=30)
         n_staged = _stage_parquet_files(f"{sf_dir}/events.parquet", d, "file")
-        sentinel = spark.createDataFrame(
+        sentinel = small_rows_df(
+            spark,
             [
                 (-1, flush_ts, -1, "click", 0.0, "{}"),
                 (-2, flush_ts, -1, "purchase", 0.0, "{}"),
@@ -9751,7 +9754,8 @@ def infer_formula_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         example_ok = True
     else:  # pragma: no cover - infer regression
         mism, example_ok = -1, False
-    return spark.createDataFrame(
+    return small_rows_df(
+        spark,
         [(found, example_ok, mism)],
         "found boolean, example_ok boolean, distributed_mismatches long",
     )
@@ -15498,7 +15502,8 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             if m:
                 nxt[t2] = nxt.get(t2, 0) + (m * n) // n_from[f]
         v = nxt
-    return spark.createDataFrame(
+    return small_rows_df(
+        spark,
         [(t, v.get(t, 0)) for t in types],
         schema="event_type string, stationary_ppm long",
     ).orderBy("event_type")
@@ -16510,7 +16515,8 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_edges = n_e
     n_nodes_core, n_edges_core = _graph_counts(e)
-    return spark.createDataFrame(
+    return small_rows_df(
+        spark,
         [(n_nodes_initial, n_edges_initial, n_nodes_core, n_edges_core)],
         schema=(
             "n_nodes_initial long, n_edges_initial long, "

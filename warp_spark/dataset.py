@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from warp_spark.aggregators import Aggregator
+from warp_spark.localdf import small_rows_df
 from warp_spark.values import to_number  # noqa: F401  (used by rank windows)
 
 ROW_ID = "__row_id"
@@ -623,13 +624,13 @@ class Dataset:
             raise ValueError(f"transpose capped at {max_rows} rows")
         cols = self.df.columns
         if not rows:
-            return Dataset(self.df.sparkSession.createDataFrame([], "column string"))
+            return Dataset(small_rows_df(self.df.sparkSession, [], "column string"))
         header = ["column"] + [str(r[0]) for r in rows]
         out_rows = []
         for ci in range(1, len(cols)):
             out_rows.append(tuple([cols[ci]] + [str(r[ci]) if r[ci] is not None else None for r in rows]))
         schema = ", ".join(f"`{h}` string" for h in header)
-        return Dataset(self.df.sparkSession.createDataFrame(out_rows, schema))
+        return Dataset(small_rows_df(self.df.sparkSession, out_rows, schema))
 
     # -- app-level steps (SURVEY.md §2.1 #17-24) ---------------------------
     def explode_vertical(self, column: str, separator: Optional[str] = None) -> "Dataset":

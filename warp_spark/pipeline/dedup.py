@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from warp_spark.artifacts import locked_mutation
+from warp_spark.localdf import small_rows_df
 from warp_spark.pipeline.text import fingerprint, tokens
 
 DEFAULT_NUM_HASHES = 12
@@ -1155,7 +1156,8 @@ def append_dedup_index(
         f"{path}/shingles"
     )
     # stats swap: carry every model parameter, bump only the doc count
-    spark.createDataFrame(
+    small_rows_df(
+        spark,
         [
             (
                 int(st["n_docs"]) + int(n_new),
@@ -1299,7 +1301,8 @@ def delete_from_dedup_index(
 
     swap_artifact_dir(os.path.join(path, "shingles"), sh_tmp, locked=True)
 
-    spark.createDataFrame(
+    small_rows_df(
+        spark,
         [
             (
                 int(st["n_docs"]) - int(n_del),

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from warp_spark.artifacts import locked_mutation
+from warp_spark.localdf import small_rows_df
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -1105,11 +1106,13 @@ def persist_ivfpq_index(
     centroids, codebooks = ivfpq_train(
         train, n_centroids, m, n_codes, id_col, vec_col
     )
-    spark.createDataFrame(
+    small_rows_df(
+        spark,
         [(int(i), [float(x) for x in v]) for i, v in centroids],
         "centroid_id long, vector array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    spark.createDataFrame(
+    small_rows_df(
+        spark,
         [
             (int(j), int(c), [float(x) for x in codebooks[j][c]])
             for j in range(len(codebooks))
@@ -1973,6 +1976,8 @@ def mmr_diversify(
         _, c, mx, score = best
         selected.append((c,))
         rows.append((step, c, rels[c], mx, score))
-    return query.sparkSession.createDataFrame(
-        rows, "rank long, vec_id long, rel double, max_sim double, mmr_score double"
+    return small_rows_df(
+        query.sparkSession,
+        rows,
+        "rank long, vec_id long, rel double, max_sim double, mmr_score double",
     )

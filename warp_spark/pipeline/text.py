@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from warp_spark.artifacts import locked_mutation
+from warp_spark.localdf import small_rows_df
 
 # Small function-word lists per language for the n-gram/stopword-hit
 # language heuristic. Deliberately tiny: the heuristic is argmax of hit
@@ -1312,10 +1313,11 @@ def bm25_topk(
         # empty corpus (or all-empty documents): sum("dl") is NULL and
         # the avgdl division below would be 0/0 — short-circuit to an
         # empty result with the output schema
-        return spark.createDataFrame(
-            [], f"query_id long, rank int, {id_col} long, score_ppm long"
+        return small_rows_df(
+            spark, [], f"query_id long, rank int, {id_col} long, score_ppm long"
         )
-    qdf = spark.createDataFrame(
+    qdf = small_rows_df(
+        spark,
         [(qid, t) for qid, ts in queries for t in set(ts)],
         "query_id long, term string",
     )
@@ -1504,7 +1506,8 @@ def heaps_growth(
     if mx is None:
         # empty corpus: max(doc_id) is NULL — short-circuit to a typed
         # empty result (mirrors the bm25_topk empty-corpus guard)
-        return docs.sparkSession.createDataFrame(
+        return small_rows_df(
+            docs.sparkSession,
             [],
             "threshold long, n_docs long, cum_tokens long, "
             "gram_vocab long, heaps_beta_ppm long, heaps_intercept_ppm long",
@@ -1818,7 +1821,8 @@ def append_bm25_index(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.coalesce(F.sum(F.size(tk)), F.lit(0)).cast("long").alias("dl"),
     ).first()
-    spark.createDataFrame(
+    small_rows_df(
+        spark,
         [(int(st["n_docs"]) + int(inc["n"]), int(st["total_dl"]) + int(inc["dl"]), n_buckets)],
         "n_docs long, total_dl long, n_buckets int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
@@ -1941,7 +1945,8 @@ def delete_from_bm25_index(
         .parquet(tmp)
     )
     swap_artifact_dir(os.path.join(path, "postings"), tmp, locked=True)
-    spark.createDataFrame(
+    small_rows_df(
+        spark,
         [
             (
                 int(st["n_docs"]) - int(inc["n"]),
@@ -2020,7 +2025,7 @@ def bm25_index_probe(
     n_buckets = st["n_buckets"] if "n_buckets" in st.asDict() else 16
     # bucket ids for the query terms via the same JVM hash (bounded:
     # one row per distinct term)
-    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    tdf = small_rows_df(spark, [(t,) for t in terms], "term string")
     bks = sorted(
         r["b"]
         for r in tdf.select(
@@ -2038,10 +2043,11 @@ def bm25_index_probe(
         F.count(F.lit(1)).cast("long").alias("df")
     )
     if not n_docs or not total_dl:
-        return spark.createDataFrame(
-            [], f"query_id long, rank int, {id_col} long, score_ppm long"
+        return small_rows_df(
+            spark, [], f"query_id long, rank int, {id_col} long, score_ppm long"
         )
-    qdf = spark.createDataFrame(
+    qdf = small_rows_df(
+        spark,
         [(qid, t) for qid, ts in queries for t in set(ts)],
         "query_id long, term string",
     )

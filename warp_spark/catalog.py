@@ -6825,6 +6825,31 @@ def _source_stat_sig(src: str) -> tuple:
     return tuple(sig)
 
 
+_CONTENT_STAMP_CACHE: dict = {}
+
+
+def _memo_stamp(key: str, src: str, compute) -> str:
+    """Memoize a content-fingerprint STAMP per (key, source file-stat
+    signature) within the process — the _GRAPH_EDGES_FP_CACHE /
+    _TDIGEST_FP_CACHE pattern generalized (r14, guide §1.2): the
+    fingerprint scan is the honesty mechanism that detects source
+    changes, but re-running it on every entry invocation re-pays a
+    full source scan for an answer that cannot have changed while the
+    part files' stat signature is identical.  ``compute()`` runs the
+    actual fingerprint aggregation and returns the stamp string; it
+    re-runs exactly when a part file under ``src`` changes (mtime or
+    size — _source_stat_sig stats the files INSIDE the dataset, r11
+    ADVICE).  Never caches across processes: a fresh bench/driver run
+    always fingerprints once."""
+    stat_sig = _source_stat_sig(src)
+    cached = _CONTENT_STAMP_CACHE.get(key)
+    if cached is not None and cached[0] == stat_sig:
+        return cached[1]
+    stamp = compute()
+    _CONTENT_STAMP_CACHE[key] = (stat_sig, stamp)
+    return stamp
+
+
 def _publish_artifact(path: str, marker_name: str, stamp: str, build_fn) -> None:
     """Race-proof artifact rebuild (r11 ADVICE): build into a UNIQUE
     sibling scratch directory — the completion marker is written LAST,
@@ -6871,14 +6896,20 @@ def _ensure_dedup_index(spark: SparkSession, sf_dir: str, rebuild: bool = False)
     corpus = (
         _t(spark, sf_dir, "documents").to_df().filter(F.col("doc_id") % 20 < 16)
     )
-    fp = corpus.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("doc_id").cast("decimal(38,0)")).alias("ids"),
-        F.sum(F.crc32(F.col("text")).cast("decimal(38,0)")).alias("crc"),
-    ).first()
-    stamp = (
-        "dedup minhash=12 band=2 n_buckets=32 cap=10000 "
-        f"n_docs={fp['n']} idsum={fp['ids']} crcsum={fp['crc']}"
+
+    def _fp() -> str:
+        fp = corpus.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("doc_id").cast("decimal(38,0)")).alias("ids"),
+            F.sum(F.crc32(F.col("text")).cast("decimal(38,0)")).alias("crc"),
+        ).first()
+        return (
+            "dedup minhash=12 band=2 n_buckets=32 cap=10000 "
+            f"n_docs={fp['n']} idsum={fp['ids']} crcsum={fp['crc']}"
+        )
+
+    stamp = _memo_stamp(
+        f"dedup_idx:{sf_dir}", f"{sf_dir}/documents.parquet", _fp
     )
     current = None
     if os.path.exists(marker):
@@ -7010,26 +7041,31 @@ def _ensure_dedup_index_appended(spark: SparkSession, sf_dir: str) -> str:
     base = docs.filter(F.col("doc_id") % 20 < 12)
     slice_ = docs.filter((F.col("doc_id") % 20 >= 12) & (F.col("doc_id") % 20 < 16))
     # one conditional-aggregation scan fingerprints base and slice
-    is_base = F.col("doc_id") % 20 < 12
-    fp = docs.filter(F.col("doc_id") % 20 < 16).agg(
-        F.sum(F.when(is_base, 1).otherwise(0)).alias("nb"),
-        F.sum(
-            F.when(is_base, F.col("doc_id").cast("decimal(38,0)")).otherwise(0)
-        ).alias("idb"),
-        F.sum(
-            F.when(is_base, F.crc32(F.col("text")).cast("decimal(38,0)")).otherwise(0)
-        ).alias("crcb"),
-        F.sum(F.when(~is_base, 1).otherwise(0)).alias("ns"),
-        F.sum(
-            F.when(~is_base, F.col("doc_id").cast("decimal(38,0)")).otherwise(0)
-        ).alias("ids"),
-        F.sum(
-            F.when(~is_base, F.crc32(F.col("text")).cast("decimal(38,0)")).otherwise(0)
-        ).alias("crcs"),
-    ).first()
-    stamp = (
-        f"dedupapp base n={fp['nb']} id={fp['idb']} crc={fp['crcb']} "
-        f"+ appended n={fp['ns']} id={fp['ids']} crc={fp['crcs']}"
+    def _fp() -> str:
+        is_base = F.col("doc_id") % 20 < 12
+        fp = docs.filter(F.col("doc_id") % 20 < 16).agg(
+            F.sum(F.when(is_base, 1).otherwise(0)).alias("nb"),
+            F.sum(
+                F.when(is_base, F.col("doc_id").cast("decimal(38,0)")).otherwise(0)
+            ).alias("idb"),
+            F.sum(
+                F.when(is_base, F.crc32(F.col("text")).cast("decimal(38,0)")).otherwise(0)
+            ).alias("crcb"),
+            F.sum(F.when(~is_base, 1).otherwise(0)).alias("ns"),
+            F.sum(
+                F.when(~is_base, F.col("doc_id").cast("decimal(38,0)")).otherwise(0)
+            ).alias("ids"),
+            F.sum(
+                F.when(~is_base, F.crc32(F.col("text")).cast("decimal(38,0)")).otherwise(0)
+            ).alias("crcs"),
+        ).first()
+        return (
+            f"dedupapp base n={fp['nb']} id={fp['idb']} crc={fp['crcb']} "
+            f"+ appended n={fp['ns']} id={fp['ids']} crc={fp['crcs']}"
+        )
+
+    stamp = _memo_stamp(
+        f"dedup_app:{sf_dir}", f"{sf_dir}/documents.parquet", _fp
     )
     current = None
     if os.path.exists(marker):
@@ -7144,11 +7180,17 @@ def _ensure_dedup_base12(spark: SparkSession, sf_dir: str) -> str:
     path = _artifact_path("warp_dedup_base12_v1", sf_dir)
     marker = os.path.join(path, "_INDEX_COMPLETE")
     base = _t(spark, sf_dir, "documents").to_df().filter(F.col("doc_id") % 20 < 12)
-    fp = base.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.crc32(F.col("text")).cast("decimal(38,0)")).alias("crc"),
-    ).first()
-    stamp = f"dedup base12 n={fp['n']} crc={fp['crc']}"
+
+    def _fp() -> str:
+        fp = base.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.crc32(F.col("text")).cast("decimal(38,0)")).alias("crc"),
+        ).first()
+        return f"dedup base12 n={fp['n']} crc={fp['crc']}"
+
+    stamp = _memo_stamp(
+        f"dedup_base12:{sf_dir}", f"{sf_dir}/documents.parquet", _fp
+    )
     current = None
     if os.path.exists(marker):
         with open(marker) as f:
@@ -10564,16 +10606,21 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str, rebuild: bool = False) -
     emb = _t(spark, sf_dir, "embeddings").to_df()
     # content fingerprint, not just cardinality (r10 ADVICE, applied to
     # the precedent too): vec_id sum + crc32 over the rendered vector.
-    fp = emb.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("vec_id").cast("decimal(38,0)")).alias("ids"),
-        F.sum(
-            F.crc32(F.col("embedding").cast("string")).cast("decimal(38,0)")
-        ).alias("crc"),
-    ).first()
-    stamp = (
-        "ivfpq n_centroids=16 m=16 n_codes=32 "
-        f"n_vectors={fp['n']} idsum={fp['ids']} crcsum={fp['crc']}"
+    def _fp() -> str:
+        fp = emb.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("vec_id").cast("decimal(38,0)")).alias("ids"),
+            F.sum(
+                F.crc32(F.col("embedding").cast("string")).cast("decimal(38,0)")
+            ).alias("crc"),
+        ).first()
+        return (
+            "ivfpq n_centroids=16 m=16 n_codes=32 "
+            f"n_vectors={fp['n']} idsum={fp['ids']} crcsum={fp['crc']}"
+        )
+
+    stamp = _memo_stamp(
+        f"ann_idx:{sf_dir}", f"{sf_dir}/embeddings.parquet", _fp
     )
     current = None
     if os.path.exists(marker):
@@ -10758,23 +10805,29 @@ def _ensure_ann_index_appended(spark: SparkSession, sf_dir: str) -> str:
     marker = os.path.join(path, "_INDEX_COMPLETE")
     emb = _t(spark, sf_dir, "embeddings").to_df()
     is_base = F.col("vec_id") % 5 != 4
-    fp = emb.agg(
-        F.sum(F.when(is_base, 1).otherwise(0)).alias("nb"),
-        F.sum(
-            F.when(
-                is_base, F.crc32(F.col("embedding").cast("string")).cast("decimal(38,0)")
-            ).otherwise(0)
-        ).alias("crcb"),
-        F.sum(F.when(~is_base, 1).otherwise(0)).alias("ns"),
-        F.sum(
-            F.when(
-                ~is_base, F.crc32(F.col("embedding").cast("string")).cast("decimal(38,0)")
-            ).otherwise(0)
-        ).alias("crcs"),
-    ).first()
-    stamp = (
-        f"annapp base n={fp['nb']} crc={fp['crcb']} "
-        f"+ appended n={fp['ns']} crc={fp['crcs']}"
+
+    def _fp() -> str:
+        fp = emb.agg(
+            F.sum(F.when(is_base, 1).otherwise(0)).alias("nb"),
+            F.sum(
+                F.when(
+                    is_base, F.crc32(F.col("embedding").cast("string")).cast("decimal(38,0)")
+                ).otherwise(0)
+            ).alias("crcb"),
+            F.sum(F.when(~is_base, 1).otherwise(0)).alias("ns"),
+            F.sum(
+                F.when(
+                    ~is_base, F.crc32(F.col("embedding").cast("string")).cast("decimal(38,0)")
+                ).otherwise(0)
+            ).alias("crcs"),
+        ).first()
+        return (
+            f"annapp base n={fp['nb']} crc={fp['crcb']} "
+            f"+ appended n={fp['ns']} crc={fp['crcs']}"
+        )
+
+    stamp = _memo_stamp(
+        f"ann_app:{sf_dir}", f"{sf_dir}/embeddings.parquet", _fp
     )
     current = None
     if os.path.exists(marker):
@@ -15920,18 +15973,24 @@ def _ensure_bm25_index(spark: SparkSession, sf_dir: str, rebuild: bool = False) 
     # content fingerprint, not just cardinality (r10 ADVICE): a corpus
     # content change at unchanged row count must rebuild.  One cheap
     # scan — doc_id sum + crc32-of-text sum, both exact integers.
-    fp = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("doc_id").cast("decimal(38,0)")).alias("ids"),
-        F.sum(F.crc32(F.col("text")).cast("decimal(38,0)")).alias("crc"),
-    ).first()
     # the stamp's n_buckets token derives from the actual build
     # parameter (r11 verdict nit: a hardcoded token would not flip the
     # stamp on a non-default-bucket rebuild)
     n_buckets = 16
-    stamp = (
-        f"bm25 n_buckets={n_buckets} "
-        f"n_docs={fp['n']} idsum={fp['ids']} crcsum={fp['crc']}"
+
+    def _fp() -> str:
+        fp = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("doc_id").cast("decimal(38,0)")).alias("ids"),
+            F.sum(F.crc32(F.col("text")).cast("decimal(38,0)")).alias("crc"),
+        ).first()
+        return (
+            f"bm25 n_buckets={n_buckets} "
+            f"n_docs={fp['n']} idsum={fp['ids']} crcsum={fp['crc']}"
+        )
+
+    stamp = _memo_stamp(
+        f"bm25_idx:{sf_dir}", f"{sf_dir}/documents.parquet", _fp
     )
     current = None
     if os.path.exists(marker):
@@ -16044,19 +16103,25 @@ def _ensure_bm25_index_appended(spark: SparkSession, sf_dir: str) -> str:
     marker = os.path.join(path, "_INDEX_COMPLETE")
     docs = _t(spark, sf_dir, "documents").to_df()
     is_base = F.col("doc_id") % 20 < 16
-    fp = docs.agg(
-        F.sum(F.when(is_base, 1).otherwise(0)).alias("nb"),
-        F.sum(
-            F.when(is_base, F.crc32(F.col("text")).cast("decimal(38,0)")).otherwise(0)
-        ).alias("crcb"),
-        F.sum(F.when(~is_base, 1).otherwise(0)).alias("ns"),
-        F.sum(
-            F.when(~is_base, F.crc32(F.col("text")).cast("decimal(38,0)")).otherwise(0)
-        ).alias("crcs"),
-    ).first()
-    stamp = (
-        f"bm25app base n={fp['nb']} crc={fp['crcb']} "
-        f"+ appended n={fp['ns']} crc={fp['crcs']}"
+
+    def _fp() -> str:
+        fp = docs.agg(
+            F.sum(F.when(is_base, 1).otherwise(0)).alias("nb"),
+            F.sum(
+                F.when(is_base, F.crc32(F.col("text")).cast("decimal(38,0)")).otherwise(0)
+            ).alias("crcb"),
+            F.sum(F.when(~is_base, 1).otherwise(0)).alias("ns"),
+            F.sum(
+                F.when(~is_base, F.crc32(F.col("text")).cast("decimal(38,0)")).otherwise(0)
+            ).alias("crcs"),
+        ).first()
+        return (
+            f"bm25app base n={fp['nb']} crc={fp['crcb']} "
+            f"+ appended n={fp['ns']} crc={fp['crcs']}"
+        )
+
+    stamp = _memo_stamp(
+        f"bm25_app:{sf_dir}", f"{sf_dir}/documents.parquet", _fp
     )
     current = None
     if os.path.exists(marker):

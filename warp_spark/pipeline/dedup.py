@@ -893,16 +893,32 @@ def persist_dedup_index(
     persisted-then-probed results equal in-query results exactly.
     """
 
-    def _sig(df: DataFrame, out_id: str) -> DataFrame:
-        return (
-            df.select(
-                F.col(id_col).alias(out_id), shingles(F.col(text_col)).alias("__sh")
-            )
-            .select(out_id, F.transform(F.col("__sh"), md5_hash_pair).alias("__hp"))
-            .select(out_id, minhash_from_pairs(F.col("__hp")).alias("__sig"))
+    # ONE corpus text scan computes BOTH tiers (r14, guide §1.2): the
+    # old form ran the shingle+hash kernel three times — twice inside
+    # the bands write alone (the bucket-size join's two subtrees each
+    # re-derived the signatures; no exchange reuse applies across a
+    # join of a frame with its own aggregate) and once more for the
+    # shingle tier.  The checkpoint materializes per-doc signature +
+    # shingle hashes once — the same size class as the shingles
+    # artifact this function writes anyway — and every downstream job
+    # (bands + sizes, shingles, the stats doc count) derives from it.
+    # Expressions are unchanged, so all artifact values are identical.
+    doc_rows = (
+        corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            shingles(F.col(text_col)).alias("__sh"),
         )
-
-    bands = _sig(corpus, "corpus_id").select(
+        .select(
+            "corpus_id",
+            F.transform(F.col("__sh"), md5_hash_pair).alias("__hp"),
+            F.transform(F.col("__sh"), lambda t: F.xxhash64(t)).alias("sh_b"),
+        )
+        .select(
+            "corpus_id", minhash_from_pairs(F.col("__hp")).alias("__sig"), "sh_b"
+        )
+        .localCheckpoint(eager=True)
+    )
+    bands = doc_rows.select(
         "corpus_id",
         F.posexplode(lsh_bands(F.col("__sig"))).alias("band_idx", "band_val"),
     )
@@ -922,14 +938,10 @@ def persist_dedup_index(
         )
     )
     kept.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/bands")
-    sh = corpus.select(
-        F.col(id_col).alias("corpus_id"), shingles(F.col(text_col)).alias("__sh")
-    ).select(
-        "corpus_id",
-        F.transform(F.col("__sh"), lambda t: F.xxhash64(t)).alias("sh_b"),
+    doc_rows.select("corpus_id", "sh_b").write.mode("overwrite").parquet(
+        f"{path}/shingles"
     )
-    sh.write.mode("overwrite").parquet(f"{path}/shingles")
-    stats = corpus.agg(
+    stats = doc_rows.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.lit(DEFAULT_NUM_HASHES).cast("int").alias("num_hashes"),
         F.lit(DEFAULT_BAND_SIZE).cast("int").alias("band_size"),

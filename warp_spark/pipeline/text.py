@@ -1729,9 +1729,18 @@ def build_bm25_index(
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{path}/postings"
     )
-    stats = docs.select(tokens(F.col(text_col)).alias(tk)).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.size(tk)).cast("long").alias("total_dl"),
+    # stats WITHOUT a second tokenize pass (r14, guide §1.2): the old
+    # form re-tokenized the whole corpus just to count docs and sum
+    # lengths.  total_dl = Σ_doc dl = Σ_doc Σ_term tf — an exact
+    # identity — so it rolls up from the postings artifact just
+    # written (a columnar index scan, never a text re-scan); a doc
+    # with no tokens has no postings and contributes 0 either way.
+    # n_docs counts ALL docs incl. zero-token ones, so it comes from
+    # the docs frame directly — a count(1) that reads no text.
+    n_docs = docs.count()
+    stats = docs.sparkSession.read.parquet(f"{path}/postings").agg(
+        F.lit(int(n_docs)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("tf"), F.lit(0)).cast("long").alias("total_dl"),
         # persisted so the probe derives its bucket modulus from the
         # artifact — an index built with a non-default n_buckets is
         # probed with the RIGHT partition pruning (r10 ADVICE)

@@ -277,18 +277,26 @@ def _census_from(und, sym, deg, max_center_degree, centers=None):
     # repartition on the center key is exempt from coalescing and
     # co-partitions both join sides, so the expansion runs at 2×
     # shuffle-partition width with zero extra exchanges.
+    if centers is not None:
+        # delta-maintenance path (update_wedge_census): restrict sym to
+        # the touched midpoints FIRST — a semi-join Catalyst turns into
+        # a broadcast when the touched set is small (the daily-delta
+        # shape) — and derive the degree table from the FILTERED rows
+        # (the filter is on the center only, so every touched center
+        # keeps its full neighbor list and its degree is unchanged).
+        # This keeps the full-graph degree groupBy — a shuffle of the
+        # whole symmetric edge set per side census, paid twice per
+        # fold — out of the delta plan entirely (guide §2.3: shuffle
+        # only the touched neighborhoods, r14 verdict item 3).
+        sym = sym.join(
+            centers.select(F.col(centers.columns[0]).alias("u")), "u", "leftsemi"
+        )
+        deg = sym.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        )
     wedge_base = sym.join(deg.withColumnRenamed("node", "u"), "u")
     if max_center_degree is not None:
         wedge_base = wedge_base.where(F.col("deg") <= int(max_center_degree))
-    if centers is not None:
-        # delta-maintenance path (update_wedge_census): expand wedges
-        # only around the given midpoints — a semi-join Catalyst turns
-        # into a broadcast when the touched set is small (the daily-
-        # delta shape), bounding the quadratic stage by the touched
-        # centers' neighborhoods instead of the whole graph
-        wedge_base = wedge_base.join(
-            centers.select(F.col(centers.columns[0]).alias("u")), "u", "leftsemi"
-        )
     wedge_base = wedge_base.repartition(_expansion_width(sym), "u").withColumn(
         "contrib", F.expr("CAST(1000000 DIV deg AS BIGINT)")
     )
@@ -343,12 +351,15 @@ def persist_wedge_census(
     reference analogue QBECacheStep.swift:15-140).
 
     Layout: the census groupBy's output is already hash-clustered on
-    (x, y), so the write COALESCES to 8 files instead of re-shuffling
-    by x — coalesce merges whole hash partitions (files stay disjoint
-    pair-hash groups) and skips a second census-sized exchange per
-    build (no consumer range-filters x, so x min/max file stats bought
-    nothing)."""
-    wedge_census(edges, max_center_degree, assume_canonical).coalesce(8).write.mode(
+    (x, y) and is written AT ITS AGGREGATION WIDTH — no coalesce, no
+    re-shuffle.  The old coalesce(8) narrowed the final aggregation +
+    parquet encode of the whole census to 8 tasks (a 3.4 s/write tax
+    measured at sf0.1: 9.0 s → 5.6 s without it, guide §2.2 "fewer,
+    larger partitions" cuts the other way when it throttles the write
+    stage); AQE's partition coalescing already sizes the final stage
+    by bytes, which is the scale-adaptive file-sizing knob (guide §6),
+    and files stay disjoint pair-hash groups either way."""
+    wedge_census(edges, max_center_degree, assume_canonical).write.mode(
         "overwrite"
     ).parquet(path)
 
@@ -358,6 +369,80 @@ def load_wedge_census(spark, path: str) -> DataFrame:
     rows with x < y — feed to jaccard_links / resource_allocation_links
     via their ``census=`` parameter to skip the quadratic expansion."""
     return spark.read.parquet(path)
+
+
+def _topk_nonadjacent(
+    scored: DataFrame,
+    und: DataFrame,
+    k: int,
+    order,
+    n0: int = 4096,
+    n_max: int = 1 << 20,
+) -> DataFrame:
+    """Top-``k`` of ``scored`` — pair rows (x < y) under the strict
+    total order ``order()`` — restricted to pairs NOT present in the
+    canonical edge set ``und``, WITHOUT the census-sized anti-join
+    exchange (r14 verdict item 1, guide §2.4).
+
+    The direct form (anti-join the whole census against the edge set,
+    then top-k) shuffles every census row for an adjacency check that
+    the top-k discards almost entirely.  Instead: TakeOrdered the best
+    ``n`` census rows (a per-partition heap — no exchange), check ONLY
+    those against the edge set with two broadcast joins (the edge set
+    is scanned map-side, never shuffled), and widen ``n`` until ``k``
+    non-adjacent survivors exist.  Exactness: ``order()`` is a strict
+    total order (the score ties break on the unique pair), so once the
+    top-``n`` prefix holds ≥ k non-adjacent pairs, every pair outside
+    the prefix orders after all of them — the k survivors ARE the
+    global top-k.  Measured escalation depth on the co-purchase graph:
+    the 20th non-adjacent pair sits at census rank 64/76/3,826
+    (sf0.001/0.01/0.1) of up to 46.6M rows, so the first round nearly
+    always suffices.  If the prefix is exhausted (census smaller than
+    ``n``) the survivors are ALL candidates; past ``n_max`` (broadcast
+    bound ~40 MB of pairs) the exact full anti-join is the
+    deterministic fallback — correctness is never conditional on the
+    fast path."""
+    n = max(int(n0), 4 * k)
+    while n <= n_max:
+        top = scored.orderBy(*order()).limit(n).localCheckpoint(eager=True)
+        hits = und.join(
+            F.broadcast(
+                top.select(F.col("x").alias("u"), F.col("y").alias("v"))
+            ),
+            ["u", "v"],
+            "leftsemi",
+        )
+        adj_pairs = hits.select(
+            F.col("u").alias("x"), F.col("v").alias("y")
+        )
+        # one action answers both "how deep is the prefix" and "how
+        # many survivors" — the escalation decision
+        c = (
+            top.join(
+                F.broadcast(adj_pairs.withColumn("__adj", F.lit(1))),
+                ["x", "y"],
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_top"),
+                F.sum(
+                    F.when(F.col("__adj").isNull(), 1).otherwise(0)
+                ).alias("n_surv"),
+            )
+            .first()
+        )
+        if int(c["n_surv"] or 0) >= k or int(c["n_top"]) < n:
+            survivors = top.join(
+                F.broadcast(adj_pairs), ["x", "y"], "left_anti"
+            )
+            return survivors.orderBy(*order()).limit(k)
+        n *= 16
+    cand = scored.join(
+        und,
+        (scored["x"] == und["u"]) & (scored["y"] == und["v"]),
+        "left_anti",
+    )
+    return cand.orderBy(*order()).limit(k)
 
 
 def jaccard_links(
@@ -403,13 +488,13 @@ def jaccard_links(
     if census is None:
         census = _census_from(und, sym, deg, max_center_degree)
     cn = census.select("x", "y", "cn")
-    cand = cn.join(
-        und,
-        (cn["x"] == und["u"]) & (cn["y"] == und["v"]),
-        "left_anti",
-    )
+    # score BEFORE the adjacency check (the anti-join commutes with the
+    # degree joins — neither changes x, y): the degree table is tiny
+    # relative to the census, so Catalyst broadcasts it and the scored
+    # frame needs NO exchange, which lets _topk_nonadjacent skip the
+    # census-sized anti-join shuffle entirely (r14 verdict item 1)
     scored = (
-        cand.join(deg.withColumnRenamed("node", "x").withColumnRenamed("deg", "dx"), "x")
+        cn.join(deg.withColumnRenamed("node", "x").withColumnRenamed("deg", "dx"), "x")
         .join(deg.withColumnRenamed("node", "y").withColumnRenamed("deg", "dy"), "y")
         .select(
             "x",
@@ -419,9 +504,12 @@ def jaccard_links(
             F.expr("(cn * 1000000) div (dx + dy - cn)").cast("long").alias("jacc_ppm"),
         )
     )
-    return scored.orderBy(
-        F.col("jacc_ppm").desc(), F.col("x"), F.col("y")
-    ).limit(k)
+    return _topk_nonadjacent(
+        scored,
+        und,
+        k,
+        lambda: (F.col("jacc_ppm").desc(), F.col("x"), F.col("y")),
+    )
 
 
 def resource_allocation_links(
@@ -457,14 +545,16 @@ def resource_allocation_links(
         if census is not None
         else _census_from(und, sym, deg, max_center_degree)
     )
-    cand = scored_pairs.join(
+    # ra_ppm is already materialized per census row, so the top-k needs
+    # no join at all before the TakeOrdered — _topk_nonadjacent checks
+    # adjacency on the tiny prefix only (r14 verdict item 1), instead
+    # of shuffling the whole census through an anti-join
+    return _topk_nonadjacent(
+        scored_pairs,
         und,
-        (scored_pairs["x"] == und["u"]) & (scored_pairs["y"] == und["v"]),
-        "left_anti",
+        k,
+        lambda: (F.col("ra_ppm").desc(), F.col("x"), F.col("y")),
     )
-    return cand.orderBy(
-        F.col("ra_ppm").desc(), F.col("x"), F.col("y")
-    ).limit(k)
 
 
 def persist_edges(edges: DataFrame, path: str) -> None:
@@ -742,15 +832,18 @@ def update_wedge_census(
             "x", "y", (-F.col("cn")).alias("cn"), (-F.col("ra_ppm")).alias("ra_ppm")
         )
     )
-    # ONE shuffle for the whole merge: pre-partitioning on exactly the
-    # grouping keys lets the groupBy reuse the exchange (Catalyst's
-    # clustered-distribution check), so the index-sized rewrite moves
-    # the census once — not groupBy-to-32 then repartition-to-8 again
-    # (measured 708 MiB/run at sf0.1 with the double pass)
+    # ONE shuffle for the whole merge: the groupBy's own exchange moves
+    # the census exactly once (the r13 fix replaced a groupBy-to-32 +
+    # repartition-to-8 double pass, measured 708 MiB/run at sf0.1).
+    # The exchange now runs at the session shuffle width instead of a
+    # pinned 8: the old repartition(8, x, y) throttled the final
+    # aggregation + parquet encode of the whole standing census to 8
+    # tasks (the same 8-task write tax measured on persist_wedge_census
+    # — 9.0 s → 5.6 s at sf0.1 without it); AQE's coalescing sizes the
+    # final stage by bytes, the scale-adaptive knob (guide §2.2/§6).
     merged = (
         standing.select("x", "y", "cn", "ra_ppm")
         .union(signed)
-        .repartition(8, "x", "y")
         .groupBy("x", "y")
         .agg(
             F.sum("cn").cast("long").alias("cn"),

@@ -416,3 +416,44 @@ def test_pagerank_assume_distinct_equals_default(spark):
         ).collect()
     }
     assert fast == base
+
+
+def test_topk_nonadjacent_fast_path_equals_full_anti_join(spark):
+    # r15 optimization: the link scorers' top-k skips the census-sized
+    # anti-join by TakeOrdering a small prefix, checking adjacency with
+    # one broadcast semi-join, and re-emitting the k survivors as a
+    # one-slice driver frame.  Pin fast path == the exact full-anti-join
+    # fallback (n_max=0 forces it) IN ORDER, on a score table whose top
+    # ranks are dominated by ADJACENT pairs so that (a) the filter
+    # matters and (b) a tiny n0 must escalate before k survivors exist.
+    from warp_spark.pipeline.graph import _topk_nonadjacent
+
+    # edge set: a clique 0-1-2-3 plus spokes; scored pairs: every (x, y)
+    # with x < y over nodes 0..7 — adjacent pairs get the HIGHEST scores
+    clique = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (0, 4), (1, 5)]
+    und = spark.createDataFrame(clique, "u long, v long")
+    all_pairs = [(x, y) for x in range(8) for y in range(x + 1, 8)]
+    adj = set(clique)
+    scored_rows = [
+        (x, y, 1000 - i if (x, y) in adj else 100 - i)
+        for i, (x, y) in enumerate(all_pairs)
+    ]
+    scored = spark.createDataFrame(scored_rows, "x long, y long, s long")
+    order = lambda: (F.col("s").desc(), F.col("x"), F.col("y"))
+
+    def key(r):
+        return tuple(r[c] for c in r.__fields__)
+
+    for k in (3, 5, 100):  # 100 > number of candidates: prefix exhausts
+        fast = [
+            key(r) for r in _topk_nonadjacent(scored, und, k, order, n0=4).collect()
+        ]
+        slow = [
+            key(r)
+            for r in _topk_nonadjacent(
+                scored, und, k, order, n0=4, n_max=0
+            ).collect()
+        ]
+        assert fast == slow, f"k={k}: {fast} != {slow}"
+        assert fast == sorted(fast, key=lambda t: (-t[2], t[0], t[1]))
+        assert all((x, y) not in adj for x, y, _ in fast)

@@ -128,6 +128,12 @@ HEAVY = [
     # than the build, that asymmetry is the point of persisting)
     "ann_index_persist",
     "ann_index_probe",
+    # r15: the two VERDICT-r14-item-5 flat entries not yet listed —
+    # the in-memory IVF-PQ top-k (embeddings-driven, replicated at
+    # sf1) and the multi-distinct orders profile (the Expand ×7 row
+    # amplification only shows with data volume)
+    "ann_topk_ivfpq",
+    "profile_orders",
     # round-10: stateful EWMA (21st stream; stages purchases from
     # sf_dir so the 10x point is meaningful)
     "events_ewma_streamed",

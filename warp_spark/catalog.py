@@ -16847,76 +16847,75 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # evaluated against CORRECTNESS_r*.json snapshots from rounds strictly
 # before this one (the evidence that existed when the window was
 # designed).
-_DRIVER_WINDOW_ROUND = 14
+_DRIVER_WINDOW_ROUND = 15
 
 # Entries whose existing driver evidence predates a SEMANTIC change to
 # the shipped code path — their "fresh" snapshot belongs to code that
 # no longer runs, so the rotation policy treats them as stale and the
-# window re-judges them deliberately.  Empty this round: the
-# graph_jaccard_links re-judge queued by r12 landed driver-green in
-# r13 on the shipped capped-census semantics, discharging it.
+# window re-judges them deliberately.  Empty this round (same call as
+# r14): the r15 optimizations preserve every entry's RESULTS (each
+# restructured entry is re-gated against the DuckDB oracle at all
+# three SFs locally and carries an equivalence pytest), so prior
+# driver snapshots still certify the values the shipped code produces.
 _DRIVER_WINDOW_REJUDGE: set[str] = set()
 
+# r15 rotation: with r14 green, every catalog entry now has driver
+# evidence — the stalest are the 12 r8-vintage simplest-registry
+# entries held back from r14 (judged r8, VERDICT r14 item 7) and the
+# r9 cohort; 47 stalest + the pinned flagship trio fill the window.
 _DRIVER_WINDOW = [
-    # --- never-driver-judged: the 8 r13 additions (judge-gated 8/8 at
-    #     sf0.01 by the r13 judge; mutation-surface tier, builds/appends
-    #     ordered before their compacts and composed entries) ---
-    "graph_edges_append",
-    "graph_wedges_append",
-    "graph_edges_compact",
-    "graph_ingest_streamed",
-    "dedup_index_lifecycle",
-    "dedup_index_delete",
-    "bm25_index_delete",
-    "ann_index_delete",
-    # --- r7-vintage fill: the curation cohort held back from r13 ---
-    "curation_ablation_funnel",
-    "curation_dsir_weights",
-    "curation_token_budget",
-    "mixture_rebalance",
-    # --- r8-vintage fill: TPC-H refreshes (the four not in r13's) ---
-    "q11_important_parts",
-    "q20_promotable_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    # --- r8-vintage fill: dedup / decontamination tier ---
-    "dedup_incremental",
-    "dedup_clusters_star",
-    "dedup_containment",
-    "decontaminate_bloom",
-    "decontaminate_neardup",
-    "winnow_overlap",
-    "embedding_semantic_dedup",
-    # --- r8-vintage fill: ANN quantization + embeddings ---
-    "ann_topk_pq",
-    "ann_topk_quantized",
-    "embedding_kmeans",
-    # --- r8-vintage fill: aggregation / sketch registry ---
-    "aggregate_reducers",
-    "agg_kmv_distinct",
-    "agg_skew_kurtosis",
-    "agg_mode_mad",
-    # --- r8-vintage fill: text analysis + tokenization ---
-    "text_repetition",
-    "text_tfidf_topterms",
-    "text_lm_score",
-    "bpe_train_merges",
-    "chunk_documents_rag",
-    # --- r8-vintage fill: curation + quality ---
-    "pipeline_curation_summary",
-    "quality_robust_stats",
-    "split_assign",
-    # --- r8-vintage fill: events analytics + streaming executions ---
-    "events_funnel",
-    "events_user_retention",
-    "events_gapfill_hourly",
-    "events_stream_stream_join",
-    "events_heavy_hitters_streamed",
-    # --- r8-vintage fill: roundtrips / multimodal ---
-    "infer_formula_roundtrip",
-    "mutable_dml_roundtrip",
-    "multimodal_png_real",
-    "multimodal_wav_real",
+    # --- r8-vintage: the 12 held-back registry entries ---
+    "corr_matrix",
+    "events_ewma",
+    "percentiles_exact",
+    "profile_orders",
+    "quality_percentile_cut",
+    "rollup_revenue",
+    "semi_anti_join",
+    "set_operations",
+    "source_roundtrip_formats",
+    "stratified_sample",
+    "window_functions_suite",
+    "zorder_index",
+    # --- r9-vintage fill: events / streaming tier ---
+    "asof_purchase_click",
+    "asof_tolerance_stale",
+    "events_active_users",
+    "events_burst_islands",
+    "events_burst_streamed",
+    "events_kmv_hourly",
+    "events_kmv_streamed",
+    "events_late_data_rollup",
+    "events_moving_avg_range",
+    "events_path_trigrams",
+    "events_sessionize",
+    "events_sessionize_dynamic",
+    "events_stream_static_enrich",
+    "events_streaming_dedup",
+    # --- r9-vintage fill: dedup / search / similarity tier ---
+    "ann_topk_filtered",
+    "bm25_topk",
+    "dedup_cluster_profile",
+    "dedup_keep_best",
+    "dedup_lsh_recall",
+    "dedup_minhash_lsh",
+    "dedup_prefix_filter_exact",
+    "hybrid_search_rrf",
+    # --- r9-vintage fill: text / tokenization / mixtures ---
+    "bpe_apply_tokenize",
+    "langid_confusion",
+    "mixture_drift_kl",
+    "mixture_epoch_schedule",
+    "mixture_temperature",
+    # --- r9-vintage fill: relational / warehouse tier ---
+    "bucketed_join_revenue",
+    "cube_revenue",
+    "grouping_sets_margins",
+    "join_full_outer",
+    "mutable_cdc_merge",
+    "mutable_change_feed",
+    "mutable_schema_evolution",
+    "multimodal_y4m_real",
     # --- flagship TPC-H, kept every round ---
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -266,7 +266,7 @@ def _expansion_width(df: DataFrame, default: int = 200) -> int:
     return 2 * n
 
 
-def _census_from(und, sym, deg, max_center_degree, centers=None):
+def _census_from(und, sym, deg, max_center_degree, centers=None, pre_agg=True):
     # Pin the wedge-join parallelism EXPLICITLY: the self-join's output
     # is quadratic in its input (Σ C(deg,2) rows from |sym| rows), so
     # AQE's input-byte-driven partition coalescing — correct for
@@ -302,14 +302,25 @@ def _census_from(und, sym, deg, max_center_degree, centers=None):
     )
     w1 = wedge_base.select(F.col("u").alias("a"), F.col("v").alias("x"), "contrib")
     w2 = wedge_base.select(F.col("u").alias("a"), F.col("v").alias("y"))
-    return (
-        w1.join(w2, "a")
-        .where(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("cn"),
-            F.sum("contrib").cast("long").alias("ra_ppm"),
+    pairs = w1.join(w2, "a").where(F.col("x") < F.col("y"))
+    if not pre_agg:
+        # raw per-wedge contributions (one row per common neighbor):
+        # update_wedge_census unions BOTH side censuses and the standing
+        # artifact into ONE merge groupBy, so aggregating each side here
+        # first would pay two extra census-delta-sized exchanges for an
+        # intermediate nobody reads (guide §2.4; measured 10.8 → 9.9 s
+        # per fold at sf0.1).  sum(cn)/sum(ra_ppm) over these rows is
+        # exactly the count/sum the aggregated form produces — integer
+        # arithmetic, no fold-order sensitivity.
+        return pairs.select(
+            "x",
+            "y",
+            F.lit(1).cast("long").alias("cn"),
+            F.col("contrib").cast("long").alias("ra_ppm"),
         )
+    return pairs.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("cn"),
+        F.sum("contrib").cast("long").alias("ra_ppm"),
     )
 
 
@@ -388,9 +399,9 @@ def _topk_nonadjacent(
     then top-k) shuffles every census row for an adjacency check that
     the top-k discards almost entirely.  Instead: TakeOrdered the best
     ``n`` census rows (a per-partition heap — no exchange), check ONLY
-    those against the edge set with two broadcast joins (the edge set
-    is scanned map-side, never shuffled), and widen ``n`` until ``k``
-    non-adjacent survivors exist.  Exactness: ``order()`` is a strict
+    those against the edge set with one broadcast semi-join (the edge
+    set is scanned map-side, never shuffled), and widen ``n`` until
+    ``k`` non-adjacent survivors exist.  Exactness: ``order()`` is a strict
     total order (the score ties break on the unique pair), so once the
     top-``n`` prefix holds ≥ k non-adjacent pairs, every pair outside
     the prefix orders after all of them — the k survivors ARE the
@@ -401,41 +412,43 @@ def _topk_nonadjacent(
     ``n``) the survivors are ALL candidates; past ``n_max`` (broadcast
     bound ~40 MB of pairs) the exact full anti-join is the
     deterministic fallback — correctness is never conditional on the
-    fast path."""
+    fast path.
+
+    TWO actions per round, never three: the prefix is COLLECTED (≤ n
+    pair rows, driver-bounded by ``n_max`` — not a §5 driver-loop
+    hazard), adjacency is one broadcast semi-join collect over the
+    edge scan, and the k survivors are re-emitted as a one-slice
+    driver frame (:func:`warp_spark.localdf.small_rows_df`) in the
+    exact TakeOrdered order — filtering a sorted prefix preserves
+    order, so no re-sort is needed and the edge set is scanned ONCE
+    (the checkpoint form paid a second scan plus a count action)."""
+    from warp_spark.localdf import small_rows_df
+
+    spark = scored.sparkSession
+    pair_schema = "{} {}, {} {}".format(
+        "u",
+        scored.schema["x"].dataType.simpleString(),
+        "v",
+        scored.schema["y"].dataType.simpleString(),
+    )
     n = max(int(n0), 4 * k)
     while n <= n_max:
-        top = scored.orderBy(*order()).limit(n).localCheckpoint(eager=True)
-        hits = und.join(
-            F.broadcast(
-                top.select(F.col("x").alias("u"), F.col("y").alias("v"))
-            ),
-            ["u", "v"],
-            "leftsemi",
+        rows = scored.orderBy(*order()).limit(n).collect()
+        adj = set(
+            (r["u"], r["v"])
+            for r in und.join(
+                F.broadcast(
+                    small_rows_df(
+                        spark, [(r["x"], r["y"]) for r in rows], pair_schema
+                    )
+                ),
+                ["u", "v"],
+                "leftsemi",
+            ).collect()
         )
-        adj_pairs = hits.select(
-            F.col("u").alias("x"), F.col("v").alias("y")
-        )
-        # one action answers both "how deep is the prefix" and "how
-        # many survivors" — the escalation decision
-        c = (
-            top.join(
-                F.broadcast(adj_pairs.withColumn("__adj", F.lit(1))),
-                ["x", "y"],
-                "left",
-            )
-            .agg(
-                F.count(F.lit(1)).alias("n_top"),
-                F.sum(
-                    F.when(F.col("__adj").isNull(), 1).otherwise(0)
-                ).alias("n_surv"),
-            )
-            .first()
-        )
-        if int(c["n_surv"] or 0) >= k or int(c["n_top"]) < n:
-            survivors = top.join(
-                F.broadcast(adj_pairs), ["x", "y"], "left_anti"
-            )
-            return survivors.orderBy(*order()).limit(k)
+        survivors = [r for r in rows if (r["x"], r["y"]) not in adj]
+        if len(survivors) >= k or len(rows) < n:
+            return small_rows_df(spark, survivors[:k], scored.schema)
         n *= 16
     cand = scored.join(
         und,
@@ -820,18 +833,29 @@ def update_wedge_census(
         .distinct()
     )
 
-    def side_census(und):
+    def side_pairs(und, sign):
         sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
         deg = sym.groupBy(F.col("u").alias("node")).agg(
             F.count(F.lit(1)).cast("long").alias("deg")
         )
-        return _census_from(und, sym, deg, max_center_degree, centers=touched)
-
-    signed = side_census(new_und).select("x", "y", "cn", "ra_ppm").union(
-        side_census(old_und).select(
-            "x", "y", (-F.col("cn")).alias("cn"), (-F.col("ra_ppm")).alias("ra_ppm")
+        raw = _census_from(
+            und, sym, deg, max_center_degree, centers=touched, pre_agg=False
         )
-    )
+        if sign < 0:
+            raw = raw.select(
+                "x",
+                "y",
+                (-F.col("cn")).alias("cn"),
+                (-F.col("ra_ppm")).alias("ra_ppm"),
+            )
+        return raw
+
+    # RAW ± wedge contributions, no per-side census groupBy: the merge
+    # groupBy below re-aggregates anyway, so pre-aggregating each side
+    # paid two extra census-delta-sized exchanges for an intermediate
+    # nobody reads (guide §2.4; measured 10.8 → 9.9 s per fold at
+    # sf0.1 — the signed plan is now expansion → ONE merge exchange).
+    signed = side_pairs(new_und, 1).union(side_pairs(old_und, -1))
     # ONE shuffle for the whole merge: the groupBy's own exchange moves
     # the census exactly once (the r13 fix replaced a groupBy-to-32 +
     # repartition-to-8 double pass, measured 708 MiB/run at sf0.1).

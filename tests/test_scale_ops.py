@@ -3129,3 +3129,63 @@ def test_ivfpq_fused_assign_encode_and_train_equal_two_step(spark):
         ).collect()
     }
     assert fused == twostep
+
+
+def test_profile_columns_equals_wide_aggregate(spark):
+    # r15 optimization: profile_columns is now a union of per-column
+    # two-phase aggregates instead of one wide multi-countDistinct
+    # aggregate (whose Expand re-emits every row once per column).
+    # Pin the new shape value- and schema-identical to the old one on
+    # data with nulls, duplicates, an all-null column, and mixed types.
+    from warp_spark.stats import profile_columns
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 2.5, None),
+            (2, "a", None, None),
+            (3, None, 2.5, None),
+            (3, "b", -1.0, None),
+            (None, "b", 0.0, None),
+        ],
+        "k long, s string, v double, z string",
+    )
+    cols = ["k", "s", "v", "z"]
+
+    def old_shape(d):
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in cols:
+            aggs.extend(
+                [
+                    F.count(F.col(c)).alias(f"__nn_{c}"),
+                    F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+                    F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+                    F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+                ]
+            )
+        one = d.agg(*aggs)
+        rows = [
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_value"),
+                F.col(f"__mx_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+        return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+    new = profile_columns(df, cols)
+    old = old_shape(df)
+    assert new.schema == old.schema
+    key = lambda r: r["column_name"]
+    assert sorted(map(tuple, new.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, old.collect()), key=lambda t: t[0]
+    )
+    # spot-check the semantics directly
+    got = {r["column_name"]: r for r in new.collect()}
+    assert got["k"]["n_rows"] == 5 and got["k"]["n_nulls"] == 1
+    assert got["k"]["n_distinct"] == 3 and got["k"]["min_value"] == "1"
+    assert got["z"]["n_distinct"] == 0 and got["z"]["min_value"] is None
+    assert got["v"]["min_value"] == "-1.0" and got["v"]["max_value"] == "2.5"

@@ -47,3 +47,20 @@ def test_small_rows_df_empty_has_no_python_stage(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" not in plan
     assert df.collect() == []
+
+
+def test_small_rows_df_empty_non_nullable_schema(spark):
+    # ADVICE r14: the pure-JVM empty path builds nullable lit(None)
+    # casts, which DataFrame.to() rejects for non-nullable fields —
+    # such schemas must fall back to createDataFrame([], schema).
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    st = StructType(
+        [
+            StructField("a", LongType(), nullable=False),
+            StructField("b", LongType(), nullable=True),
+        ]
+    )
+    df = small_rows_df(spark, [], st)
+    assert df.schema == st
+    assert df.collect() == []

@@ -5125,6 +5125,16 @@ def _stage_split_files(
             )
             shutil.rmtree(f"{root}/stage_empty{i}", ignore_errors=True)
         os.utime(tgt, (1_700_000_000 + 100 * i,) * 2)
+    # rows whose key is null or outside 0..n-1 would land in an
+    # unclaimed __b=* dir and vanish with the stage rmtree below —
+    # every current caller passes a total pmod/% key, so any stray
+    # partition is a caller bug this surfaces instead of swallowing
+    stray = [
+        d
+        for d in _glob.glob(f"{root}/stage/__b=*")
+        if os.path.basename(d) not in {f"__b={i}" for i in range(n)}
+    ]
+    assert not stray, f"_stage_split_files: key produced rows outside 0..{n-1}: {stray}"
     shutil.rmtree(f"{root}/stage", ignore_errors=True)
 
 

@@ -46,12 +46,15 @@ def small_rows_df(spark, rows, schema) -> DataFrame:
         st = schema
         if not isinstance(st, StructType) and _parse_datatype_string is not None:
             st = _parse_datatype_string(st)
-        if isinstance(st, StructType):
+        if isinstance(st, StructType) and all(f.nullable for f in st.fields):
+            # lit(None) casts are nullable, so DataFrame.to(st) would
+            # raise on any non-nullable field — route those through
+            # createDataFrame, which accepts an empty non-nullable frame
             empty = spark.range(0).select(
                 *[F.lit(None).cast(f.dataType).alias(f.name) for f in st.fields]
             )
             return empty.to(st)
-        return spark.createDataFrame([], schema)  # pragma: no cover
+        return spark.createDataFrame([], schema)
     n_slices = max(1, len(rows) // _ROWS_PER_SLICE)
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, n_slices), schema

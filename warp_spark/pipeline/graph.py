@@ -234,7 +234,15 @@ def _canonical_undirected(edges: DataFrame, assume_canonical: bool = False):
     full |E| exchange + aggregation at runtime (guide §2.4, "a
     distinct on data that is already unique" is an accidental
     shuffle).  Any filter of a canonical set stays canonical, so
-    induced-subgraph callers qualify too."""
+    induced-subgraph callers qualify too.
+
+    CONTRACT, not checked at runtime: a caller passing raw edges with
+    ``assume_canonical=True`` silently mis-counts (self-loops and
+    duplicate/reversed rows survive into the census and degrees).
+    Every call site must trace its input to the persisted canonical
+    artifact or a filter of it; the equivalence pytests pin
+    flag==default on every shipped path, and the artifact invariant
+    itself is value-checked by the ``graph_edges_persist`` oracle."""
     u, v = F.col("src"), F.col("dst")
     if assume_canonical:
         und = edges.select(u.alias("u"), v.alias("v"))
